@@ -1,0 +1,61 @@
+"""Benchmark harness (driver contract): run the registry's queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec}, "sf": ...}``.
+
+Each query is forced with a ``noop``-format write — full execution of
+the physical plan (scan → shuffle → agg) without driver-side collect,
+so timings measure the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from mapreduce_rust_spark import get_spark
+    from mapreduce_rust_spark.registry import queries
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    only = set(sys.argv[1:])
+    for name, fn in sorted(queries().items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — a failing query must not kill the bench
+            timings[name] = -1.0
+            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "registry_suite_wallclock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

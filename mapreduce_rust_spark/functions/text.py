@@ -1,0 +1,60 @@
+"""Text column expressions (pure ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd; no Python in the hot path).
+
+``tokenize_whitespace`` pins the reference's exact tokenizer semantics
+(``mr_app/src/client.rs:3-12``): split on whitespace runs, keep case,
+keep punctuation ("hello" and "hello," are distinct tokens), drop empty
+tokens. Everything else here is engine extension surface (SURVEY.md §7
+Phase 2) built from the same primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Cross-engine-stable 64-bit-ish hash: md5 is bit-identical everywhere,
+# so oracle SQL (DuckDB) can reproduce it exactly — unlike xxhash64/
+# murmur, whose seeds differ per engine. 15 hex chars = 60 bits, always
+# non-negative, fits BIGINT exactly.
+
+
+def hash64(col: Column | str) -> Column:
+    """Deterministic non-negative 60-bit integer hash of a string column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def tokenize_whitespace(col: Column | str) -> Column:
+    """Whitespace tokens, case/punctuation preserved, empties dropped —
+    byte-for-byte the reference's ``split_whitespace`` map semantics
+    (``mr_app/src/client.rs:7-10``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics to single spaces, trim.
+
+    Canonicalization step shared by the dedup family so that
+    near-duplicate detection is robust to case/punctuation noise.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined) over normalized text.
+
+    The unit of MinHash / Jaccard near-dup detection. Built with
+    ``transform`` over a slice window — stays inside codegen, no UDF.
+    """
+    toks = tokenize_whitespace(normalize_text(col))
+    n = F.size(toks)
+    # positions 1..n-k+1, each mapped to the k-token slice starting there
+    # (floor the stop at 1 so sequence() stays ascending even when n<k;
+    # the when() guard below returns [] for that case)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.when(n < F.lit(k), F.array()).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )

@@ -1,0 +1,442 @@
+"""Analytics breadth queries (SURVEY.md §2c — capabilities the
+reference lacks entirely, provided by the Spark engine as first-class
+surface): joins of every flavor, window functions, rollup/pivot,
+set ops, date/JSON functions, sessionization.
+
+Scale notes applied throughout:
+
+* Dimension sides (region/nation/supplier/customer) are broadcast —
+  at 100 TB the fact tables (lineitem/orders/events) must never
+  shuffle for a dim join. ``F.broadcast`` hints make that explicit
+  rather than relying on the autoBroadcast threshold.
+* Window partitions are keyed on high-cardinality columns (suppkey,
+  user_id) so no single partition approaches executor memory.
+* Sort+limit top-k uses Spark's TakeOrderedAndProject (no global
+  sort materialization).
+* All float aggregates are rounded in BOTH engines so the driver's
+  value-hash comparison is stable across summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.functions.numeric import fround
+from mapreduce_rust_spark.sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+def _revenue():
+    # built lazily: Column construction needs an active SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) adapted to the testdata date
+    range. Single scan → partial+final hash aggregate; the filter and
+    the 7-column projection push down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            fround(F.sum("l_quantity")).alias("sum_qty"),
+            fround(F.sum("l_extendedprice")).alias("sum_base_price"),
+            fround(F.sum(_revenue())).alias("sum_disc_price"),
+            fround(F.sum(_revenue() * (1 + F.col("l_tax")))).alias("sum_charge"),
+            fround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            fround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            fround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 100) / 100 AS sum_qty,
+       floor((sum(l_extendedprice)) * 100) / 100 AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100) / 100 AS sum_disc_price,
+       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100) / 100 AS sum_charge,
+       floor((avg(l_quantity)) * 10000) / 10000 AS avg_qty,
+       floor((avg(l_extendedprice)) * 10000) / 10000 AS avg_price,
+       floor((avg(l_discount)) * 10000) / 10000 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: join customer⋈orders⋈lineitem, top-10 open orders by
+    revenue. Customer (filtered) broadcasts; orders⋈lineitem shuffles
+    on the join key. Deterministic under ties via orderkey."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-30").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-30").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(fround(F.sum(_revenue())).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE["q3_shipping_priority"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100) / 100 AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate > TIMESTAMP '1998-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-table join, revenue by nation within one region.
+    region/nation/supplier broadcast (constant or near-constant size
+    at any SF); only lineitem⋈orders shuffles."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(fround(F.sum(_revenue())).alias("revenue"))
+    )
+
+
+ORACLE["q5_local_supplier"] = """
+SELECT n_name, floor((sum(l_extendedprice * (1 - l_discount))) * 100) / 100 AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+"""
+
+
+def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price within each order priority —
+    rank-over-window, the canonical top-k-per-group. Partition key is
+    low-cardinality here but bounded; at scale prefer a pre-filter
+    (approximate per-group threshold) before the window."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "rn",
+            "o_orderkey",
+            fround("o_totalprice").alias("price"),
+        )
+    )
+
+
+ORACLE["top_k_per_group"] = """
+SELECT o_orderpriority, rn, o_orderkey, floor((o_totalprice) * 100) / 100 AS price
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per supplier in ship order, accumulated in
+    integer cents. Floating-point window sums are NOT cross-engine
+    comparable even with a deterministic ORDER BY (DuckDB accumulates
+    window frames via a segment tree, i.e. a different summation
+    order), so each row's revenue is truncated to exact cents first —
+    integer addition is order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cents = F.floor(_revenue() * 100).cast("bigint")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.sum(cents).over(w) / 100).alias("running_revenue"),
+    )
+
+
+ORACLE["window_running_sum"] = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100 AS running_revenue
+FROM lineitem
+"""
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over returnflag × linestatus: subtotal + grand-total
+    rows. Spark plans this as a single Expand+aggregate — one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        fround(F.sum("l_quantity")).alias("sum_qty"),
+    )
+
+
+ORACLE["rollup_agg"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       floor((sum(l_quantity)) * 100) / 100 AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list so the plan
+    needs no extra discovery pass — required at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(fround(F.sum("l_quantity")))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F").alias("qty_F"),
+        F.col("O").alias("qty_O"),
+    )
+
+
+ORACLE["pivot_agg"] = """
+SELECT l_returnflag,
+       floor((sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) * 100) / 100 AS qty_F,
+       floor((sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)) * 100) / 100 AS qty_O
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers having at least one high-value
+    order. The probe side streams; no row multiplication."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+ORACLE["semi_join"] = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no very-high-value order
+    (threshold chosen so the result is non-empty at every SF)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ORACLE["anti_join"] = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT: (user, day) pairs with a click but no purchase
+    (day granularity keeps the result non-empty at every SF)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", day)
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return clicks.subtract(buys)
+
+
+ORACLE["set_except"] = """
+SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT DISTINCT: users who both clicked and purchased."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+ORACLE["set_intersect"] = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function aggregation: monthly order volume and value."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"), "o_totalprice"
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fround(F.sum("o_totalprice")).alias("total_value"),
+        )
+    )
+
+
+ORACLE["orders_by_month"] = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+       floor((sum(o_totalprice)) * 100) / 100 AS total_value
+FROM orders GROUP BY 1
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract an int field from the JSON
+    ``props`` column (Spark: get_json_object — JVM-side JSON path)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+ORACLE["events_json_extract"] = r"""
+SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+       count(*) AS cnt
+FROM events GROUP BY 1
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag window +
+    cumulative flags — the batch analogue of a session window. The
+    streaming variant lives in ``streaming/``."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE["sessionize"] = """
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) GROUP BY user_id
+"""
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (1 h) in batch form — mirrors the
+    streaming windowed aggregation in ``streaming/``."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+            "value",
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            fround(F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
+ORACLE["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type, count(*) AS cnt, floor((sum(value)) * 100) / 100 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "top_k_per_group": top_k_per_group,
+    "window_running_sum": window_running_sum,
+    "rollup_agg": rollup_agg,
+    "pivot_agg": pivot_agg,
+    "semi_join": semi_join,
+    "anti_join": anti_join,
+    "set_except": set_except,
+    "set_intersect": set_intersect,
+    "orders_by_month": orders_by_month,
+    "events_json_extract": events_json_extract,
+    "sessionize": sessionize,
+    "events_hourly": events_hourly,
+}

@@ -1,0 +1,55 @@
+"""Parquet star-schema sources (the driver's TPC-H-ish testdata).
+
+The reference reads only plain text (``worker.rs:110``); columnar
+formats are a capability we add for free via Spark's parquet source
+(SURVEY.md §2c "file formats"). Loading goes through ``spark.read
+.parquet`` so Catalyst gets predicate pushdown + column pruning on
+every downstream query — at 100 TB the scan is the dominant cost and
+pruned columns/row-groups are the first-order win.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor — at
+# TPC-H geometry region/nation are constant-size and supplier/customer/
+# part grow far slower than the fact tables. Joins against these should
+# never shuffle the fact side.
+BROADCAST_SAFE = ("region", "nation", "supplier")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table from ``{sf_dir}/{name}.parquet``."""
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Parquet TIMESTAMP(NANOS) columns arrive as long (see session.py
+    # nanosAsLong); restore them to timestamps. The testdata nanos are
+    # micro-aligned, so integer `div 1000` is lossless.
+    from pyspark.sql import functions as F
+
+    for col_name, dtype in df.dtypes:
+        if col_name == "ts" and dtype == "bigint":
+            df = df.withColumn(col_name, F.timestamp_micros(F.expr(f"{col_name} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once; all tables when no names given."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
