@@ -1,0 +1,426 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Not present in the reference (its only dedup-adjacent machinery is
+group-by-key, ``worker.rs:126-131``); built per the project north star
+as first-class engine surface. Five strategies, each with a DuckDB
+oracle (every hash function is md5-derived specifically so the oracle
+can reproduce it bit-for-bit — engine-native hashes like xxhash64
+differ between engines):
+
+* **exact** — content-hash groupBy. One shuffle on the hash; at
+  100 TB this is the cheapest and always runs first to shrink input
+  for the fuzzy passes.
+* **n-gram Jaccard** — exact pairwise similarity via a shingle
+  inverted index (self-join on shingle). Quadratic in docs-per-
+  shingle: the correctness baseline the sketch methods approximate.
+* **MinHash + LSH** — linear-time near-dup candidates: per-doc
+  signature of P min-hashes, banded so any pair agreeing on one full
+  band becomes a candidate. THE scale path for fuzzy dedup.
+* **SimHash** — 32-bit weighted fingerprint; hamming-distance pairs.
+* **embedding cosine** — semantic near-dup over the embeddings table.
+
+Scale notes: all pair-producing operators key their shuffles on
+content-derived values (shingle, band signature, bucket), never on a
+global cross join — except the brute-force cosine baseline, which is
+deliberately quadratic (documented) and exists as the oracle-checked
+reference for the bucketed variant in ``similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.functions.numeric import fround
+from mapreduce_rust_spark.functions.text import (
+    hash64,
+    normalize_text,
+    tokenize_whitespace,
+    word_shingles,
+)
+from mapreduce_rust_spark.functions.vectors import cosine_similarity
+from mapreduce_rust_spark.sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+# --- shared SQL fragments (DuckDB side of the shared semantics) -----
+
+# normalized tokens with 1-based positions
+_TOK_SQL = """
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
+  FROM (
+    SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS l
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+  ) x
+"""
+
+# distinct 3-word shingles per doc
+_SHINGLE_SQL = f"""
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+  FROM ({_TOK_SQL}) a
+  JOIN ({_TOK_SQL}) b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN ({_TOK_SQL}) c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+"""
+
+# md5-derived 60-bit hash (mirrors functions.text.hash64)
+def _h64_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# --- MinHash parameters (deterministic, shared verbatim with SQL) ---
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1; a*(h%p)+b stays within int64
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _minhash_params() -> list[tuple[int, int]]:
+    """(a_j, b_j) for j in 0..N_HASHES-1 — fixed arithmetic, no RNG,
+    so the oracle inlines the identical literals."""
+    return [
+        ((2654435761 * (j + 1)) % MINHASH_PRIME, (40503 * (j + 7) + 1) % MINHASH_PRIME)
+        for j in range(N_HASHES)
+    ]
+
+
+def _minhash_col(j: int, a: int, b: int, h: Column) -> Column:
+    return F.min((F.lit(a) * (h % MINHASH_PRIME) + F.lit(b)) % MINHASH_PRIME).alias(
+        f"mh{j}"
+    )
+
+
+# --- library operators (DataFrame in → DataFrame out) ---------------
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Group rows by exact content hash → (content_hash, keep_id,
+    n_copies). keep_id = min id, the canonical survivor. One shuffle
+    keyed on the hash; survives any scale."""
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (id, s)."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("s")
+    ).distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Exact pairwise Jaccard over k-shingle sets, via inverted index
+    (self-join on shingle → |intersection| per pair, sizes joined
+    back). Output (d1, d2, jaccard) with d1 < d2.
+
+    jaccard = i/(n1+n2-i) over exact ints: bit-identical across
+    engines, no rounding needed. Cost is Σ_s count(s)² — fine while
+    no shingle is near-universal; for web-scale corpora run MinHash
+    LSH (below) and reserve this for candidate verification."""
+    sh = shingle_sets(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    n1 = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return (
+        inter.join(n1, "d1")
+        .join(n2, "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Wide signature frame: (id, mh0..mh{P-1}). One aggregation over
+    the exploded shingles — P min() columns, no row blowup."""
+    sh = shingle_sets(df, id_col, text_col, k)
+    h = hash64(F.col("s"))
+    return sh.groupBy(id_col).agg(
+        *[_minhash_col(j, a, b, h) for j, (a, b) in enumerate(_minhash_params())]
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Band the signatures and self-join on (band, band-signature):
+    (d1, d2, est_sim). est_sim = fraction of agreeing hash components
+    (k/P — exact in binary, oracle-safe). The join key is the band
+    signature, so work scales with bucket sizes, not n²."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-",
+                *[F.col(f"mh{j}") for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)],
+            ).alias("sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(id_col, "bs.band", "bs.sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .distinct()
+    )
+    s1 = sigs.select(
+        F.col(id_col).alias("d1"), *[F.col(f"mh{j}").alias(f"x{j}") for j in range(N_HASHES)]
+    )
+    s2 = sigs.select(
+        F.col(id_col).alias("d2"), *[F.col(f"mh{j}").alias(f"y{j}") for j in range(N_HASHES)]
+    )
+    matches = sum(
+        F.when(F.col(f"x{j}") == F.col(f"y{j}"), 1).otherwise(0) for j in range(N_HASHES)
+    )
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", (matches / F.lit(float(N_HASHES))).alias("est_sim"))
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document: token-frequency-weighted bit votes
+    over md5-derived token hashes. One aggregation, ``bits`` sum
+    columns — no row blowup."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize_whitespace(normalize_text(text_col))).alias("w")
+    )
+    tf = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("f"))
+    h = hash64(F.col("w")).bitwiseAND(F.lit(4294967295))
+    votes = tf.groupBy(id_col).agg(
+        *[
+            F.sum(F.col("f") * (2 * F.shiftright(h, j).bitwiseAND(F.lit(1)) - 1)).alias(
+                f"b{j}"
+            )
+            for j in range(bits)
+        ]
+    )
+    fingerprint = sum(
+        F.when(F.col(f"b{j}") >= 0, F.lit(1 << j).cast("bigint")).otherwise(0)
+        for j in range(bits)
+    )
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_pairs(fp: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """All pairs within hamming distance. Brute-force n²/2 comparison
+    of 64-bit ints — cheap per pair; at true scale, block first on
+    bit-bands of the fingerprint (same trick as LSH banding)."""
+    a = fp.select(F.col(id_col).alias("d1"), F.col("simhash").alias("s1"))
+    b = fp.select(F.col(id_col).alias("d2"), F.col("simhash").alias("s2"))
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.3
+) -> DataFrame:
+    """Brute-force cosine pairs ≥ threshold (the exactness baseline;
+    the bucketed/ANN variants in similarity.py are the scale path).
+
+    Kernel: Arrow-batched numpy GEMM. Each partition's block of rows
+    is multiplied against the full (unit-normalized) corpus matrix in
+    one BLAS call — ~100× faster than per-pair ``zip_with`` expression
+    evaluation (measured 82 s → <2 s at sf0.1). The corpus matrix is
+    closure-shipped to executors, which bounds this exact variant to
+    corpora that fit in executor memory (same contract as a broadcast
+    join); beyond that, all-pairs is infeasible by definition and the
+    LSH/bucketed variants apply. cos is truncated via floor(x*1e4)/1e4
+    before thresholding, mirroring the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    corpus = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).toPandas()
+    ids = corpus["_id"].to_numpy()
+    m = np.stack(corpus["_v"].to_numpy()).astype("float64")
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = m / norms
+
+    def block(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            an = np.linalg.norm(a, axis=1, keepdims=True)
+            an[an == 0] = 1.0
+            a = a / an
+            sims = np.floor((a @ mn.T) * 10000) / 10000
+            a_ids = pdf[id_col].to_numpy()
+            d1, d2, cs = [], [], []
+            for i, aid in enumerate(a_ids):
+                mask = (sims[i] >= threshold) & (ids > aid)
+                d1.extend([aid] * int(mask.sum()))
+                d2.extend(ids[mask])
+                cs.extend(sims[i][mask])
+            yield pd.DataFrame({"d1": d1, "d2": d2, "cos_sim": cs})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        block, schema="d1 bigint, d2 bigint, cos_sim double"
+    )
+
+
+# --- registry queries + oracles -------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicate_groups(docs, "doc_id", "text")
+
+
+ORACLE["dedup_exact"] = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.25)
+
+
+ORACLE["dedup_ngram_jaccard"] = f"""
+WITH ds AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, i / (s1.n + s2.n - i) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE i / (s1.n + s2.n - i) >= 0.25
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", k=3)
+    return lsh_candidate_pairs(sigs, "doc_id")
+
+
+def _minhash_oracle() -> str:
+    params = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_minhash_params()))
+    return f"""
+WITH ds AS ({_SHINGLE_SQL}),
+h AS (SELECT doc_id, {_h64_sql('s')} AS h FROM ds),
+params(j, a, b) AS (VALUES {params}),
+sig AS (
+  SELECT doc_id, j,
+         min((a * (h % {MINHASH_PRIME}) + b) % {MINHASH_PRIME}) AS mh
+  FROM h CROSS JOIN params GROUP BY doc_id, j
+),
+band AS (
+  SELECT doc_id, j // {ROWS_PER_BAND} AS band,
+         array_to_string(list(mh ORDER BY j), '-') AS sig
+  FROM sig GROUP BY doc_id, j // {ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT c.d1, c.d2,
+       sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) / {N_HASHES}.0 AS est_sim
+FROM cand c
+JOIN sig s1 ON s1.doc_id = c.d1
+JOIN sig s2 ON s2.doc_id = c.d2 AND s2.j = s1.j
+GROUP BY c.d1, c.d2
+"""
+
+
+ORACLE["dedup_minhash_lsh"] = _minhash_oracle()
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, "doc_id", "text", bits=32)
+    return simhash_pairs(fp, "doc_id", max_hamming=3)
+
+
+ORACLE["dedup_simhash"] = f"""
+WITH tokf AS (
+  SELECT doc_id, w, count(*) AS f FROM ({_TOK_SQL}) GROUP BY 1, 2
+),
+th AS (
+  SELECT doc_id, {_h64_sql('w')} & 4294967295 AS h, f FROM tokf
+),
+bits AS (
+  SELECT doc_id, j, sum(f * (2 * ((h >> j) & 1) - 1)) AS wgt
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN wgt >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY 1
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3)
+
+
+ORACLE["dedup_embedding_cosine"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       floor(list_cosine_similarity(a.v, b.v) * 10000) / 10000 AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) / 10000 >= 0.3
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}

@@ -1,0 +1,176 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, plus the Spark-side plumbing for decode /
+feature-extract / frame-sample stages.
+
+Design (per the north star; the reference is text-only):
+
+* A media table is ``(media_id bigint, media_type string,
+  payload binary, meta struct<...>)`` — the payload is never
+  interpreted by the engine, only by decode UDFs at the edge.
+* Cheap metadata (byte length, content hash, magic-byte sniffing) is
+  pure column expressions — JVM-side, runs in the scan stage.
+* Decode / feature extraction runs as ``mapInPandas`` over Arrow
+  batches: one Python worker per partition, payloads streamed in
+  columnar batches — the only sane shape for TB-scale binary columns
+  (row-at-a-time UDFs would serialize each blob twice).
+* The actual codec calls are STUBBED (no image/audio libs in this
+  container): ``decode_media`` raises ``NotImplementedError`` unless
+  given ``fake_decoder=True``, which produces a deterministic fake
+  (dims derived from the payload hash) so the plumbing — schema,
+  batching, partitioning — is fully testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+MEDIA_SCHEMA = (
+    "media_id bigint, media_type string, payload binary, "
+    "src string, n_bytes bigint"
+)
+
+DECODED_SCHEMA = (
+    "media_id bigint, media_type string, width int, height int, "
+    "n_frames int, feature_norm double"
+)
+
+_MAGIC = {
+    "png": b"\x89PNG",
+    "jpeg": b"\xff\xd8\xff",
+    "riff": b"RIFF",  # wav/avi containers
+}
+
+
+def media_from_documents(df: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as opaque payloads so the
+    multimodal path has real data to flow through in this environment
+    (doc_id → media_id, utf-8 bytes → payload)."""
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text/plain").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.col("source").alias("src"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+    )
+
+
+def payload_metadata(df: DataFrame) -> DataFrame:
+    """JVM-side metadata extraction: size, sha256, magic-byte sniff.
+    No Python, no decode — this is the cheap pass that runs over the
+    full 100 TB corpus; decode only runs on the rows a filter keeps."""
+    sniff = F.lit("unknown")
+    for name, magic in _MAGIC.items():
+        hexpat = magic.hex()
+        sniff = F.when(
+            F.hex(F.substring("payload", 1, len(magic))) == hexpat.upper(), F.lit(name)
+        ).otherwise(sniff)
+    return df.select(
+        "media_id",
+        "media_type",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha256"),
+        sniff.alias("container_sniff"),
+    )
+
+
+def decode_media(
+    df: DataFrame,
+    fake_decoder: bool = False,
+    batch_hint: int = 64,
+) -> DataFrame:
+    """Decode payloads to (width, height, n_frames, feature_norm) via
+    ``mapInPandas`` — Arrow-batched, partition-parallel.
+
+    Real decoding requires imaging/audio libraries not present in
+    this container; pass ``fake_decoder=True`` for a deterministic
+    stand-in (dims derived from payload bytes) that exercises the
+    identical plumbing. STUB: replace ``_fake_decode`` with
+    PIL/ffmpeg/soundfile calls in a real deployment.
+    """
+
+    def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+        # deterministic pseudo-dims from the payload — NOT a real codec
+        h = sum(payload[:64]) if payload else 0
+        width = 16 + (h % 64)
+        height = 16 + ((h // 64) % 64)
+        n_frames = 1 + (len(payload) % 4)
+        feature_norm = round((len(payload) % 1000) / 1000.0, 3)
+        return width, height, n_frames, feature_norm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decoder:
+                raise NotImplementedError(
+                    "real media decoding requires imaging/audio libraries; "
+                    "pass fake_decoder=True for the deterministic test stub"
+                )
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "width": [],
+                "height": [],
+                "n_frames": [],
+                "feature_norm": [],
+            }
+            for payload in pdf["payload"]:
+                w, h, nf, fn = _fake_decode(bytes(payload) if payload is not None else b"")
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["feature_norm"].append(fn)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "media_type", "payload").mapInPandas(
+        run, schema=DECODED_SCHEMA
+    )
+
+
+def frame_sample(decoded: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Frame sampling plan over decoded media: explode frame indices
+    0..n_frames-1 and keep every Nth — pure column expressions, so
+    the (expensive) per-frame work downstream sees only kept rows."""
+    idx = F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx")
+    return (
+        decoded.select("media_id", "n_frames", idx)
+        .filter(F.col("frame_idx") % every_nth == 0)
+    )
+
+
+# --- registry query (JVM-side metadata pass has a SQL oracle) -------
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return payload_metadata(media_from_documents(docs))
+
+
+ORACLE["multimodal_meta"] = """
+SELECT doc_id AS media_id,
+       'text/plain' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       'unknown' AS container_sniff
+FROM documents
+"""
+
+
+def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-path plumbing over the fake decoder — no SQL oracle (the
+    decode is a Python stub by design); driver records rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(media_from_documents(docs), fake_decoder=True)
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_decode_fake": multimodal_decode_fake,
+}

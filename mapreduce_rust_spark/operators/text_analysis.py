@@ -1,0 +1,272 @@
+"""Text-analysis operators for LLM training-data pipelines: language
+ID, quality scoring, token statistics, document fingerprinting.
+
+All four are pure column-expression pipelines (``pyspark.sql.
+functions`` array/string higher-order functions) — zero Python UDFs,
+so they run inside whole-stage codegen and scale linearly with no
+shuffle at all (per-row computation; the optional aggregations shuffle
+on low-cardinality keys only). Each has a DuckDB oracle.
+
+Determinism notes: every ratio is an exact-int division (identical
+doubles in any engine); fingerprints are md5-based (bit-identical
+everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.functions.numeric import fround
+from mapreduce_rust_spark.functions.text import (
+    hash64,
+    normalize_text,
+    tokenize_whitespace,
+)
+from mapreduce_rust_spark.sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+# Stopword vote lists for the n-gram/stopword language heuristic.
+# Deterministic and tiny by design — mirrored verbatim in the oracle.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "es": ["el", "la", "los", "de", "que", "es", "un"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une"],
+}
+_LANG_ORDER = ["en", "de", "es", "fr"]  # tie-break priority
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token statistics — all array expressions, no
+    explode, no shuffle: (id, n_tokens, n_types, avg_token_len,
+    ttr type/token ratio)."""
+    toks = tokenize_whitespace(F.col(text_col))
+    n_tokens = F.size(toks).cast("bigint")
+    n_types = F.size(F.array_distinct(toks)).cast("bigint")
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        fround(total_len.cast("double") / n_tokens, 4).alias("avg_token_len"),
+        fround(n_types.cast("double") / n_tokens, 4).alias("ttr"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + a composite score: character-class
+    ratios, mean word length, and a length prior. The score formula is
+    arbitrary but fixed — its job is to be deterministic, cheap, and
+    monotone in the obvious junk signals (symbol soup, digit dumps,
+    one-word docs)."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("bigint")
+    n_alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")).cast("bigint")
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("bigint")
+    n_space = F.length(F.regexp_replace(t, r"[^ \t\n]", "")).cast("bigint")
+    toks = tokenize_whitespace(t)
+    n_tokens = F.size(toks).cast("bigint")
+    alpha_ratio = n_alpha.cast("double") / n_chars
+    digit_ratio = n_digit.cast("double") / n_chars
+    space_ratio = n_space.cast("double") / n_chars
+    mean_wlen = (n_chars - n_space).cast("double") / n_tokens
+    # composite: favor alpha-heavy, whitespace-sane, mid-length words
+    score = (
+        alpha_ratio * 0.5
+        + (1 - digit_ratio) * 0.2
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(0.2)).otherwise(0.0)
+        + F.when(n_tokens >= 20, F.lit(0.1)).otherwise(0.0)
+    )
+    return df.filter(n_chars > 0).select(
+        F.col(id_col),
+        fround(alpha_ratio, 4).alias("alpha_ratio"),
+        fround(digit_ratio, 4).alias("digit_ratio"),
+        fround(space_ratio, 4).alias("space_ratio"),
+        fround(mean_wlen, 4).alias("mean_word_len"),
+        fround(score, 4).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-vote language ID: count distinct stopword hits per
+    language over normalized tokens; argmax with fixed tie-break
+    order, 'und' (undetermined) when no list scores. A real pipeline
+    would swap in fastText/CLD3 via a Pandas UDF behind the same
+    column contract; the heuristic here keeps the operator
+    self-contained and oracle-checkable."""
+    toks = F.array_distinct(tokenize_whitespace(normalize_text(F.col(text_col))))
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    pred: Column = F.lit("und")
+    # build the argmax CASE chain in reverse priority so earlier
+    # languages win ties
+    for lang in reversed(_LANG_ORDER):
+        others = [o for o in _LANG_ORDER if o != lang]
+        cond = (hits[lang] > 0) & F.lit(True)
+        for o in others:
+            if _LANG_ORDER.index(o) < _LANG_ORDER.index(lang):
+                cond = cond & (hits[lang] > hits[o])
+            else:
+                cond = cond & (hits[lang] >= hits[o])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        *[hits[lang].cast("int").alias(f"{lang}_hits") for lang in _LANG_ORDER],
+        pred.alias("pred_lang"),
+    )
+
+
+def _language_id_sql() -> str:
+    hit_exprs = ",\n       ".join(
+        f"CAST(len(list_intersect(toks, {_sql_list(words)})) AS INT) AS {lang}_hits"
+        for lang, words in STOPWORDS.items()
+    )
+    # same argmax semantics: earlier language in _LANG_ORDER wins ties
+    conds = []
+    for lang in _LANG_ORDER:
+        parts = [f"{lang}_hits > 0"]
+        for o in _LANG_ORDER:
+            if o == lang:
+                continue
+            op = ">" if _LANG_ORDER.index(o) < _LANG_ORDER.index(lang) else ">="
+            parts.append(f"{lang}_hits {op} {o}_hits")
+        conds.append(f"WHEN {' AND '.join(parts)} THEN '{lang}'")
+    return f"""
+WITH n AS (
+  SELECT doc_id,
+         list_distinct(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+       {hit_exprs}
+  FROM n
+)
+SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+       CASE {' '.join(conds)} ELSE 'und' END AS pred_lang
+FROM h
+"""
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (content
+    identity robust to case/punctuation noise) + the minimum token
+    hash (a 1-permutation MinHash, usable as a cheap similarity
+    prefilter)."""
+    norm = normalize_text(F.col(text_col))
+    toks = tokenize_whitespace(norm)
+    min_tok_hash = F.array_min(
+        F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"))
+    )
+    return df.filter(F.length(norm) > 0).select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_norm_md5"),
+        min_tok_hash.alias("fp_min_token_hash"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+# --- registry queries -----------------------------------------------
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE["text_token_stats"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       floor((CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)), 'sum') AS DOUBLE) / len(toks)) * 10000) / 10000 AS avg_token_len,
+       floor((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 10000) / 10000 AS ttr
+FROM t
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE["text_quality"] = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS BIGINT) AS n_space,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE length(text) > 0
+),
+r AS (
+  SELECT doc_id,
+         CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+         CAST(n_digit AS DOUBLE) / n_chars AS digit_ratio,
+         CAST(n_space AS DOUBLE) / n_chars AS space_ratio,
+         CAST(n_chars - n_space AS DOUBLE) / n_tokens AS mean_wlen,
+         n_tokens
+  FROM f
+)
+SELECT doc_id,
+       floor(alpha_ratio * 10000) / 10000 AS alpha_ratio,
+       floor(digit_ratio * 10000) / 10000 AS digit_ratio,
+       floor(space_ratio * 10000) / 10000 AS space_ratio,
+       floor(mean_wlen * 10000) / 10000 AS mean_word_len,
+       floor((alpha_ratio * 0.5 + (1 - digit_ratio) * 0.2
+              + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 0.2 ELSE 0.0 END)
+              + (CASE WHEN n_tokens >= 20 THEN 0.1 ELSE 0.0 END)) * 10000) / 10000 AS quality_score
+FROM r
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE["text_lang_id"] = _language_id_sql()
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE["text_fingerprint"] = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS fp_norm_md5,
+       list_aggregate(
+         list_transform(string_split(norm, ' '),
+                        x -> ('0x' || substr(md5(x), 1, 15))::BIGINT),
+         'min') AS fp_min_token_hash,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm
+FROM n WHERE norm <> ''
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+}

@@ -1,0 +1,210 @@
+"""Unit tests for the LLM-pipeline operator families (dedup,
+similarity, text analysis, multimodal) on small controlled frames —
+semantics pinned independently of the oracle comparison."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------- dedup ----------
+
+
+def test_exact_duplicate_groups(spark):
+    from mapreduce_rust_spark.operators.dedup import exact_duplicate_groups
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "id long, t string"
+    )
+    got = {
+        r["keep_id"]: r["n_copies"]
+        for r in exact_duplicate_groups(df, "id", "t").collect()
+    }
+    assert got == {1: 2, 3: 1}
+
+
+def test_jaccard_pairs_identical_docs(spark):
+    from mapreduce_rust_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),       # identical → jaccard 1.0
+            (3, "z y x w v u"),       # disjoint
+        ],
+        "id long, t string",
+    )
+    rows = jaccard_pairs(df, "id", "t", k=3, threshold=0.5).collect()
+    assert [(r["d1"], r["d2"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    from mapreduce_rust_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over"), (2, "the quick brown fox jumps over"),
+         (3, "completely different words entirely here now")],
+        "id long, t string",
+    )
+    sigs = minhash_signatures(df, "id", "t")
+    pairs = lsh_candidate_pairs(sigs, "id").collect()
+    assert [(r["d1"], r["d2"], r["est_sim"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_identical_zero_hamming(spark):
+    from mapreduce_rust_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "id long, t string",
+    )
+    fp = simhash_fingerprints(df, "id", "t")
+    [pair] = simhash_pairs(fp, "id", max_hamming=0).collect()
+    assert (pair["d1"], pair["d2"], pair["hamming"]) == (1, 2, 0)
+
+
+def test_embedding_near_dup_pairs(spark):
+    from mapreduce_rust_spark.operators.dedup import embedding_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),    # cos=1 with 1
+            (3, [0.0, 1.0]),    # orthogonal
+        ],
+        "id long, v array<double>",
+    )
+    rows = embedding_near_dup_pairs(df, "id", "v", threshold=0.9).collect()
+    assert [(r["d1"], r["d2"], r["cos_sim"]) for r in rows] == [(1, 2, 1.0)]
+
+
+# ---------- similarity ----------
+
+
+def test_topk_bruteforce_orders_by_cosine(spark):
+    from mapreduce_rust_spark.operators.similarity import topk_bruteforce
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+        ],
+        "id long, v array<double>",
+    )
+    qs = corpus.filter("id = 1")
+    rows = topk_bruteforce(qs, corpus, "id", "v", k=2).collect()
+    assert [(r["rank"], r["neighbor_id"]) for r in rows] == [(1, 2), (2, 3)]
+
+
+def test_topk_bucketed_restricts_to_bucket(spark):
+    from mapreduce_rust_spark.operators.similarity import sign_bucket, topk_bucketed
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0, 1.0, 1.0]),
+            (2, [0.5, 0.5, 0.5, 0.5]),     # same sign bucket as 1
+            (3, [-1.0, -1.0, -1.0, -1.0]), # different bucket
+        ],
+        "id long, v array<double>",
+    )
+    qs = corpus.filter("id = 1")
+    rows = topk_bucketed(qs, corpus, "id", "v", k=5).collect()
+    assert [r["neighbor_id"] for r in rows] == [2]  # bucket excluded id 3
+
+
+# ---------- text analysis ----------
+
+
+def test_token_stats(spark):
+    from mapreduce_rust_spark.operators.text_analysis import token_stats
+
+    df = spark.createDataFrame([(1, "aa bb aa")], "id long, t string")
+    [r] = token_stats(df, "id", "t").collect()
+    assert (r["n_tokens"], r["n_types"]) == (3, 2)
+    assert r["avg_token_len"] == 2.0
+
+
+def test_language_id_votes(spark):
+    from mapreduce_rust_spark.operators.text_analysis import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist ein tier"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        "id long, t string",
+    )
+    got = {r["id"]: r["pred_lang"] for r in language_id(df, "id", "t").collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprints_normalization_invariance(spark):
+    from mapreduce_rust_spark.operators.text_analysis import fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "different")],
+        "id long, t string",
+    )
+    rows = {r["id"]: r["fp_norm_md5"] for r in fingerprints(df, "id", "t").collect()}
+    assert rows[1] == rows[2]  # case/punct-invariant
+    assert rows[1] != rows[3]
+
+
+# ---------- multimodal ----------
+
+
+def test_media_metadata_sniffs_magic_bytes(spark):
+    from mapreduce_rust_spark.operators.multimodal import payload_metadata
+
+    df = spark.createDataFrame(
+        [
+            (1, "image/png", bytearray(b"\x89PNG\r\n rest"), "s", 11),
+            (2, "image/jpeg", bytearray(b"\xff\xd8\xff\xe0 rest"), "s", 9),
+            (3, "text/plain", bytearray(b"plain"), "s", 5),
+        ],
+        "media_id long, media_type string, payload binary, src string, n_bytes long",
+    )
+    got = {
+        r["media_id"]: r["container_sniff"] for r in payload_metadata(df).collect()
+    }
+    assert got == {1: "png", 2: "jpeg", 3: "unknown"}
+
+
+def test_decode_media_stub_raises_without_fake(spark):
+    from mapreduce_rust_spark.operators.multimodal import decode_media
+
+    df = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"\x89PNG"), "s", 4)],
+        "media_id long, media_type string, payload binary, src string, n_bytes long",
+    )
+    import py4j.protocol
+
+    with pytest.raises(Exception) as exc:
+        decode_media(df, fake_decoder=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "real media decoding" in str(
+        exc.value
+    )
+
+
+def test_decode_media_fake_is_deterministic(spark):
+    from mapreduce_rust_spark.operators.multimodal import decode_media, frame_sample
+
+    df = spark.createDataFrame(
+        [(i, "image/png", bytearray(b"\x89PNG" + bytes([i])), "s", 5) for i in range(4)],
+        "media_id long, media_type string, payload binary, src string, n_bytes long",
+    )
+    d1 = sorted(decode_media(df, fake_decoder=True).collect())
+    d2 = sorted(decode_media(df, fake_decoder=True).collect())
+    assert d1 == d2
+    assert all(r["width"] >= 16 and r["n_frames"] >= 1 for r in d1)
+    sampled = frame_sample(decode_media(df, fake_decoder=True), every_nth=2)
+    assert all(r["frame_idx"] % 2 == 0 for r in sampled.collect())

@@ -1,0 +1,66 @@
+"""Structured Streaming jobs driven end-to-end with file sources and
+availableNow triggers (deterministic, no timing sleeps)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _run_available_now(stream_df, tmp_path, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_wordcount(spark, tmp_path):
+    from mapreduce_rust_spark.streaming import streaming_wordcount
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("hello world\nhello rust\n")
+    lines = spark.readStream.format("text").load(str(src))
+    assert lines.isStreaming
+    _run_available_now(streaming_wordcount(lines), tmp_path, "wc_stream")
+    got = {
+        r["word"]: r["cnt"] for r in spark.sql("SELECT * FROM wc_stream").collect()
+    }
+    assert got == {"hello": 2, "world": 1, "rust": 1}
+
+
+def test_streaming_event_counts_with_watermark(spark, tmp_path):
+    import json
+
+    from mapreduce_rust_spark.streaming import streaming_event_counts
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 00:10:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01 00:40:00", "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-01 01:10:00", "event_type": "view", "value": 3.0},
+    ]
+    (src / "e.json").write_text("\n".join(json.dumps(r) for r in rows))
+    events = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .json(str(src))
+    )
+    _run_available_now(
+        streaming_event_counts(events, window="1 hour", watermark="2 hours"),
+        tmp_path,
+        "ev_stream",
+    )
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["cnt"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM ev_stream").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "click"): (2, 3.0),
+        ("2024-01-01 01:00:00", "view"): (1, 3.0),
+    }
