@@ -1,0 +1,195 @@
+"""Advanced relational operators beyond the reference AND beyond basic
+Spark surface: as-of join, range join, exact percentiles, GROUPING
+SETS (via the SQL API), approximate distinct sketches.
+
+The as-of join is the flagship "custom operator" (SURVEY.md §2c lists
+joins as wholly absent from the reference; Spark itself has no native
+as-of join either): implemented as a composition of built-in ops —
+union the two tagged streams, sort within user partitions, and carry
+the last-seen left-side timestamp forward with ``last(ignorenulls)``.
+That is a single shuffle + sort per side (merge-join shape), never a
+row-multiplying interval product — the formulation that survives
+100 TB, unlike the naive ``a.ts BETWEEN b.ts - Δ AND b.ts`` theta
+join. Oracle: DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.functions.numeric import fround
+from mapreduce_rust_spark.sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """For each left row, the greatest right-side ``ts`` ≤ left ``ts``
+    with the same key (``on``). Returns left rows + ``asof_ts``.
+
+    Implementation: tag and union both streams, then within each key
+    partition (ordered by ts, with right rows sorting before left rows
+    at equal ts so ties match ``>=`` semantics) carry the last non-null
+    right timestamp forward. One shuffle on the key, one sort — the
+    same cost profile as a sort-merge join."""
+    l_tagged = left.select(
+        F.col(on), F.col(ts_col).alias("_ts"), F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c not in (on, ts_col)],
+        F.lit(None).cast("timestamp").alias("_r_ts"),
+    )
+    r_tagged = right.select(
+        F.col(on), F.col(ts_col).alias("_ts"), F.lit(0).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in left.columns if c not in (on, ts_col)],
+        F.col(ts_col).alias("_r_ts"),
+    )
+    w = (
+        W.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    unioned = l_tagged.unionByName(r_tagged).withColumn(
+        "asof_ts", F.last("_r_ts", ignorenulls=True).over(w)
+    )
+    return unioned.filter(F.col("_side") == 1).select(
+        on,
+        F.col("_ts").alias(ts_col),
+        *[c for c in left.columns if c not in (on, ts_col)],
+        "asof_ts",
+    )
+
+
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's most recent click at or
+    before it, plus the think-time delay in seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(purchases, clicks, on="user_id", ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts").alias("click_ts"),
+        # subtract fractional epoch seconds BEFORE flooring —
+        # unix_timestamp() floors each side first, off-by-one on
+        # micro-precision timestamps
+        F.floor(F.col("ts").cast("double") - F.col("asof_ts").cast("double"))
+        .cast("bigint")
+        .alias("delay_sec"),
+    )
+
+
+ORACLE["asof_join"] = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, c.ts AS click_ts,
+       CAST(floor(epoch(p.ts) - epoch(c.ts)) AS BIGINT) AS delay_sec
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: count event pairs per user within a 5-minute
+    forward window. The equi-key (user_id) drives the join strategy;
+    the range predicate is a post-join filter — no interval explosion
+    beyond the per-user group."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("user_id", F.col("ts").alias("ts_a"), F.col("event_id").alias("id_a"))
+    b = ev.select(
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("event_id").alias("id_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (
+            # fractional-epoch difference (unix_timestamp floors each
+            # side first, which disagrees at the window boundary)
+            F.col("ts_b").cast("double") - F.col("ts_a").cast("double") <= 300
+        ),
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs_5min"))
+
+
+ORACLE["range_join"] = """
+SELECT a.user_id, count(*) AS n_pairs_5min
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND b.ts >= a.ts AND epoch(b.ts) - epoch(a.ts) <= 300
+GROUP BY a.user_id
+"""
+
+
+def percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``: both linear
+    interpolation over the sorted set)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        fround(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        fround(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        fround(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+ORACLE["percentiles"] = """
+SELECT event_type,
+       floor(quantile_cont(value, 0.5) * 10000) / 10000 AS p50,
+       floor(quantile_cont(value, 0.9) * 10000) / 10000 AS p90,
+       floor(quantile_cont(value, 0.99) * 10000) / 10000 AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL API (same Catalyst plan as the
+    DataFrame route — demonstrates the engine's SQL surface)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               floor(sum(l_quantity) * 100) / 100 AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+ORACLE["grouping_sets"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       floor(sum(l_quantity) * 100) / 100 AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct sketch next to the exact count. No SQL
+    oracle — sketch estimates are engine-specific by nature (driver
+    records rows-only); the pytest suite asserts <5% relative error
+    against the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+QUERIES = {
+    "asof_join": asof_join_q,
+    "range_join": range_join_q,
+    "percentiles": percentiles_q,
+    "grouping_sets": grouping_sets_q,
+    "approx_distinct": approx_distinct_q,
+}

@@ -33,10 +33,11 @@ def _register(queries: dict[str, QueryFn], oracles: dict[str, str]) -> None:
 def _load() -> None:
     if _QUERIES:
         return
-    from mapreduce_rust_spark.plans import analytics, parity
+    from mapreduce_rust_spark.plans import advanced, analytics, parity
 
     _register(parity.QUERIES, parity.ORACLE)
     _register(analytics.QUERIES, analytics.ORACLE)
+    _register(advanced.QUERIES, advanced.ORACLE)
     for mod_name in (
         "mapreduce_rust_spark.operators.dedup",
         "mapreduce_rust_spark.operators.similarity",

@@ -12,10 +12,13 @@ REFERENCE_FIXTURES = "/root/reference/resource/simple_test"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from mapreduce_rust_spark import get_spark
 
-    s = get_spark("tests")
+    # warehouse dir is a static conf — must be set at session creation
+    # (bucketed-table tests write managed tables there)
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark("tests", extra_conf={"spark.sql.warehouse.dir": wh})
     yield s
 
 

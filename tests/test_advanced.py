@@ -1,0 +1,60 @@
+"""Unit tests for the advanced operators (as-of join, sketches) on
+controlled frames — semantics pinned independently of the oracles."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    from mapreduce_rust_spark.plans.advanced import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), "p1"),
+            (1, ts("2024-01-01 12:00:00"), "p2"),
+            (2, ts("2024-01-01 10:00:00"), "p3"),  # user with no clicks
+        ],
+        "user_id long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:00:00")),
+            (1, ts("2024-01-01 11:30:00")),
+            (1, ts("2024-01-01 13:00:00")),  # after both -> never matches
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        r["name"]: r["asof_ts"]
+        for r in asof_join(left, right, on="user_id", ts_col="ts").collect()
+    }
+    assert got == {
+        "p1": ts("2024-01-01 09:00:00"),
+        "p2": ts("2024-01-01 11:30:00"),
+        "p3": None,
+    }
+
+
+def test_asof_join_tie_matches_equal_ts(spark):
+    from mapreduce_rust_spark.plans.advanced import asof_join
+
+    t = ts("2024-01-01 10:00:00")
+    left = spark.createDataFrame([(1, t, "p")], "user_id long, ts timestamp, name string")
+    right = spark.createDataFrame([(1, t)], "user_id long, ts timestamp")
+    [row] = asof_join(left, right, on="user_id", ts_col="ts").collect()
+    assert row["asof_ts"] == t  # >= semantics: equal ts matches
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from mapreduce_rust_spark.plans.advanced import approx_distinct_q
+
+    for r in approx_distinct_q(spark, sf_dir).collect():
+        rel_err = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
+        assert rel_err < 0.05, (r, rel_err)

@@ -1,0 +1,130 @@
+"""Scale-hardening verification: plan-shape assertions (pushdown,
+broadcast, bucketed join without exchange) and skew-mitigation
+equivalence. These tests pin the *physical* properties the engine
+relies on at 100 TB — not just result correctness."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_scan_pushdown_and_pruning(spark, sf_dir):
+    """Filter must reach the parquet scan; scan must read only the 7
+    needed columns of 11."""
+    from mapreduce_rust_spark.plans.analytics import q1_pricing_summary
+
+    p = plan_str(q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters" in p and "LessThanOrEqual(l_shipdate" in p
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema  # pruned
+    assert "l_quantity" in read_schema
+
+
+def test_q5_joins_are_broadcast(spark, sf_dir):
+    """The 6-table star must not shuffle the fact table for dim joins."""
+    from mapreduce_rust_spark.plans.analytics import q5_local_supplier
+
+    p = plan_str(q5_local_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Map-side combine (the reference's unfinished TODO) must appear:
+    two HashAggregates around the exchange."""
+    from mapreduce_rust_spark.plans.analytics import q1_pricing_summary
+
+    p = plan_str(q1_pricing_summary(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join with zero
+    Exchange operators — the storage-level co-location contract."""
+    from mapreduce_rust_spark.sinks import write_bucketed_table
+
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    orders = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(100)], "o_orderkey long, total double"
+    )
+    li = spark.createDataFrame(
+        [(i % 100, i) for i in range(1000)], "l_orderkey long, l_id long"
+    )
+    write_bucketed_table(orders, "t_orders_b", "o_orderkey", n_buckets=4)
+    write_bucketed_table(li, "t_lineitem_b", "l_orderkey", n_buckets=4)
+    # force the sort-merge path: at real scale neither side broadcasts,
+    # and the point of bucketing is precisely the non-broadcast case
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_lineitem_b").join(
+            spark.table("t_orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        p = plan_str(joined)
+        assert "Exchange" not in p, p
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_equivalence_on_skew(spark):
+    """salted_join == plain join on a dataset where one key holds 50%
+    of rows (FIXTURES.md §3 skew guidance)."""
+    from mapreduce_rust_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [("hot" if i % 2 == 0 else f"k{i}", i) for i in range(1000)],
+        "key string, v long",
+    )
+    right = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"V{i}") for i in range(0, 1000, 10)],
+        "key string, label string",
+    )
+    expected = sorted(
+        (r["key"], r["v"], r["label"])
+        for r in left.join(right, "key").collect()
+    )
+    got = sorted(
+        (r["key"], r["v"], r["label"])
+        for r in salted_join(left, right, "key", n_salt=8).collect()
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_top_hot_keys_detects_skew(spark):
+    from mapreduce_rust_spark.operators.skew import top_hot_keys
+
+    df = spark.createDataFrame(
+        [("hot" if i % 2 == 0 else f"k{i}", i) for i in range(1000)],
+        "key string, v long",
+    )
+    [top] = top_hot_keys(df, "key", k=1).collect()
+    assert top["key"] == "hot" and abs(top["share"] - 0.5) < 0.01
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path, sf_dir):
+    """Reading one partition of a hive-partitioned sink must scan only
+    that directory (PartitionFilters in the plan)."""
+    from mapreduce_rust_spark.sinks import write_partitioned_parquet
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "ev_part")
+    write_partitioned_parquet(ev, out, ["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    p = plan_str(back)
+    assert "PartitionFilters" in p and "event_type" in p
+    assert back.count() == ev.filter("event_type = 'click'").count()
