@@ -29,6 +29,20 @@ def main() -> int:
     from mapreduce_rust_spark.registry import queries
 
     spark = get_spark("bench")
+    # Warm the JVM (classloading, codegen, noop-sink registration) so the
+    # alphabetically-first query isn't charged ~4 s of one-time startup.
+    spark.range(1_000_000).selectExpr("sum(id) as s").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    # Warm the OS page cache over the input tables: per-query timings
+    # should measure the engine, not whether a prior process happened to
+    # leave the parquet files resident. (~100 MB at sf0.1, one pass.)
+    import glob as _glob
+
+    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        with open(p, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     timings: dict[str, float] = {}
     only = set(sys.argv[1:])
     for name, fn in sorted(queries().items()):
@@ -38,6 +52,9 @@ def main() -> int:
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            # operators may persist() intermediates; don't let caches
+            # accumulate (or flatter later queries) across the suite
+            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001 — a failing query must not kill the bench
             timings[name] = -1.0
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
