@@ -40,6 +40,7 @@ def _load() -> None:
     _register(advanced.QUERIES, advanced.ORACLE)
     for mod_name in (
         "mapreduce_rust_spark.operators.dedup",
+        "mapreduce_rust_spark.streaming.queries",
         "mapreduce_rust_spark.operators.similarity",
         "mapreduce_rust_spark.operators.text_analysis",
         "mapreduce_rust_spark.operators.multimodal",

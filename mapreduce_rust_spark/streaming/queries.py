@@ -1,0 +1,205 @@
+"""Oracle-checked Structured Streaming queries.
+
+The reference is batch-only (SURVEY.md §2c); streams are engine
+extension surface. These registry entries run a REAL streaming job —
+``readStream`` over the parquet table, ``trigger(availableNow=True)``,
+memory sink — then return the sink's contents as a batch DataFrame, so
+the driver's DuckDB oracle can value-check streaming semantics against
+the equivalent batch SQL.
+
+Why this is a faithful streaming test and not a batch query in
+disguise: the plan is an incremental one (StateStore-backed windowed
+aggregation / dedup state), the file source feeds data through the
+micro-batch engine, and the same code binds unchanged to kafka/socket
+sources in production. ``availableNow`` is the bounded-input replay
+mode Spark itself provides for exactly this purpose.
+
+Scale notes: windowed aggregations carry watermarks so state is
+bounded on a real unbounded source (complete-mode output here is for
+oracle determinism over a finite replay — production sinks would use
+append/update and let the watermark evict closed windows).
+State partitions by (window, event_type) / content hash —
+high-cardinality, even spread across executors.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from itertools import count
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.functions.numeric import fround
+from mapreduce_rust_spark.functions.text import tokenize_whitespace
+from mapreduce_rust_spark.sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+_run_ids = count()
+
+
+def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``readStream`` twin of ``sources.tables.load_table``: same
+    path, same schema (taken from a metadata-only batch read), same
+    nanos→timestamp restoration."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file-stream source requires a directory base path, so stream
+    # the dataset dir filtered down to this table's file
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    for col_name, dtype in sdf.dtypes:
+        if col_name == "ts" and dtype == "bigint":
+            sdf = sdf.withColumn(
+                col_name, F.timestamp_micros(F.expr(f"{col_name} div 1000"))
+            )
+    return sdf
+
+
+def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion over the currently
+    available input and return the memory sink as a batch frame."""
+    name = f"mrs_stream_{next(_run_ids)}"
+    spark = sdf.sparkSession
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mrs_ckpt_"))
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1 h windowed count/sum over the events stream — the
+    streaming twin of the batch ``events_hourly`` query, value-checked
+    against the identical SQL."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("raw_sum"))
+    )
+    out = run_available_now(agg, "complete")
+    return out.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        "cnt",
+        fround(F.col("raw_sum")).alias("sum_value"),
+    )
+
+
+ORACLE["streaming_events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type, count(*) AS cnt, floor((sum(value)) * 100) / 100 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's wordcount as an incremental stateful query over
+    a documents stream (running per-word frequencies)."""
+    docs = read_stream_table(spark, sf_dir, "documents")
+    agg = (
+        docs.select(F.explode(tokenize_whitespace("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return run_available_now(agg, "complete")
+
+
+ORACLE["streaming_wordcount"] = """
+SELECT w AS word, count(*) AS cnt FROM (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+) t WHERE w <> '' GROUP BY w
+"""
+
+
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: first-seen content hashes
+    survive, duplicates are dropped by the engine's dedup state store
+    (``dropDuplicates`` on a stream). Projected to the hash so the
+    result is order-independent and oracle-checkable."""
+    docs = read_stream_table(spark, sf_dir, "documents")
+    deduped = docs.select(F.md5("text").alias("content_hash")).dropDuplicates(
+        ["content_hash"]
+    )
+    return run_available_now(deduped, "append")
+
+
+ORACLE["streaming_dedup_exact"] = """
+SELECT DISTINCT md5(text) AS content_hash FROM documents
+"""
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization
+    (30-min inactivity) with ``applyInPandasWithState`` — per-user
+    state carries (last event time, session count, event count) across
+    micro-batches, the semantics Spark's built-in windows can't
+    express (a session boundary depends on the PREVIOUS event, not a
+    fixed grid). Value-checked against the batch lag-window SQL.
+
+    Emitted counts are cumulative and monotone, so the final answer is
+    the per-user max over everything the update-mode sink saw —
+    batch-count independent. State is one tiny tuple per user_id
+    (high cardinality, evenly spread); production would add a state
+    timeout to retire idle users."""
+    import pandas as pd
+
+    ev = read_stream_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+
+    def update(key, pdfs, state):
+        last_ts, n_sess, n_ev = state.get if state.exists else (None, 0, 0)
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for t in rows["ts"]:
+            epoch = t.timestamp()
+            if last_ts is None or epoch - last_ts > 1800:
+                n_sess += 1
+            n_ev += 1
+            last_ts = epoch
+        state.update((last_ts, n_sess, n_ev))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sess], "n_events": [n_ev]}
+        )
+
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_sessions bigint, n_events bigint",
+        stateStructType="last_ts double, n_sessions bigint, n_events bigint",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    out = run_available_now(sessions, "update")
+    return out.groupBy("user_id").agg(
+        F.max("n_sessions").alias("n_sessions"), F.max("n_events").alias("n_events")
+    )
+
+
+ORACLE["streaming_sessionize"] = """
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "streaming_events_hourly": streaming_events_hourly,
+    "streaming_wordcount": streaming_wordcount,
+    "streaming_dedup_exact": streaming_dedup_exact,
+    "streaming_sessionize": streaming_sessionize,
+}

@@ -51,6 +51,35 @@ def test_tokenizer_semantics(spark):
     assert row["t"] == ["hello,", "World", "hello", "HELLO", "x"]
 
 
+GUTENBERG_GLOB = "/root/reference/resource/pg-*.txt"
+
+
+@pytest.mark.skipif(
+    not __import__("glob").glob(GUTENBERG_GLOB),
+    reason="gutenberg corpus not present",
+)
+def test_wordcount_gutenberg_corpus(spark):
+    """The reference ships the classic ~3.3 MB Gutenberg wordcount
+    corpus (resource/pg-*.txt, unused by its own code). Full-corpus
+    parity against a pure-Python oracle: total tokens, vocabulary
+    size, and the head of the frequency distribution."""
+    import glob
+    from collections import Counter
+
+    from mapreduce_rust_spark.plans.wordcount import wordcount_files
+
+    expect: Counter[str] = Counter()
+    for p in sorted(glob.glob(GUTENBERG_GLOB)):
+        with open(p, encoding="utf-8") as fh:
+            expect.update(fh.read().split())
+
+    got = {r["word"]: r["cnt"] for r in wordcount_files(spark, GUTENBERG_GLOB).collect()}
+    assert sum(got.values()) == sum(expect.values())
+    assert len(got) == len(expect)
+    for w, n in expect.most_common(25):
+        assert got[w] == n, w
+
+
 def test_wordcount_dataframe_counts(spark):
     from mapreduce_rust_spark.plans.wordcount import wordcount
 
