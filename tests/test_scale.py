@@ -49,6 +49,34 @@ def test_q1_partial_aggregation(spark, sf_dir):
     assert p.count("HashAggregate") >= 2
 
 
+def test_tpch_q6_pushdown_no_join_shuffle(spark, sf_dir):
+    """Q6 is scan-filter-agg: every predicate pushed to parquet, scan
+    pruned to 4 of 11 columns, exactly one (single-row) exchange."""
+    from mapreduce_rust_spark.plans.tpch import q6_forecast_revenue
+
+    p = plan_str(q6_forecast_revenue(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_discount" not in p
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_tpch_join_queries_never_shuffle_fact_for_dims(spark, sf_dir):
+    """q7/q10/q14/q18/q19: every dimension join is broadcast — the
+    lineitem fact side must never appear under a SortMergeJoin."""
+    from mapreduce_rust_spark.plans import tpch
+
+    for q in (
+        tpch.q7_volume_shipping,
+        tpch.q10_returned_items,
+        tpch.q14_promo_revenue,
+        tpch.q18_large_orders,
+        tpch.q19_discounted_revenue,
+    ):
+        p = plan_str(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in p, q.__name__
+        assert "SortMergeJoin" not in p, q.__name__
+
+
 def test_bucketed_join_no_shuffle(spark, tmp_path):
     """Two tables bucketed on the join key must join with zero
     Exchange operators — the storage-level co-location contract."""
