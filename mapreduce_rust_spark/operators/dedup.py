@@ -288,8 +288,9 @@ def embedding_near_dup_pairs(
     closure-shipped to executors, which bounds this exact variant to
     corpora that fit in executor memory (same contract as a broadcast
     join); beyond that, all-pairs is infeasible by definition and the
-    LSH/bucketed variants apply. cos is truncated via floor(x*1e4)/1e4
-    before thresholding, mirroring the oracle."""
+    LSH/bucketed variants apply. cos is truncated via
+    floor(round(x,8)*1e4)/1e4 before thresholding, mirroring the
+    oracle (see functions/numeric.py for why round-then-floor)."""
     import numpy as np
     import pandas as pd
 
@@ -308,7 +309,7 @@ def embedding_near_dup_pairs(
             an = np.linalg.norm(a, axis=1, keepdims=True)
             an[an == 0] = 1.0
             a = a / an
-            sims = np.floor((a @ mn.T) * 10000) / 10000
+            sims = np.floor(np.round(a @ mn.T, 8) * 10000) / 10000
             a_ids = pdf[id_col].to_numpy()
             d1, d2, cs = [], [], []
             for i, aid in enumerate(a_ids):
@@ -436,9 +437,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["dedup_embedding_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS d1, b.vec_id AS d2,
-       floor(list_cosine_similarity(a.v, b.v) * 10000) / 10000 AS cos_sim
+       floor(round(list_cosine_similarity(a.v, b.v), 8) * 10000) / 10000 AS cos_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) / 10000 >= 0.3
+WHERE floor(round(list_cosine_similarity(a.v, b.v), 8) * 10000) / 10000 >= 0.3
 """
 
 

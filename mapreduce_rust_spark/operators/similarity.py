@@ -129,7 +129,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {_QUERY_PRED.replace('vec_id', 'vec_id')}),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         floor(list_cosine_similarity(q.qv, e.v) * 1000000) / 1000000 AS sim
+         floor(round(list_cosine_similarity(q.qv, e.v), 10) * 1000000) / 1000000 AS sim
   FROM q JOIN e ON q.query_id <> e.vec_id
 ),
 ranked AS (
@@ -138,7 +138,7 @@ ranked AS (
                             ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored
 )
-SELECT query_id, rank, neighbor_id, floor(sim * 10000) / 10000 AS sim
+SELECT query_id, rank, neighbor_id, floor(round(sim, 8) * 10000) / 10000 AS sim
 FROM ranked WHERE rank <= 5
 """
 
@@ -158,7 +158,7 @@ WITH e AS (
 q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE {_QUERY_PRED}),
 scored AS (
   SELECT q.query_id, q.bucket, e.vec_id AS neighbor_id,
-         floor(list_cosine_similarity(q.qv, e.v) * 1000000) / 1000000 AS sim
+         floor(round(list_cosine_similarity(q.qv, e.v), 10) * 1000000) / 1000000 AS sim
   FROM q JOIN e USING (bucket)
   WHERE q.query_id <> e.vec_id
 ),
@@ -168,7 +168,7 @@ ranked AS (
                             ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored
 )
-SELECT query_id, bucket, rank, neighbor_id, floor(sim * 10000) / 10000 AS sim
+SELECT query_id, bucket, rank, neighbor_id, floor(round(sim, 8) * 10000) / 10000 AS sim
 FROM ranked WHERE rank <= 3
 """
 

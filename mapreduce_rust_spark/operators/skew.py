@@ -20,8 +20,13 @@ redistributes it. The engine handles skew at three levels:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql
+from mapreduce_rust_spark.sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
 
 
 def salted_join(
@@ -50,6 +55,36 @@ def salted_join(
     return out.drop("_salt")
 
 
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+    salt_col: Column,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Two-phase (salted) aggregation for hot grouping keys: phase 1
+    aggregates on (keys, salt) so a hot key's rows land in ``n_salt``
+    partitions; phase 2 merges the ≤ n_salt partials per key. Emits
+    ``cnt`` plus ``sum_<col>`` per requested column.
+
+    Spark's map-side partial aggregation already does this implicitly
+    for algebraic aggregates — this explicit form exists for (a) the
+    documented skew playbook, (b) engines/paths where partial agg is
+    unavailable (e.g. after a repartition by an unrelated key), and
+    (c) as the building block for salted non-algebraic pipelines.
+    ``salt_col`` must be deterministic (hash of a high-cardinality
+    column, NOT rand()) so results are replayable."""
+    salted = df.withColumn("_salt", F.pmod(salt_col, F.lit(n_salt)))
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[F.sum(c).alias(f"_sum_{c}") for c in sum_cols],
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_cnt").alias("cnt"),
+        *[F.sum(f"_sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
 def top_hot_keys(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
     """Diagnostic: the k heaviest keys and their share of rows — run
     this before choosing a partitioning/salting strategy."""
@@ -61,3 +96,32 @@ def top_hot_keys(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
         .orderBy(F.col("cnt").desc())
         .limit(k)
     )
+
+
+# --- registry query -------------------------------------------------
+
+
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over events keyed by event_type —
+    deliberately a LOW-cardinality key (the skew case: every row maps
+    to a handful of groups). The salt spreads each hot group over 32
+    partitions in phase 1; the oracle checks the result is identical
+    to the plain single-phase GROUP BY."""
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        key_cols=["event_type"],
+        sum_cols=["value"],
+        salt_col=F.xxhash64("event_id"),
+        n_salt=32,
+    )
+    return out.select("event_type", "cnt", fround("sum_value").alias("sum_value"))
+
+
+ORACLE["skew_salted_agg"] = f"""
+SELECT event_type, count(*) AS cnt,
+       {fround_sql("sum(value)")} AS sum_value
+FROM events GROUP BY 1
+"""
+
+QUERIES = {"skew_salted_agg": skew_salted_agg}

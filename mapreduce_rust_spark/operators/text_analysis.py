@@ -194,8 +194,8 @@ WITH t AS (
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
-       floor((CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)), 'sum') AS DOUBLE) / len(toks)) * 10000) / 10000 AS avg_token_len,
-       floor((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 10000) / 10000 AS ttr
+       floor(round(round((CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)), 'sum') AS DOUBLE) / len(toks)), 8), 8) * 10000) / 10000 AS avg_token_len,
+       floor(round(round((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 8), 8) * 10000) / 10000 AS ttr
 FROM t
 """
 
@@ -225,13 +225,13 @@ r AS (
   FROM f
 )
 SELECT doc_id,
-       floor(alpha_ratio * 10000) / 10000 AS alpha_ratio,
-       floor(digit_ratio * 10000) / 10000 AS digit_ratio,
-       floor(space_ratio * 10000) / 10000 AS space_ratio,
-       floor(mean_wlen * 10000) / 10000 AS mean_word_len,
-       floor((alpha_ratio * 0.5 + (1 - digit_ratio) * 0.2
+       floor(round(alpha_ratio, 8) * 10000) / 10000 AS alpha_ratio,
+       floor(round(digit_ratio, 8) * 10000) / 10000 AS digit_ratio,
+       floor(round(space_ratio, 8) * 10000) / 10000 AS space_ratio,
+       floor(round(mean_wlen, 8) * 10000) / 10000 AS mean_word_len,
+       floor(round((alpha_ratio * 0.5 + (1 - digit_ratio) * 0.2
               + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 0.2 ELSE 0.0 END)
-              + (CASE WHEN n_tokens >= 20 THEN 0.1 ELSE 0.0 END)) * 10000) / 10000 AS quality_score
+              + (CASE WHEN n_tokens >= 20 THEN 0.1 ELSE 0.0 END)), 8) * 10000) / 10000 AS quality_score
 FROM r
 """
 

@@ -145,9 +145,9 @@ def percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["percentiles"] = """
 SELECT event_type,
-       floor(quantile_cont(value, 0.5) * 10000) / 10000 AS p50,
-       floor(quantile_cont(value, 0.9) * 10000) / 10000 AS p90,
-       floor(quantile_cont(value, 0.99) * 10000) / 10000 AS p99
+       floor(round(quantile_cont(value, 0.5), 8) * 10000) / 10000 AS p50,
+       floor(round(quantile_cont(value, 0.9), 8) * 10000) / 10000 AS p90,
+       floor(round(quantile_cont(value, 0.99), 8) * 10000) / 10000 AS p99
 FROM events GROUP BY event_type
 """
 
@@ -159,7 +159,7 @@ def grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-               floor(sum(l_quantity) * 100) / 100 AS sum_qty
+               floor(round(sum(l_quantity), 6) * 100) / 100 AS sum_qty
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -168,7 +168,7 @@ def grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["grouping_sets"] = """
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-       floor(sum(l_quantity) * 100) / 100 AS sum_qty
+       floor(round(sum(l_quantity), 6) * 100) / 100 AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """

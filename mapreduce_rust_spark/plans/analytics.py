@@ -55,13 +55,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q1_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-       floor((sum(l_quantity)) * 100) / 100 AS sum_qty,
-       floor((sum(l_extendedprice)) * 100) / 100 AS sum_base_price,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100) / 100 AS sum_disc_price,
-       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100) / 100 AS sum_charge,
-       floor((avg(l_quantity)) * 10000) / 10000 AS avg_qty,
-       floor((avg(l_extendedprice)) * 10000) / 10000 AS avg_price,
-       floor((avg(l_discount)) * 10000) / 10000 AS avg_disc,
+       floor(round((sum(l_quantity)), 6) * 100) / 100 AS sum_qty,
+       floor(round((sum(l_extendedprice)), 6) * 100) / 100 AS sum_base_price,
+       floor(round((sum(l_extendedprice * (1 - l_discount))), 6) * 100) / 100 AS sum_disc_price,
+       floor(round((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))), 6) * 100) / 100 AS sum_charge,
+       floor(round((avg(l_quantity)), 8) * 10000) / 10000 AS avg_qty,
+       floor(round((avg(l_extendedprice)), 8) * 10000) / 10000 AS avg_price,
+       floor(round((avg(l_discount)), 8) * 10000) / 10000 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -94,7 +94,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q3_shipping_priority"] = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100) / 100 AS revenue
+       floor(round((sum(l_extendedprice * (1 - l_discount))), 6) * 100) / 100 AS revenue
 FROM customer
 JOIN orders ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -136,7 +136,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q5_local_supplier"] = """
-SELECT n_name, floor((sum(l_extendedprice * (1 - l_discount))) * 100) / 100 AS revenue
+SELECT n_name, floor(round((sum(l_extendedprice * (1 - l_discount))), 6) * 100) / 100 AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -170,7 +170,7 @@ def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["top_k_per_group"] = """
-SELECT o_orderpriority, rn, o_orderkey, floor((o_totalprice) * 100) / 100 AS price
+SELECT o_orderpriority, rn, o_orderkey, floor(round((o_totalprice), 6) * 100) / 100 AS price
 FROM (
   SELECT o_orderpriority, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_orderpriority
@@ -224,7 +224,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["rollup_agg"] = """
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-       floor((sum(l_quantity)) * 100) / 100 AS sum_qty
+       floor(round((sum(l_quantity)), 6) * 100) / 100 AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -247,8 +247,8 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["pivot_agg"] = """
 SELECT l_returnflag,
-       floor((sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) * 100) / 100 AS qty_F,
-       floor((sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)) * 100) / 100 AS qty_O
+       floor(round((sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)), 6) * 100) / 100 AS qty_F,
+       floor(round((sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)), 6) * 100) / 100 AS qty_O
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -338,7 +338,7 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["orders_by_month"] = """
 SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
-       floor((sum(o_totalprice)) * 100) / 100 AS total_value
+       floor(round((sum(o_totalprice)), 6) * 100) / 100 AS total_value
 FROM orders GROUP BY 1
 """
 
@@ -418,7 +418,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
-       event_type, count(*) AS cnt, floor((sum(value)) * 100) / 100 AS sum_value
+       event_type, count(*) AS cnt, floor(round((sum(value)), 6) * 100) / 100 AS sum_value
 FROM events GROUP BY 1, 2
 """
 

@@ -310,8 +310,8 @@ def agg_count_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["agg_count_sum"] = """
-SELECT event_type, count(*) AS cnt, floor((sum(value)) * 100) / 100 AS sum_value,
-       floor((avg(value)) * 10000) / 10000 AS avg_value
+SELECT event_type, count(*) AS cnt, floor(round((sum(value)), 6) * 100) / 100 AS sum_value,
+       floor(round((avg(value)), 8) * 10000) / 10000 AS avg_value
 FROM events GROUP BY 1
 """
 

@@ -45,6 +45,8 @@ def _load() -> None:
         "mapreduce_rust_spark.operators.similarity",
         "mapreduce_rust_spark.operators.text_analysis",
         "mapreduce_rust_spark.operators.multimodal",
+        "mapreduce_rust_spark.operators.skew",
+        "mapreduce_rust_spark.sources.formats",
     ):
         try:
             mod = __import__(mod_name, fromlist=["QUERIES", "ORACLE"])

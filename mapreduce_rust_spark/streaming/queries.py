@@ -99,7 +99,7 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["streaming_events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
-       event_type, count(*) AS cnt, floor((sum(value)) * 100) / 100 AS sum_value
+       event_type, count(*) AS cnt, floor(round((sum(value)), 6) * 100) / 100 AS sum_value
 FROM events GROUP BY 1, 2
 """
 
