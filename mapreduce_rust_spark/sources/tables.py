@@ -53,3 +53,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once; all tables when no names given."""
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the testdata tables as temp views so the entire engine
+    surface is reachable from ``spark.sql`` — the SQL face of the same
+    Catalyst plans the DataFrame queries build. Views are lazy: no
+    scan happens until a query runs, and pushdown/pruning behave
+    identically to the DataFrame path."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)
