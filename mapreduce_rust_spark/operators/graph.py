@@ -1,0 +1,130 @@
+"""Iterative graph operators: connected components for duplicate
+clustering.
+
+A dedup pipeline's pair output (``dedup_minhash_lsh``,
+``dedup_simhash``, …) is an edge list; choosing survivors requires the
+duplicate *clusters*, i.e. connected components. Components are
+inherently iterative — no fixed-depth SQL expresses them — so this is
+the engine's iterative-algorithm surface, implemented as min-label
+propagation on DataFrames (the standard "small-star" style loop):
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated until a fixpoint, which takes O(diameter) rounds. Each round
+is one shuffle (groupBy node); the loop runs on the driver but every
+data operation is distributed — no collect of nodes or edges. At
+100 TB scale this is the textbook Spark components loop (GraphX/
+GraphFrames use the same alternation); convergence is checked with a
+cheap aggregate per round rather than materializing differences.
+
+The oracle is DuckDB's recursive-CTE transitive closure — exact same
+semantics, tractable at oracle scale (sf0.01), infeasible at cluster
+scale (closure blowup), which is precisely why the engine runs label
+propagation instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from mapreduce_rust_spark.sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    component = min node id reachable. Undirected.
+
+    Each iteration: propagate every node's current label across all
+    edges (both directions), take the min per node, stop when no label
+    changed (checked via a single count of improved labels). Labels
+    monotonically decrease and are bounded below, so termination is
+    guaranteed; rounds ≈ graph diameter ≤ ``max_iter``."""
+    # undirected: both orientations, once. localCheckpoint (not mere
+    # persist) is load-bearing in iterative loops: it TRUNCATES the
+    # logical plan, otherwise every round re-analyzes a lineage tree
+    # that grows with the iteration count and driver-side planning
+    # time swamps the job (measured 33 s → 12 s at sf0.1, with the
+    # loop itself dropping to ~0.4 s/round). On a multi-node cluster
+    # use rdd.checkpoint()/write-to-parquet for fault-tolerant
+    # truncation instead of executor-local blocks.
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    # labels only ever decrease, so Σcomp is a strictly decreasing
+    # potential until the fixpoint — one cheap aggregate per round
+    # detects convergence with no old-vs-new join.
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        # candidate labels arriving over edges, merged with own label
+        prop = (
+            e.join(labels, e["a"] == labels["node"])
+            .select(F.col("b").alias("node"), F.col("comp"))
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        new_sum = prop.agg(F.sum("comp")).collect()[0][0]
+        labels = prop
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters from MinHash-LSH candidate pairs: every doc
+    participating in a near-dup pair, labeled with its component's min
+    doc_id (the canonical survivor). Downstream: keep rows where
+    node == comp, drop the rest."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", k=3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id").filter(F.col("est_sim") >= 0.5)
+    return connected_components(pairs, "d1", "d2").select("node", "comp")
+
+
+def _components_oracle() -> str:
+    from mapreduce_rust_spark.operators.dedup import _minhash_oracle
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node, min(lbl) AS comp FROM reach GROUP BY node
+"""
+
+
+ORACLE["dedup_components"] = _components_oracle()
+
+QUERIES = {"dedup_components": dedup_components}

@@ -47,6 +47,7 @@ def _load() -> None:
         "mapreduce_rust_spark.operators.text_analysis",
         "mapreduce_rust_spark.operators.multimodal",
         "mapreduce_rust_spark.operators.skew",
+        "mapreduce_rust_spark.operators.graph",
         "mapreduce_rust_spark.sources.formats",
     ):
         try:

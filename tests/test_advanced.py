@@ -58,3 +58,15 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     for r in approx_distinct_q(spark, sf_dir).collect():
         rel_err = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
         assert rel_err < 0.05, (r, rel_err)
+
+
+def test_connected_components_hand_graph(spark):
+    """Two components + an isolated self-pair; labels = min member."""
+    from mapreduce_rust_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "d1 long, d2 long",
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
