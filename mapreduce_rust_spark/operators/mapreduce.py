@@ -146,6 +146,32 @@ def union_merge(*dfs: DataFrame) -> DataFrame:
     )
 
 
+def cogroup_merge(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Two-source per-key merge — the exact shape of the reference
+    prototype's ``merge_hashmap`` (``mr/tests/test.rs:155-169``):
+    given two grouped KV sources, concatenate their value lists per
+    key (keys present in either side appear once).
+
+    Uses Spark's cogroup + ``applyInPandas``: both sides hash-shuffle
+    on key once, then each key's two pandas frames meet in one Python
+    call — the canonical relational form of the reference's in-memory
+    hashmap merge, without materializing either side as a map. Values
+    are sorted for determinism (the reference's hash order is not).
+    """
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        key = l["key"].iloc[0] if len(l) else r["key"].iloc[0]
+        vals = sorted(l["value"].tolist() + r["value"].tolist())
+        return pd.DataFrame({"key": [key], "values": [vals]})
+
+    return (
+        left.select("key", "value")
+        .groupBy("key")
+        .cogroup(right.select("key", "value").groupBy("key"))
+        .applyInPandas(merge, schema="key string, values array<string>")
+    )
+
+
 class MapReduceJob:
     """User-facing job API with the reference's shape.
 

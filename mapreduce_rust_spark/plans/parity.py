@@ -262,6 +262,45 @@ SELECT key, count(*) AS n_values, min(v) AS first_value FROM (
 """
 
 
+def cogroup_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``merge_hashmap`` again (``mr/tests/test.rs:155-169``), through
+    Spark's two-source cogroup instead of union+regroup: both sides
+    shuffle once on key, each key's two pandas frames merge in a
+    single Python call. Summarized as (key, n_values, first, last) so
+    the oracle compares scalars over the sorted merged list."""
+    from mapreduce_rust_spark.operators.mapreduce import cogroup_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    merged = cogroup_merge(
+        cust.select(
+            F.col("c_nationkey").cast("string").alias("key"),
+            F.col("c_name").alias("value"),
+        ),
+        supp.select(
+            F.col("s_nationkey").cast("string").alias("key"),
+            F.col("s_name").alias("value"),
+        ),
+    )
+    return merged.select(
+        "key",
+        F.size("values").cast("bigint").alias("n_values"),
+        F.element_at("values", 1).alias("first_value"),
+        F.element_at("values", -1).alias("last_value"),
+    )
+
+
+ORACLE["cogroup_merge"] = """
+SELECT key, count(*) AS n_values, min(v) AS first_value,
+       max(v) AS last_value
+FROM (
+  SELECT CAST(c_nationkey AS VARCHAR) AS key, c_name AS v FROM customer
+  UNION ALL
+  SELECT CAST(s_nationkey AS VARCHAR) AS key, s_name AS v FROM supplier
+) GROUP BY key
+"""
+
+
 def sink_write_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``sink_write_json`` (``worker.rs:138-143``, ``199-208``): write
     JSON (one file per partition, exactly the reference's one file per
@@ -328,6 +367,7 @@ QUERIES = {
     "reduce_udf": reduce_udf,
     "combine_map_side": combine_map_side,
     "union_merge": union_merge_q,
+    "cogroup_merge": cogroup_merge_q,
     "sink_write_json": sink_write_json,
     "tokenize_whitespace": tokenize_whitespace_q,
     "agg_count_sum": agg_count_sum,
