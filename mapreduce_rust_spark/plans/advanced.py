@@ -186,10 +186,57 @@ def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function library showcase (SURVEY.md §2c: the reference
+    has NO scalar functions beyond whitespace split + int parse):
+    string, math, conditional, and array expressions in one pass over
+    part — all JVM-side, all inside whole-stage codegen, each with an
+    exact DuckDB twin."""
+    p = load_table(spark, sf_dir, "part")
+    toks = F.split("p_type", " ")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        fround(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        fround(F.log(F.col("p_retailprice") + 1), 6).alias("price_ln"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod7"),
+        F.when(F.col("p_size") >= 25, "large")
+        .when(F.col("p_size") >= 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.size(toks).cast("bigint").alias("type_words"),
+        F.array_join(F.slice(toks, 1, 1), "").alias("type_first_word"),
+    )
+
+
+ORACLE["scalar_functions"] = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_u,
+       substring(p_name, 1, 8) AS name_prefix,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       concat_ws('-', p_brand, p_type) AS brand_type,
+       floor(round(sqrt(p_retailprice), 10) * 1000000) / 1000000 AS price_sqrt,
+       floor(round(ln(p_retailprice + 1), 10) * 1000000) / 1000000 AS price_ln,
+       CAST(p_size % 7 AS INT) AS size_mod7,
+       CASE WHEN p_size >= 25 THEN 'large'
+            WHEN p_size >= 10 THEN 'medium'
+            ELSE 'small' END AS size_class,
+       CAST(len(string_split(p_type, ' ')) AS BIGINT) AS type_words,
+       string_split(p_type, ' ')[1] AS type_first_word
+FROM part
+"""
+
+
 QUERIES = {
     "asof_join": asof_join_q,
     "range_join": range_join_q,
     "percentiles": percentiles_q,
     "grouping_sets": grouping_sets_q,
     "approx_distinct": approx_distinct_q,
+    "scalar_functions": scalar_functions_q,
 }

@@ -1,0 +1,102 @@
+"""Time-series operators over the events stream table: dense hourly
+rollup (gap-filled) and per-entity event deltas.
+
+Nothing comparable exists in the reference (batch wordcount only);
+this is the hypertable-style surface a telemetry/training-data
+pipeline expects. Both queries are single-fact-shuffle plans:
+
+* gap-fill: the dense (hour × event_type) grid is generated from one
+  tiny bounds aggregate (``sequence`` + explode, then a broadcast
+  cross join) and LEFT-joined against the hourly aggregate — the
+  events fact is scanned and shuffled exactly once; grid size is
+  |hours| × |types|, independent of row count.
+* lag delta: one window shuffle partitioned by user_id (high
+  cardinality — even spread), arithmetic on integer epochs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+
+def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly counts per event type: hours with no events appear
+    with cnt = 0 (the gap-fill a naive GROUP BY silently drops)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(hours.crossJoin(types))
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        grid.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0)).alias("cnt"),
+        )
+    )
+
+
+ORACLE["ts_gapfill_hourly"] = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(h.hour, '%Y-%m-%d %H:00') AS hour, t.event_type,
+       coalesce(c, 0) AS cnt
+FROM hours h CROSS JOIN types t
+LEFT JOIN hourly ON hourly.hour = h.hour AND hourly.event_type = t.event_type
+"""
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gaps: lag/lead over the user's timeline.
+    delta_sec is NULL for each user's first event (no predecessor)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    next_ts = F.lead("ts").over(w)
+    # integer microseconds end to end: unix_timestamp() would truncate
+    # to whole seconds while the oracle's epoch() keeps fractions —
+    # sub-second timestamps then disagree by one
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros(prev_ts)).alias("delta_us"),
+        (F.unix_micros(next_ts) - F.unix_micros("ts")).alias("next_gap_us"),
+    )
+
+
+ORACLE["window_lag_delta"] = """
+SELECT user_id, event_id,
+       epoch_us(ts) - epoch_us(lag(ts) OVER w) AS delta_us,
+       epoch_us(lead(ts) OVER w) - epoch_us(ts) AS next_gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+QUERIES = {
+    "ts_gapfill_hourly": ts_gapfill_hourly,
+    "window_lag_delta": window_lag_delta,
+}

@@ -33,13 +33,21 @@ def _register(queries: dict[str, QueryFn], oracles: dict[str, str]) -> None:
 def _load() -> None:
     if _QUERIES:
         return
-    from mapreduce_rust_spark.plans import advanced, analytics, parity, sqlface, tpch
+    from mapreduce_rust_spark.plans import (
+        advanced,
+        analytics,
+        parity,
+        sqlface,
+        timeseries,
+        tpch,
+    )
 
     _register(parity.QUERIES, parity.ORACLE)
     _register(analytics.QUERIES, analytics.ORACLE)
     _register(advanced.QUERIES, advanced.ORACLE)
     _register(tpch.QUERIES, tpch.ORACLE)
     _register(sqlface.QUERIES, sqlface.ORACLE)
+    _register(timeseries.QUERIES, timeseries.ORACLE)
     for mod_name in (
         "mapreduce_rust_spark.operators.dedup",
         "mapreduce_rust_spark.streaming.queries",
