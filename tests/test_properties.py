@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis): engine results must agree with
+plain-Python models on arbitrary inputs, not just fixtures.
+
+These pin the semantic contracts that golden tests can't sweep:
+tokenizer edge cases (unicode whitespace runs, empty strings),
+MapReduceJob vs DataFrame wordcount equivalence, and salted-aggregate
+vs plain groupBy equality on adversarial key skews.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# visible-ASCII + common whitespace; the reference tokenizer is
+# whitespace-split with case/punctuation preserved
+_texts = st.lists(
+    st.text(
+        alphabet=st.one_of(
+            st.characters(codec="ascii", min_codepoint=32, max_codepoint=126),
+            st.sampled_from(list(" \t\n")),
+        ),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(texts=_texts)
+@_settings
+def test_wordcount_matches_python_model(spark, texts):
+    from mapreduce_rust_spark.plans.wordcount import wordcount
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {r["word"]: r["cnt"] for r in wordcount(df, "text").collect()}
+    expect = Counter(w for t in texts for w in t.split())
+    assert got == dict(expect)
+
+
+@given(texts=_texts)
+@_settings
+def test_mapreduce_job_equals_dataframe_wordcount(spark, texts):
+    """The user-function API and the declarative plan must agree on
+    arbitrary input (reference MapFn/ReduceFn semantics)."""
+    from mapreduce_rust_spark.operators.mapreduce import MapReduceJob, wordcount_fns
+
+    kv = spark.createDataFrame(
+        [(f"f{i}", t) for i, t in enumerate(texts)], "key string, value string"
+    )
+    job = MapReduceJob(*wordcount_fns())
+    got = {r["key"]: int(r["value"]) for r in job.run_on(kv).collect()}
+    expect = Counter(w for t in texts for w in t.split())
+    assert got == dict(expect)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@_settings
+def test_salted_aggregate_equals_plain_groupby(spark, rows):
+    """Two-phase salted aggregation == single-phase GROUP BY for any
+    key distribution (including everything on one key)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rust_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(rows, "k int, v long")
+    got = {
+        r["k"]: (r["cnt"], r["sum_v"])
+        for r in salted_aggregate(
+            df, ["k"], ["v"], salt_col=F.xxhash64("v"), n_salt=4
+        ).collect()
+    }
+    expect: dict[int, list[int]] = {}
+    for k, v in rows:
+        c = expect.setdefault(k, [0, 0])
+        c[0] += 1
+        c[1] += v
+    assert got == {k: (c, s) for k, (c, s) in expect.items()}
