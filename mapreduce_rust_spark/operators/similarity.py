@@ -113,6 +113,81 @@ def topk_bucketed(
     )
 
 
+IVF_K = 8  # coarse-quantizer cells
+NPROBE = 2  # cells searched per query
+
+
+def ivf_centroids(corpus_df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Deterministic coarse quantizer: the first ``IVF_K`` vectors by
+    id. Real deployments train these with k-means over a sample; a
+    fixed choice keeps the whole index + probe pipeline reproducible
+    in any engine (the oracle requirement) while exercising the
+    identical IVF dataflow — the centroid SOURCE is orthogonal to the
+    index structure."""
+    return corpus_df.filter(F.col(id_col) < IVF_K).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+
+
+def ivf_assign(
+    corpus_df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Build the inverted file: every vector labeled with its nearest
+    centroid (max floored cosine, centroid-id tie-break). One
+    broadcast cross join + one window shuffle over the corpus. At
+    cluster scale this frame is written partitioned by ``cid`` — the
+    probe then touches only ``NPROBE`` partitions (partition pruning
+    does the candidate restriction for free)."""
+    sim = fround(cosine_similarity(F.col(vec_col), F.col("cv")), 6)
+    w = W.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("cid"))
+    return (
+        corpus_df.crossJoin(F.broadcast(centroids))
+        .withColumn("_csim", sim)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+
+
+def topk_ivf(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """IVF probe: rank centroids per query, search the top ``NPROBE``
+    cells only. Approximate (a true neighbor in an unprobed cell is
+    missed) — recall vs cost is tuned by NPROBE, cost drops
+    ~|cells|/NPROBE vs brute force."""
+    cents = ivf_centroids(corpus_df, id_col, vec_col)
+    assigned = ivf_assign(corpus_df, cents, id_col, vec_col)
+    qsim = fround(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    wq = W.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("cid"))
+    probe = (
+        queries_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_csim", qsim)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= NPROBE)
+        .select("query_id", "qv", "cid")
+    )
+    sim = fround(cosine_similarity(F.col("qv"), F.col("cv2")), 6)
+    wr = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv2"), "cid"
+    )
+    return (
+        F.broadcast(probe)
+        .join(cand, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", F.col("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", fround(F.col("sim"), 4).alias("sim"))
+    )
+
+
 # --- registry queries -----------------------------------------------
 
 _QUERY_PRED = "vec_id % 100 = 0"
@@ -173,7 +248,56 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.expr(_QUERY_PRED))
+    return topk_ivf(qs, emb, "vec_id", "embedding", k=3)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"floor(round(list_cosine_similarity({a}, {b}), 10) * 1000000) / 1000000"
+
+
+ORACLE["ann_topk_ivf"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_K}),
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM e CROSS JOIN c
+  ) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {_QUERY_PRED}),
+probe AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC, c.cid) AS rn
+    FROM q CROSS JOIN c
+  ) t WHERE rn <= {NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_cos_sql('p.qv', 'a.v')} AS sim
+  FROM probe p JOIN asg a USING (cid)
+  WHERE p.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id,
+       floor(round(sim, 8) * 10000) / 10000 AS sim
+FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_bucketed": ann_topk_bucketed,
+    "ann_topk_ivf": ann_topk_ivf,
 }
