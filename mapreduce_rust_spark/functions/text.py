@@ -33,6 +33,21 @@ def tokenize_whitespace(col: Column | str) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
 
 
+# GPT-2-style pre-tokenizer pattern, ASCII-simplified so the SAME
+# pattern string is interpreted identically by Java regex (Spark) and
+# RE2 (DuckDB): contractions, space-prefixed letter runs, digit runs,
+# punctuation runs. The real BPE merge table is a lookup after this
+# split; counting these pre-tokens is the standard cheap proxy for
+# "how many tokens will the tokenizer emit".
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Array of BPE-style pre-tokens (see ``BPE_ISH_PATTERN``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
 def normalize_text(col: Column | str) -> Column:
     """Lowercase, strip non-alphanumerics to single spaces, trim.
 

@@ -134,6 +134,54 @@ def decode_media(
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id bigint, width int, height int, target_w int, target_h int, "
+    "resized_payload binary"
+)
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    fake_resizer: bool = False,
+) -> DataFrame:
+    """Resize stage over decoded media — ``mapInPandas``, same Arrow
+    batch shape as ``decode_media``. STUB: the fake resizer emits a
+    deterministic payload (truncated/padded source bytes) with the
+    target dims; a real deployment drops PIL's ``Image.resize`` (or
+    ffmpeg scale) into ``_fake_resize`` without touching the plan,
+    schema, or partitioning."""
+
+    def _fake_resize(payload: bytes) -> bytes:
+        size = (target_w * target_h) // 8  # deterministic stand-in
+        return (payload * (size // max(len(payload), 1) + 1))[:size]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_resizer:
+                raise NotImplementedError(
+                    "real resizing requires an imaging library; pass "
+                    "fake_resizer=True for the deterministic test stub"
+                )
+            out = {
+                "media_id": pdf["media_id"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "target_w": [target_w] * len(pdf),
+                "target_h": [target_h] * len(pdf),
+                "resized_payload": [
+                    _fake_resize(bytes(p) if p is not None else b"")
+                    for p in pdf["payload"]
+                ],
+            }
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "width", "height", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample(decoded: DataFrame, every_nth: int = 2) -> DataFrame:
     """Frame sampling plan over decoded media: explode frame indices
     0..n_frames-1 and keep every Nth — pure column expressions, so

@@ -200,6 +200,40 @@ FROM t
 """
 
 
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-cost estimation: BPE-style pre-token counts next to
+    whitespace counts, plus chars-per-pretoken (the compression-ratio
+    proxy used to budget LLM training tokens). Same regex string
+    evaluated by both engines."""
+    from mapreduce_rust_spark.functions.text import bpe_ish_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = bpe_ish_tokens(F.col("text"))
+    ws = tokenize_whitespace(F.col("text"))
+    n_bpe = F.size(bpe).cast("bigint")
+    return docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        fround(F.length("text").cast("double") / n_bpe, 4).alias("chars_per_token"),
+    )
+
+
+ORACLE["text_bpe_tokens"] = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS nb,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS nw
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(nb AS BIGINT) AS n_bpe_tokens,
+       CAST(nw AS BIGINT) AS n_ws_tokens,
+       floor(round(length(text)::DOUBLE / nb, 8) * 10000) / 10000 AS chars_per_token
+FROM t
+"""
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -266,6 +300,7 @@ FROM n WHERE norm <> ''
 
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_bpe_tokens": text_bpe_tokens,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,

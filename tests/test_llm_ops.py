@@ -208,3 +208,25 @@ def test_decode_media_fake_is_deterministic(spark):
     assert all(r["width"] >= 16 and r["n_frames"] >= 1 for r in d1)
     sampled = frame_sample(decode_media(df, fake_decoder=True), every_nth=2)
     assert all(r["frame_idx"] % 2 == 0 for r in sampled.collect())
+
+
+def test_resize_media_pipeline(spark):
+    """decode -> join dims back to payload -> resize: full multimodal
+    pipeline shape with deterministic stub kernels."""
+    from mapreduce_rust_spark.operators.multimodal import decode_media, resize_media
+
+    media = spark.createDataFrame(
+        [(i, "image/png", bytearray(b"\x89PNG" + bytes([i] * (i + 1))), "s", 5 + i)
+         for i in range(4)],
+        "media_id long, media_type string, payload binary, src string, n_bytes long",
+    )
+    dims = decode_media(media, fake_decoder=True).select("media_id", "width", "height")
+    joined = media.select("media_id", "payload").join(dims, "media_id")
+    out = resize_media(joined, target_w=32, target_h=16, fake_resizer=True).collect()
+    assert len(out) == 4
+    for r in out:
+        assert (r["target_w"], r["target_h"]) == (32, 16)
+        assert len(r["resized_payload"]) == (32 * 16) // 8
+    # determinism
+    out2 = resize_media(joined, target_w=32, target_h=16, fake_resizer=True).collect()
+    assert sorted(map(str, out)) == sorted(map(str, out2))
