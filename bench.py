@@ -34,6 +34,11 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id) as s").write.format(
         "noop"
     ).mode("overwrite").save()
+    # ... including the vectorized parquet reader + scan codegen paths,
+    # which otherwise land on the alphabetically-first query
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).write.format(
+        "noop"
+    ).mode("overwrite").save()
     # Warm the OS page cache over the input tables: per-query timings
     # should measure the engine, not whether a prior process happened to
     # leave the parquet files resident. (~100 MB at sf0.1, one pass.)

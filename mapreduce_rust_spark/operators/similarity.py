@@ -129,6 +129,56 @@ def ivf_centroids(corpus_df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def kmeans_centroids(
+    corpus_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = IVF_K,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) for PRODUCTION IVF centroids —
+    drop-in replacement for :func:`ivf_centroids` when oracle
+    reproducibility isn't required. Deterministic given the data:
+    init = first ``k`` vectors by id, fixed iteration count, cosine
+    assignment with centroid-id tie-break.
+
+    Each round is one broadcast cross join (assignment) + one
+    (cid, dim) aggregation (new means via posexplode — shuffle rows
+    = N×d, fine for embedding dims). ``localCheckpoint`` truncates
+    the iterative lineage, same as ``operators.graph`` — without it
+    planning cost grows per round."""
+    cents = (
+        corpus_df.filter(F.col(id_col) < k)
+        .select(F.col(id_col).cast("int").alias("cid"), F.col(vec_col).alias("cv"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        sim = fround(cosine_similarity(F.col(vec_col), F.col("cv")), 6)
+        w = W.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("cid"))
+        assigned = (
+            corpus_df.select(id_col, vec_col)
+            .crossJoin(F.broadcast(cents))
+            .withColumn("_csim", sim)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("cid", vec_col)
+        )
+        cents = (
+            assigned.select("cid", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_assign(
     corpus_df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:

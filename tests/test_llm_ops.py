@@ -230,3 +230,35 @@ def test_resize_media_pipeline(spark):
     # determinism
     out2 = resize_media(joined, target_w=32, target_h=16, fake_resizer=True).collect()
     assert sorted(map(str, out)) == sorted(map(str, out2))
+
+
+def test_kmeans_centroids_separate_clusters(spark):
+    """Three well-separated direction clusters -> k-means assignment
+    must be pure (every cluster maps to exactly one centroid), and
+    probing via the trained centroids must find in-cluster neighbors."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_rust_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    rng = random.Random(7)
+    base = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    rows = []
+    for i in range(90):
+        c = i % 3
+        vec = [v + rng.uniform(-0.5, 0.5) for v in base[c]]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_centroids(emb, "vec_id", "embedding", k=3, max_iter=4)
+    assert cents.count() == 3
+    assigned = ivf_assign(emb, cents.select("cid", "cv"), "vec_id", "embedding")
+    got = {r["vec_id"]: r["cid"] for r in assigned.collect()}
+    # purity: all members of a true cluster share one centroid id
+    for c in range(3):
+        cids = {got[i] for i in range(90) if i % 3 == c}
+        assert len(cids) == 1, (c, cids)

@@ -156,3 +156,17 @@ def test_partitioned_parquet_prunes(spark, tmp_path, sf_dir):
     p = plan_str(back)
     assert "PartitionFilters" in p and "event_type" in p
     assert back.count() == ev.filter("event_type = 'click'").count()
+
+
+def test_corrupt_input_files_are_skipped(spark, tmp_path):
+    """Reference semantics: unreadable input files are skipped with a
+    warning, not an error (worker.rs:109-115). The engine mirrors this
+    via spark.sql.files.ignoreCorruptFiles (session.py)."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(
+        1
+    ).write.parquet(str(d / "good"))
+    (d / "good" / "zzz_corrupt.parquet").write_bytes(b"PAR1 this is not parquet")
+    got = spark.read.parquet(str(d / "good")).collect()
+    assert sorted((r["id"], r["v"]) for r in got) == [(1, "a"), (2, "b")]
