@@ -28,7 +28,7 @@ reference for the bucketed variant in ``similarity.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.functions.numeric import fround
@@ -83,12 +83,6 @@ def _minhash_params() -> list[tuple[int, int]]:
         ((2654435761 * (j + 1)) % MINHASH_PRIME, (40503 * (j + 7) + 1) % MINHASH_PRIME)
         for j in range(N_HASHES)
     ]
-
-
-def _minhash_col(j: int, a: int, b: int, h: Column) -> Column:
-    return F.min((F.lit(a) * (h % MINHASH_PRIME) + F.lit(b)) % MINHASH_PRIME).alias(
-        f"mh{j}"
-    )
 
 
 # --- library operators (DataFrame in → DataFrame out) ---------------
@@ -160,19 +154,26 @@ def jaccard_pairs(
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Wide signature frame: (id, mh0..mh{P-1}). One aggregation over
-    the exploded shingles — P min() columns, no row blowup.
-
-    Deliberately NO distinct on the shingles: min() is idempotent over
-    duplicates, so deduplicating first would add a full extra shuffle
-    of shingle strings for zero semantic effect. The explode feeds the
-    hash-aggregate directly and the map-side partial aggregation
-    collapses each document's shingles to 16 ints before the only
-    shuffle — at 100 TB the shuffle carries ~128 B/doc, not the text."""
-    sh = df.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("s"))
-    h = hash64(F.col("s"))
-    return sh.groupBy(id_col).agg(
-        *[_minhash_col(j, a, b, h) for j, (a, b) in enumerate(_minhash_params())]
+    """Wide signature frame: (id, mh0..mh{P-1}), computed entirely
+    per-row with array higher-order functions — ZERO shuffle: shingle
+    the text, hash each shingle once, then take P ``array_min``s over
+    the permuted hash array. The earlier explode→groupBy formulation
+    needed a hash-aggregate stage (cheap after partial agg, but still
+    a full extra stage + shuffle of 16 ints/doc); this one is a pure
+    map, so signature computation scales with input bytes and nothing
+    else. No distinct on shingles either — min() is idempotent over
+    duplicates. Documents with fewer than ``k`` tokens have no
+    shingles and are excluded (as the explode form did implicitly)."""
+    harr = F.transform(word_shingles(text_col, k), lambda s: hash64(s) % MINHASH_PRIME)
+    hashed = df.select(F.col(id_col), harr.alias("_h")).filter(F.size("_h") > 0)
+    return hashed.select(
+        id_col,
+        *[
+            F.array_min(
+                F.transform("_h", lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
+            ).alias(f"mh{j}")
+            for j, (a, b) in enumerate(_minhash_params())
+        ],
     )
 
 
