@@ -262,3 +262,19 @@ def test_kmeans_centroids_separate_clusters(spark):
     for c in range(3):
         cids = {got[i] for i in range(90) if i % 3 == c}
         assert len(cids) == 1, (c, cids)
+
+
+def test_simhash_banded_equals_bruteforce(spark, sf_dir):
+    """Pigeonhole banding must reproduce the n^2 pair scan exactly."""
+    from mapreduce_rust_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+        simhash_pairs_banded,
+    )
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, "doc_id", "text", bits=32)
+    brute = sorted(map(tuple, simhash_pairs(fp, "doc_id", 3).collect()))
+    banded = sorted(map(tuple, simhash_pairs_banded(fp, "doc_id", 3).collect()))
+    assert brute == banded and len(brute) > 0
