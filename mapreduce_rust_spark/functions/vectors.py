@@ -42,3 +42,19 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     cb = F.col(b) if isinstance(b, str) else b
     denom = l2_norm(ca) * l2_norm(cb)
     return F.when(denom == 0, F.lit(None)).otherwise(dot(ca, cb) / denom)
+
+
+def cosine_from_norms(
+    a: Column | str, b: Column | str, norm_a: Column | str, norm_b: Column | str
+) -> Column:
+    """Cosine similarity with PRE-COMPUTED norms — bit-identical to
+    :func:`cosine_similarity` (same dot, same norm product, same
+    division) but the norm aggregates run once per ROW instead of once
+    per PAIR. In a |q|×N scoring join that removes two of the three
+    array passes from the hot inner loop."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    na = F.col(norm_a) if isinstance(norm_a, str) else norm_a
+    nb = F.col(norm_b) if isinstance(norm_b, str) else norm_b
+    denom = na * nb
+    return F.when(denom == 0, F.lit(None)).otherwise(dot(ca, cb) / denom)

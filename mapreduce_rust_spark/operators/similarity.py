@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.functions.numeric import fround
-from mapreduce_rust_spark.functions.vectors import cosine_similarity
+from mapreduce_rust_spark.functions.vectors import (
+    cosine_from_norms,
+    cosine_similarity,
+    l2_norm,
+)
 from mapreduce_rust_spark.sources.tables import load_table
 
 ORACLE: dict[str, str] = {}
@@ -60,11 +64,17 @@ def topk_bruteforce(
     The query side is broadcast — the corpus never shuffles."""
     q = F.broadcast(
         queries_df.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            l2_norm(F.col(vec_col)).alias("qn"),
         )
     )
-    c = corpus_df.select(F.col(id_col).alias("vec_id_c"), F.col(vec_col).alias("cv"))
-    sim = fround(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    c = corpus_df.select(
+        F.col(id_col).alias("vec_id_c"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    sim = fround(cosine_from_norms("qv", "cv", "qn", "cn"), 6)
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         q.join(c, F.col("query_id") != F.col("vec_id_c"))
@@ -89,15 +99,17 @@ def topk_bucketed(
         queries_df.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            l2_norm(F.col(vec_col)).alias("qn"),
             sign_bucket(F.col(vec_col)).alias("bucket"),
         )
     )
     c = corpus_df.select(
         F.col(id_col).alias("vec_id_c"),
         F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
         sign_bucket(F.col(vec_col)).alias("bucket"),
     )
-    sim = fround(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    sim = fround(cosine_from_norms("qv", "cv", "qn", "cn"), 6)
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         q.join(c, "bucket")
@@ -188,10 +200,12 @@ def ivf_assign(
     cluster scale this frame is written partitioned by ``cid`` — the
     probe then touches only ``NPROBE`` partitions (partition pruning
     does the candidate restriction for free)."""
-    sim = fround(cosine_similarity(F.col(vec_col), F.col("cv")), 6)
+    cents_n = centroids.withColumn("_cn", l2_norm("cv"))
+    sim = fround(cosine_from_norms(F.col(vec_col), F.col("cv"), F.col("_vn"), F.col("_cn")), 6)
     w = W.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("cid"))
     return (
-        corpus_df.crossJoin(F.broadcast(centroids))
+        corpus_df.withColumn("_vn", l2_norm(vec_col))
+        .crossJoin(F.broadcast(cents_n))
         .withColumn("_csim", sim)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -212,20 +226,28 @@ def topk_ivf(
     ~|cells|/NPROBE vs brute force."""
     cents = ivf_centroids(corpus_df, id_col, vec_col)
     assigned = ivf_assign(corpus_df, cents, id_col, vec_col)
-    qsim = fround(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    cents_n = cents.withColumn("_cn", l2_norm("cv"))
+    qsim = fround(cosine_from_norms("qv", "cv", "qn", "_cn"), 6)
     wq = W.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("cid"))
     probe = (
-        queries_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .crossJoin(F.broadcast(cents))
+        queries_df.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            l2_norm(F.col(vec_col)).alias("qn"),
+        )
+        .crossJoin(F.broadcast(cents_n))
         .withColumn("_csim", qsim)
         .withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= NPROBE)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "qn", "cid")
     )
-    sim = fround(cosine_similarity(F.col("qv"), F.col("cv2")), 6)
+    sim = fround(cosine_from_norms("qv", "cv2", "qn", "cn2"), 6)
     wr = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     cand = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv2"), "cid"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv2"),
+        l2_norm(F.col(vec_col)).alias("cn2"),
+        "cid",
     )
     return (
         F.broadcast(probe)

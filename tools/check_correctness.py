@@ -106,6 +106,10 @@ def main() -> int:
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        finally:
+            # operators may persist() intermediates — keep the 69-query
+            # sweep's memory flat
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok?  {name}: rows={len(spark_pdf)} (no oracle — rows-only) "
                   f"[{time.time()-t0:.1f}s]")
