@@ -170,3 +170,17 @@ def test_corrupt_input_files_are_skipped(spark, tmp_path):
     (d / "good" / "zzz_corrupt.parquet").write_bytes(b"PAR1 this is not parquet")
     got = spark.read.parquet(str(d / "good")).collect()
     assert sorted((r["id"], r["v"]) for r in got) == [(1, "a"), (2, "b")]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Writers add columns over time at 100 TB; readers must merge
+    footers (mergeSchema) and surface missing columns as NULLs."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(d + "/p=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(d + "/p=2")
+    got = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(got.columns) == {"id", "v", "score", "p"}
+    rows = {r["id"]: (r["v"], r["score"]) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
