@@ -31,14 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.functions.numeric import fround
 from mapreduce_rust_spark.functions.text import (
     hash64,
     normalize_text,
     tokenize_whitespace,
     word_shingles,
 )
-from mapreduce_rust_spark.functions.vectors import cosine_similarity
 from mapreduce_rust_spark.sources.tables import load_table
 
 ORACLE: dict[str, str] = {}

@@ -34,8 +34,6 @@ Execution strategy, in preference order:
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
-from typing import Any
-
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession

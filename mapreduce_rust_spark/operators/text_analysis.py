@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.functions.numeric import fround
 from mapreduce_rust_spark.functions.text import (
-    hash64,
     normalize_text,
     tokenize_whitespace,
 )

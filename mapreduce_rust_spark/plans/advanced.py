@@ -210,6 +210,7 @@ def scalar_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("size_class"),
         F.size(toks).cast("bigint").alias("type_words"),
         F.array_join(F.slice(toks, 1, 1), "").alias("type_first_word"),
+        F.levenshtein("p_brand", "p_type").cast("int").alias("brand_type_edit"),
     )
 
 
@@ -227,7 +228,8 @@ SELECT p_partkey,
             WHEN p_size >= 10 THEN 'medium'
             ELSE 'small' END AS size_class,
        CAST(len(string_split(p_type, ' ')) AS BIGINT) AS type_words,
-       string_split(p_type, ' ')[1] AS type_first_word
+       string_split(p_type, ' ')[1] AS type_first_word,
+       CAST(levenshtein(p_brand, p_type) AS INT) AS brand_type_edit
 FROM part
 """
 

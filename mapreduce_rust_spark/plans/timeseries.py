@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from mapreduce_rust_spark.functions.numeric import fround
 from mapreduce_rust_spark.sources.tables import load_table
 
 ORACLE: dict[str, str] = {}
@@ -96,7 +97,45 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window breadth in one pass: ntile quartiles,
+    percent_rank, cume_dist, and nth_value over each priority's
+    order-value ordering. One window shuffle; ordering key includes
+    the unique o_orderkey so every function is deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.filter(F.col("o_orderdate") >= "2001-06-01").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        fround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        fround(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 3)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("third_key"),
+    )
+
+
+ORACLE["window_rank_suite"] = """
+SELECT o_orderpriority, o_orderkey,
+       ntile(4) OVER w AS quartile,
+       floor(round(percent_rank() OVER w, 10) * 1000000) / 1000000 AS pct_rank,
+       floor(round(cume_dist() OVER w, 10) * 1000000) / 1000000 AS cume,
+       nth_value(o_orderkey, 3) OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY o_totalprice DESC, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS third_key
+FROM orders
+WHERE o_orderdate >= '2001-06-01'
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
 QUERIES = {
     "ts_gapfill_hourly": ts_gapfill_hourly,
     "window_lag_delta": window_lag_delta,
+    "window_rank_suite": window_rank_suite,
 }

@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.functions.numeric import fround
 from mapreduce_rust_spark.functions.text import tokenize_whitespace
-from mapreduce_rust_spark.sources.tables import load_table
 
 ORACLE: dict[str, str] = {}
 
