@@ -16,7 +16,8 @@ differ between engines):
 * **MinHash + LSH** — linear-time near-dup candidates: per-doc
   signature of P min-hashes, banded so any pair agreeing on one full
   band becomes a candidate. THE scale path for fuzzy dedup.
-* **SimHash** — 32-bit weighted fingerprint; hamming-distance pairs.
+* **SimHash** — weighted bit-vote fingerprint (48-bit in the registry
+  query); hamming-distance pairs via pigeonhole banding.
 * **embedding cosine** — semantic near-dup over the embeddings table.
 
 Scale notes: all pair-producing operators key their shuffles on

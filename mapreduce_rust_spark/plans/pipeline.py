@@ -1,0 +1,99 @@
+"""Capstone composition: the end-to-end "prepare a training corpus"
+job an LLM-data pipeline actually runs, built ENTIRELY from the
+engine's own operators — exact dedup survivors → quality + language
+gates → token budgeting — and value-checked as one unit against a
+single composed SQL oracle.
+
+Plan shape at scale: dedup's hash aggregate is the only wide shuffle;
+quality/language/token columns are pure per-row expressions fused
+into the same scan; the survivor join is keyed on doc_id (or
+broadcast when the survivor set is small after heavy dedup). The
+final per-language rollup shuffles a handful of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql
+from mapreduce_rust_spark.functions.text import bpe_ish_tokens
+from mapreduce_rust_spark.operators.dedup import exact_duplicate_groups
+from mapreduce_rust_spark.operators.text_analysis import (
+    _language_id_sql,
+    language_id,
+    quality_scores,
+)
+from mapreduce_rust_spark.sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+MIN_QUALITY = 0.6
+
+
+def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per detected language: how many documents survive dedup + the
+    quality gate, and what token budget they carry. The shape every
+    training-data run reports before a tokenizer ever starts."""
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = exact_duplicate_groups(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    quality = quality_scores(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    lang = language_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    tokens = docs.select(
+        "doc_id", F.size(bpe_ish_tokens(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    kept = (
+        survivors.join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .join(tokens, "doc_id")
+        .filter(F.col("quality_score") >= MIN_QUALITY)
+    )
+    return kept.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        fround(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
+
+
+ORACLE["pipeline_prepare_corpus"] = f"""
+WITH survivors AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+quality AS (
+  SELECT doc_id,
+         floor(round((
+           (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)) * 0.5
+           + (1 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)) * 0.2
+           + (CASE WHEN (length(text) - length(regexp_replace(text, '[^ \t\n]', '', 'g')))::DOUBLE
+                        / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                   BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 20
+                   THEN 0.1 ELSE 0.0 END)
+         ), 8) * 10000) / 10000 AS quality_score
+  FROM documents WHERE length(text) > 0
+),
+lang AS (
+  SELECT doc_id, pred_lang FROM ({_language_id_sql()}) l
+),
+tokens AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+           AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT pred_lang, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+       {fround_sql("avg(quality_score)", 4)} AS avg_quality
+FROM survivors
+JOIN quality USING (doc_id)
+JOIN lang USING (doc_id)
+JOIN tokens USING (doc_id)
+WHERE quality_score >= {MIN_QUALITY}
+GROUP BY pred_lang
+"""
+
+QUERIES = {"pipeline_prepare_corpus": pipeline_prepare_corpus}

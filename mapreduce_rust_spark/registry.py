@@ -37,6 +37,7 @@ def _load() -> None:
         advanced,
         analytics,
         parity,
+        pipeline,
         sqlface,
         timeseries,
         tpch,
@@ -48,6 +49,7 @@ def _load() -> None:
     _register(tpch.QUERIES, tpch.ORACLE)
     _register(sqlface.QUERIES, sqlface.ORACLE)
     _register(timeseries.QUERIES, timeseries.ORACLE)
+    _register(pipeline.QUERIES, pipeline.ORACLE)
     for mod_name in (
         "mapreduce_rust_spark.operators.dedup",
         "mapreduce_rust_spark.streaming.queries",
