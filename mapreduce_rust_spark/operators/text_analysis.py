@@ -57,8 +57,10 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         n_types.alias("n_types"),
-        fround(total_len.cast("double") / n_tokens, 4).alias("avg_token_len"),
-        fround(n_types.cast("double") / n_tokens, 4).alias("ttr"),
+        fround(total_len.cast("double") / F.nullif(n_tokens, F.lit(0)), 4).alias(
+            "avg_token_len"
+        ),
+        fround(n_types.cast("double") / F.nullif(n_tokens, F.lit(0)), 4).alias("ttr"),
     )
 
 
@@ -78,7 +80,7 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     alpha_ratio = n_alpha.cast("double") / n_chars
     digit_ratio = n_digit.cast("double") / n_chars
     space_ratio = n_space.cast("double") / n_chars
-    mean_wlen = (n_chars - n_space).cast("double") / n_tokens
+    mean_wlen = (n_chars - n_space).cast("double") / F.nullif(n_tokens, F.lit(0))
     # composite: favor alpha-heavy, whitespace-sane, mid-length words
     score = (
         alpha_ratio * 0.5
@@ -214,7 +216,9 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_bpe.alias("n_bpe_tokens"),
         F.size(ws).cast("bigint").alias("n_ws_tokens"),
-        fround(F.length("text").cast("double") / n_bpe, 4).alias("chars_per_token"),
+        fround(
+            F.length("text").cast("double") / F.nullif(n_bpe, F.lit(0)), 4
+        ).alias("chars_per_token"),
     )
 
 

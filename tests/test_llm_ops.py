@@ -278,3 +278,41 @@ def test_simhash_banded_equals_bruteforce(spark, sf_dir):
     brute = sorted(map(tuple, simhash_pairs(fp, "doc_id", 3).collect()))
     banded = sorted(map(tuple, simhash_pairs_banded(fp, "doc_id", 3).collect()))
     assert brute == banded and len(brute) > 0
+
+
+def test_text_operators_null_and_empty_robust(spark):
+    """NULL and empty text must not crash or fabricate rows in any
+    text-family operator (100 TB corpora always contain both)."""
+    from mapreduce_rust_spark.operators.dedup import (
+        exact_duplicate_groups,
+        minhash_signatures,
+    )
+    from mapreduce_rust_spark.operators.text_analysis import (
+        fingerprints,
+        language_id,
+        quality_scores,
+        token_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over it"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    # per-row feature ops: survive, and only doc 1 has usable text
+    assert token_stats(df, "doc_id", "text").count() == 4
+    # empty + NULL filtered; whitespace-only kept: zero tokens gives a
+    # NULL mean_word_len (nullif-guarded division — ANSI mode would
+    # otherwise hard-fail the whole job on one junk doc) and a junk-low
+    # score from the remaining terms
+    qrows = {r["doc_id"]: r for r in quality_scores(df, "doc_id", "text").collect()}
+    assert set(qrows) == {1, 4}
+    assert qrows[4]["mean_word_len"] is None
+    assert qrows[4]["quality_score"] is not None
+    assert qrows[1]["quality_score"] > qrows[4]["quality_score"]
+    assert {r["doc_id"] for r in fingerprints(df, "doc_id", "text").collect()} == {1}
+    langs = {r["doc_id"]: r["pred_lang"] for r in language_id(df, "doc_id", "text").collect()}
+    assert langs[1] == "en"
+    # dedup ops: null text hashes to null group; minhash drops shingle-less docs
+    assert exact_duplicate_groups(df, "doc_id", "text").count() >= 2
+    sigs = minhash_signatures(df, "doc_id", "text")
+    assert {r["doc_id"] for r in sigs.collect()} == {1}
