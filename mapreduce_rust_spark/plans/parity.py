@@ -262,6 +262,40 @@ SELECT key, count(*) AS n_values, min(v) AS first_value FROM (
 """
 
 
+def map_udtf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's MapFn as a Python UDTF (SURVEY.md §2c maps
+    ``MapFn ≈ UDTF``: one input row → N output rows through a
+    user-defined table function). Spark 4's ``@udtf`` + LATERAL is the
+    first-class form of that contract — arrow-batched like the
+    ``mapInPandas`` path in operators/mapreduce.py but invocable from
+    SQL. Emits each whitespace token with its 1-based position."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, token string")
+    class TokenizeUdtf:
+        def eval(self, text: str):
+            if text:
+                for i, t in enumerate(text.split()):
+                    yield i + 1, t
+
+    spark.udtf.register("tokenize_udtf", TokenizeUdtf)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_mrs_docs")
+    return spark.sql(
+        "SELECT doc_id, t.idx, t.token "
+        "FROM _mrs_docs, LATERAL tokenize_udtf(text) t"
+    )
+
+
+ORACLE["map_udtf"] = """
+SELECT doc_id, CAST(generate_subscripts(l, 1) AS INT) AS idx,
+       unnest(l) AS token
+FROM (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+  FROM documents
+) t
+"""
+
+
 def cogroup_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``merge_hashmap`` again (``mr/tests/test.rs:155-169``), through
     Spark's two-source cogroup instead of union+regroup: both sides
@@ -363,6 +397,7 @@ QUERIES = {
     "split_roundrobin": split_roundrobin,
     "partition_modulo": partition_modulo,
     "map_udf": map_udf,
+    "map_udtf": map_udtf_q,
     "group_by_key": group_by_key_q,
     "reduce_udf": reduce_udf,
     "combine_map_side": combine_map_side,
