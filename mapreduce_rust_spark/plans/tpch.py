@@ -257,11 +257,133 @@ WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 10  AND l_quantity BETWEEN 
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one nation's share of revenue inside one region's market,
+    by order year — a conditional-aggregate ratio over a two-chain
+    star join (supplier nation for the share numerator, customer
+    nation→region for the market filter). All dims broadcast; one
+    fact shuffle for the year rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n_cust = nation.join(
+        region, nation["n_regionkey"] == region["r_regionkey"]
+    ).filter(F.col("r_name") == "EUROPE").select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.expr(_REVENUE)
+    target = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(fround(F.sum(target) / F.sum(rev), 6).alias("mkt_share"))
+    )
+
+
+ORACLE["q8_market_share"] = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {fround_sql(f"sum(CASE WHEN n2.n_name = 'NATION_3' THEN {_REVENUE} ELSE 0.0 END) / sum({_REVENUE})", 6)}
+       AS mkt_share
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n1.n_regionkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE r_name = 'EUROPE'
+GROUP BY 1
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution of customers by order count, including
+    zero-order customers — LEFT join then two stacked aggregations
+    (count per customer, then customers per count)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+ORACLE["q13_customer_distribution"] = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) with maximum revenue in a quarter — an
+    aggregate feeding a scalar-subquery max (expressed as a broadcast
+    join against the 1-row max frame, the plan a WHERE = (SELECT max)
+    decorrelates to)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(fround(F.sum(F.expr(_REVENUE))).alias("total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(max_rev), rev["total_revenue"] == max_rev["mx"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE["q15_top_supplier"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, {fround_sql(f"sum({_REVENUE})")} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
+    "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
     "q18_large_orders": q18_large_orders,
     "q19_discounted_revenue": q19_discounted_revenue,
 }

@@ -67,8 +67,11 @@ def test_tpch_join_queries_never_shuffle_fact_for_dims(spark, sf_dir):
 
     for q in (
         tpch.q7_volume_shipping,
+        tpch.q8_market_share,
         tpch.q10_returned_items,
+        tpch.q13_customer_distribution,
         tpch.q14_promo_revenue,
+        tpch.q15_top_supplier,
         tpch.q18_large_orders,
         tpch.q19_discounted_revenue,
     ):
