@@ -15,11 +15,13 @@ from mapreduce_rust_spark import registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: TPC-H-style Q5
-    (6-table broadcast-optimized join → revenue by nation)."""
-    from mapreduce_rust_spark.plans.analytics import q5_local_supplier
+    """Flagship query on /root/testdata/sf0.001: the end-to-end
+    corpus-preparation pipeline (exact-dedup survivors → quality +
+    language gates → per-language doc/token budget) — the composite
+    job this engine exists to run. See plans/pipeline.py."""
+    from mapreduce_rust_spark.plans.pipeline import pipeline_prepare_corpus
 
-    return q5_local_supplier(spark, "/root/testdata/sf0.001")
+    return pipeline_prepare_corpus(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
