@@ -222,6 +222,51 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over returnflag × linestatus: every subtotal combination
+    including per-linestatus-only rows ROLLUP omits. Same single
+    Expand+aggregate pass, 4 grouping sets instead of 3."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        fround(F.sum("l_quantity")).alias("sum_qty"),
+    )
+
+
+ORACLE["cube_agg"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       floor(round(sum(l_quantity), 6) * 100) / 100 AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT — Spark plans TakeOrderedAndProject:
+    each partition keeps its local top-k and the driver merges k×P
+    rows, so there is NO global sort shuffle (plan-asserted in
+    tests/test_scale.py). The 100 TB-safe form of "give me the top
+    100"."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            fround("l_extendedprice").alias("price"),
+        )
+        .orderBy(F.col("price").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+ORACLE["global_topk"] = """
+SELECT l_orderkey, l_linenumber,
+       floor(round(l_extendedprice, 6) * 100) / 100 AS price
+FROM lineitem
+ORDER BY price DESC, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
 ORACLE["rollup_agg"] = """
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,
        floor(round((sum(l_quantity)), 6) * 100) / 100 AS sum_qty
@@ -430,6 +475,8 @@ QUERIES = {
     "top_k_per_group": top_k_per_group,
     "window_running_sum": window_running_sum,
     "rollup_agg": rollup_agg,
+    "cube_agg": cube_agg,
+    "global_topk": global_topk,
     "pivot_agg": pivot_agg,
     "semi_join": semi_join,
     "anti_join": anti_join,

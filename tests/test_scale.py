@@ -187,3 +187,13 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(got.columns) == {"id", "v", "score", "p"}
     rows = {r["id"]: (r["v"], r["score"]) for r in got.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_global_topk_is_take_ordered_not_full_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-
+    partition top-k + driver merge), never a global sort shuffle."""
+    from mapreduce_rust_spark.plans.analytics import global_topk
+
+    p = plan_str(global_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
