@@ -459,6 +459,75 @@ GROUP BY c.d1, c.d2
 ORACLE["dedup_minhash_lsh"] = _minhash_oracle()
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """THE production fuzzy-dedup shape: MinHash-LSH proposes
+    candidates (linear), exact Jaccard verifies ONLY those candidates
+    (never all pairs). Output (d1, d2, est_sim, jaccard) for verified
+    pairs ≥ threshold.
+
+    Work profile at 100 TB: signatures are a zero-shuffle map; the
+    candidate join is keyed on band signatures; the verification join
+    fans each candidate pair out by d1's shingles and matches d2's —
+    cost ∝ |candidates| × shingles/doc, independent of n²."""
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    cand = lsh_candidate_pairs(sigs, id_col)
+    sh = shingle_sets(df, id_col, text_col, k).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("d1"), F.col("s").alias("s1"))
+    b = sh.select(F.col(id_col).alias("_bd"), F.col("s").alias("s2"))
+    inter = (
+        cand.join(a, "d1")
+        .join(b, (F.col("d2") == F.col("_bd")) & (F.col("s1") == F.col("s2")))
+        .groupBy("d1", "d2", "est_sim")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    n1 = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return (
+        inter.join(n1, "d1")
+        .join(n2, "d2")
+        .select("d1", "d2", "est_sim", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_verified_pairs(docs, "doc_id", "text", k=3, threshold=0.7)
+
+
+def _lsh_verified_oracle() -> str:
+    return f"""
+WITH cand AS (
+  SELECT d1, d2, est_sim FROM ({_minhash_oracle()})
+),
+ds AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+inter AS (
+  SELECT c.d1, c.d2, c.est_sim, count(*) AS i
+  FROM cand c
+  JOIN ds a ON a.doc_id = c.d1
+  JOIN ds b ON b.doc_id = c.d2 AND b.s = a.s
+  GROUP BY 1, 2, 3
+)
+SELECT d1, d2, est_sim, i / (s1.n + s2.n - i) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE i / (s1.n + s2.n - i) >= 0.7
+"""
+
+
+ORACLE["dedup_lsh_verified"] = _lsh_verified_oracle()
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded (pigeonhole) variant — provably identical output to the
     brute-force pair scan (equivalence-tested in tests/), checked
@@ -516,6 +585,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
