@@ -91,3 +91,81 @@ def test_salted_aggregate_equals_plain_groupby(spark, rows):
         c[0] += 1
         c[1] += v
     assert got == {k: (c, s) for k, (c, s) in expect.items()}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Iterative min-label propagation == classic union-find on random
+    graphs (self-loops and duplicate edges included)."""
+    from mapreduce_rust_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expect = {}
+    roots: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        roots.setdefault(r, n)
+        roots[r] = min(roots[r], n)
+    for n in parent:
+        expect[n] = roots[find(n)]
+
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == expect
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=20),
+    rights=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=20),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_bruteforce_model(spark, lefts, rights):
+    """asof_join == per-row max(right ts <= left ts) within key,
+    including ties (>= semantics) and keys with no right rows."""
+    import datetime
+
+    from mapreduce_rust_spark.plans.advanced import asof_join
+
+    def ts(n: int) -> datetime.datetime:
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=n)
+
+    left = spark.createDataFrame(
+        [(k, ts(t), i) for i, (k, t) in enumerate(lefts)],
+        "user_id int, ts timestamp, row_id long",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(t)) for k, t in rights] or [(99, ts(0))],
+        "user_id int, ts timestamp",
+    )
+    got = {
+        r["row_id"]: r["asof_ts"] for r in asof_join(left, right, on="user_id").collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cands = [ts(rt) for rk, rt in rights if rk == k and rt <= t]
+        expect = max(cands) if cands else None
+        assert got[i] == expect, (i, k, t, got[i], expect)
