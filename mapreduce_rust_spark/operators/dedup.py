@@ -19,6 +19,12 @@ differ between engines):
 * **SimHash** — weighted bit-vote fingerprint (48-bit in the registry
   query); hamming-distance pairs via pigeonhole banding.
 * **embedding cosine** — semantic near-dup over the embeddings table.
+* **LSH + verification** — the production composition: LSH candidates
+  confirmed by exact Jaccard computed only on candidate pairs.
+
+Downstream, ``operators.graph.connected_components`` turns any of the
+pair outputs into duplicate clusters (survivor = min id per
+component).
 
 Scale notes: all pair-producing operators key their shuffles on
 content-derived values (shingle, band signature, bucket), never on a
