@@ -415,9 +415,13 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # exact integer microseconds: unix_timestamp() truncates to whole
+    # seconds, which disagrees with the oracle's exact INTERVAL
+    # comparison for gaps within a second of the 30-min boundary (the
+    # events table has sub-second timestamps and such gaps exist)
     new_sess = F.when(
         prev.isNull()
-        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800),
+        | (F.unix_micros("ts") - F.unix_micros(prev) > 1_800_000_000),
         1,
     ).otherwise(0)
     return (
