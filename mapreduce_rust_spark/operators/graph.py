@@ -28,11 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.operators.dedup import (
-    lsh_candidate_pairs,
-    minhash_signatures,
-)
-from mapreduce_rust_spark.sources.tables import load_table
+from mapreduce_rust_spark.operators.dedup import lsh_candidate_pairs
 
 ORACLE: dict[str, str] = {}
 
@@ -98,8 +94,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     participating in a near-dup pair, labeled with its component's min
     doc_id (the canonical survivor). Downstream: keep rows where
     node == comp, drop the rest."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", k=3)
+    from mapreduce_rust_spark.operators.dedup import signature_index
+
+    sigs = signature_index(spark, sf_dir, k=3)
     pairs = lsh_candidate_pairs(sigs, "doc_id").filter(F.col("est_sim") >= 0.5)
     return connected_components(pairs, "d1", "d2").select("node", "comp")
 
