@@ -120,6 +120,7 @@ def jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.25,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over k-shingle sets, via inverted index
     (self-join on shingle → |intersection| per pair, sizes joined
@@ -133,7 +134,8 @@ def jaccard_pairs(
     The shingle frame feeds three plan branches (both self-join sides
     and the size table); persist() keeps the explode+distinct from
     running three times — at cluster scale, checkpoint it to parquet."""
-    sh = shingle_sets(df, id_col, text_col, k).persist()
+    if sh is None:
+        sh = shingle_sets(df, id_col, text_col, k).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -193,21 +195,42 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 3) ->
 _SIG_INDEX: dict[tuple[str, str], DataFrame] = {}
 
 
-def signature_index(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """Memoized (per session) MinHash signature table for the
-    documents dataset at ``sf_dir``."""
-    key = (sf_dir, f"k{k}")
-    cached = _SIG_INDEX.get(key)
+def _memoized(cache: dict, key: tuple, build) -> DataFrame:
+    cached = cache.get(key)
     if cached is not None:
         try:
             cached.schema  # raises if the owning session is gone
             return cached
         except Exception:  # noqa: BLE001 — stale session: rebuild
-            _SIG_INDEX.pop(key, None)
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", k).localCheckpoint()
-    _SIG_INDEX[key] = sigs
-    return sigs
+            cache.pop(key, None)
+    df = build().localCheckpoint()
+    cache[key] = df
+    return df
+
+
+def signature_index(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Memoized (per session) MinHash signature table for the
+    documents dataset at ``sf_dir``."""
+    return _memoized(
+        _SIG_INDEX,
+        (sf_dir, f"sig-k{k}"),
+        lambda: minhash_signatures(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text", k
+        ),
+    )
+
+
+def shingle_index(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Memoized (per session) distinct-shingle table — the second
+    shared dedup artifact (exact Jaccard + LSH verification both
+    consume it)."""
+    return _memoized(
+        _SIG_INDEX,
+        (sf_dir, f"shingle-k{k}"),
+        lambda: shingle_sets(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text", k
+        ),
+    )
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
@@ -435,7 +458,10 @@ FROM documents GROUP BY 1
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.25)
+    return jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.25,
+        sh=shingle_index(spark, sf_dir, k=3),
+    )
 
 
 ORACLE["dedup_ngram_jaccard"] = f"""
@@ -498,6 +524,7 @@ def lsh_verified_pairs(
     k: int = 3,
     threshold: float = 0.7,
     sigs: DataFrame | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """THE production fuzzy-dedup shape: MinHash-LSH proposes
     candidates (linear), exact Jaccard verifies ONLY those candidates
@@ -511,7 +538,8 @@ def lsh_verified_pairs(
     if sigs is None:
         sigs = minhash_signatures(df, id_col, text_col, k)
     cand = lsh_candidate_pairs(sigs, id_col)
-    sh = shingle_sets(df, id_col, text_col, k).persist()
+    if sh is None:
+        sh = shingle_sets(df, id_col, text_col, k).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("d1"), F.col("s").alias("s1"))
     b = sh.select(F.col(id_col).alias("_bd"), F.col("s").alias("s2"))
@@ -537,6 +565,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_verified_pairs(
         docs, "doc_id", "text", k=3, threshold=0.7,
         sigs=signature_index(spark, sf_dir, k=3),
+        sh=shingle_index(spark, sf_dir, k=3),
     )
 
 

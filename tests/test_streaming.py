@@ -100,3 +100,35 @@ def test_foreachbatch_incremental_parquet_sink(spark, tmp_path):
     assert got == sorted(f"row{i}{s}" for i in range(3) for s in "ab")
     # at least two distinct batch partitions prove incremental writes
     assert spark.read.parquet(out).select("batch_id").distinct().count() >= 2
+
+
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Restarting an availableNow stream on the same checkpoint must
+    process nothing already committed — the exactly-once bookkeeping a
+    production pipeline relies on across restarts."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("x\ny\n")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("text")
+            .load(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+    run_once()  # same checkpoint, no new input: must be a no-op
+    assert spark.read.parquet(out).count() == 2
+    (src / "b.txt").write_text("z\n")
+    run_once()  # only the NEW file is processed
+    got = sorted(r["value"] for r in spark.read.parquet(out).collect())
+    assert got == ["x", "y", "z"]
