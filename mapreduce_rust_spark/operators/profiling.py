@@ -1,0 +1,77 @@
+"""Data profiling: the one-pass per-column statistics report a
+pipeline runs before trusting (or training on) a table.
+
+Single aggregation over the table — every statistic is algebraic, so
+map-side partial aggregation reduces the shuffle to one row per
+partition regardless of input size; count_distinct plans its own
+expand internally. Output is long-form (one row per profiled column)
+so downstream checks can join against expectation tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql
+from mapreduce_rust_spark.sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+
+def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-form numeric profile: (column, n, n_null, n_distinct,
+    min_v, max_v, avg_v) per requested column, computed in ONE
+    aggregation pass over the table."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            fround(F.min(F.col(c).cast("double")), 4).alias(f"{c}__mn"),
+            fround(F.max(F.col(c).cast("double")), 4).alias(f"{c}__mx"),
+            fround(F.avg(F.col(c).cast("double")), 4).alias(f"{c}__av"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n").alias("n"),
+                F.col(f"{c}__nn").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_v"),
+                F.col(f"{c}__mx").alias("max_v"),
+                F.col(f"{c}__av").alias("avg_v"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_numeric(load_table(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS column, count({c}) AS n,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       {fround_sql(f"min({c}::DOUBLE)", 4)} AS min_v,
+       {fround_sql(f"max({c}::DOUBLE)", 4)} AS max_v,
+       {fround_sql(f"avg({c}::DOUBLE)", 4)} AS avg_v
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE["table_profile"] = _profile_oracle()
+
+QUERIES = {"table_profile": table_profile}

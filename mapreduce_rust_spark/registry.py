@@ -58,6 +58,7 @@ def _load() -> None:
         "mapreduce_rust_spark.operators.multimodal",
         "mapreduce_rust_spark.operators.skew",
         "mapreduce_rust_spark.operators.graph",
+        "mapreduce_rust_spark.operators.profiling",
         "mapreduce_rust_spark.sources.formats",
     ):
         try:
