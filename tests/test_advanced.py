@@ -70,3 +70,17 @@ def test_connected_components_hand_graph(spark):
     )
     got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_profile_numeric_counts_nulls(spark):
+    from mapreduce_rust_spark.operators.profiling import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, 5.0), (None, 5.0), (2.0, None)],
+        "a double, b double",
+    )
+    got = {r["column"]: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    assert got["a"]["n"] == 3 and got["a"]["n_null"] == 1
+    assert got["a"]["n_distinct"] == 2 and got["a"]["max_v"] == 2.0
+    assert got["b"]["n"] == 2 and got["b"]["n_null"] == 2
+    assert got["b"]["min_v"] == 5.0 and got["b"]["avg_v"] == 5.0
