@@ -1,0 +1,112 @@
+"""Behavioral analytics over the events stream table: cohort
+retention and ordered-funnel conversion.
+
+Both are single-fact-scan plans with integer outputs (no float
+rounding concerns): retention is two aggregations over (user, week);
+the funnel pivots each user's first timestamp per step into one row
+and compares — no self-joins, no window over the whole fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    counted in each subsequent week they were active. weeks_since is
+    exact integer arithmetic on epoch seconds (both engines truncate
+    to Monday-start weeks)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    weeks_since = (
+        (F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800
+    ).cast("bigint")
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            weeks_since.alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+ORACLE["cohort_retention"] = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST((epoch(wk) - epoch(cohort)) // 604800 AS BIGINT) AS weeks_since,
+       count(*) AS active_users
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+_FUNNEL = ["view", "click", "purchase"]
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase: a user converts at step k
+    when their FIRST occurrence of each step happens in order. One
+    pivot of min-ts per step per user (single shuffle), then integer
+    comparisons — never an n-way self-join of the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.unix_micros("ts"))).alias(
+                f"t_{s}"
+            )
+            for s in _FUNNEL
+        ]
+    )
+    step1 = F.col("t_view").isNotNull()
+    step2 = step1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    step3 = (
+        step2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_click"))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(step1.cast("bigint")).alias("reached_view"),
+        F.sum(step2.cast("bigint")).alias("converted_click"),
+        F.sum(step3.cast("bigint")).alias("converted_purchase"),
+    )
+
+
+ORACLE["funnel_conversion"] = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY 1
+)
+SELECT count(*) AS n_users,
+       sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS reached_view,
+       sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                 AND t_click > t_view THEN 1 ELSE 0 END) AS converted_click,
+       sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                 AND t_click > t_view AND t_purchase IS NOT NULL
+                 AND t_purchase > t_click THEN 1 ELSE 0 END) AS converted_purchase
+FROM per_user
+"""
+
+QUERIES = {
+    "cohort_retention": cohort_retention,
+    "funnel_conversion": funnel_conversion,
+}

@@ -36,6 +36,7 @@ def _load() -> None:
     from mapreduce_rust_spark.plans import (
         advanced,
         analytics,
+        behavior,
         parity,
         pipeline,
         sqlface,
@@ -50,6 +51,7 @@ def _load() -> None:
     _register(sqlface.QUERIES, sqlface.ORACLE)
     _register(timeseries.QUERIES, timeseries.ORACLE)
     _register(pipeline.QUERIES, pipeline.ORACLE)
+    _register(behavior.QUERIES, behavior.ORACLE)
     for mod_name in (
         "mapreduce_rust_spark.operators.dedup",
         "mapreduce_rust_spark.streaming.queries",
