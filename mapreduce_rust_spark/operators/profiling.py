@@ -74,4 +74,36 @@ FROM lineitem""")
 
 ORACLE["table_profile"] = _profile_oracle()
 
-QUERIES = {"table_profile": table_profile}
+def value_histogram(
+    df: DataFrame, col: str, bin_width: float
+) -> DataFrame:
+    """Fixed-width histogram: (bin, n, bin_lo) where bin =
+    floor(value / bin_width). A FIXED literal width (not a
+    data-dependent (max-min)/k) keeps the bin edges engine-independent:
+    both engines divide the same stored double by the same literal and
+    floor the identical quotient. One aggregation, shuffle keyed on
+    the (small) bin id."""
+    b = F.floor(F.col(col) / bin_width).cast("bigint")
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bin", "n", (F.col("bin") * bin_width).cast("double").alias("bin_lo"))
+    )
+
+
+def table_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_histogram(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", 5000.0
+    )
+
+
+ORACLE["table_histogram"] = """
+SELECT bin, count(*) AS n, CAST(bin * 5000.0 AS DOUBLE) AS bin_lo
+FROM (
+  SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin
+  FROM lineitem
+) t
+GROUP BY bin
+"""
+
+QUERIES = {"table_profile": table_profile, "table_histogram": table_histogram}
