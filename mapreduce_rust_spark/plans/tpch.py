@@ -1,4 +1,5 @@
-"""TPC-H-derived analytics suite (q6/q7/q10/q14/q18/q19 shapes).
+"""TPC-H-derived analytics suite (q1 lives in analytics.py; here:
+q6/q7/q8/q10/q13/q14/q15/q17/q18/q19/q22 shapes).
 
 The reference has NO join, filter, or aggregate operators (SURVEY.md
 §2c) — its whole query surface is map→group→reduce. This module is
@@ -376,6 +377,111 @@ ORDER BY s_suppkey
 """
 
 
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue lost to small-quantity orders for one brand/type —
+    the classic correlated scalar subquery (per-part average quantity),
+    decorrelated into an aggregate-then-join-back. The tiny qualifying
+    part list broadcasts into the fact scan FIRST so both the average
+    and the final filter touch only matching rows; the per-part
+    threshold frame (≤ |matching parts| rows) then broadcasts back, so
+    the fact never shuffles. Recomputing the filtered scan on the
+    second branch is deliberate: at 100 TB a pushed-down parquet scan
+    is cheaper than caching the branch. The threshold is ``fround``-ed
+    before comparison so Spark and DuckDB agree on boundary rows.
+
+    (Adapted to the driver testdata: p_type stands in for TPC-H's
+    p_container, which this part table lacks; reference has no joins
+    or subqueries at all — SURVEY.md §2c.)"""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("p_type") == "PROMO"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_f = li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+    thresh = (
+        li_f.groupBy("l_partkey")
+        .agg(fround(F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh"))
+        .select(F.col("l_partkey").alias("t_partkey"), "qty_thresh")
+    )
+    return (
+        li_f.join(F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(fround(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+ORACLE["q17_small_qty_revenue"] = f"""
+SELECT {fround_sql("sum(l_extendedprice) / 7.0")} AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1' AND p_type = 'PROMO'
+  AND l_quantity < (
+    SELECT {fround_sql("0.2 * avg(l_quantity)")}
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: well-funded customers gone dormant — above-average account
+    balance (scalar subquery, a 1-row broadcast nested-loop), in target
+    segments, with NO order since 2001 (anti join). The anti join is
+    deliberately NOT broadcast-hinted: the recent-orders side is a
+    date-filtered fact projection that can be large at 100 TB, so the
+    correct plan is a key-shuffled anti join (AQE downgrades it to
+    broadcast when the window is small). Threshold ``fround``-ed before
+    comparison so both engines agree on boundary rows.
+
+    (Adapted to the driver testdata: c_mktsegment stands in for TPC-H's
+    phone country code, and "dormant since 2001" for "no orders ever" —
+    every customer here has at least one order.)"""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(fround(F.avg("c_acctbal")).alias("avg_bal"))
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.filter(
+            F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "MACHINERY")
+        )
+        .join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            fround(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE["q22_dormant_customers"] = f"""
+SELECT c_mktsegment, count(*) AS numcust,
+       {fround_sql("sum(c_acctbal)")} AS totacctbal
+FROM customer c
+WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+  AND c_acctbal > (
+    SELECT {fround_sql("avg(c_acctbal)")} FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= '2001-01-01'
+  )
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
@@ -384,6 +490,8 @@ QUERIES = {
     "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_discounted_revenue": q19_discounted_revenue,
+    "q22_dormant_customers": q22_dormant_customers,
 }

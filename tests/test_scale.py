@@ -72,6 +72,7 @@ def test_tpch_join_queries_never_shuffle_fact_for_dims(spark, sf_dir):
         tpch.q13_customer_distribution,
         tpch.q14_promo_revenue,
         tpch.q15_top_supplier,
+        tpch.q17_small_qty_revenue,
         tpch.q18_large_orders,
         tpch.q19_discounted_revenue,
     ):
