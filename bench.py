@@ -65,17 +65,32 @@ def main() -> int:
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
+    # Full per-query breakdown goes to a sidecar file; stdout carries ONE
+    # compact JSON line. The driver captures only the LAST 2000 chars of
+    # stdout and parses the JSON out of that window, so the line must stay
+    # well under 2000 chars — with 84+ registry queries the full dict
+    # doesn't fit (round 1's did not parse). Report the slowest queries,
+    # which are the ones worth comparing against BASELINE.md.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
+        json.dump({"value": total, "sf": sf, "queries": timings}, fh, sort_keys=True)
+
+    def line(qdict: dict[str, float]) -> str:
+        return json.dumps(
             {
                 "metric": "registry_suite_wallclock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "queries": qdict,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    while len(line(slowest)) > 1700 and slowest:
+        slowest.pop(next(reversed(slowest)))
+    print(line(slowest))
     return 0
 
 

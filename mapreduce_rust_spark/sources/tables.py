@@ -38,6 +38,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table from ``{sf_dir}/{name}.parquet``."""
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # events.parquet carries TIMESTAMP(NANOS) columns, which Spark's
+    # parquet reader rejects outright unless this legacy conf is on. Our
+    # own get_spark() sets it at build time, but the DRIVER (and any
+    # embedding application) hands us an arbitrary session — the conf is
+    # runtime-settable, so enforce it here where the read happens.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The nanos are tz-naive wall-clock values; the epoch-based restore
+    # below reads them back verbatim only under a UTC session tz. Our
+    # get_spark() pins UTC — pin it for arbitrary host sessions too.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Parquet TIMESTAMP(NANOS) columns arrive as long (see session.py
     # nanosAsLong); restore them to timestamps. The testdata nanos are

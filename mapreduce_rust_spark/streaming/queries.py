@@ -44,6 +44,10 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path, same schema (taken from a metadata-only batch read), same
     nanos→timestamp restoration."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # nanosAsLong must be on in THIS session (the driver's, not
+    # necessarily ours) before any events.parquet footer is touched
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # the file-stream source requires a directory base path, so stream
     # the dataset dir filtered down to this table's file
