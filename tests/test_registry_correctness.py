@@ -27,6 +27,17 @@ def duck(sf_dir):
     return duck_con(sf_dir)
 
 
+def test_priority_slugs_in_driver_window():
+    """The driver value-checks only the first 50 queries() entries;
+    every slug needing fresh oracle evidence this round must be there."""
+    from mapreduce_rust_spark.registry import _PRIORITY, queries
+
+    order = list(queries())
+    window = set(order[:50])
+    missing = [s for s in _PRIORITY if s in order and s not in window]
+    assert not missing, f"priority slugs pushed out of the 50-slot window: {missing}"
+
+
 @pytest.mark.parametrize("slug", _slugs())
 def test_query_matches_oracle(spark, sf_dir, duck, slug):
     from mapreduce_rust_spark.registry import oracle_sql, queries
