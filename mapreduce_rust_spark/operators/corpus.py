@@ -1,0 +1,174 @@
+"""Corpus-scale training-data operators: deterministic sampling,
+TF-IDF term weighting, inverted-index construction.
+
+The reference's only text operator is whitespace word count
+(`mr_app/src/client.rs:3-21`); these are the corpus-preparation ops a
+training-data pipeline layers on top (SURVEY.md §2c extension
+surface). All three are pure DataFrame compositions — tokenization,
+hashing, and scoring stay JVM-side in whole-stage codegen; nothing
+touches Python row-at-a-time.
+
+Scale notes:
+
+* ``sample_hash_deterministic`` — content-hash bucketing instead of
+  ``rand()``: reproducible across runs/retries/engines, no seed
+  plumbing, and pushable (the md5 filter fuses into the scan; no
+  shuffle at all). The sampling rule ``md5(key) < '2'`` keeps 2/16 of
+  the keyspace (hex first-char uniform) at ANY scale.
+* ``tfidf_top_terms`` — two hash aggregations (doc-term tf, term df)
+  plus a windowed top-k; the df side is a per-term frame orders of
+  magnitude smaller than the token stream, broadcast back. IDF uses
+  the smoothed LINEAR variant (N+1)/(df+1): integer-valued doubles
+  divide exactly the same in every IEEE-754 engine, so the ranking is
+  bit-deterministic across Spark and DuckDB (log-based IDF is not
+  correctly-rounded-guaranteed across libm implementations).
+* ``inverted_index_postings`` — the classic MapReduce showcase job:
+  distinct (term, doc) pairs → per-term sorted postings. One shuffle
+  on term; postings truncated to the first 10 doc ids so the result
+  stays driver-safe while the full list remains a one-line change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql
+from mapreduce_rust_spark.sources.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+# lowercase-alpha word tokenization, identical regex both engines
+_TOKEN_SPLIT = "[^a-z]+"
+
+
+def _doc_terms(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) token stream, lowercased alpha words."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), _TOKEN_SPLIT)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+_DOC_TERMS_SQL = """
+  SELECT doc_id, term
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                          x -> x <> '')) AS u(term)
+"""
+
+
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~12.5% document sample by content-hash bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.md5(F.col("doc_id").cast("string")) < "2")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["sample_hash_deterministic"] = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) < '2'
+ORDER BY doc_id
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed-linear
+    TF-IDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = _doc_terms(docs).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.col("n_docs") + F.lit(1.0))
+            / (F.col("df") + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("rank").cast("bigint").alias("rank"),
+            fround("score", 4).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+ORACLE["tfidf_top_terms"] = f"""
+WITH tok AS ({_DOC_TERMS_SQL}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         tf * (n_docs + 1.0) / (df + 1.0) AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf * (n_docs + 1.0) / (df + 1.0) DESC,
+                                     term) AS rank
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(rank AS BIGINT) AS rank,
+       {fround_sql("score", 4)} AS tfidf
+FROM scored WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term postings (first 10 doc ids) for the 100 most-frequent
+    terms appearing in at least 5 documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _doc_terms(docs).distinct()
+    return (
+        pairs.groupBy("term")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .withColumn("df", F.size("docs").cast("bigint"))
+        .filter(F.col("df") >= 5)
+        .select(
+            "term",
+            "df",
+            F.concat_ws(",", F.slice(F.col("docs"), 1, 10)).alias("postings"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(100)
+    )
+
+
+ORACLE["inverted_index_postings"] = f"""
+WITH tok AS ({_DOC_TERMS_SQL}),
+pairs AS (SELECT DISTINCT doc_id, term FROM tok)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 10), ',') AS postings
+FROM pairs
+GROUP BY term
+HAVING count(*) >= 5
+ORDER BY df DESC, term
+LIMIT 100
+"""
+
+
+QUERIES = {
+    "sample_hash_deterministic": sample_hash_deterministic,
+    "tfidf_top_terms": tfidf_top_terms,
+    "inverted_index_postings": inverted_index_postings,
+}

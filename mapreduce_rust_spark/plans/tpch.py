@@ -1,12 +1,15 @@
-"""TPC-H-derived analytics suite (q1 lives in analytics.py; here:
-q6/q7/q8/q10/q13/q14/q15/q17/q18/q19/q22 shapes).
+"""TPC-H-derived analytics suite — all 22 query shapes (q1/q3/q5 live
+in analytics.py; the rest here).
 
 The reference has NO join, filter, or aggregate operators (SURVEY.md
 §2c) — its whole query surface is map→group→reduce. This module is
 engine extension surface: the classic decision-support shapes a user
 of a general analytics engine runs daily, adapted to the driver
-testdata's TPC-H subset (no partsupp table, no commit/receipt dates —
-q2/q4/q12 are not expressible and are intentionally absent).
+testdata's TPC-H subset. The testdata lacks partsupp, commit/receipt
+dates, and shipmode, so q2/q4/q9/q11/q12/q16/q20/q21 keep their PLAN
+SHAPE (correlated min-subquery, EXISTS semi join, star join,
+threshold HAVING, conditional agg, NOT-IN anti join, nested-IN chain,
+double EXISTS/NOT-EXISTS) on stand-in columns, documented per query.
 
 Every query is declarative DataFrame composition: filters sit
 directly on the scans (Catalyst pushes them into the parquet reader —
@@ -482,6 +485,437 @@ ORDER BY 1
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each qualifying part, the best supplier within a
+    region — the classic correlated min-subquery, decorrelated into a
+    per-part min + equality join-back. Supplier "cost" stands in as
+    ``s_acctbal`` (the testdata has no partsupp table; supplier-part
+    relationships come from distinct lineitem pairs). All dims
+    broadcast; the only fact-side work is the distinct pair projection,
+    which prunes lineitem to two int columns at scan time.
+
+    (Reference has no joins/subqueries at all — SURVEY.md §2c.)"""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    supp_r = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = pairs.join(
+        F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(supp_r), F.col("l_suppkey") == F.col("s_suppkey"))
+    min_bal = cand.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            F.broadcast(min_bal),
+            (F.col("p_partkey") == F.col("m_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select(
+            fround("s_acctbal").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+ORACLE["q2_min_cost_supplier"] = f"""
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+  FROM pairs
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+)
+SELECT {fround_sql("s_acctbal")} AS s_acctbal, s_name, n_name, p_partkey, p_name
+FROM cand c
+WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2 WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT 100
+"""
+
+
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: order count per priority where EXISTS a qualifying
+    lineitem — a left-semi join (the testdata lacks commit/receipt
+    dates, so "late line" stands in as a returned line). The semi join
+    shuffles on orderkey once; at 100 TB AQE picks shuffled-hash vs
+    broadcast by the filtered fact size."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+    )
+    late = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE["q4_priority_check"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '1997-07-01' AND o_orderdate < '1997-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit by supplier nation and order year over a
+    name-filtered part set — the biggest star join in the suite
+    (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders). Part cost stands
+    in as ``p_retailprice`` (no partsupp in the testdata). Dims all
+    broadcast; the fact shuffles once for the (nation, year) rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("blue"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.expr(_REVENUE) - F.col("p_retailprice") * F.col("l_quantity") / 100.0
+    return (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(fround(F.sum(profit)).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+ORACLE["q9_product_profit"] = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {fround_sql(f"sum({_REVENUE} - p_retailprice * l_quantity / 100.0)")} AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%blue%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose shipped value (by one nation's
+    suppliers) exceeds a fraction of that nation's total — per-group
+    aggregate HAVING > scalar-subquery threshold, decorrelated into a
+    1-row broadcast. Value is shipped revenue (no partsupp availqty in
+    the testdata). Both branches reuse one nation-filtered frame; the
+    threshold is fround-ed so boundary rows agree across engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == "NATION_5")
+        .select("s_suppkey")
+    )
+    li_n = li.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+    per_part = li_n.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("raw_value")
+    )
+    thresh = per_part.agg(
+        fround(F.sum("raw_value") * 0.002).alias("cutoff")
+    )
+    return (
+        per_part.join(F.broadcast(thresh))
+        .filter(F.col("raw_value") > F.col("cutoff"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            fround("raw_value").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+ORACLE["q11_important_parts"] = f"""
+WITH li_n AS (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_5'
+),
+per_part AS (
+  SELECT l_partkey, sum(l_extendedprice) AS raw_value
+  FROM li_n GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, {fround_sql("raw_value")} AS part_value
+FROM per_part
+WHERE raw_value > (SELECT {fround_sql("sum(raw_value) * 0.002")} FROM per_part)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: per line-class, how many high- vs low-priority
+    orders shipped in a year — join + conditional aggregation.
+    ``l_returnflag`` stands in for shipmode (testdata has none); the
+    CASE pair folds into one aggregation pass over a single
+    orderkey-shuffled join (AQE may broadcast the filtered fact)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag").isin("A", "R"))
+        & (F.col("l_shipdate") >= "1998-01-01")
+        & (F.col("l_shipdate") < "1999-01-01")
+    ).select("l_orderkey", "l_returnflag")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["q12_priority_lines"] = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('A', 'R')
+  AND l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct supplier count per part attribute group,
+    excluding a blocklisted supplier set — NOT-IN anti join + distinct
+    aggregation. Supplier-part pairs come from lineitem (no partsupp);
+    "complaint" suppliers stand in as negative-balance ones. The anti
+    join is a 100-row broadcast; countDistinct shuffles once on the
+    attribute group."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & (~F.col("p_type").isin("PROMO"))
+            & (F.col("p_size").isin(1, 9, 15, 22, 30, 38, 44, 50))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE["q16_supplier_count"] = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 15, 22, 30, 38, 44, 50)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers in one nation who shipped a significant
+    volume of a name-filtered part set in one year — nested IN
+    subqueries decorrelated into aggregate → semi-join chain. The
+    per-(supplier, part) volume aggregate shuffles the filtered fact
+    once; everything else is broadcast."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    heavy = (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == "NATION_2")
+    )
+    return (
+        supp.join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", fround("s_acctbal").alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE["q20_promo_suppliers"] = f"""
+SELECT s_suppkey, s_name, {fround_sql("s_acctbal")} AS s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 50
+  )
+ORDER BY s_suppkey
+"""
+
+
+def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the SOLE faulty supplier on a
+    multi-supplier order — the double correlated EXISTS / NOT EXISTS,
+    decorrelated into one per-order aggregate ("how many distinct
+    suppliers, how many distinct faulty suppliers") joined back to the
+    faulty lines. One pass over the fact computes both counts — versus
+    the naive plan's two extra self-joins of lineitem, the decisive
+    rewrite at 100 TB. "Faulty" stands in as returnflag='R' (no
+    receipt/commit dates in the testdata)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fail_supp"),
+    )
+    faulty = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == "NATION_1")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        faulty.join(
+            per_order,
+            (F.col("l_orderkey") == F.col("g_orderkey"))
+            & (F.col("n_supp") > 1)
+            & (F.col("n_fail_supp") == 1),
+        )
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+ORACLE["q21_suppliers_waiting"] = """
+SELECT s_name, count(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R') l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_1'
+  AND EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
@@ -494,4 +928,12 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q22_dormant_customers": q22_dormant_customers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q4_priority_check": q4_priority_check,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q12_priority_lines": q12_priority_lines,
+    "q16_supplier_count": q16_supplier_count,
+    "q20_promo_suppliers": q20_promo_suppliers,
+    "q21_suppliers_waiting": q21_suppliers_waiting,
 }

@@ -75,10 +75,38 @@ def test_tpch_join_queries_never_shuffle_fact_for_dims(spark, sf_dir):
         tpch.q17_small_qty_revenue,
         tpch.q18_large_orders,
         tpch.q19_discounted_revenue,
+        tpch.q2_min_cost_supplier,
+        tpch.q9_product_profit,
+        tpch.q11_important_parts,
+        tpch.q12_priority_lines,
+        tpch.q16_supplier_count,
+        tpch.q20_promo_suppliers,
+        tpch.q21_suppliers_waiting,
     ):
         p = plan_str(q(spark, sf_dir))
         assert "BroadcastHashJoin" in p, q.__name__
         assert "SortMergeJoin" not in p, q.__name__
+
+
+def test_corpus_sample_filter_pushed_no_shuffle(spark, sf_dir):
+    """The deterministic hash sample is a pure pushed scan filter —
+    no Exchange anywhere above the documents scan (ordering excluded:
+    the final orderBy is presentation)."""
+    from mapreduce_rust_spark.operators.corpus import sample_hash_deterministic
+
+    p = plan_str(sample_hash_deterministic(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in p
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema  # full document bodies never read
+
+
+def test_tfidf_df_side_broadcast(spark, sf_dir):
+    """TF-IDF joins the small per-term df frame back to the token
+    stream via broadcast — the big tf side must not sort-merge."""
+    from mapreduce_rust_spark.operators.corpus import tfidf_top_terms
+
+    p = plan_str(tfidf_top_terms(spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
 
 
 def test_bucketed_join_no_shuffle(spark, tmp_path):
