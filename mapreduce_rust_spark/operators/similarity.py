@@ -368,8 +368,102 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, flattened to
+    (label, dim, centroid) rows. The vector-aggregate shape every
+    feature pipeline needs (class prototypes, IVF coarse quantizers,
+    cluster summaries): posexplode keeps the arithmetic JVM-side and
+    the single shuffle is on (label, dim) — |labels|×d cells, even
+    spread regardless of how skewed the per-label row counts are
+    (the partial aggregate collapses each partition's contribution
+    first)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            fround(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+ORACLE["embedding_centroids"] = """
+SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vecs,
+       floor(round(avg(v), 10) * 1000000) / 1000000 AS centroid
+FROM (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+) t
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label prediction for the query vectors —
+    exact top-5 cosine neighbors per query (self excluded), then a
+    per-query vote (ties broken toward the smaller label). The
+    evaluation shape for every embedding index: compare ``pred_label``
+    with the stored ``label``. Builds on the same broadcast-scored
+    ranking as ``ann_topk_bruteforce``, so the corpus never
+    shuffles; the vote aggregates ≤ k rows per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.expr(_QUERY_PRED))
+    nn = topk_bruteforce(qs, emb, "vec_id", "embedding", k=5)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        nn.join(F.broadcast(lab), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    truth = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+        .join(F.broadcast(truth), "query_id")
+        .orderBy("query_id")
+    )
+
+
+ORACLE["knn_classify"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {_QUERY_PRED}),
+ranked AS (
+  SELECT query_id, neighbor_id, lbl, row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS lbl,
+           {_cos_sql('q.qv', 'e.v')} AS sim
+    FROM q JOIN e ON q.query_id <> e.vec_id
+  ) s
+),
+votes AS (
+  SELECT query_id, lbl, count(*) AS n_votes
+  FROM ranked WHERE rank <= 5 GROUP BY 1, 2
+),
+winner AS (
+  SELECT query_id, lbl, n_votes, row_number() OVER (
+           PARTITION BY query_id ORDER BY n_votes DESC, lbl) AS rn
+  FROM votes
+)
+SELECT w.query_id, w.lbl AS pred_label, w.n_votes, e.label AS true_label
+FROM winner w JOIN e ON e.vec_id = w.query_id
+WHERE w.rn = 1
+ORDER BY w.query_id
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_bucketed": ann_topk_bucketed,
     "ann_topk_ivf": ann_topk_ivf,
+    "embedding_centroids": embedding_centroids,
+    "knn_classify": knn_classify,
 }
