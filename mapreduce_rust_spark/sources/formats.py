@@ -76,8 +76,96 @@ ORACLE["format_csv_roundtrip"] = _ORDERS_ORACLE
 ORACLE["format_json_roundtrip"] = _ORDERS_ORACLE
 ORACLE["format_orc_roundtrip"] = _ORDERS_ORACLE
 
+
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet round-trip: write events partitioned
+    by event_type, read back, aggregate. Downstream readers of the
+    written layout get partition pruning for free (plan-asserted in
+    tests/test_scale.py); the aggregate proves the layout loses no
+    rows and the partition column survives the directory encoding."""
+    from mapreduce_rust_spark.functions.numeric import fround
+    from mapreduce_rust_spark.sinks import write_partitioned_parquet
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = os.path.join(tempfile.mkdtemp(prefix="mrs_part_"), "events")
+    write_partitioned_parquet(ev, out, ["event_type"])
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fround(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["sink_partitioned_parquet"] = """
+SELECT event_type, count(*) AS n_events,
+       floor(round((sum(value)), 6) * 100) / 100 AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table storage: orders and customer both bucketed on
+    the customer key, then joined — the recurring-join layout that
+    converts every future join on the bucket key from a full shuffle
+    into a local merge (zero-Exchange plan asserted in
+    tests/test_scale.py). The query proves the bucketed write+read
+    loses nothing: per-segment order counts and revenue must match
+    the plain-parquet oracle."""
+    from mapreduce_rust_spark.functions.numeric import fround
+    from mapreduce_rust_spark.sinks import read_table, write_bucketed_table
+
+    path = tempfile.mkdtemp(prefix="mrs_bucket_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    for name, df, key in (
+        ("mrs_b_orders", orders, "o_custkey"),
+        ("mrs_b_customer", cust, "c_custkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(path, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o, c = read_table(spark, "mrs_b_orders"), read_table(spark, "mrs_b_customer")
+    # money sums go through DECIMAL: the bucketed layout changes the
+    # summation order, and at ~1e9 magnitude double addition noise
+    # exceeds what fround's pre-round can absorb. Decimal cents are
+    # exact and order-independent in both engines; the final DOUBLE
+    # cast of an integer-cent value is deterministic.
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE["sink_bucketed_join"] = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "format_csv_roundtrip": format_csv_roundtrip,
     "format_json_roundtrip": format_json_roundtrip,
     "format_orc_roundtrip": format_orc_roundtrip,
+    "sink_partitioned_parquet": sink_partitioned_parquet,
+    "sink_bucketed_join": sink_bucketed_join,
 }

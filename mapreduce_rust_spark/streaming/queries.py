@@ -208,9 +208,42 @@ FROM (
 """
 
 
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joins the
+    static customer dimension (broadcast — the stream side never
+    shuffles for the join), then rolls up spend per market segment.
+    The canonical "enrich events with a slowly-changing dim" pattern;
+    on a real cluster the static side is re-read per micro-batch, so
+    dimension updates between batches are picked up automatically."""
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    ev = read_stream_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        ev.join(cust, ev["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("raw_sum"))
+    )
+    out = run_available_now(agg, "complete")
+    return out.select(
+        "c_mktsegment", "n_events", fround(F.col("raw_sum")).alias("sum_value")
+    )
+
+
+ORACLE["streaming_enrich_join"] = """
+SELECT c_mktsegment, count(*) AS n_events,
+       floor(round((sum(value)), 6) * 100) / 100 AS sum_value
+FROM events JOIN customer ON c_custkey = user_id
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "streaming_events_hourly": streaming_events_hourly,
     "streaming_wordcount": streaming_wordcount,
     "streaming_dedup_exact": streaming_dedup_exact,
     "streaming_sessionize": streaming_sessionize,
+    "streaming_enrich_join": streaming_enrich_join,
 }

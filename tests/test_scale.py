@@ -100,6 +100,20 @@ def test_corpus_sample_filter_pushed_no_shuffle(spark, sf_dir):
     assert "text" not in read_schema  # full document bodies never read
 
 
+def test_sink_bucketed_join_slug_no_join_shuffle(spark, sf_dir):
+    """The bucketed-storage slug's join must consume bucket layout
+    directly: the only Exchange in the plan is the final segment
+    aggregate, never a pre-join shuffle of either table."""
+    from mapreduce_rust_spark.sources.formats import sink_bucketed_join
+
+    p = plan_str(sink_bucketed_join(spark, sf_dir))
+    # both scans consume the bucket layout; no shuffle before the join
+    # (at test scale AQE may pick broadcast over the bucket-merge — the
+    # forced sort-merge zero-exchange case is test_bucketed_join_no_shuffle)
+    assert p.count("Bucketed: true") == 2
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
 def test_tfidf_df_side_broadcast(spark, sf_dir):
     """TF-IDF joins the small per-term df frame back to the token
     stream via broadcast — the big tf side must not sort-merge."""
