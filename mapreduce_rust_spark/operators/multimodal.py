@@ -218,7 +218,34 @@ def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media_from_documents(docs), fake_decoder=True)
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the decoded stream: decode (fake stub) →
+    explode frame indices → keep every 2nd. Runs the REAL mapInPandas
+    decode plumbing; the oracle recomputes the stub's n_frames
+    analytically (1 + octet_length % 4), so the whole
+    decode→explode→filter chain is value-checked — when a real codec
+    replaces the stub, only the oracle's n_frames formula dies."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(media_from_documents(docs), fake_decoder=True)
+    return frame_sample(decoded, every_nth=2).orderBy("media_id", "frame_idx")
+
+
+ORACLE["multimodal_frame_sample"] = """
+SELECT media_id, n_frames, frame_idx FROM (
+  SELECT doc_id AS media_id, CAST(nf AS INT) AS n_frames,
+         CAST(unnest(range(nf)) AS INT) AS frame_idx
+  FROM (
+    SELECT doc_id, 1 + octet_length(encode(text)) % 4 AS nf
+    FROM documents
+  ) d
+) e
+WHERE frame_idx % 2 = 0
+ORDER BY media_id, frame_idx
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decode_fake": multimodal_decode_fake,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }

@@ -124,4 +124,68 @@ SELECT event_type, count(*) AS cnt,
 FROM events GROUP BY 1
 """
 
-QUERIES = {"skew_salted_agg": skew_salted_agg}
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (orders ⋈ customer on custkey) rolled up per
+    segment — the oracle checks the salted plan is semantically
+    identical to the plain join. Money sums go through DECIMAL: the
+    salt changes summation order, and at ~1e9 magnitude double
+    addition noise exceeds fround's pre-round (same rule as
+    sink_bucketed_join)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, on="custkey", n_salt=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE["skew_salted_join"] = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def skew_top_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic over the lineitem part key: the 10 heaviest
+    keys with their row share — what an operator consults before
+    choosing broadcast/salting/bucketing. Deterministic tie-break on
+    the key id."""
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.count()
+    return (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("share", fround(F.col("cnt") / F.lit(float(total)), 6))
+        .orderBy(F.col("cnt").desc(), "partkey")
+        .limit(10)
+    )
+
+
+ORACLE["skew_top_hot_keys"] = f"""
+SELECT l_partkey AS partkey, count(*) AS cnt,
+       {fround_sql("count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM lineitem)", 6)} AS share
+FROM lineitem
+GROUP BY 1
+ORDER BY cnt DESC, partkey
+LIMIT 10
+"""
+
+
+QUERIES = {
+    "skew_salted_agg": skew_salted_agg,
+    "skew_salted_join": skew_salted_join,
+    "skew_top_hot_keys": skew_top_hot_keys,
+}
