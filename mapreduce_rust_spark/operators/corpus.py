@@ -136,19 +136,30 @@ ORDER BY doc_id, rank
 
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-term postings (first 10 doc ids) for the 100 most-frequent
-    terms appearing in at least 5 documents."""
+    terms appearing in at least 5 documents.
+
+    Scale shape: the postings cap is applied BEFORE any list is
+    materialized — a row_number window keeps ≤10 rows per term, and
+    only those are collected. A collect-then-slice plan would hold a
+    stop-word's full posting list (potentially billions of ids at
+    100 TB) in one aggregation buffer; this plan's per-term state is
+    bounded at 10 everywhere. The df count and the capped collect
+    share one term-partitioned shuffle (window and groupBy reuse the
+    same partitioning)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = _doc_terms(docs).distinct()
+    wt = Window.partitionBy("term").orderBy("doc_id")
+    df_counts = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top10 = (
+        pairs.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= 10)
+        .groupBy("term")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings"))
+    )
     return (
-        pairs.groupBy("term")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
-        .withColumn("df", F.size("docs").cast("bigint"))
-        .filter(F.col("df") >= 5)
-        .select(
-            "term",
-            "df",
-            F.concat_ws(",", F.slice(F.col("docs"), 1, 10)).alias("postings"),
-        )
+        df_counts.filter(F.col("df") >= 5)
+        .join(top10, "term")
+        .select("term", "df", "postings")
         .orderBy(F.col("df").desc(), "term")
         .limit(100)
     )
