@@ -48,7 +48,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The nanos are tz-naive wall-clock values; the epoch-based restore
     # below reads them back verbatim only under a UTC session tz. Our
     # get_spark() pins UTC — pin it for arbitrary host sessions too.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # NB: no string default here — RuntimeConfig.get VALIDATES a
+    # provided default against the conf entry when the key is unset
+    # (an empty-string default throws INVALID_CONF_VALUE).
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Parquet TIMESTAMP(NANOS) columns arrive as long (see session.py
