@@ -88,10 +88,22 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    from mapreduce_rust_spark import get_spark
     from mapreduce_rust_spark.registry import oracle_sql, queries
 
-    spark = get_spark("check_correctness")
+    if os.environ.get("MRS_PLAIN_SESSION"):
+        # bare session, NONE of get_spark()'s configs — exactly what
+        # the driver's harness builds. Engine code must self-provision
+        # every conf it needs (sources/tables.py does, at load time).
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[16]").appName(
+            "check_correctness_plain"
+        ).getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from mapreduce_rust_spark import get_spark
+
+        spark = get_spark("check_correctness")
     con = duck_con(sf_dir)
     qs, oracles = queries(), oracle_sql()
 
