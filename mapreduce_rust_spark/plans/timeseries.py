@@ -134,8 +134,112 @@ WINDOW w AS (PARTITION BY o_orderpriority
              ORDER BY o_totalprice DESC, o_orderkey)
 """
 
+def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) of event values per type —
+    the market-data/telemetry downsampling shape. Open and close come
+    from row_number over the (ts, event_id)-ordered day (deterministic
+    under timestamp ties, identical semantics in the oracle's window);
+    high/low/count fold into the same single (day, type) aggregation.
+    One window shuffle on (day, type) that the groupBy then reuses —
+    no second exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = W.partitionBy("day", "event_type")
+    asc = w.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    desc = w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    flagged = ev.select(
+        "day",
+        "event_type",
+        "value",
+        F.row_number().over(asc).alias("rn_first"),
+        F.row_number().over(desc).alias("rn_last"),
+    )
+    return (
+        flagged.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(
+            F.max(F.when(F.col("rn_first") == 1, F.col("value"))).alias("open"),
+            fround(F.max("value")).alias("high"),
+            fround(F.min("value")).alias("low"),
+            F.max(F.when(F.col("rn_last") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+ORACLE["ts_ohlc_resample"] = """
+WITH flagged AS (
+  SELECT date_trunc('day', ts) AS d, event_type, value,
+         row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn_first,
+         row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM events
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
+       max(CASE WHEN rn_first = 1 THEN value END) AS open,
+       floor(round((max(value)), 6) * 100) / 100 AS high,
+       floor(round((min(value)), 6) * 100) / 100 AS low,
+       max(CASE WHEN rn_last = 1 THEN value END) AS close,
+       count(*) AS n_events
+FROM flagged
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` (30-min inactivity gap) —
+    the declarative twin of the ``applyInPandasWithState``
+    sessionizer in streaming/queries.py; identical session semantics
+    value-checked against the gap-islands SQL. One (user, session)
+    shuffle; the same expression binds unchanged to a stream with a
+    watermark, where state eviction is automatic past the gap."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+ORACLE["session_window_builtin"] = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, sess_id
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES = {
     "ts_gapfill_hourly": ts_gapfill_hourly,
     "window_lag_delta": window_lag_delta,
     "window_rank_suite": window_rank_suite,
+    "ts_ohlc_resample": ts_ohlc_resample,
+    "session_window_builtin": session_window_builtin,
 }
