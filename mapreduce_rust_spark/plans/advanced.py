@@ -234,6 +234,91 @@ FROM part
 """
 
 
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate surface: a GROUPED_AGG pandas_udf
+    (Arrow-batched, one Python call per group — the vectorized form of
+    the reference's ReduceFn, ``worker.rs:24``). Weighted mean of
+    event values with a deterministic synthetic weight. At scale this
+    is the escape hatch for aggregates Spark can't express
+    algebraically; anything expressible (like this weighted mean) is
+    cheaper as sum(v*w)/sum(w) — which is exactly what the oracle
+    does, proving the UDAF's semantics."""
+    import pandas as pd
+
+    def _wavg(v, w):
+        return float((v * w).sum() / w.sum())
+
+    # annotations set as live objects: this module's `from __future__
+    # import annotations` stringizes inline hints, which pandas_udf's
+    # GROUPED_AGG inference can't resolve
+    _wavg.__annotations__ = {"v": pd.Series, "w": pd.Series, "return": float}
+    wavg = F.pandas_udf(_wavg, "double")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.lit(1) + F.col("event_id") % 5).cast("double").alias("weight"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(fround(wavg("value", "weight"), 4).alias("wavg_value"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE["udaf_weighted_avg"] = """
+SELECT event_type,
+       floor(round(sum(value * (1 + event_id % 5)) / sum(1 + event_id % 5), 8) * 10000) / 10000
+         AS wavg_value
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join family not yet in the registry):
+    per-nation customer counts against per-nation wealthy-supplier
+    counts — either side may be absent. Both inputs are pre-aggregated
+    to one row per key before the join, so the outer join itself is
+    |nations|-sized regardless of fact scale."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust["ck"] == supp["sk"], "full_outer")
+        .select(
+            F.coalesce("ck", "sk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+ORACLE["full_outer_join"] = """
+WITH cust AS (
+  SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1
+),
+supp AS (
+  SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier
+  WHERE s_acctbal > 5000 GROUP BY 1
+)
+SELECT CAST(coalesce(ck, sk) AS INT) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp
+FROM cust FULL OUTER JOIN supp ON ck = sk
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "asof_join": asof_join_q,
     "range_join": range_join_q,
@@ -241,4 +326,6 @@ QUERIES = {
     "grouping_sets": grouping_sets_q,
     "approx_distinct": approx_distinct_q,
     "scalar_functions": scalar_functions_q,
+    "udaf_weighted_avg": udaf_weighted_avg,
+    "full_outer_join": full_outer_join,
 }

@@ -162,10 +162,59 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet generations of the same
+    dataset — the older one lacking a column — read together with
+    ``mergeSchema``; missing columns surface as NULLs. This is how a
+    100 TB lake absorbs schema additions without rewriting history.
+    Split is deterministic (orderkey parity stands in for 'written
+    before/after the column existed')."""
+    base = tempfile.mkdtemp(prefix="mrs_evo_")
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    from mapreduce_rust_spark.functions.numeric import fround
+
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<pre-schema>")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fround(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+ORACLE["source_schema_evolution"] = """
+WITH merged AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT coalesce(o_orderpriority, '<pre-schema>') AS priority,
+       count(*) AS n_orders,
+       floor(round(avg(o_totalprice), 8) * 10000) / 10000 AS avg_price
+FROM merged
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "format_csv_roundtrip": format_csv_roundtrip,
     "format_json_roundtrip": format_json_roundtrip,
     "format_orc_roundtrip": format_orc_roundtrip,
     "sink_partitioned_parquet": sink_partitioned_parquet,
     "sink_bucketed_join": sink_bucketed_join,
+    "source_schema_evolution": source_schema_evolution,
 }
