@@ -472,6 +472,115 @@ FROM events GROUP BY 1, 2
 """
 
 
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape with Spark's native ``unpivot`` (melt): the
+    inverse of ``pivot_agg``. Part's numeric attributes become
+    (attribute, value) rows — a pure per-row narrow transform, no
+    shuffle except the final presentation sort; at scale this is a
+    zero-shuffle map over the scan."""
+    part = load_table(spark, sf_dir, "part")
+    melted = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "attribute", "val")
+    return (
+        melted.groupBy("attribute")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fround(F.avg("val"), 4).alias("avg_val"),
+            fround(F.max("val")).alias("max_val"),
+        )
+        .orderBy("attribute")
+    )
+
+
+ORACLE["unpivot_melt"] = """
+WITH melted AS (
+  SELECT p_partkey, 'size' AS attribute, CAST(p_size AS DOUBLE) AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'retailprice', p_retailprice FROM part
+)
+SELECT attribute, count(*) AS n,
+       floor(round(avg(val), 8) * 10000) / 10000 AS avg_val,
+       floor(round((max(val)), 6) * 100) / 100 AS max_val
+FROM melted GROUP BY 1 ORDER BY 1
+"""
+
+
+def cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics (apply a change batch to a snapshot)
+    composed from a full-outer join — what a lakehouse MERGE INTO
+    compiles to when the engine lacks a native one. Change batch:
+    every customer with an order after 2001-06 gets its account
+    balance bumped by its recent spend (update); synthetic new
+    customers (key + 10000) are inserts. Survivors = untouched +
+    updated + inserted, summarized per segment so the result is
+    compact at any scale."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-06-01")
+        .groupBy(F.col("o_custkey").alias("u_key"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+    )
+    updates = recent.select(
+        "u_key",
+        F.lit(None).cast("string").alias("u_segment"),
+        F.col("spend").cast("double").alias("delta"),
+    )
+    inserts = recent.select(
+        (F.col("u_key") + 10000).alias("u_key"),
+        F.lit("NEW").alias("u_segment"),
+        F.col("spend").cast("double").alias("delta"),
+    )
+    changes = updates.unionByName(inserts)
+    merged = (
+        cust.join(changes, cust["c_custkey"] == changes["u_key"], "full_outer")
+        .select(
+            F.coalesce("c_custkey", "u_key").alias("custkey"),
+            F.coalesce("u_segment", "c_mktsegment").alias("segment"),
+            (
+                F.coalesce(F.col("c_acctbal").cast("decimal(18,2)"), F.lit(0))
+                + F.coalesce(F.col("delta").cast("decimal(18,2)"), F.lit(0))
+            ).alias("balance"),
+        )
+    )
+    return (
+        merged.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("balance").cast("double").alias("total_balance"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE["cdc_upsert_apply"] = """
+WITH recent AS (
+  SELECT o_custkey AS u_key, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders WHERE o_orderdate >= '2001-06-01' GROUP BY 1
+),
+changes AS (
+  SELECT u_key, NULL AS u_segment, CAST(spend AS DOUBLE) AS delta FROM recent
+  UNION ALL
+  SELECT u_key + 10000, 'NEW', CAST(spend AS DOUBLE) FROM recent
+),
+merged AS (
+  SELECT coalesce(c_custkey, u_key) AS custkey,
+         coalesce(u_segment, c_mktsegment) AS segment,
+         coalesce(CAST(c_acctbal AS DECIMAL(18,2)), 0)
+           + coalesce(CAST(delta AS DECIMAL(18,2)), 0) AS balance
+  FROM customer FULL OUTER JOIN changes ON c_custkey = u_key
+)
+SELECT segment, count(*) AS n_rows,
+       CAST(sum(balance) AS DOUBLE) AS total_balance
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -490,4 +599,6 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "sessionize": sessionize,
     "events_hourly": events_hourly,
+    "unpivot_melt": unpivot_melt,
+    "cdc_upsert_apply": cdc_upsert_apply,
 }
