@@ -178,8 +178,66 @@ LIMIT 100
 """
 
 
+def pack_shards(
+    df: DataFrame, part_col: str, order_col: str, size_col: str, budget: int
+) -> DataFrame:
+    """Greedy in-order shard packing: within each ``part_col`` group,
+    walk rows in ``order_col`` order accumulating ``size_col``; a row
+    starts shard ``floor(preceding_total / budget)``. The
+    write-a-corpus-as-~equal-shards primitive (training shards, tar
+    archives, upload chunks).
+
+    Deterministic pure-integer math, one window shuffle partitioned by
+    ``part_col`` — at 100 TB the partition column (source/domain/date)
+    keeps each window sized to one group, never the whole corpus."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    run = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn("shard_id", F.floor(run / F.lit(budget)))
+
+
+def corpus_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest for the documents corpus: per (source, shard)
+    doc count, char volume, and id range, 2000-char budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_shards(docs, "source", "doc_id", "n_chars", 2000)
+    return (
+        packed.groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard_id")
+    )
+
+
+ORACLE["corpus_shard_pack"] = """
+WITH packed AS (
+  SELECT source, doc_id, n_chars,
+         CAST(floor(coalesce(sum(n_chars) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)
+           AS BIGINT) AS shard_id
+  FROM documents
+)
+SELECT source, shard_id, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "sample_hash_deterministic": sample_hash_deterministic,
     "tfidf_top_terms": tfidf_top_terms,
     "inverted_index_postings": inverted_index_postings,
+    "corpus_shard_pack": corpus_shard_pack,
 }

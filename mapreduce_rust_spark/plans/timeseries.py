@@ -236,10 +236,136 @@ ORDER BY user_id, session_start
 """
 
 
+def window_range_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour per-user activity via a RANGE window frame —
+    the frame is bounded by event-TIME distance, not row count, so a
+    burst of events and a sparse trickle both get exactly "the last
+    24 h". Ordering key is integer epoch microseconds (deterministic;
+    RANGE peers — identical timestamps — enter the frame together in
+    both engines). One window shuffle partitioned by user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    day_us = 24 * 3600 * 1_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-day_us, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        fround(F.sum("value").over(w)).alias("sum_24h"),
+    )
+
+
+ORACLE["window_range_24h"] = """
+SELECT user_id, event_id,
+       count(*) OVER w AS n_24h,
+       floor(round((sum(value) OVER w), 6) * 100) / 100 AS sum_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense hourly grid: hours with
+    events carry the observed hourly average; gap hours get the
+    time-weighted line between the nearest observed neighbors (edges
+    stay NULL — no extrapolation). The sensor/telemetry resampling
+    primitive.
+
+    Plan shape: the events fact is scanned/aggregated ONCE; the dense
+    grid comes from a tiny bounds aggregate and is broadcast. The
+    neighbor search is two ignore-nulls window passes (last-before /
+    first-after) over the grid — window size is |hours| × |types|,
+    independent of the fact row count, so this scales with the time
+    span, not the data volume."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(hours.crossJoin(types))
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.avg("value").alias("obs"))
+    dense = grid.join(hourly, ["hour", "event_type"], "left").select(
+        "hour", "event_type", "obs", F.unix_micros("hour").alias("h_us")
+    )
+    w = W.partitionBy("event_type").orderBy("h_us")
+    known = F.when(F.col("obs").isNotNull(), F.struct("h_us", "obs"))
+    prev = F.last(known, ignorenulls=True).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    nxt = F.first(known, ignorenulls=True).over(
+        w.rowsBetween(1, W.unboundedFollowing)
+    )
+    frac = (F.col("h_us") - prev["h_us"]) / (nxt["h_us"] - prev["h_us"])
+    interp = F.when(F.col("obs").isNotNull(), F.col("obs")).otherwise(
+        prev["obs"] + (nxt["obs"] - prev["obs"]) * frac
+    )
+    return dense.select(
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        fround(interp, 4).alias("value"),
+        F.col("obs").isNotNull().alias("observed"),
+    )
+
+
+ORACLE["ts_interpolate_linear"] = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, avg(value) AS obs
+  FROM events GROUP BY 1, 2
+),
+dense AS (
+  SELECT h.hour, t.event_type, hourly.obs, epoch_us(h.hour) AS h_us
+  FROM hours h CROSS JOIN types t
+  LEFT JOIN hourly ON hourly.hour = h.hour AND hourly.event_type = t.event_type
+),
+nbr AS (
+  SELECT *,
+         last_value(CASE WHEN obs IS NOT NULL THEN h_us END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY h_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p_us,
+         last_value(CASE WHEN obs IS NOT NULL THEN obs END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY h_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p_obs,
+         first_value(CASE WHEN obs IS NOT NULL THEN h_us END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY h_us
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_us,
+         first_value(CASE WHEN obs IS NOT NULL THEN obs END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY h_us
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_obs
+  FROM dense
+)
+SELECT strftime(hour, '%Y-%m-%d %H:00') AS hour, event_type,
+       floor(round((CASE WHEN obs IS NOT NULL THEN obs
+             ELSE p_obs + (n_obs - p_obs) * (h_us - p_us) / (n_us - p_us)
+        END), 8) * 10000) / 10000 AS value,
+       obs IS NOT NULL AS observed
+FROM nbr
+"""
+
+
 QUERIES = {
     "ts_gapfill_hourly": ts_gapfill_hourly,
     "window_lag_delta": window_lag_delta,
     "window_rank_suite": window_rank_suite,
     "ts_ohlc_resample": ts_ohlc_resample,
     "session_window_builtin": session_window_builtin,
+    "window_range_24h": window_range_24h,
+    "ts_interpolate_linear": ts_interpolate_linear,
 }

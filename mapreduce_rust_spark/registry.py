@@ -57,6 +57,7 @@ def _load() -> None:
         "mapreduce_rust_spark.streaming.queries",
         "mapreduce_rust_spark.operators.similarity",
         "mapreduce_rust_spark.operators.text_analysis",
+        "mapreduce_rust_spark.operators.cleaning",
         "mapreduce_rust_spark.operators.corpus",
         "mapreduce_rust_spark.operators.multimodal",
         "mapreduce_rust_spark.operators.skew",
