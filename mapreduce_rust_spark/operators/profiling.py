@@ -106,4 +106,53 @@ FROM (
 GROUP BY bin
 """
 
-QUERIES = {"table_profile": table_profile, "table_histogram": table_histogram}
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations, long-form (col_a, col_b, corr),
+    upper triangle only. ALL pairs fold into ONE aggregation pass —
+    corr is algebraic (co-moments), so map-side partials reduce the
+    shuffle to one row per partition; cost is O(k²) per input row in
+    the map phase, never a second scan."""
+    aggs = []
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(fround(F.corr(a, b), 6).alias(f"{a}__{b}"))
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"{a}__{b}").alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return correlation_matrix(
+        load_table(spark, sf_dir, "lineitem"), _PROFILE_COLS
+    )
+
+
+def _corr_oracle() -> str:
+    parts = []
+    cols = _PROFILE_COLS
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            parts.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"{fround_sql(f'corr({a}, {b})', 6)} AS corr FROM lineitem"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE["corr_matrix"] = _corr_oracle()
+
+
+QUERIES = {
+    "table_profile": table_profile,
+    "table_histogram": table_histogram,
+    "corr_matrix": corr_matrix,
+}

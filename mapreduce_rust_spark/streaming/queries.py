@@ -66,18 +66,35 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion over the currently
-    available input and return the memory sink as a batch frame."""
+    available input and return the memory sink as a batch frame.
+
+    Streaming state stores take their partition count from
+    ``spark.sql.shuffle.partitions`` at first checkpoint and get NO
+    AQE coalescing — in a bare session (the driver's) the 200-default
+    means 200 state dirs per stateful operator per micro-batch, a
+    ~4× slowdown at test scale. Pin it to the session's core count
+    for the duration of the run, then restore (each run here starts a
+    fresh checkpoint, so the scoped change is safe; production
+    streams size this deliberately and never pass through here)."""
     name = f"mrs_stream_{next(_run_ids)}"
     spark = sdf.sparkSession
-    query = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="mrs_ckpt_"))
-        .start()
-    )
-    query.awaitTermination()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    target = str(spark.sparkContext.defaultParallelism)
+    if old_parts != target:
+        spark.conf.set("spark.sql.shuffle.partitions", target)
+    try:
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="mrs_ckpt_"))
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if old_parts != target:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 
@@ -240,10 +257,65 @@ GROUP BY 1
 """
 
 
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join: click events joined to purchase
+    events by the same user within the following hour — the
+    attribution join ("which click preceded this purchase") that
+    needs state on BOTH sides. Watermarks bound the join state: a
+    click older than watermark − 1 h can never match a future
+    purchase and is evicted; production state size is
+    O(events per hour), not O(stream length). Joined in append mode
+    (interval joins emit once the match window closes), then rolled
+    up per user for an order-independent oracle check."""
+    ev1 = read_stream_table(spark, sf_dir, "events")
+    ev2 = read_stream_table(spark, sf_dir, "events")
+    clicks = (
+        ev1.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev2.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"
+        ),
+    )
+    out = run_available_now(joined, "append")
+    return out.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        fround(F.sum("p_value")).alias("attributed_value"),
+    )
+
+
+ORACLE["streaming_stream_join"] = """
+SELECT c.user_id, count(*) AS n_attributed,
+       floor(round((sum(p.value)), 6) * 100) / 100 AS attributed_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+"""
+
+
 QUERIES = {
     "streaming_events_hourly": streaming_events_hourly,
     "streaming_wordcount": streaming_wordcount,
     "streaming_dedup_exact": streaming_dedup_exact,
     "streaming_sessionize": streaming_sessionize,
     "streaming_enrich_join": streaming_enrich_join,
+    "streaming_stream_join": streaming_stream_join,
 }

@@ -110,3 +110,19 @@ def test_window_range_24h_time_bounded_not_row_bounded(spark):
         for r in df.select("event_id", F.count(F.lit(1)).over(w).alias("n")).collect()
     }
     assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_correlation_matrix_perfect_and_inverse(spark):
+    from mapreduce_rust_spark.operators.profiling import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.0, -4.0)],
+        "a double, b double, c double",
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in correlation_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0
+    assert got[("b", "c")] == -1.0
