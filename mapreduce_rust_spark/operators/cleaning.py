@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.functions.numeric import fround, fround_sql
 from mapreduce_rust_spark.functions.text import tokenize_whitespace
-from mapreduce_rust_spark.sources.tables import load_table
+from mapreduce_rust_spark.sources.tables import fan_out, load_table
 
 ORACLE: dict[str, str] = {}
 
@@ -62,7 +62,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     PII, so a deterministic email+phone per doc is injected first
     (same expression in the oracle) — the check then proves the
     detection counts AND the redacted bytes (via md5) agree."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -137,7 +137,7 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return repetition_scores(docs, "doc_id", "text")
 
 

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.functions.numeric import fround, fround_sql
-from mapreduce_rust_spark.sources.tables import load_table
+from mapreduce_rust_spark.sources.tables import fan_out, load_table
 
 ORACLE: dict[str, str] = {}
 
@@ -82,7 +82,7 @@ ORDER BY doc_id
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed-linear
     TF-IDF."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tf = _doc_terms(docs).groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -235,9 +235,55 @@ ORDER BY 1, 2
 """
 
 
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, stratum_col: str, rates: dict[str, float],
+    default_rate: float,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    fraction of rows, chosen by content-hash threshold (md5 hex
+    prefix), not rand() — reproducible across runs, retries, and
+    engines, and the filter pushes into the scan. The rebalance-the-
+    language/domain-mix primitive of corpus curation. Rates are
+    rounded to hex-prefix granularity (x/16)."""
+    thresholds = {k: format(int(v * 16), "x") for k, v in rates.items()}
+    thr = F.lit(format(int(default_rate * 16), "x"))
+    for k, t in thresholds.items():
+        thr = F.when(F.col(stratum_col) == k, F.lit(t)).otherwise(thr)
+    return df.filter(F.md5(F.col(id_col).cast("string")) < thr)
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalanced corpus sample: English down-weighted to 25%, other
+    languages kept at 50% — per-language kept/total counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.25}, 0.5)
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(totals, "lang")
+        .orderBy("lang")
+    )
+
+
+ORACLE["sample_stratified"] = """
+WITH kept AS (
+  SELECT lang FROM documents
+  WHERE md5(CAST(doc_id AS VARCHAR)) <
+        CASE WHEN lang = 'en' THEN '4' ELSE '8' END
+),
+totals AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1)
+SELECT k.lang, count(*) AS n_kept, any_value(n_total) AS n_total
+FROM kept k JOIN totals USING (lang)
+GROUP BY k.lang
+ORDER BY k.lang
+"""
+
+
 QUERIES = {
     "sample_hash_deterministic": sample_hash_deterministic,
     "tfidf_top_terms": tfidf_top_terms,
     "inverted_index_postings": inverted_index_postings,
     "corpus_shard_pack": corpus_shard_pack,
+    "sample_stratified": sample_stratified,
 }

@@ -44,7 +44,7 @@ from mapreduce_rust_spark.functions.text import (
     tokenize_whitespace,
     word_shingles,
 )
-from mapreduce_rust_spark.sources.tables import load_table
+from mapreduce_rust_spark.sources.tables import fan_out, load_table
 
 ORACLE: dict[str, str] = {}
 
@@ -215,7 +215,7 @@ def signature_index(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         _SIG_INDEX,
         (sf_dir, f"sig-k{k}"),
         lambda: minhash_signatures(
-            load_table(spark, sf_dir, "documents"), "doc_id", "text", k
+            fan_out(load_table(spark, sf_dir, "documents")), "doc_id", "text", k
         ),
     )
 
@@ -228,7 +228,7 @@ def shingle_index(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         _SIG_INDEX,
         (sf_dir, f"shingle-k{k}"),
         lambda: shingle_sets(
-            load_table(spark, sf_dir, "documents"), "doc_id", "text", k
+            fan_out(load_table(spark, sf_dir, "documents")), "doc_id", "text", k
         ),
     )
 
@@ -456,6 +456,59 @@ FROM documents GROUP BY 1
 """
 
 
+def duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, top: int = 100
+) -> DataFrame:
+    """Exact substring-level duplication signal: k-token spans (word
+    shingles over normalized text, positions kept — NOT deduped per
+    doc) that appear in ≥ 2 distinct documents, ranked by total
+    occurrence count. The span-granular cousin of document-level
+    dedup — what you run to find boilerplate/licence blocks/templates
+    repeated ACROSS documents before they leak into training data.
+
+    One explode + one aggregation keyed on the span text: at corpus
+    scale the span stream is ~|tokens| rows but partial aggregation
+    collapses it map-side; the ≥2-docs filter runs after a
+    countDistinct whose per-span state is tiny. Top-k bounds the
+    output; the full span table is the same plan minus the limit."""
+    spans = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("span")
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_occ").desc(), "span")
+        .limit(top)
+    )
+
+
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return duplicated_spans(docs, "doc_id", "text", k=8, top=100)
+
+
+ORACLE["dedup_span_exact"] = f"""
+WITH tok AS ({_TOK_SQL}),
+spans AS (
+  SELECT doc_id,
+         w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+           || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win
+           || ' ' || lead(w,5) OVER win || ' ' || lead(w,6) OVER win
+           || ' ' || lead(w,7) OVER win AS span
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+FROM spans WHERE span IS NOT NULL
+GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occ DESC, span
+LIMIT 100
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(
@@ -634,7 +687,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3)
 
 
@@ -654,4 +707,5 @@ QUERIES = {
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_span_exact": dedup_span_exact,
 }

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.sources.tables import load_table
+from mapreduce_rust_spark.sources.tables import fan_out, load_table
 
 ORACLE: dict[str, str] = {}
 
@@ -214,7 +214,7 @@ FROM documents
 def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-path plumbing over the fake decoder — no SQL oracle (the
     decode is a Python stub by design); driver records rows-only."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_media(media_from_documents(docs), fake_decoder=True)
 
 
@@ -225,7 +225,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytically (1 + octet_length % 4), so the whole
     decode→explode→filter chain is value-checked — when a real codec
     replaces the stub, only the oracle's n_frames formula dies."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     decoded = decode_media(media_from_documents(docs), fake_decoder=True)
     return frame_sample(decoded, every_nth=2).orderBy("media_id", "frame_idx")
 

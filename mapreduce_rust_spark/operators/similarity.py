@@ -29,7 +29,7 @@ from mapreduce_rust_spark.functions.vectors import (
     cosine_similarity,
     l2_norm,
 )
-from mapreduce_rust_spark.sources.tables import load_table
+from mapreduce_rust_spark.sources.tables import fan_out, load_table
 
 ORACLE: dict[str, str] = {}
 
@@ -266,7 +266,7 @@ _QUERY_PRED = "vec_id % 100 = 0"
 
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.expr(_QUERY_PRED))
     return topk_bruteforce(qs, emb, "vec_id", "embedding", k=5)
 
@@ -291,7 +291,7 @@ FROM ranked WHERE rank <= 5
 
 
 def ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.expr(_QUERY_PRED))
     return topk_bucketed(qs, emb, "vec_id", "embedding", k=3)
 
@@ -321,7 +321,7 @@ FROM ranked WHERE rank <= 3
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.expr(_QUERY_PRED))
     return topk_ivf(qs, emb, "vec_id", "embedding", k=3)
 
@@ -377,7 +377,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread regardless of how skewed the per-label row counts are
     (the partial aggregate collapses each partition's contribution
     first)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
@@ -410,7 +410,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the stored ``label``. Builds on the same broadcast-scored
     ranking as ``ann_topk_bruteforce``, so the corpus never
     shuffles; the vote aggregates ≤ k rows per query."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.expr(_QUERY_PRED))
     nn = topk_bruteforce(qs, emb, "vec_id", "embedding", k=5)
     lab = emb.select(F.col("vec_id").alias("neighbor_id"), "label")

@@ -22,7 +22,7 @@ from mapreduce_rust_spark.functions.text import (
     normalize_text,
     tokenize_whitespace,
 )
-from mapreduce_rust_spark.sources.tables import load_table
+from mapreduce_rust_spark.sources.tables import fan_out, load_table
 
 ORACLE: dict[str, str] = {}
 
@@ -183,7 +183,7 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return token_stats(fan_out(load_table(spark, sf_dir, "documents")), "doc_id", "text")
 
 
 ORACLE["text_token_stats"] = """
@@ -208,7 +208,7 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated by both engines."""
     from mapreduce_rust_spark.functions.text import bpe_ish_tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     bpe = bpe_ish_tokens(F.col("text"))
     ws = tokenize_whitespace(F.col("text"))
     n_bpe = F.size(bpe).cast("bigint")
@@ -238,7 +238,7 @@ FROM t
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_scores(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return quality_scores(fan_out(load_table(spark, sf_dir, "documents")), "doc_id", "text")
 
 
 ORACLE["text_quality"] = """
@@ -274,14 +274,14 @@ FROM r
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return language_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return language_id(fan_out(load_table(spark, sf_dir, "documents")), "doc_id", "text")
 
 
 ORACLE["text_lang_id"] = _language_id_sql()
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fingerprints(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return fingerprints(fan_out(load_table(spark, sf_dir, "documents")), "doc_id", "text")
 
 
 ORACLE["text_fingerprint"] = """

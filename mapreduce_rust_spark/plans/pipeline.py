@@ -24,7 +24,7 @@ from mapreduce_rust_spark.operators.text_analysis import (
     language_id,
     quality_scores,
 )
-from mapreduce_rust_spark.sources.tables import load_table
+from mapreduce_rust_spark.sources.tables import fan_out, load_table
 
 ORACLE: dict[str, str] = {}
 
@@ -35,7 +35,7 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per detected language: how many documents survive dedup + the
     quality gate, and what token budget they carry. The shape every
     training-data run reports before a tokenizer ever starts."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     survivors = exact_duplicate_groups(docs, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id")
     )

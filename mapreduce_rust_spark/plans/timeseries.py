@@ -360,6 +360,66 @@ FROM nbr
 """
 
 
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact exponentially-weighted moving average per user
+    (α = 0.2, y₁ = x₁) — the recursive smoother y_t = (1−α)y_{t−1} +
+    αx_t, which looks like it needs a sequential loop, expressed as
+    ONE window pass via the closed form
+
+        y_t = r^{t−1}·x₁ + α·r^t·Σ_{i=2..t} x_i·r^{−i},   r = 1−α
+
+    i.e. a running sum of pre-scaled inputs re-scaled per row. Stays
+    entirely in whole-stage codegen; no UDF, no iteration. The r^{−i}
+    factor grows exponentially, so the form is numerically safe only
+    while per-partition row counts keep r^{−i} finite (α = 0.2 →
+    ~3000 rows/key; far beyond the per-user event depth here).
+    Production beyond that depth: segment the window per ~1000 rows
+    and chain segment carries, or applyInPandas per key."""
+    ev = load_table(spark, sf_dir, "events")
+    alpha, r = 0.2, 0.8
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    base = ev.select("user_id", "event_id", "value", rn.alias("rn"))
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    scaled = F.when(
+        F.col("rn") >= 2, F.col("value") * F.pow(F.lit(r), -F.col("rn"))
+    ).otherwise(0.0)
+    x1 = F.first("value").over(
+        W.partitionBy("user_id").orderBy("rn").rowsBetween(W.unboundedPreceding, 0)
+    )
+    s2 = F.sum(scaled).over(wsum)
+    ewma = x1 * F.pow(F.lit(r), F.col("rn") - 1) + F.lit(alpha) * F.pow(
+        F.lit(r), F.col("rn")
+    ) * s2
+    return base.select(
+        "user_id", "event_id", fround(ewma, 4).alias("ewma")
+    )
+
+
+ORACLE["ts_ewma"] = """
+WITH base AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+acc AS (
+  SELECT user_id, event_id, rn,
+         first_value(value) OVER w AS x1,
+         sum(CASE WHEN rn >= 2 THEN value * pow(0.8, -rn) ELSE 0 END) OVER w AS s2
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       floor(round((x1 * pow(0.8, rn - 1) + 0.2 * pow(0.8, rn) * s2), 8) * 10000) / 10000 AS ewma
+FROM acc
+"""
+
+
 QUERIES = {
     "ts_gapfill_hourly": ts_gapfill_hourly,
     "window_lag_delta": window_lag_delta,
@@ -368,4 +428,5 @@ QUERIES = {
     "session_window_builtin": session_window_builtin,
     "window_range_24h": window_range_24h,
     "ts_interpolate_linear": ts_interpolate_linear,
+    "ts_ewma": ts_ewma,
 }

@@ -65,6 +65,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure at least session-parallelism partitions before a heavy
+    per-row compute stage (hashing/shingling/regex/vector math).
+
+    The testdata tables are single-row-group parquet files, so a scan
+    yields ONE partition and everything before the first shuffle runs
+    single-threaded — a local-mode artifact. On a real cluster a fact
+    scan already has ≥ parallelism splits and this is a no-op (the
+    partition check costs nothing); it never DOWN-partitions, so it
+    cannot hurt an already-parallel plan. Only call it ahead of
+    genuinely expensive row-wise work: for scan→shuffle plans the
+    extra exchange would be pure overhead."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once; all tables when no names given."""
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}

@@ -4,6 +4,7 @@ time-series additions, on small controlled frames."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -126,3 +127,71 @@ def test_correlation_matrix_perfect_and_inverse(spark):
     assert got[("a", "b")] == 1.0
     assert got[("a", "c")] == -1.0
     assert got[("b", "c")] == -1.0
+
+
+def test_duplicated_spans_finds_cross_doc_template(spark):
+    from mapreduce_rust_spark.operators.dedup import duplicated_spans
+
+    tmpl = "all rights reserved by the example corp entity"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "alpha " + tmpl),
+            (2, tmpl + " omega"),
+            (3, "entirely unrelated words that never repeat anywhere else ok"),
+        ],
+        "id long, t string",
+    )
+    rows = duplicated_spans(df, "id", "t", k=8, top=10).collect()
+    assert any(r["span"] == tmpl and r["n_docs"] == 2 for r in rows)
+    # no span from doc 3 (unique) may appear
+    assert all("unrelated" not in r["span"] for r in rows)
+
+
+def test_ewma_closed_form_matches_recursion(spark):
+    import pandas as pd
+
+    from mapreduce_rust_spark.plans.timeseries import ts_ewma  # noqa: F401 — import check
+
+    # replicate the closed form on a tiny frame and compare to the
+    # sequential recursion (pandas ewm, adjust=False)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    vals = [10.0, 20.0, 5.0, 40.0, 15.0]
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate(vals)], "u long, i long, value double"
+    )
+    alpha, r = 0.2, 0.8
+    w = W.partitionBy("u").orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+    rn = F.row_number().over(W.partitionBy("u").orderBy("i"))
+    base = df.select("u", "i", "value", rn.alias("rn"))
+    scaled = F.when(F.col("rn") >= 2, F.col("value") * F.pow(F.lit(r), -F.col("rn"))).otherwise(0.0)
+    wsum = W.partitionBy("u").orderBy("rn").rowsBetween(W.unboundedPreceding, 0)
+    ewma = F.first("value").over(wsum) * F.pow(F.lit(r), F.col("rn") - 1) + F.lit(
+        alpha
+    ) * F.pow(F.lit(r), F.col("rn")) * F.sum(scaled).over(wsum)
+    got = [r_["e"] for r_ in base.select(ewma.alias("e")).orderBy("rn").collect()]
+    want = pd.Series(vals).ewm(alpha=alpha, adjust=False).mean().tolist()
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_quantile_bin_counts_equal_frequency(spark):
+    from mapreduce_rust_spark.operators.profiling import quantile_bin_counts
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    rows = quantile_bin_counts(df, "x", n_bins=4).collect()
+    assert [r["bin"] for r in rows] == [0, 1, 2, 3]
+    assert [r["n"] for r in rows] == [25, 25, 25, 25]
+
+
+def test_stratified_hash_sample_rates(spark):
+    from mapreduce_rust_spark.operators.corpus import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)], "id long, lang string"
+    )
+    kept = stratified_hash_sample(df, "id", "lang", {"en": 0.25}, 0.5)
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # md5 hex first char uniform: en ~25% of 1000, de ~50% of 1000
+    assert 180 < counts["en"] < 320
+    assert 420 < counts["de"] < 580
