@@ -205,9 +205,54 @@ FROM binned GROUP BY bin ORDER BY bin
 """
 
 
+def zscore_outliers(df: DataFrame, group_col: str, val_col: str, z: float = 3.0) -> DataFrame:
+    """Per-group z-score outlier profile: one tiny stats aggregate
+    (mean/stddev per group) broadcast back onto the fact, then a
+    single pass counts |z| > threshold and records the extremes.
+    Two scans, zero fact-side shuffle beyond the final per-group agg
+    — the screen-a-column-before-training data-quality primitive."""
+    stats = df.groupBy(group_col).agg(
+        F.avg(val_col).alias("_mu"), F.stddev_samp(val_col).alias("_sd")
+    )
+    zc = (F.col(val_col) - F.col("_mu")) / F.col("_sd")
+    flagged = df.join(F.broadcast(stats), group_col).select(
+        group_col, F.col(val_col).alias("v"), zc.alias("_z")
+    )
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.abs(F.col("_z")) > z, 1).otherwise(0)).alias("n_outliers"),
+            fround(F.max(F.abs(F.col("_z"))), 4).alias("max_abs_z"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zscore_outliers(
+        load_table(spark, sf_dir, "events"), "event_type", "value", 3.0
+    )
+
+
+ORACLE["anomaly_zscore"] = f"""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n,
+       sum(CASE WHEN abs((value - mu) / sd) > 3.0 THEN 1 ELSE 0 END) AS n_outliers,
+       {fround_sql("max(abs((value - mu) / sd))", 4)} AS max_abs_z
+FROM events e JOIN stats USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 QUERIES = {
     "table_profile": table_profile,
     "table_histogram": table_histogram,
     "corr_matrix": corr_matrix,
     "quantile_bins": quantile_bins,
+    "anomaly_zscore": anomaly_zscore,
 }

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.functions.numeric import fround
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql
 from mapreduce_rust_spark.functions.text import (
     normalize_text,
     tokenize_whitespace,
@@ -189,7 +189,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["text_token_stats"] = """
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
   FROM documents
 )
 SELECT doc_id,
@@ -301,7 +301,62 @@ FROM n WHERE norm <> ''
 """
 
 
+def token_diversity(df, id_col: str, text_col: str):
+    """Gini–Simpson token diversity per document: 1 − Σc(c−1)/(n(n−1))
+    over whitespace-token counts — 0 for a one-token loop, →1 for
+    all-distinct text. Deliberately LOG-FREE (unlike Shannon entropy):
+    pure integer ratios divide identically in every IEEE-754 engine,
+    so the oracle matches bit-for-bit where a libm ``ln`` might not.
+    Same explode→count→fold shape as word count; one shuffle keyed on
+    (doc, token), high cardinality."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize_whitespace(text_col)).alias("tok")
+    )
+    counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * (F.col("c") - 1)).alias("rep_pairs"),
+        )
+        .filter(F.col("n_tokens") >= 2)
+        .select(
+            id_col,
+            "n_tokens",
+            fround(
+                1
+                - F.col("rep_pairs").cast("double")
+                / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double"),
+                6,
+            ).alias("diversity"),
+        )
+    )
+
+
+def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return token_diversity(docs, "doc_id", "text")
+
+
+ORACLE["text_diversity"] = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS tok
+  FROM documents
+),
+counts AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+folded AS (
+  SELECT doc_id, sum(c) AS n_tokens, sum(c * (c - 1)) AS rep_pairs
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       {fround_sql("1 - CAST(rep_pairs AS DOUBLE) / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)", 6)} AS diversity
+FROM folded WHERE n_tokens >= 2
+"""
+
+
 QUERIES = {
+    "text_diversity": text_diversity,
     "text_token_stats": text_token_stats,
     "text_bpe_tokens": text_bpe_tokens,
     "text_quality": text_quality,

@@ -420,6 +420,40 @@ FROM acc
 """
 
 
+def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: per event_type activity over 1-hour
+    windows advancing every 15 minutes — Spark's ``window(ts, '1
+    hour', '15 minutes')`` assigns each event to its 4 covering
+    slots, the same declarative expression that binds unchanged to a
+    stream. One explode (bounded ×4) + one aggregation; the oracle
+    reproduces slot assignment with integer epoch arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm").alias("win_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+ORACLE["window_sliding_counts"] = """
+WITH slotted AS (
+  SELECT event_type,
+         to_timestamp((epoch_us(ts) // 900000000) * 900 - i.i * 900) AS win_start
+  FROM events, unnest(generate_series(0, 3)) AS i(i)
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS win_start, event_type,
+       count(*) AS cnt
+FROM slotted
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "ts_gapfill_hourly": ts_gapfill_hourly,
     "window_lag_delta": window_lag_delta,
@@ -429,4 +463,5 @@ QUERIES = {
     "window_range_24h": window_range_24h,
     "ts_interpolate_linear": ts_interpolate_linear,
     "ts_ewma": ts_ewma,
+    "window_sliding_counts": window_sliding_counts,
 }

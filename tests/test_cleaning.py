@@ -195,3 +195,25 @@ def test_stratified_hash_sample_rates(spark):
     # md5 hex first char uniform: en ~25% of 1000, de ~50% of 1000
     assert 180 < counts["en"] < 320
     assert 420 < counts["de"] < 580
+
+
+def test_token_diversity_bounds(spark):
+    from mapreduce_rust_spark.operators.text_analysis import token_diversity
+
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d"), (3, "solo")], "id long, t string"
+    )
+    got = {r["id"]: r["diversity"] for r in token_diversity(df, "id", "t").collect()}
+    assert got[1] == 0.0       # degenerate loop
+    assert got[2] == 1.0       # all distinct
+    assert 3 not in got        # <2 tokens: excluded, not a div-by-zero
+
+
+def test_zscore_outliers_flags_spike(spark):
+    from mapreduce_rust_spark.operators.profiling import zscore_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 9, 10, 10, 11, 9, 10, 1000]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = zscore_outliers(df, "g", "v", z=2.0).collect()[0]
+    assert out["n"] == 9
+    assert out["n_outliers"] == 1
