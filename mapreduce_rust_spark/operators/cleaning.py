@@ -203,8 +203,79 @@ GROUP BY 1 HAVING count(*) >= 2
 """
 
 
+def ngram_overlap_report(
+    corpus: DataFrame, bench: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, how many
+    distinct k-token spans it shares with any document of the
+    held-out/benchmark set — the screen run before training so eval
+    data doesn't leak into the corpus. Returns (id, n_shared_spans,
+    n_bench_docs) for contaminated docs.
+
+    The benchmark side is small by construction (an eval suite), so
+    its span set is broadcast: the corpus span stream joins against
+    it map-side with NO shuffle of corpus data; the only shuffle is
+    the final per-doc aggregate of matched spans."""
+    from mapreduce_rust_spark.operators.dedup import shingle_sets
+
+    c_spans = shingle_sets(corpus, id_col, text_col, k)
+    b_spans = F.broadcast(
+        shingle_sets(bench, id_col, text_col, k).select(
+            F.col(id_col).alias("_bid"), F.col("s")
+        )
+    )
+    hits = c_spans.join(b_spans, "s").filter(F.col(id_col) != F.col("_bid"))
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.countDistinct("s").alias("n_shared_spans"),
+            F.countDistinct("_bid").alias("n_bench_docs"),
+        )
+        .orderBy(F.col("n_shared_spans").desc(), id_col)
+        .limit(100)
+    )
+
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination screen of the documents corpus against a
+    deterministic ~6% hash-held-out "benchmark" slice of itself."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    bench = docs.filter(F.md5(F.col("doc_id").cast("string")) < "1")
+    return ngram_overlap_report(docs, bench, "doc_id", "text", k=8)
+
+
+ORACLE["decontaminate_ngram_overlap"] = """
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
+  FROM (
+    SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS l
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+  ) x
+),
+spans AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+           || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win
+           || ' ' || lead(w,5) OVER win || ' ' || lead(w,6) OVER win
+           || ' ' || lead(w,7) OVER win AS s
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+cs AS (SELECT doc_id, s FROM spans WHERE s IS NOT NULL),
+bs AS (SELECT doc_id AS bid, s FROM cs
+       WHERE md5(CAST(doc_id AS VARCHAR)) < '1')
+SELECT c.doc_id, count(DISTINCT c.s) AS n_shared_spans,
+       count(DISTINCT b.bid) AS n_bench_docs
+FROM cs c JOIN bs b ON c.s = b.s AND c.doc_id <> b.bid
+GROUP BY c.doc_id
+ORDER BY n_shared_spans DESC, doc_id
+LIMIT 100
+"""
+
+
 QUERIES = {
     "text_pii_redact": text_pii_redact,
     "text_repetition": text_repetition,
     "dedup_prefix": dedup_prefix,
+    "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
 }

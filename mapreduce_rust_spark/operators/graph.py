@@ -128,4 +128,57 @@ SELECT node, min(lbl) AS comp FROM reach GROUP BY node
 
 ORACLE["dedup_components"] = _components_oracle()
 
-QUERIES = {"dedup_components": dedup_components}
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over duplicate clusters: within each
+    connected component of near-dup pairs, keep the LONGEST document
+    (min doc_id on ties) instead of the arbitrary min-id — the policy
+    real pipelines want ("drop the truncated copies"). Composes the
+    components loop with a per-component ranking window; the window
+    shuffles only the clustered docs (a tiny fraction of the corpus),
+    never the full table."""
+    from pyspark.sql import Window as W
+
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    comps = dedup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = comps.join(docs, comps["node"] == docs["doc_id"]).select(
+        "comp", "node", "n_chars"
+    )
+    w = W.partitionBy("comp").orderBy(F.col("n_chars").desc(), F.col("node"))
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("comp")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("node"))).alias("survivor"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias("survivor_chars"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("comp")
+    )
+
+
+def _keep_best_oracle() -> str:
+    return f"""
+WITH comps AS ({_components_oracle()}),
+ranked AS (
+  SELECT c.comp, c.node, d.n_chars,
+         row_number() OVER (PARTITION BY c.comp
+                            ORDER BY d.n_chars DESC, c.node) AS rk
+  FROM comps c JOIN documents d ON d.doc_id = c.node
+)
+SELECT comp,
+       max(CASE WHEN rk = 1 THEN node END) AS survivor,
+       max(CASE WHEN rk = 1 THEN n_chars END) AS survivor_chars,
+       count(*) AS n_members
+FROM ranked GROUP BY comp ORDER BY comp
+"""
+
+
+ORACLE["dedup_keep_best"] = _keep_best_oracle()
+
+QUERIES = {
+    "dedup_components": dedup_components,
+    "dedup_keep_best": dedup_keep_best,
+}

@@ -9,7 +9,7 @@ and compares — no self-joins, no window over the whole fact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.sources.tables import load_table
@@ -106,7 +106,50 @@ SELECT count(*) AS n_users,
 FROM per_user
 """
 
+def event_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step event-type paths: each user's timeline (ordered by
+    ts, event_id) is slid over with two leads to form consecutive
+    type trigrams, counted globally — the "what do users do next"
+    navigation-mining shape. One window shuffle on user_id (high
+    cardinality), then a path-keyed aggregation whose key space is
+    |types|³ — tiny at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    steps = ev.select(
+        path.alias("path"), F.lead("event_type", 2).over(w).alias("_l2")
+    ).filter(F.col("_l2").isNotNull())
+    return (
+        steps.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
+
+
+ORACLE["event_path_analysis"] = """
+WITH steps AS (
+  SELECT event_type || '>' || lead(event_type, 1) OVER w
+                    || '>' || lead(event_type, 2) OVER w AS path,
+         lead(event_type, 2) OVER w AS l2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT path, count(*) AS n
+FROM steps WHERE l2 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 10
+"""
+
+
 QUERIES = {
     "cohort_retention": cohort_retention,
     "funnel_conversion": funnel_conversion,
+    "event_path_analysis": event_path_analysis,
 }
