@@ -39,6 +39,23 @@ def main() -> int:
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).write.format(
         "noop"
     ).mode("overwrite").save()
+    # ... the streaming engine (micro-batch runner, state store
+    # provider, memory sink) and the Arrow/Python-worker path, which
+    # otherwise land on the first streaming / pandas-UDF query
+    # (~5 s of pure classloading+worker-spawn measured once per JVM)
+    import pandas as _pd
+
+    from mapreduce_rust_spark.streaming.queries import (
+        read_stream_table,
+        run_available_now,
+    )
+
+    run_available_now(
+        read_stream_table(spark, sf_dir, "nation").groupBy().count(), "complete"
+    )
+    spark.createDataFrame([(0, 1.0)], "k long, v double").groupBy("k").applyInPandas(
+        lambda pdf: pdf, "k long, v double"
+    ).write.format("noop").mode("overwrite").save()
     # Warm the OS page cache over the input tables: per-query timings
     # should measure the engine, not whether a prior process happened to
     # leave the parquet files resident. (~100 MB at sf0.1, one pass.)

@@ -333,6 +333,73 @@ def token_diversity(df, id_col: str, text_col: str):
     )
 
 
+def text_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram likelihood score per document: train a bigram
+    frequency table over the WHOLE corpus (one aggregation), broadcast
+    it, and score each document by the mean relative frequency of its
+    bigrams — the cheap self-supervised fluency/outlier signal (low
+    score = bigrams rare in this corpus). Log-free: mean of integer
+    count ratios, deterministic across engines; fround guards the
+    final division.
+
+    Two passes over the token stream, both shuffling only (bigram)
+    or (doc, stats) keys; the model table (|distinct bigrams|) is
+    broadcast, so scoring never shuffles the corpus itself."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = tokenize_whitespace("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stream = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    model = stream.groupBy("bg").agg(F.count(F.lit(1)).alias("bg_n"))
+    total = stream.agg(F.count(F.lit(1)).alias("total_bg"))
+    scored = (
+        stream.join(F.broadcast(model), "bg")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            fround(
+                F.avg(F.col("bg_n").cast("double") / F.col("total_bg").cast("double"))
+                * 1_000_000,
+                4,
+            ).alias("mean_bg_freq_ppm"),
+        )
+    )
+    return scored
+
+
+ORACLE["text_lm_likelihood"] = rf"""
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok,
+         unnest(generate_series(1, len(l))) AS ord
+  FROM lists
+),
+bg0 AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+  FROM toks
+),
+stream AS (SELECT doc_id, bg FROM bg0 WHERE bg IS NOT NULL),
+model AS (SELECT bg, count(*) AS bg_n FROM stream GROUP BY bg),
+total AS (SELECT count(*) AS total_bg FROM stream)
+SELECT s.doc_id, count(*) AS n_bigrams,
+       {fround_sql("avg(CAST(bg_n AS DOUBLE) / CAST(total_bg AS DOUBLE)) * 1000000", 4)} AS mean_bg_freq_ppm
+FROM stream s JOIN model USING (bg) CROSS JOIN total
+GROUP BY s.doc_id
+"""
+
+
 def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return token_diversity(docs, "doc_id", "text")
@@ -356,6 +423,7 @@ FROM folded WHERE n_tokens >= 2
 
 
 QUERIES = {
+    "text_lm_likelihood": text_lm_likelihood,
     "text_diversity": text_diversity,
     "text_token_stats": text_token_stats,
     "text_bpe_tokens": text_bpe_tokens,

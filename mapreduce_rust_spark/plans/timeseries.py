@@ -454,6 +454,56 @@ GROUP BY 1, 2
 """
 
 
+def ts_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour, day, and month
+    resolutions of the events stream in ONE pass via GROUPING SETS —
+    the scan and partial aggregation are shared across resolutions
+    instead of three separate jobs. Level is derived from which time
+    keys are non-null (all keys derive from non-null ts, so the NULLs
+    are exactly the grouping-set markers)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        "value",
+    ).createOrReplaceTempView("_mrs_ev_times")
+    return spark.sql(
+        """
+        SELECT CASE WHEN hour IS NOT NULL THEN 'hour'
+                    WHEN day  IS NOT NULL THEN 'day'
+                    ELSE 'month' END AS level,
+               month, day, hour, event_type,
+               count(*) AS cnt,
+               floor(round(sum(value), 6) * 100) / 100 AS sum_value
+        FROM _mrs_ev_times
+        GROUP BY event_type, GROUPING SETS ((month), (month, day),
+                                            (month, day, hour))
+        """
+    )
+
+
+ORACLE["ts_multires_rollup"] = """
+WITH t AS (
+  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         event_type, value
+  FROM events
+)
+SELECT CASE WHEN hour IS NOT NULL THEN 'hour'
+            WHEN day  IS NOT NULL THEN 'day'
+            ELSE 'month' END AS level,
+       month, day, hour, event_type,
+       count(*) AS cnt,
+       floor(round(sum(value), 6) * 100) / 100 AS sum_value
+FROM t
+GROUP BY event_type, GROUPING SETS ((month), (month, day),
+                                    (month, day, hour))
+"""
+
+
 QUERIES = {
     "ts_gapfill_hourly": ts_gapfill_hourly,
     "window_lag_delta": window_lag_delta,
@@ -464,4 +514,5 @@ QUERIES = {
     "ts_interpolate_linear": ts_interpolate_linear,
     "ts_ewma": ts_ewma,
     "window_sliding_counts": window_sliding_counts,
+    "ts_multires_rollup": ts_multires_rollup,
 }
