@@ -687,7 +687,12 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # NOT fan_out: the GEMM kernel ships the corpus matrix in the task
+    # closure, so extra partitions multiply serialization + worker
+    # startup while each task's BLAS call shrinks — measured 2.0 s
+    # (1 partition) vs 9.3 s (32) at sf0.1. Partitioning pays off only
+    # when the A-side is large enough to dwarf the closure cost.
+    emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3)
 
 

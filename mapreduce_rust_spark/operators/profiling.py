@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.functions.numeric import fround, fround_sql
-from mapreduce_rust_spark.sources.tables import load_table
+from mapreduce_rust_spark.sources.tables import fan_out, load_table
 
 ORACLE: dict[str, str] = {}
 
@@ -55,7 +55,7 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return profile_numeric(load_table(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+    return profile_numeric(fan_out(load_table(spark, sf_dir, "lineitem")), _PROFILE_COLS)
 
 
 def _profile_oracle() -> str:
@@ -132,7 +132,7 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
 
 def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return correlation_matrix(
-        load_table(spark, sf_dir, "lineitem"), _PROFILE_COLS
+        fan_out(load_table(spark, sf_dir, "lineitem")), _PROFILE_COLS
     )
 
 
@@ -183,7 +183,7 @@ def quantile_bin_counts(df: DataFrame, col: str, n_bins: int = 10) -> DataFrame:
 
 def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bin_counts(
-        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", 10
+        fan_out(load_table(spark, sf_dir, "lineitem")), "l_extendedprice", 10
     )
 
 
