@@ -169,3 +169,61 @@ def test_asof_join_matches_bruteforce_model(spark, lefts, rights):
         cands = [ts(rt) for rk, rt in rights if rk == k and rt <= t]
         expect = max(cands) if cands else None
         assert got[i] == expect, (i, k, t, got[i], expect)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=30),
+    budget=st.integers(min_value=1, max_value=300),
+)
+@_settings
+def test_pack_shards_model_equivalence(spark, sizes, budget):
+    """Shard assignment must equal the sequential greedy model: row i
+    starts shard floor(sum(sizes[:i]) / budget); totals are preserved
+    and shard ids are monotone non-decreasing in walk order."""
+    from mapreduce_rust_spark.operators.corpus import pack_shards
+
+    df = spark.createDataFrame(
+        [("g", i, s) for i, s in enumerate(sizes)], "src string, id long, sz long"
+    )
+    got = {
+        r["id"]: r["shard_id"]
+        for r in pack_shards(df, "src", "id", "sz", budget).collect()
+    }
+    run = 0
+    for i, s in enumerate(sizes):
+        assert got[i] == run // budget
+        run += s
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=32),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_settings
+def test_ewma_closed_form_vs_sequential_model(spark, vals):
+    """The closed-form window EWMA must match the sequential recursion
+    y_t = (1-a)y_{t-1} + a x_t to float precision on arbitrary runs."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    alpha, r = 0.2, 0.8
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate(vals)], "u long, i long, value double"
+    )
+    rn = F.row_number().over(W.partitionBy("u").orderBy("i"))
+    base = df.select("u", "i", "value", rn.alias("rn"))
+    wsum = W.partitionBy("u").orderBy("rn").rowsBetween(W.unboundedPreceding, 0)
+    scaled = F.when(
+        F.col("rn") >= 2, F.col("value") * F.pow(F.lit(r), -F.col("rn"))
+    ).otherwise(0.0)
+    ewma = F.first("value").over(wsum) * F.pow(F.lit(r), F.col("rn") - 1) + F.lit(
+        alpha
+    ) * F.pow(F.lit(r), F.col("rn")) * F.sum(scaled).over(wsum)
+    got = [r_["e"] for r_ in base.select("i", ewma.alias("e")).orderBy("i").collect()]
+    y = None
+    for i, x in enumerate(vals):
+        y = x if y is None else (1 - alpha) * y + alpha * x
+        assert got[i] == pytest.approx(y, rel=1e-9, abs=1e-9)

@@ -240,3 +240,52 @@ def test_global_topk_is_take_ordered_not_full_sort(spark, sf_dir):
     p = plan_str(global_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_decontaminate_bench_side_broadcast(spark, sf_dir):
+    """The benchmark span set must broadcast — corpus spans join it
+    map-side with no corpus shuffle before the final per-doc agg."""
+    from mapreduce_rust_spark.operators.cleaning import decontaminate_ngram_overlap
+
+    p = plan_str(decontaminate_ngram_overlap(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_quantile_bins_no_global_sort(spark, sf_dir):
+    """Equal-frequency binning must avoid the ntile-style global
+    range sort: boundaries broadcast, no rangepartitioning exchange."""
+    from mapreduce_rust_spark.operators.profiling import quantile_bins
+
+    p = plan_str(quantile_bins(spark, sf_dir))
+    assert "Exchange rangepartitioning" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_lm_likelihood_model_broadcast(spark, sf_dir):
+    """The bigram model table joins the token stream via broadcast —
+    scoring never shuffles the corpus-side bigram stream."""
+    from mapreduce_rust_spark.operators.text_analysis import text_lm_likelihood
+
+    p = plan_str(text_lm_likelihood(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_interpolate_grid_broadcast_single_fact_agg(spark, sf_dir):
+    """Gap interpolation aggregates the events fact exactly once; the
+    dense grid side is broadcast (window passes run over the grid,
+    whose size is time-span-bound, not data-bound)."""
+    from mapreduce_rust_spark.plans.timeseries import ts_interpolate_linear
+
+    p = plan_str(ts_interpolate_linear(spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_fan_out_is_noop_when_already_parallel(spark):
+    """fan_out must never down-partition an already-parallel frame."""
+    from mapreduce_rust_spark.sources.tables import fan_out
+
+    df = spark.range(1000).repartition(64)
+    assert fan_out(df).rdd.getNumPartitions() == 64
