@@ -187,7 +187,102 @@ FROM ranked GROUP BY comp ORDER BY comp
 
 ORACLE["dedup_keep_best"] = _keep_best_oracle()
 
+def pagerank_fixed(
+    edges: DataFrame, src: str, dst: str, iters: int = 3, d: float = 0.85
+) -> DataFrame:
+    """PageRank with a FIXED iteration count over an undirected edge
+    list: r ← (1−d)/N + d·Σ_in r/deg, unrolled ``iters`` times.
+    Fixed unrolling (vs iterate-to-convergence) keeps the operator
+    SQL-expressible, so the oracle can verify it exactly — the
+    convergence-loop variant is the same body under the
+    connected_components-style driver loop. Each iteration is one
+    join + one aggregation on the node key; the rank/degree frame is
+    tiny relative to the input that produced the edges."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    ranks = deg.select("a", F.lit(1.0 / n).alias("r"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, "a")
+            .join(deg, "a")
+            .select(F.col("b").alias("a"), (F.col("r") / F.col("deg")).alias("c"))
+            .groupBy("a")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = deg.select("a").join(contrib, "a", "left").select(
+            "a",
+            (F.lit((1.0 - d) / n) + F.lit(d) * F.coalesce("in_sum", F.lit(0.0))).alias("r"),
+        )
+    return ranks.select(F.col("a").alias("node"), F.col("r"))
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the MinHash-LSH near-duplicate graph
+    — ranks the "hub" documents of each duplicate cluster."""
+    from mapreduce_rust_spark.operators.dedup import signature_index
+
+    sigs = signature_index(spark, sf_dir, k=3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id").filter(F.col("est_sim") >= 0.5)
+    pr = pagerank_fixed(pairs, "d1", "d2", iters=3, d=0.85)
+    return pr.select(
+        "node", F.expr("floor(round(r, 10) * 1000000) / 1000000").alias("rank")
+    ).orderBy(F.col("rank").desc(), "node")
+
+
+def _pagerank_oracle() -> str:
+    from mapreduce_rust_spark.operators.dedup import _minhash_oracle
+
+    return f"""
+WITH pairs AS (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+n AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT a, 1.0 / n AS r FROM deg CROSS JOIN n),
+r1 AS (
+  SELECT d.a, 0.15 / any_value(n.n) + 0.85 * coalesce(sum(r.r / dd.deg), 0) AS r
+  FROM deg d CROSS JOIN n
+  LEFT JOIN edges e ON e.b = d.a
+  LEFT JOIN r0 r ON r.a = e.a
+  LEFT JOIN deg dd ON dd.a = e.a
+  GROUP BY d.a
+),
+r2 AS (
+  SELECT d.a, 0.15 / any_value(n.n) + 0.85 * coalesce(sum(r.r / dd.deg), 0) AS r
+  FROM deg d CROSS JOIN n
+  LEFT JOIN edges e ON e.b = d.a
+  LEFT JOIN r1 r ON r.a = e.a
+  LEFT JOIN deg dd ON dd.a = e.a
+  GROUP BY d.a
+),
+r3 AS (
+  SELECT d.a, 0.15 / any_value(n.n) + 0.85 * coalesce(sum(r.r / dd.deg), 0) AS r
+  FROM deg d CROSS JOIN n
+  LEFT JOIN edges e ON e.b = d.a
+  LEFT JOIN r2 r ON r.a = e.a
+  LEFT JOIN deg dd ON dd.a = e.a
+  GROUP BY d.a
+)
+SELECT a AS node, floor(round(r, 10) * 1000000) / 1000000 AS rank
+FROM r3 ORDER BY rank DESC, node
+"""
+
+
+ORACLE["graph_pagerank"] = _pagerank_oracle()
+
 QUERIES = {
     "dedup_components": dedup_components,
     "dedup_keep_best": dedup_keep_best,
+    "graph_pagerank": graph_pagerank,
 }

@@ -460,10 +460,39 @@ ORDER BY w.query_id
 """
 
 
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means over the embeddings table (k = 8,
+    3 rounds, deterministic init = first k ids) summarized as
+    per-cluster (n_assigned, mean cosine to centroid). Genuinely
+    iterative → no SQL oracle (driver records rows-only), same
+    contract as the components loop; the per-round plan is
+    broadcast-assign + (cid, dim) mean aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, max_iter=3)
+    sim = fround(cosine_similarity(F.col("embedding"), F.col("cv")), 6)
+    w = W.partitionBy("vec_id").orderBy(F.col("_csim").desc(), F.col("cid"))
+    assigned = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_csim", sim)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            fround(F.avg("_csim"), 4).alias("mean_cos"),
+        )
+        .orderBy("cid")
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_bucketed": ann_topk_bucketed,
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_centroids": embedding_centroids,
     "knn_classify": knn_classify,
+    "embedding_kmeans": embedding_kmeans,
 }

@@ -581,6 +581,54 @@ FROM merged GROUP BY 1 ORDER BY 1
 """
 
 
+def complex_types_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type surface in one pass: collect each order's
+    quantities into a sorted array, then drive the array
+    higher-order functions (aggregate-fold, filter, transform, slice)
+    entirely JVM-side — the nested-data shape (array columns per
+    entity) every feature store and training-example assembler needs.
+    One shuffle on the (high-cardinality) order key; every derived
+    column computes per-row on the collected array. Quantities are
+    integer-valued in the data, cast to bigint so the folds are exact
+    integer arithmetic in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", F.col("l_quantity").cast("bigint").alias("q"))
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("q")).alias("qs"))
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("qs").alias("n_items"),
+        F.aggregate("qs", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "total_qty"
+        ),
+        F.array_max("qs").alias("max_qty"),
+        F.size(F.filter("qs", lambda x: x < 10)).alias("n_small"),
+        F.concat_ws(
+            ",", F.transform(F.slice("qs", 1, 3), lambda x: x.cast("string"))
+        ).alias("first3"),
+    )
+
+
+ORACLE["complex_types_suite"] = """
+WITH per_order AS (
+  SELECT l_orderkey, list(CAST(l_quantity AS BIGINT) ORDER BY CAST(l_quantity AS BIGINT)) AS qs
+  FROM lineitem
+  WHERE l_orderkey % 20 = 0
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(qs) AS n_items,
+       list_sum(qs) AS total_qty,
+       list_max(qs) AS max_qty,
+       len(list_filter(qs, x -> x < 10)) AS n_small,
+       array_to_string(list_transform(qs[1:3], x -> CAST(x AS VARCHAR)), ',') AS first3
+FROM per_order
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -601,4 +649,5 @@ QUERIES = {
     "events_hourly": events_hourly,
     "unpivot_melt": unpivot_melt,
     "cdc_upsert_apply": cdc_upsert_apply,
+    "complex_types_suite": complex_types_suite,
 }
