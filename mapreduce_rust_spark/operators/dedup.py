@@ -705,6 +705,33 @@ WHERE floor(round(list_cosine_similarity(a.v, b.v), 8) * 10000) / 10000 >= 0.3
 """
 
 
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after text canonicalization (lowercase, strip
+    punctuation/whitespace runs) — catches the trivial near-dups
+    (case flips, punctuation noise, reflowed whitespace) that raw
+    byte-hash dedup misses, at identical cost: one hash aggregation
+    on the 16-byte digest of the normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("chash")
+    )
+    # full census (no >=2 filter): the synthetic corpus happens to
+    # have no normalized dups, and an always-empty result would make
+    # the oracle check vacuous — per-group keep_id/n_copies over all
+    # 500 canonical hashes is the substantive comparison
+    return canon.groupBy("chash").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+ORACLE["dedup_exact_normalized"] = """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS chash,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -713,4 +740,5 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_span_exact": dedup_span_exact,
+    "dedup_exact_normalized": dedup_exact_normalized,
 }

@@ -107,6 +107,46 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def sink_sorted_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-lite storage layout: write lineitem re-partitioned AND
+    sorted by ship date, so each parquet file covers a narrow date
+    range and its row-group min/max statistics let a date filter skip
+    almost every file (the clustering trick behind Delta OPTIMIZE
+    ZORDER / Iceberg sort orders, in vanilla parquet). The query
+    re-reads with a tight date predicate — pushed to the scan — and
+    aggregates; the oracle proves the clustered layout drops nothing.
+    repartitionByRange + sortWithinPartitions = one range shuffle at
+    write time, amortized over every future pruned read."""
+    from mapreduce_rust_spark.functions.numeric import fround
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="mrs_sorted_"), "lineitem")
+    (
+        li.repartitionByRange(16, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        (F.col("l_shipdate") >= "2000-03-01") & (F.col("l_shipdate") < "2000-06-01")
+    )
+    return back.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        fround(F.sum("l_extendedprice")).alias("revenue"),
+    ).orderBy("month")
+
+
+ORACLE["sink_sorted_stats_prune"] = """
+SELECT strftime(l_shipdate, '%Y-%m') AS month, count(*) AS n_rows,
+       floor(round((sum(l_extendedprice)), 6) * 100) / 100 AS revenue
+FROM lineitem
+WHERE l_shipdate >= '2000-03-01' AND l_shipdate < '2000-06-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-table storage: orders and customer both bucketed on
     the customer key, then joined — the recurring-join layout that
@@ -217,4 +257,5 @@ QUERIES = {
     "sink_partitioned_parquet": sink_partitioned_parquet,
     "sink_bucketed_join": sink_bucketed_join,
     "source_schema_evolution": source_schema_evolution,
+    "sink_sorted_stats_prune": sink_sorted_stats_prune,
 }
