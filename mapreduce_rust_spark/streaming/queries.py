@@ -311,6 +311,40 @@ GROUP BY c.user_id
 """
 
 
+def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows on the stream: the SAME window('1 hour', '15
+    minutes') expression as the batch window_sliding_counts slug,
+    bound to the events stream with a watermark — batch/stream parity
+    for sliding aggregations, checked against the identical SQL.
+    State is one row per (slot, type); the watermark retires slots
+    older than 2 h on a live source."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = run_available_now(agg, "complete")
+    return out.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm").alias("win_start"),
+        "event_type",
+        "cnt",
+    )
+
+
+ORACLE["streaming_hopping_counts"] = """
+WITH slotted AS (
+  SELECT event_type,
+         to_timestamp((epoch_us(ts) // 900000000) * 900 - i.i * 900) AS win_start
+  FROM events, unnest(generate_series(0, 3)) AS i(i)
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS win_start, event_type,
+       count(*) AS cnt
+FROM slotted
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "streaming_events_hourly": streaming_events_hourly,
     "streaming_wordcount": streaming_wordcount,
@@ -318,4 +352,5 @@ QUERIES = {
     "streaming_sessionize": streaming_sessionize,
     "streaming_enrich_join": streaming_enrich_join,
     "streaming_stream_join": streaming_stream_join,
+    "streaming_hopping_counts": streaming_hopping_counts,
 }

@@ -132,3 +132,32 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     run_once()  # only the NEW file is processed
     got = sorted(r["value"] for r in spark.read.parquet(out).collect())
     assert got == ["x", "y", "z"]
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """The watermarked interval join must produce exactly the batch
+    join's pairs over a bounded replay."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rust_spark.sources.tables import load_table
+    from mapreduce_rust_spark.streaming.queries import streaming_stream_join
+
+    got = {
+        r["user_id"]: (r["n_attributed"], r["attributed_value"])
+        for r in streaming_stream_join(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("pts"), "value"
+    )
+    batch = (
+        c.join(p, ["u"])
+        .filter((F.col("pts") >= F.col("cts")) & (F.col("pts") <= F.col("cts") + F.expr("interval 1 hour")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {r["u"]: r["n"] for r in batch.collect()}
+    assert {k: v[0] for k, v in got.items()} == want
