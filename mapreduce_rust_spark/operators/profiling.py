@@ -168,7 +168,7 @@ def quantile_bin_counts(df: DataFrame, col: str, n_bins: int = 10) -> DataFrame:
     )
     binned = df.join(F.broadcast(bnds)).select(
         F.col(col).alias("v"),
-        F.size(F.filter("bnds", lambda b: b <= F.col(col))).alias("bin"),
+        F.size(F.filter("bnds", lambda b: b <= F.col(col))).cast("bigint").alias("bin"),
     )
     return (
         binned.groupBy("bin")

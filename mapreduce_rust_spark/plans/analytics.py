@@ -629,6 +629,84 @@ FROM per_order
 """
 
 
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer Recency (days since last
+    order), Frequency (order count), Monetary (total spend), each
+    scored into quartiles 0-3 against exact interpolated quartile
+    boundaries — the classic marketing/value segmentation, built
+    scale-first: one fact aggregation to the per-customer frame, one
+    tiny boundary aggregate broadcast back, NO global sort (same
+    trick as quantile_bins; an ntile() formulation would range-sort
+    every customer through one partition). Output: one row per
+    (r_score, f_score, m_score) cell with counts.
+
+    Recency is measured against the dataset's own max order date
+    (integer day diff) so the query is deterministic, not
+    wall-clock-dependent."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("o_totalprice").alias("raw_monetary"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    base = per_cust.join(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("anchor", "last_order").cast("double").alias("recency_days"),
+        F.col("freq").cast("double").alias("freq"),
+        F.col("raw_monetary").cast("double").alias("monetary"),
+    )
+    bnds = base.agg(
+        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias("rb"),
+        F.expr("percentile(freq, array(0.25, 0.5, 0.75))").alias("fb"),
+        F.expr("percentile(monetary, array(0.25, 0.5, 0.75))").alias("mb"),
+    )
+    scored = base.join(F.broadcast(bnds)).select(
+        # low recency_days = GOOD: invert so 3 is best, like f/m
+        (3 - F.size(F.filter("rb", lambda b: b <= F.col("recency_days"))))
+        .cast("bigint")
+        .alias("r_score"),
+        F.size(F.filter("fb", lambda b: b <= F.col("freq"))).cast("bigint").alias("f_score"),
+        F.size(F.filter("mb", lambda b: b <= F.col("monetary"))).cast("bigint").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+ORACLE["customer_rfm"] = """
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS freq, sum(o_totalprice) AS raw_monetary
+  FROM orders GROUP BY 1
+),
+anchor AS (SELECT max(o_orderdate) AS anchor FROM orders),
+base AS (
+  SELECT o_custkey,
+         CAST(datediff('day', last_order, anchor) AS DOUBLE) AS recency_days,
+         CAST(freq AS DOUBLE) AS freq,
+         CAST(raw_monetary AS DOUBLE) AS monetary
+  FROM per_cust CROSS JOIN anchor
+),
+bnds AS (
+  SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rb,
+         quantile_cont(freq, [0.25, 0.5, 0.75]) AS fb,
+         quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mb
+  FROM base
+),
+scored AS (
+  SELECT 3 - len(list_filter(rb, x -> x <= recency_days)) AS r_score,
+         len(list_filter(fb, x -> x <= freq)) AS f_score,
+         len(list_filter(mb, x -> x <= monetary)) AS m_score
+  FROM base CROSS JOIN bnds
+)
+SELECT r_score, f_score, m_score, count(*) AS n_customers
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -650,4 +728,5 @@ QUERIES = {
     "unpivot_melt": unpivot_melt,
     "cdc_upsert_apply": cdc_upsert_apply,
     "complex_types_suite": complex_types_suite,
+    "customer_rfm": customer_rfm,
 }
