@@ -8,7 +8,23 @@ from mapreduce_rust_spark.operators.dedup import (
     simhash_pairs,
     simhash_pairs_banded,
 )
-from mapreduce_rust_spark.operators.graph import connected_components
+from mapreduce_rust_spark.operators.cleaning import (
+    ngram_overlap_report,
+    prefix_duplicate_groups,
+    redact_pii,
+    repetition_scores,
+)
+from mapreduce_rust_spark.operators.corpus import pack_shards, stratified_hash_sample
+from mapreduce_rust_spark.operators.dedup import duplicated_spans
+from mapreduce_rust_spark.operators.graph import connected_components, pagerank_fixed
+from mapreduce_rust_spark.operators.profiling import (
+    correlation_matrix,
+    profile_numeric,
+    quantile_bin_counts,
+    value_histogram,
+    zscore_outliers,
+)
+from mapreduce_rust_spark.operators.text_analysis import token_diversity
 from mapreduce_rust_spark.operators.mapreduce import (
     MapReduceJob,
     cogroup_merge,
@@ -33,6 +49,21 @@ from mapreduce_rust_spark.operators.skew import (
 )
 
 __all__ = [
+    "correlation_matrix",
+    "duplicated_spans",
+    "ngram_overlap_report",
+    "pack_shards",
+    "pagerank_fixed",
+    "prefix_duplicate_groups",
+    "profile_numeric",
+    "quantile_bin_counts",
+    "redact_pii",
+    "repetition_scores",
+    "stratified_hash_sample",
+    "token_diversity",
+    "value_histogram",
+    "zscore_outliers",
+
     "MapReduceJob",
     "cogroup_merge",
     "connected_components",
