@@ -80,6 +80,24 @@ def _load() -> None:
 # round 1 covered the classic parity/analytics/TPC-H block, round 2
 # covers the events-family fixes + the extension families round 1
 # never reached.
+#
+# ROUND-3 ROTATION PLAN: swap this list for the slugs still without
+# driver-side evidence — the late-round-1 block (unpivot_melt,
+# cdc_upsert_apply, udaf_weighted_avg, full_outer_join, q2/q4/q11/
+# q12/q16/q20, ts_ohlc_resample, session_window_builtin,
+# streaming_enrich_join, embedding_centroids, knn_classify,
+# multimodal_frame_sample, skew_salted_join, skew_top_hot_keys,
+# sink_partitioned_parquet, sink_bucketed_join,
+# source_schema_evolution) and the round-2 additions (window_range_24h,
+# ts_interpolate_linear, ts_ewma, window_sliding_counts,
+# ts_multires_rollup, sql_recursive_cte, corr_matrix, quantile_bins,
+# anomaly_zscore, customer_rfm, complex_types_suite, text_pii_redact,
+# text_repetition, text_diversity, text_lm_likelihood, dedup_prefix,
+# dedup_span_exact, dedup_exact_normalized, dedup_keep_best,
+# decontaminate_ngram_overlap, corpus_shard_pack, sample_stratified,
+# event_path_analysis, graph_pagerank, streaming_stream_join,
+# streaming_hopping_counts, sink_sorted_stats_prune, embedding_kmeans)
+# — all verified green locally in plain sessions this round.
 _PRIORITY: tuple[str, ...] = (
     "wordcount_e2e",
     # events-table slugs: failed round 1 on the driver's session
