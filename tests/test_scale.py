@@ -289,3 +289,45 @@ def test_fan_out_is_noop_when_already_parallel(spark):
 
     df = spark.range(1000).repartition(64)
     assert fan_out(df).rdd.getNumPartitions() == 64
+
+
+def test_join_hint_strategies_agree(spark, sf_dir):
+    """The engine honors user join-strategy hints (broadcast, merge,
+    shuffle_hash) and all strategies produce identical results — the
+    physical plan is a tuning knob, never a semantics change."""
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def agg(df):
+        return {
+            r["c_mktsegment"]: r["n"]
+            for r in df.join(cust.hint(df_hint), orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    results = []
+    plans = []
+    for df_hint, marker in [
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ]:
+        joined = orders.join(
+            cust.hint(df_hint), orders["o_custkey"] == cust["c_custkey"]
+        )
+        plans.append((marker, plan_str(joined)))
+        results.append(
+            {
+                r["c_mktsegment"]: r["n"]
+                for r in joined.groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        )
+    for marker, p in plans:
+        assert marker in p, f"hint did not produce {marker}"
+    assert results[0] == results[1] == results[2]
