@@ -707,6 +707,53 @@ FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often
+    ordered together. The pair explosion happens per order from the
+    collected part array (bounded: an order of n lines yields
+    n·(n−1)/2 pairs, n ≤ 7 in TPC-H geometry), so the shuffle keys
+    are (part, part) pair ids — never an unbounded self-join of the
+    fact against itself. Distinct parts per order first: duplicate
+    lines of the same part must not inflate the pair count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("parts"),
+                        lambda a: F.transform(F.col("parts"), lambda b: F.struct(a.alias("p1"), b.alias("p2"))),
+                    )
+                ),
+                lambda st: st["p1"] < st["p2"],
+            )
+        ).alias("pair")
+    ).select(F.col("pair.p1").alias("p1"), F.col("pair.p2").alias("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+ORACLE["basket_part_pairs"] = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+FROM baskets a JOIN baskets b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, p1, p2
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -729,4 +776,5 @@ QUERIES = {
     "cdc_upsert_apply": cdc_upsert_apply,
     "complex_types_suite": complex_types_suite,
     "customer_rfm": customer_rfm,
+    "basket_part_pairs": basket_part_pairs,
 }
