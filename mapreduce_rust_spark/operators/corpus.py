@@ -227,7 +227,7 @@ WITH packed AS (
            AS BIGINT) AS shard_id
   FROM documents
 )
-SELECT source, shard_id, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT source, shard_id, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM packed
 GROUP BY 1, 2

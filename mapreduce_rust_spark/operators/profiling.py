@@ -63,7 +63,7 @@ def _profile_oracle() -> str:
     for c in _PROFILE_COLS:
         parts.append(f"""
 SELECT '{c}' AS column, count({c}) AS n,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        count(DISTINCT {c}) AS n_distinct,
        {fround_sql(f"min({c}::DOUBLE)", 4)} AS min_v,
        {fround_sql(f"max({c}::DOUBLE)", 4)} AS max_v,
@@ -163,8 +163,17 @@ def quantile_bin_counts(df: DataFrame, col: str, n_bins: int = 10) -> DataFrame:
     survives 100 TB. (Production at extreme scale swaps the exact
     percentile for approx_percentile and keeps the rest.)"""
     qs = [i / n_bins for i in range(1, n_bins)]
+    # Snap interpolated boundaries to a 1e-4 grid (same fround recipe
+    # both engines use) BEFORE binning: Spark's percentile() and
+    # DuckDB's quantile_cont() interpolate with different arithmetic,
+    # and a 1-ulp boundary difference flips a value sitting exactly on
+    # it into the neighboring bin — ulp-insensitive only if the
+    # boundaries themselves are grid-snapped first.
     bnds = df.agg(
-        F.expr(f"percentile({col}, array({', '.join(map(str, qs))}))").alias("bnds")
+        F.expr(
+            f"transform(percentile({col}, array({', '.join(map(str, qs))})), "
+            "x -> floor(round(x, 8) * 10000) / 10000)"
+        ).alias("bnds")
     )
     binned = df.join(F.broadcast(bnds)).select(
         F.col(col).alias("v"),
@@ -189,8 +198,10 @@ def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["quantile_bins"] = f"""
 WITH b AS (
-  SELECT quantile_cont(l_extendedprice,
-                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
+  SELECT list_transform(
+           quantile_cont(l_extendedprice,
+                         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           x -> floor(round(x, 8) * 10000) / 10000) AS bnds
   FROM lineitem
 ),
 binned AS (
@@ -241,7 +252,7 @@ WITH stats AS (
   FROM events GROUP BY 1
 )
 SELECT e.event_type, count(*) AS n,
-       sum(CASE WHEN abs((value - mu) / sd) > 3.0 THEN 1 ELSE 0 END) AS n_outliers,
+       CAST(sum(CASE WHEN abs((value - mu) / sd) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        {fround_sql("max(abs((value - mu) / sd))", 4)} AS max_abs_z
 FROM events e JOIN stats USING (event_type)
 GROUP BY e.event_type

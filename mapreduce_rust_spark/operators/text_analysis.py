@@ -186,7 +186,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(fan_out(load_table(spark, sf_dir, "documents")), "doc_id", "text")
 
 
-ORACLE["text_token_stats"] = """
+ORACLE["text_token_stats"] = r"""
 WITH t AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
@@ -416,7 +416,7 @@ folded AS (
   SELECT doc_id, sum(c) AS n_tokens, sum(c * (c - 1)) AS rep_pairs
   FROM counts GROUP BY doc_id
 )
-SELECT doc_id, n_tokens,
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        {fround_sql("1 - CAST(rep_pairs AS DOUBLE) / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)", 6)} AS diversity
 FROM folded WHERE n_tokens >= 2
 """

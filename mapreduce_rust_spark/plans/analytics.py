@@ -621,7 +621,7 @@ WITH per_order AS (
 )
 SELECT l_orderkey,
        len(qs) AS n_items,
-       list_sum(qs) AS total_qty,
+       CAST(list_sum(qs) AS BIGINT) AS total_qty,
        list_max(qs) AS max_qty,
        len(list_filter(qs, x -> x < 10)) AS n_small,
        array_to_string(list_transform(qs[1:3], x -> CAST(x AS VARCHAR)), ',') AS first3
@@ -654,12 +654,21 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.datediff("anchor", "last_order").cast("double").alias("recency_days"),
         F.col("freq").cast("double").alias("freq"),
-        F.col("raw_monetary").cast("double").alias("monetary"),
+        # grid-snap the float sum: partial-agg order differs between
+        # engines, and an ulp of noise on a value lying exactly on a
+        # quartile boundary would flip its score
+        F.expr(
+            "floor(round(cast(raw_monetary as double), 8) * 10000) / 10000"
+        ).alias("monetary"),
     )
+    # snap interpolated boundaries to the same 1e-4 grid as
+    # quantile_bin_counts — Spark and DuckDB interpolate quantiles
+    # with different arithmetic (see that function's doc)
+    _snap = "x -> floor(round(x, 8) * 10000) / 10000"
     bnds = base.agg(
-        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias("rb"),
-        F.expr("percentile(freq, array(0.25, 0.5, 0.75))").alias("fb"),
-        F.expr("percentile(monetary, array(0.25, 0.5, 0.75))").alias("mb"),
+        F.expr(f"transform(percentile(recency_days, array(0.25, 0.5, 0.75)), {_snap})").alias("rb"),
+        F.expr(f"transform(percentile(freq, array(0.25, 0.5, 0.75)), {_snap})").alias("fb"),
+        F.expr(f"transform(percentile(monetary, array(0.25, 0.5, 0.75)), {_snap})").alias("mb"),
     )
     scored = base.join(F.broadcast(bnds)).select(
         # low recency_days = GOOD: invert so 3 is best, like f/m
@@ -687,13 +696,16 @@ base AS (
   SELECT o_custkey,
          CAST(datediff('day', last_order, anchor) AS DOUBLE) AS recency_days,
          CAST(freq AS DOUBLE) AS freq,
-         CAST(raw_monetary AS DOUBLE) AS monetary
+         floor(round(CAST(raw_monetary AS DOUBLE), 8) * 10000) / 10000 AS monetary
   FROM per_cust CROSS JOIN anchor
 ),
 bnds AS (
-  SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rb,
-         quantile_cont(freq, [0.25, 0.5, 0.75]) AS fb,
-         quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mb
+  SELECT list_transform(quantile_cont(recency_days, [0.25, 0.5, 0.75]),
+                        x -> floor(round(x, 8) * 10000) / 10000) AS rb,
+         list_transform(quantile_cont(freq, [0.25, 0.5, 0.75]),
+                        x -> floor(round(x, 8) * 10000) / 10000) AS fb,
+         list_transform(quantile_cont(monetary, [0.25, 0.5, 0.75]),
+                        x -> floor(round(x, 8) * 10000) / 10000) AS mb
   FROM base
 ),
 scored AS (

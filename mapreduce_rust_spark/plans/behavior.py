@@ -97,12 +97,12 @@ WITH per_user AS (
   FROM events GROUP BY 1
 )
 SELECT count(*) AS n_users,
-       sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS reached_view,
-       sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
-                 AND t_click > t_view THEN 1 ELSE 0 END) AS converted_click,
-       sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                 AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS converted_click,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
                  AND t_click > t_view AND t_purchase IS NOT NULL
-                 AND t_purchase > t_click THEN 1 ELSE 0 END) AS converted_purchase
+                 AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS converted_purchase
 FROM per_user
 """
 

@@ -86,7 +86,7 @@ tokens AS (
            AS BIGINT) AS n_tok
   FROM documents
 )
-SELECT pred_lang, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+SELECT pred_lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
        {fround_sql("avg(quality_score)", 4)} AS avg_quality
 FROM survivors
 JOIN quality USING (doc_id)

@@ -19,9 +19,27 @@ engine-level knobs we own are the session configs below, chosen for the
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str = "mrs_") -> str:
+    """A fresh temp directory under ONE per-process scratch root that
+    is removed at interpreter exit. Sinks and streaming checkpoints
+    must allocate here, never via bare ``tempfile.mkdtemp`` — a bench
+    or correctness sweep runs dozens of write-path queries and a
+    data-sized parquet copy leaked per run adds up fast."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="mrs_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 
 def get_spark(

@@ -20,7 +20,8 @@ compressed, statistics).
 from __future__ import annotations
 
 import os
-import tempfile
+
+from mapreduce_rust_spark.session import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,7 +55,7 @@ def _orders_stringified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def roundtrip(df: DataFrame, fmt: str, **writer_options: str) -> DataFrame:
     """Write ``df`` in ``fmt`` to a temp dir and read it back with the
     original schema (no inference)."""
-    out = os.path.join(tempfile.mkdtemp(prefix=f"mrs_{fmt}_"), "data")
+    out = os.path.join(scratch_dir(prefix=f"mrs_{fmt}_"), "data")
     df.write.mode("overwrite").format(fmt).options(**writer_options).save(out)
     reader = df.sparkSession.read.format(fmt).schema(df.schema).options(**writer_options)
     return reader.load(out)
@@ -87,7 +88,7 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_rust_spark.sinks import write_partitioned_parquet
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    out = os.path.join(tempfile.mkdtemp(prefix="mrs_part_"), "events")
+    out = os.path.join(scratch_dir(prefix="mrs_part_"), "events")
     write_partitioned_parquet(ev, out, ["event_type"])
     back = spark.read.parquet(out)
     return (
@@ -122,7 +123,7 @@ def sink_sorted_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_shipdate", "l_quantity", "l_extendedprice"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="mrs_sorted_"), "lineitem")
+    out = os.path.join(scratch_dir(prefix="mrs_sorted_"), "lineitem")
     (
         li.repartitionByRange(16, "l_shipdate")
         .sortWithinPartitions("l_shipdate")
@@ -158,7 +159,7 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_rust_spark.functions.numeric import fround
     from mapreduce_rust_spark.sinks import read_table, write_bucketed_table
 
-    path = tempfile.mkdtemp(prefix="mrs_bucket_")
+    path = scratch_dir(prefix="mrs_bucket_")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -209,7 +210,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB lake absorbs schema additions without rewriting history.
     Split is deterministic (orderkey parity stands in for 'written
     before/after the column existed')."""
-    base = tempfile.mkdtemp(prefix="mrs_evo_")
+    base = scratch_dir(prefix="mrs_evo_")
     orders = load_table(spark, sf_dir, "orders")
     v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"

@@ -54,14 +54,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Parquet TIMESTAMP(NANOS) columns arrive as long (see session.py
-    # nanosAsLong); restore them to timestamps. The testdata nanos are
-    # micro-aligned, so integer `div 1000` is lossless.
+    # Normalize the events timestamp to TIMESTAMP (LTZ) regardless of
+    # how the generator wrote it. Two physical layouts exist across
+    # testdata generations:
+    #   * TIMESTAMP(NANOS) -> arrives as long under nanosAsLong; the
+    #     nanos are micro-aligned so `div 1000` is lossless;
+    #   * TIMESTAMP(MICROS, isAdjustedToUTC=false) -> arrives as
+    #     TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default; the
+    #     cast below is wall-clock-preserving because the session tz is
+    #     pinned to UTC above.
+    # Downstream operators can then use the full TIMESTAMP function
+    # surface (unix_micros, windows, watermarks) on one uniform type.
     from pyspark.sql import functions as F
 
     for col_name, dtype in df.dtypes:
         if col_name == "ts" and dtype == "bigint":
             df = df.withColumn(col_name, F.timestamp_micros(F.expr(f"{col_name} div 1000")))
+        elif col_name == "ts" and dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return df
 
 

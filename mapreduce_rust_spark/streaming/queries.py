@@ -25,7 +25,8 @@ high-cardinality, even spread across executors.
 from __future__ import annotations
 
 import os
-import tempfile
+
+from mapreduce_rust_spark.session import scratch_dir
 from itertools import count
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,11 +57,19 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
+    # keep the streaming ts type identical to the batch loader's:
+    # UTC wall-clock preserved under the session tz pinned by
+    # sources.tables.load_table (micros/NTZ layout) or restored from
+    # micro-aligned nanos (nanosAsLong layout)
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     for col_name, dtype in sdf.dtypes:
         if col_name == "ts" and dtype == "bigint":
             sdf = sdf.withColumn(
                 col_name, F.timestamp_micros(F.expr(f"{col_name} div 1000"))
             )
+        elif col_name == "ts" and dtype == "timestamp_ntz":
+            sdf = sdf.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return sdf
 
 
@@ -88,7 +97,7 @@ def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="mrs_ckpt_"))
+            .option("checkpointLocation", scratch_dir(prefix="mrs_ckpt_"))
             .start()
         )
         query.awaitTermination()

@@ -300,15 +300,6 @@ def test_join_hint_strategies_agree(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
 
-    def agg(df):
-        return {
-            r["c_mktsegment"]: r["n"]
-            for r in df.join(cust.hint(df_hint), orders["o_custkey"] == cust["c_custkey"])
-            .groupBy("c_mktsegment")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-
     results = []
     plans = []
     for df_hint, marker in [

@@ -53,6 +53,16 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = canon(spark_pdf), canon(duck_pdf)
     for c in s.columns:
         sc, dc = s[c], d[c]
+        if {sc.dtype.kind, dc.dtype.kind} == {"i", "f"}:
+            # DuckDB returns HUGEINT (int sums) as float64; the values
+            # compare equal numerically but the driver's value hash
+            # stringifies ("150" vs "150.0") and mismatches. The oracle
+            # must CAST integer sums to BIGINT.
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={sc.dtype} duck={dc.dtype} "
+                f"(driver hash would differ — CAST the oracle expr)"
+            )
+            continue
         if sc.dtype.kind == "f" or dc.dtype.kind == "f":
             sa = pd.to_numeric(sc, errors="coerce")
             da = pd.to_numeric(dc, errors="coerce")
