@@ -280,10 +280,69 @@ ORDER BY k.lang
 """
 
 
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing report: per source, its share of the
+    corpus (by characters) and the resampling weight that would bring
+    the mix to uniform — the number a data-loader multiplies each
+    source's sampling probability by. Two tiny aggregations (per-source
+    totals, then a broadcast of the one-row grand total); the fact
+    table is scanned once and only (source, n_chars) survive the scan.
+
+    Weights use exact integer character counts divided as doubles, so
+    both engines compute bit-identical ratios; fround guards the
+    division results."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("src_chars"),
+    )
+    total = per_src.agg(
+        F.sum("src_chars").alias("all_chars"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_src.join(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            F.col("src_chars").cast("bigint").alias("src_chars"),
+            fround(
+                F.col("src_chars").cast("double") / F.col("all_chars").cast("double"),
+                6,
+            ).alias("share"),
+            fround(
+                (F.col("all_chars").cast("double") / F.col("n_sources").cast("double"))
+                / F.col("src_chars").cast("double"),
+                6,
+            ).alias("uniform_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["source_mix_weights"] = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS src_chars
+  FROM documents GROUP BY 1
+),
+total AS (
+  SELECT CAST(sum(src_chars) AS BIGINT) AS all_chars,
+         count(*) AS n_sources
+  FROM per_src
+)
+SELECT source, n_docs, src_chars,
+       {fround_sql("CAST(src_chars AS DOUBLE) / CAST(all_chars AS DOUBLE)", 6)} AS share,
+       {fround_sql("(CAST(all_chars AS DOUBLE) / CAST(n_sources AS DOUBLE)) / CAST(src_chars AS DOUBLE)", 6)} AS uniform_weight
+FROM per_src CROSS JOIN total
+ORDER BY source
+"""
+
+
 QUERIES = {
     "sample_hash_deterministic": sample_hash_deterministic,
     "tfidf_top_terms": tfidf_top_terms,
     "inverted_index_postings": inverted_index_postings,
     "corpus_shard_pack": corpus_shard_pack,
     "sample_stratified": sample_stratified,
+    "source_mix_weights": source_mix_weights,
 }

@@ -260,10 +260,69 @@ ORDER BY e.event_type
 """
 
 
+def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier screen per event type — the
+    mean/stddev z-score's heavy-tail-safe sibling: median absolute
+    deviation is unaffected by the outliers it is hunting. Three
+    passes, each a per-group aggregate broadcast back onto the fact
+    (medians → deviations → counts); the fact table itself never
+    shuffles. Median and MAD are grid-snapped to 1e-4 in both engines
+    (interpolated percentiles, see quantile_bin_counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    snap = "floor(round({}, 8) * 10000) / 10000"
+    med = ev.groupBy("event_type").agg(
+        F.expr(snap.format("percentile(value, 0.5)")).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr(snap.format("percentile(abs(value - med), 0.5)")).alias("mad")
+    )
+    # 1.4826 ≈ 1/Φ⁻¹(0.75) scales MAD to a stddev-consistent estimate
+    thr = F.col("med") + 3.0 * 1.4826 * F.col("mad")
+    low = F.col("med") - 3.0 * 1.4826 * F.col("mad")
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(((F.col("value") > thr) | (F.col("value") < low)).cast("bigint")).alias(
+                "n_outliers"
+            ),
+            fround(F.first("med"), 4).alias("med"),
+            fround(F.first("mad"), 4).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["robust_mad_outliers"] = f"""
+WITH med AS (
+  SELECT event_type,
+         floor(round(quantile_cont(value, 0.5), 8) * 10000) / 10000 AS med
+  FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type,
+         floor(round(quantile_cont(abs(value - med), 0.5), 8) * 10000) / 10000 AS mad
+  FROM events e JOIN med USING (event_type) GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n,
+       CAST(sum(CASE WHEN value > med + 3.0 * 1.4826 * mad
+                       OR value < med - 3.0 * 1.4826 * mad
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       {fround_sql("any_value(med)", 4)} AS med,
+       {fround_sql("any_value(mad)", 4)} AS mad
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 QUERIES = {
     "table_profile": table_profile,
     "table_histogram": table_histogram,
     "corr_matrix": corr_matrix,
     "quantile_bins": quantile_bins,
     "anomaly_zscore": anomaly_zscore,
+    "robust_mad_outliers": robust_mad_outliers,
 }

@@ -422,9 +422,57 @@ FROM folded WHERE n_tokens >= 2
 """
 
 
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First step of BPE vocabulary induction: the 30 most frequent
+    adjacent character pairs inside lowercase alpha tokens — the
+    statistic a byte-pair-encoding trainer computes before every merge.
+    The pair explosion is a pure JVM expression chain (split →
+    sequence → transform → explode, whole-stage codegen, no Python);
+    the count shuffles only |alphabet|² ≤ 676 keys, so map-side
+    partial aggregation collapses the stream regardless of corpus
+    size. Deterministic tiebreak on the pair string. (No fan_out: the
+    split+explode is light enough that the extra exchange costs more
+    than single-partition tokenization saves at test scale, and real
+    multi-split inputs parallelize the scan natively.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )
+
+
+ORACLE["bpe_pair_counts"] = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+pairs AS (
+  SELECT substring(tok, i, 2) AS pair
+  FROM toks, unnest(generate_series(1, length(tok) - 1)) AS g(i)
+  WHERE length(tok) >= 2
+)
+SELECT pair, count(*) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 30
+"""
+
+
 QUERIES = {
     "text_lm_likelihood": text_lm_likelihood,
     "text_diversity": text_diversity,
+    "bpe_pair_counts": bpe_pair_counts,
     "text_token_stats": text_token_stats,
     "text_bpe_tokens": text_bpe_tokens,
     "text_quality": text_quality,

@@ -148,8 +148,55 @@ LIMIT 10
 """
 
 
+def scd2_compress_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style state history: compress each user's event timeline
+    into runs of consecutive identical event types with validity
+    bounds — the gaps-and-islands pattern that builds a type-2
+    slowly-changing dimension from a change stream. Island id is the
+    classic difference of two row_numbers (global-per-user minus
+    per-(user,type)), so one window shuffle on user_id (high
+    cardinality, even spread) covers both numbering passes; the run
+    rollup reuses the same partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("island"),
+    )
+    return (
+        runs.groupBy("user_id", "event_type", "island")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("island")
+    )
+
+
+ORACLE["scd2_compress_states"] = """
+WITH runs AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS island
+  FROM events
+)
+SELECT user_id, event_type,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS valid_to,
+       count(*) AS n_events
+FROM runs
+GROUP BY user_id, event_type, island
+"""
+
+
 QUERIES = {
     "cohort_retention": cohort_retention,
     "funnel_conversion": funnel_conversion,
     "event_path_analysis": event_path_analysis,
+    "scd2_compress_states": scd2_compress_states,
 }

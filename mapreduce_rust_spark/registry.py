@@ -64,6 +64,7 @@ def _load() -> None:
         "mapreduce_rust_spark.operators.graph",
         "mapreduce_rust_spark.operators.profiling",
         "mapreduce_rust_spark.sources.formats",
+        "mapreduce_rust_spark.sources.pysource",
     ):
         try:
             mod = __import__(mod_name, fromlist=["QUERIES", "ORACLE"])

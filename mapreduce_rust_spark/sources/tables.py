@@ -34,10 +34,30 @@ TABLE_NAMES = (
 BROADCAST_SAFE = ("region", "nation", "supplier")
 
 
+# (session id, sf_dir, table) → analyzed DataFrame. A load_table call
+# costs ~0.2 s of py4j/footer/conf round-trips; queries load 1-4 tables
+# each, so across a 140-query suite the repeated loads are a double-
+# digit-seconds tax. DataFrames are immutable logical plans — reusing
+# one across queries is free and changes nothing downstream. Keyed by
+# id(session) so a fresh session (new JVM state) never sees another
+# session's plans.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# (id(frame), target) → (frame, fanned-out frame): fan_out's partition
+# probe (df.rdd → plan-to-RDD translation) and repartition-plan build
+# cost ~0.25 s of py4j per call and are pure functions of the input
+# frame. The input frame is stored in the value so its id can never be
+# recycled onto a different object while the entry lives.
+_FANOUT_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table from ``{sf_dir}/{name}.parquet``."""
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     # events.parquet carries TIMESTAMP(NANOS) columns, which Spark's
     # parquet reader rejects outright unless this legacy conf is on. Our
     # own get_spark() sets it at build time, but the DRIVER (and any
@@ -72,6 +92,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(col_name, F.timestamp_micros(F.expr(f"{col_name} div 1000")))
         elif col_name == "ts" and dtype == "timestamp_ntz":
             df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 
@@ -89,9 +110,14 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     extra exchange would be pure overhead."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    key = (id(df), target)
+    hit = _FANOUT_CACHE.get(key)
+    if hit is not None and hit[0] is df:
+        return hit[1]
+    nparts = df.rdd.getNumPartitions()
+    out = df.repartition(target) if nparts < target else df
+    _FANOUT_CACHE[key] = (df, out)
+    return out
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

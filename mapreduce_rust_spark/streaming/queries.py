@@ -88,7 +88,14 @@ def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
     name = f"mrs_stream_{next(_run_ids)}"
     spark = sdf.sparkSession
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    target = str(spark.sparkContext.defaultParallelism)
+    # State-store COMMIT overhead (delta file per store per partition
+    # per micro-batch) dominates a bounded local replay: a stream-
+    # stream join carries 4 stores/partition, and measured wall-clock
+    # at 32 vs 8 partitions is 9.6 s vs 3.3 s for the same job. Cap the
+    # replay at 8; a production stream sizes this to its executor count
+    # BEFORE first checkpoint (it is frozen thereafter) where per-
+    # partition commit cost amortizes over real per-batch volume.
+    target = str(min(spark.sparkContext.defaultParallelism, 8))
     if old_parts != target:
         spark.conf.set("spark.sql.shuffle.partitions", target)
     try:
