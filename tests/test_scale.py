@@ -322,3 +322,57 @@ def test_join_hint_strategies_agree(spark, sf_dir):
     for marker, p in plans:
         assert marker in p, f"hint did not produce {marker}"
     assert results[0] == results[1] == results[2]
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """Both window passes (global and per-type numbering) and the run
+    rollup must share ONE hash exchange on user_id — Catalyst satisfies
+    the (user_id, event_type) clustering requirement with the existing
+    user_id partitioning."""
+    import re
+
+    from mapreduce_rust_spark.plans.behavior import scd2_compress_states
+
+    p = plan_str(scd2_compress_states(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_bpe_pairs_jvm_only_take_ordered(spark, sf_dir):
+    """The pair explosion must stay in JVM codegen (no Python eval in
+    the plan) and top-30 must plan as TakeOrdered, not a global sort."""
+    from mapreduce_rust_spark.operators.text_analysis import bpe_pair_counts
+
+    p = plan_str(bpe_pair_counts(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [n" not in p  # no standalone global sort operator
+
+
+def test_source_mix_totals_broadcast(spark, sf_dir):
+    """The one-row grand-total frame joins back by broadcast; the
+    per-source frame must not shuffle for it."""
+    from mapreduce_rust_spark.operators.corpus import source_mix_weights
+
+    p = plan_str(source_mix_weights(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_robust_mad_stats_broadcast_fact_single_agg(spark, sf_dir):
+    """Median/MAD frames broadcast back onto the events fact — the
+    fact itself shuffles only for the final per-type aggregate."""
+    from mapreduce_rust_spark.operators.profiling import robust_mad_outliers
+
+    p = plan_str(robust_mad_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_python_datasource_partition_planning(spark):
+    """The custom source must expose its shards as input partitions —
+    the engine schedules one task per partition (the reference's
+    slice() made declarative)."""
+    from mapreduce_rust_spark.sources.pysource import N_PARTS, _register_source
+
+    _register_source(spark)
+    df = spark.read.format("mrs_range").load()
+    assert df.rdd.getNumPartitions() == N_PARTS
