@@ -220,6 +220,22 @@ def signature_index(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
 
 
+def candidate_pairs_index(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, k: int = 3
+) -> DataFrame:
+    """Memoized (per session) LSH candidate pairs at ``threshold`` —
+    the shared edge list of the dedup graph family (components,
+    survivor selection, PageRank all consume the same pairs; without
+    sharing, each re-runs the band self-join)."""
+    return _memoized(
+        _SIG_INDEX,
+        (sf_dir, f"pairs-k{k}-t{threshold}"),
+        lambda: lsh_candidate_pairs(signature_index(spark, sf_dir, k), "doc_id").filter(
+            F.col("est_sim") >= threshold
+        ),
+    )
+
+
 def shingle_index(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Memoized (per session) distinct-shingle table — the second
     shared dedup artifact (exact Jaccard + LSH verification both

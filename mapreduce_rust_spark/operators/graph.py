@@ -28,7 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.operators.dedup import lsh_candidate_pairs
 
 ORACLE: dict[str, str] = {}
 
@@ -104,11 +103,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster stats, and reporting all consume it), so the LSH pair
     generation + propagation loop runs once per dataset, not once per
     consuming query."""
-    from mapreduce_rust_spark.operators.dedup import _SIG_INDEX, _memoized, signature_index
+    from mapreduce_rust_spark.operators.dedup import (
+        _SIG_INDEX,
+        _memoized,
+        candidate_pairs_index,
+    )
 
     def build():
-        sigs = signature_index(spark, sf_dir, k=3)
-        pairs = lsh_candidate_pairs(sigs, "doc_id").filter(F.col("est_sim") >= 0.5)
+        pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3)
         return connected_components(pairs, "d1", "d2").select("node", "comp")
 
     return _memoized(_SIG_INDEX, (sf_dir, "components-0.5"), build)
@@ -225,10 +227,9 @@ def pagerank_fixed(
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank over the MinHash-LSH near-duplicate graph
     — ranks the "hub" documents of each duplicate cluster."""
-    from mapreduce_rust_spark.operators.dedup import signature_index
+    from mapreduce_rust_spark.operators.dedup import candidate_pairs_index
 
-    sigs = signature_index(spark, sf_dir, k=3)
-    pairs = lsh_candidate_pairs(sigs, "doc_id").filter(F.col("est_sim") >= 0.5)
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3)
     pr = pagerank_fixed(pairs, "d1", "d2", iters=3, d=0.85)
     return pr.select(
         "node", F.expr("floor(round(r, 10) * 1000000) / 1000000").alias("rank")
