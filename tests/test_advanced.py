@@ -84,3 +84,59 @@ def test_profile_numeric_counts_nulls(spark):
     assert got["a"]["n_distinct"] == 2 and got["a"]["max_v"] == 2.0
     assert got["b"]["n"] == 2 and got["b"]["n_null"] == 2
     assert got["b"]["min_v"] == 5.0 and got["b"]["avg_v"] == 5.0
+
+
+def test_scd2_islands_compress_alternating_states(spark, sf_dir, monkeypatch):
+    """A hand-built timeline A,A,B,A must yield three runs — the
+    middle B breaks the first A-run even though type A recurs."""
+    import mapreduce_rust_spark.plans.behavior as B
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "A", 0.0, "{}"),
+            (2, "2024-01-01 01:00:00", 7, "A", 0.0, "{}"),
+            (3, "2024-01-01 02:00:00", 7, "B", 0.0, "{}"),
+            (4, "2024-01-01 03:00:00", 7, "A", 0.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    monkeypatch.setattr(B, "load_table", lambda s, d, n: ev)
+    rows = sorted(
+        (r["event_type"], r["valid_from"], r["n_events"])
+        for r in B.scd2_compress_states(spark, sf_dir).collect()
+    )
+    assert rows == [
+        ("A", "2024-01-01 00:00:00", 2),
+        ("A", "2024-01-01 03:00:00", 1),
+        ("B", "2024-01-01 02:00:00", 1),
+    ]
+
+
+def test_robust_mad_flags_planted_outlier(spark, monkeypatch):
+    """Median/MAD must flag one planted extreme value and stay robust:
+    the screen's own statistics must not move with the outlier."""
+    import mapreduce_rust_spark.operators.profiling as P
+    from pyspark.sql import functions as F
+
+    vals = [float(v) for v in [10, 11, 12, 13, 14, 1000]]
+    ev = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:00", i, "t", v, "{}") for i, v in enumerate(vals)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    monkeypatch.setattr(P, "load_table", lambda s, d, n: ev)
+    [row] = P.robust_mad_outliers(spark, "unused").collect()
+    assert row["n"] == 6 and row["n_outliers"] == 1
+    assert row["med"] == 12.5  # unmoved by the 1000
+
+def test_source_mix_weights_sum_to_uniform(spark, sf_dir):
+    """Weighted shares must reconstruct the uniform mix: share *
+    uniform_weight == 1/n_sources for every source."""
+    from mapreduce_rust_spark.operators.corpus import source_mix_weights
+
+    rows = source_mix_weights(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 1
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert abs(r["share"] * r["uniform_weight"] - 1.0 / n) < 1e-3
