@@ -488,6 +488,73 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+_COV_DIMS = 8
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the leading ``_COV_DIMS`` embedding
+    dimensions, long-form (i, j, cov) upper triangle — the sufficient-
+    statistics pass behind PCA/whitening of an embedding corpus. All
+    d·(d+1)/2 co-moments + d means fold into ONE aggregation: every
+    statistic is algebraic, so map-side partials reduce the shuffle to
+    one row per partition no matter the corpus size (the full-width
+    variant at d=512+ swaps the expression list for numpy partial Gram
+    matrices in mapInPandas and sums them — same single-pass shape).
+    Population covariance E[xy] − E[x]E[y]: identical IEEE expression
+    both engines, fround-guarded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = _COV_DIMS
+    el = lambda i: F.col("embedding").getItem(i).cast("double")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(el(i)).alias(f"s{i}") for i in range(d)]
+    aggs += [
+        F.sum(el(i) * el(j)).alias(f"p{i}_{j}")
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    wide = emb.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                fround(
+                    F.col(f"p{i}_{j}") / F.col("n")
+                    - (F.col(f"s{i}") / F.col("n")) * (F.col(f"s{j}") / F.col("n")),
+                    6,
+                ).alias("cov"),
+            )
+            for i in range(d)
+            for j in range(i, d)
+        ]
+    )
+    return wide.select(F.explode(cells).alias("c")).select("c.*")
+
+
+def _covariance_oracle() -> str:
+    from mapreduce_rust_spark.functions.numeric import fround_sql
+
+    d = _COV_DIMS
+    parts = []
+    for i in range(d):
+        for j in range(i, d):
+            # DuckDB lists are 1-based
+            expr = (
+                f"sum(CAST(embedding[{i+1}] AS DOUBLE) * CAST(embedding[{j+1}] AS DOUBLE)) / count(*)"
+                f" - (sum(CAST(embedding[{i+1}] AS DOUBLE)) / count(*))"
+                f" * (sum(CAST(embedding[{j+1}] AS DOUBLE)) / count(*))"
+            )
+            parts.append(
+                f"SELECT {i} AS i, {j} AS j, {fround_sql(expr, 6)} AS cov FROM embeddings"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE["embedding_covariance"] = _covariance_oracle()
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_bucketed": ann_topk_bucketed,
@@ -495,4 +562,5 @@ QUERIES = {
     "embedding_centroids": embedding_centroids,
     "knn_classify": knn_classify,
     "embedding_kmeans": embedding_kmeans,
+    "embedding_covariance": embedding_covariance,
 }
