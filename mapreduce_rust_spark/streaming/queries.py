@@ -241,6 +241,89 @@ FROM (
 """
 
 
+def streaming_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC compaction: treat the events stream as an upsert
+    feed keyed by user_id and maintain each key's LATEST record
+    (ordered by ts, then event_id) plus an update count — the
+    materialized-view-maintenance primitive behind every streaming
+    MERGE/upsert sink. Built on ``applyInPandasWithState``: the state
+    is one tiny (ts, event_id, value, n) tuple per key, batches are
+    processed vectorized, and emitted snapshots are cumulative, so the
+    final answer is each key's highest-n emission — batch-count
+    independent (same extraction pattern as streaming_sessionize).
+    At scale: state is O(live keys), evenly hash-spread; production
+    adds a TTL timeout for retired keys."""
+    import pandas as pd
+
+    ev = read_stream_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def update(key, pdfs, state):
+        last_us, last_id, last_val, n = (
+            state.get if state.exists else (None, None, None, 0)
+        )
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if len(rows):
+            n += len(rows)
+            tail = rows.iloc[-1]
+            us = int(tail["ts"].value // 1000)
+            if last_us is None or (us, int(tail["event_id"])) > (int(last_us), int(last_id)):
+                last_us, last_id, last_val = us, int(tail["event_id"]), float(tail["value"])
+        state.update((last_us, last_id, last_val, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_us": [last_us],
+                "last_event_id": [last_id],
+                "last_value": [last_val],
+                "n_updates": [n],
+            }
+        )
+
+    latest = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, last_us bigint, last_event_id bigint, "
+            "last_value double, n_updates bigint"
+        ),
+        stateStructType="last_us bigint, last_event_id bigint, last_value double, n bigint",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    out = run_available_now(latest, "update")
+    final = out.groupBy("user_id").agg(
+        F.max_by("last_us", "n_updates").alias("last_us"),
+        F.max_by("last_event_id", "n_updates").alias("last_event_id"),
+        F.max_by("last_value", "n_updates").alias("last_value"),
+        F.max("n_updates").alias("n_updates"),
+    )
+    return final.select(
+        "user_id",
+        F.date_format(F.timestamp_micros(F.col("last_us")), "yyyy-MM-dd HH:mm:ss").alias(
+            "last_seen"
+        ),
+        "last_event_id",
+        fround("last_value").alias("last_value"),
+        "n_updates",
+    )
+
+
+ORACLE["streaming_cdc_latest"] = """
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+       event_id AS last_event_id,
+       floor(round((value), 6) * 100) / 100 AS last_value,
+       n_updates
+FROM (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n_updates
+  FROM events
+) WHERE rk = 1
+"""
+
+
 def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the events stream joins the
     static customer dimension (broadcast — the stream side never
@@ -367,6 +450,7 @@ QUERIES = {
     "streaming_dedup_exact": streaming_dedup_exact,
     "streaming_sessionize": streaming_sessionize,
     "streaming_enrich_join": streaming_enrich_join,
+    "streaming_cdc_latest": streaming_cdc_latest,
     "streaming_stream_join": streaming_stream_join,
     "streaming_hopping_counts": streaming_hopping_counts,
 }
