@@ -172,7 +172,7 @@ def quantile_bin_counts(df: DataFrame, col: str, n_bins: int = 10) -> DataFrame:
     bnds = df.agg(
         F.expr(
             f"transform(percentile({col}, array({', '.join(map(str, qs))})), "
-            "x -> floor(round(x, 8) * 10000) / 10000)"
+            f"x -> {fround_sql('x', 4)})"
         ).alias("bnds")
     )
     binned = df.join(F.broadcast(bnds)).select(
@@ -201,7 +201,7 @@ WITH b AS (
   SELECT list_transform(
            quantile_cont(l_extendedprice,
                          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
-           x -> floor(round(x, 8) * 10000) / 10000) AS bnds
+           x -> {fround_sql('x', 4)}) AS bnds
   FROM lineitem
 ),
 binned AS (
@@ -269,13 +269,12 @@ def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles. Median and MAD are grid-snapped to 1e-4 in both engines
     (interpolated percentiles, see quantile_bin_counts)."""
     ev = load_table(spark, sf_dir, "events")
-    snap = "floor(round({}, 8) * 10000) / 10000"
     med = ev.groupBy("event_type").agg(
-        F.expr(snap.format("percentile(value, 0.5)")).alias("med")
+        F.expr(fround_sql("percentile(value, 0.5)", 4)).alias("med")
     )
     with_med = ev.join(F.broadcast(med), "event_type")
     mad = with_med.groupBy("event_type").agg(
-        F.expr(snap.format("percentile(abs(value - med), 0.5)")).alias("mad")
+        F.expr(fround_sql("percentile(abs(value - med), 0.5)", 4)).alias("mad")
     )
     # 1.4826 ≈ 1/Φ⁻¹(0.75) scales MAD to a stddev-consistent estimate
     thr = F.col("med") + 3.0 * 1.4826 * F.col("mad")
@@ -298,12 +297,12 @@ def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["robust_mad_outliers"] = f"""
 WITH med AS (
   SELECT event_type,
-         floor(round(quantile_cont(value, 0.5), 8) * 10000) / 10000 AS med
+         {fround_sql("quantile_cont(value, 0.5)", 4)} AS med
   FROM events GROUP BY 1
 ),
 mad AS (
   SELECT e.event_type,
-         floor(round(quantile_cont(abs(value - med), 0.5), 8) * 10000) / 10000 AS mad
+         {fround_sql("quantile_cont(abs(value - med), 0.5)", 4)} AS mad
   FROM events e JOIN med USING (event_type) GROUP BY 1
 )
 SELECT e.event_type, count(*) AS n,

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.functions.numeric import fround
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql
 from mapreduce_rust_spark.sources.tables import load_table
 
 ORACLE: dict[str, str] = {}
@@ -657,14 +657,12 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         # grid-snap the float sum: partial-agg order differs between
         # engines, and an ulp of noise on a value lying exactly on a
         # quartile boundary would flip its score
-        F.expr(
-            "floor(round(cast(raw_monetary as double), 8) * 10000) / 10000"
-        ).alias("monetary"),
+        F.expr(fround_sql("cast(raw_monetary as double)", 4)).alias("monetary"),
     )
     # snap interpolated boundaries to the same 1e-4 grid as
     # quantile_bin_counts — Spark and DuckDB interpolate quantiles
     # with different arithmetic (see that function's doc)
-    _snap = "x -> floor(round(x, 8) * 10000) / 10000"
+    _snap = f"x -> {fround_sql('x', 4)}"
     bnds = base.agg(
         F.expr(f"transform(percentile(recency_days, array(0.25, 0.5, 0.75)), {_snap})").alias("rb"),
         F.expr(f"transform(percentile(freq, array(0.25, 0.5, 0.75)), {_snap})").alias("fb"),
@@ -685,7 +683,7 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["customer_rfm"] = """
+ORACLE["customer_rfm"] = f"""
 WITH per_cust AS (
   SELECT o_custkey, max(o_orderdate) AS last_order,
          count(*) AS freq, sum(o_totalprice) AS raw_monetary
@@ -696,16 +694,16 @@ base AS (
   SELECT o_custkey,
          CAST(datediff('day', last_order, anchor) AS DOUBLE) AS recency_days,
          CAST(freq AS DOUBLE) AS freq,
-         floor(round(CAST(raw_monetary AS DOUBLE), 8) * 10000) / 10000 AS monetary
+         {fround_sql("CAST(raw_monetary AS DOUBLE)", 4)} AS monetary
   FROM per_cust CROSS JOIN anchor
 ),
 bnds AS (
   SELECT list_transform(quantile_cont(recency_days, [0.25, 0.5, 0.75]),
-                        x -> floor(round(x, 8) * 10000) / 10000) AS rb,
+                        x -> {fround_sql("x", 4)}) AS rb,
          list_transform(quantile_cont(freq, [0.25, 0.5, 0.75]),
-                        x -> floor(round(x, 8) * 10000) / 10000) AS fb,
+                        x -> {fround_sql("x", 4)}) AS fb,
          list_transform(quantile_cont(monetary, [0.25, 0.5, 0.75]),
-                        x -> floor(round(x, 8) * 10000) / 10000) AS mb
+                        x -> {fround_sql("x", 4)}) AS mb
   FROM base
 ),
 scored AS (

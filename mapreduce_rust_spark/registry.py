@@ -139,6 +139,13 @@ _PRIORITY: tuple[str, ...] = (
 
 
 def _ordered(d: dict[str, QueryFn | str]) -> dict:
+    if d is _QUERIES:
+        # a typo here would silently shift the driver's value-checked
+        # first-50 window; fail loudly instead (oracle dict is a
+        # subset, so only the query dict is checked)
+        missing = set(_PRIORITY) - set(d)
+        if missing:
+            raise ValueError(f"_PRIORITY names unknown slugs: {sorted(missing)}")
     head = {k: d[k] for k in _PRIORITY if k in d}
     return head | {k: v for k, v in d.items() if k not in head}
 

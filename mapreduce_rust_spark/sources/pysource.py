@@ -45,7 +45,12 @@ def _register_source(spark: SparkSession) -> None:
         def partitions(self):
             step = N_ROWS // N_PARTS
             return [
-                _RangePartition(i * step, (i + 1) * step) for i in range(N_PARTS)
+                # last shard absorbs the remainder so every row is
+                # emitted even when the constants stop dividing evenly
+                _RangePartition(
+                    i * step, (i + 1) * step if i < N_PARTS - 1 else N_ROWS
+                )
+                for i in range(N_PARTS)
             ]
 
         def read(self, partition):

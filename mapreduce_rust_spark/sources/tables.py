@@ -50,41 +50,43 @@ _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 _FANOUT_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table from ``{sf_dir}/{name}.parquet``."""
-    if name not in TABLE_NAMES:
-        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    key = (id(spark), sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    # events.parquet carries TIMESTAMP(NANOS) columns, which Spark's
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Re-assert the session confs the loaders depend on. Cheap (two
+    conf round-trips), and called on EVERY load — cached frames too —
+    because a host application may flip its session timezone between
+    queries and the cached logical plans render wall-clock strings at
+    execution time under whatever tz is then current."""
+    # events.parquet may carry TIMESTAMP(NANOS) columns, which Spark's
     # parquet reader rejects outright unless this legacy conf is on. Our
     # own get_spark() sets it at build time, but the DRIVER (and any
     # embedding application) hands us an arbitrary session — the conf is
     # runtime-settable, so enforce it here where the read happens.
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The nanos are tz-naive wall-clock values; the epoch-based restore
-    # below reads them back verbatim only under a UTC session tz. Our
-    # get_spark() pins UTC — pin it for arbitrary host sessions too.
+    # Timestamps are tz-naive wall-clock values; both the nanos restore
+    # and the NTZ cast preserve wall-clock only under a UTC session tz.
     # NB: no string default here — RuntimeConfig.get VALIDATES a
     # provided default against the conf entry when the key is unset
     # (an empty-string default throws INVALID_CONF_VALUE).
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Normalize the events timestamp to TIMESTAMP (LTZ) regardless of
-    # how the generator wrote it. Two physical layouts exist across
-    # testdata generations:
-    #   * TIMESTAMP(NANOS) -> arrives as long under nanosAsLong; the
-    #     nanos are micro-aligned so `div 1000` is lossless;
-    #   * TIMESTAMP(MICROS, isAdjustedToUTC=false) -> arrives as
-    #     TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default; the
-    #     cast below is wall-clock-preserving because the session tz is
-    #     pinned to UTC above.
-    # Downstream operators can then use the full TIMESTAMP function
-    # surface (unix_micros, windows, watermarks) on one uniform type.
+
+
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize a ``ts`` column to TIMESTAMP (LTZ) regardless of how
+    the generator wrote it — shared by the batch and streaming loaders
+    so both sides see one uniform type. Two physical layouts exist
+    across testdata generations:
+
+    * TIMESTAMP(NANOS) -> arrives as long under nanosAsLong; the
+      nanos are micro-aligned so ``div 1000`` is lossless;
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) -> arrives as
+      TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default; the
+      cast is wall-clock-preserving because the session tz is pinned
+      to UTC (ensure_session_confs).
+
+    Downstream operators can then use the full TIMESTAMP function
+    surface (unix_micros, windows, watermarks) on one uniform type."""
     from pyspark.sql import functions as F
 
     for col_name, dtype in df.dtypes:
@@ -92,6 +94,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(col_name, F.timestamp_micros(F.expr(f"{col_name} div 1000")))
         elif col_name == "ts" and dtype == "timestamp_ntz":
             df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table from ``{sf_dir}/{name}.parquet``."""
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    ensure_session_confs(spark)
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = normalize_ts(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+    if len(_TABLE_CACHE) > 256:  # bound growth in long-lived hosts
+        _TABLE_CACHE.clear()
     _TABLE_CACHE[key] = df
     return df
 
@@ -116,6 +133,8 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
         return hit[1]
     nparts = df.rdd.getNumPartitions()
     out = df.repartition(target) if nparts < target else df
+    if len(_FANOUT_CACHE) > 256:  # bound growth in long-lived hosts
+        _FANOUT_CACHE.clear()
     _FANOUT_CACHE[key] = (df, out)
     return out
 

@@ -44,11 +44,17 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``readStream`` twin of ``sources.tables.load_table``: same
     path, same schema (taken from a metadata-only batch read), same
     nanos→timestamp restoration."""
+    from mapreduce_rust_spark.sources.tables import (
+        ensure_session_confs,
+        load_table,
+        normalize_ts,
+    )
+
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # nanosAsLong must be on in THIS session (the driver's, not
-    # necessarily ours) before any events.parquet footer is touched
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_session_confs(spark)
+    # schema from the (cached) batch read's RAW relation is not
+    # reachable once normalize_ts rewrites ts, so take the footer
+    # schema directly; load_table warms the same footer for batch use
     schema = spark.read.parquet(path).schema
     # the file-stream source requires a directory base path, so stream
     # the dataset dir filtered down to this table's file
@@ -57,20 +63,9 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
-    # keep the streaming ts type identical to the batch loader's:
-    # UTC wall-clock preserved under the session tz pinned by
-    # sources.tables.load_table (micros/NTZ layout) or restored from
-    # micro-aligned nanos (nanosAsLong layout)
-    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    for col_name, dtype in sdf.dtypes:
-        if col_name == "ts" and dtype == "bigint":
-            sdf = sdf.withColumn(
-                col_name, F.timestamp_micros(F.expr(f"{col_name} div 1000"))
-            )
-        elif col_name == "ts" and dtype == "timestamp_ntz":
-            sdf = sdf.withColumn(col_name, F.col(col_name).cast("timestamp"))
-    return sdf
+    # identical ts normalization to the batch loader — one shared
+    # helper, so a new testdata layout is handled in exactly one place
+    return normalize_ts(sdf)
 
 
 def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
