@@ -460,6 +460,59 @@ def embedding_near_dup_pairs(
 # --- registry queries + oracles -------------------------------------
 
 
+def incremental_dedup(
+    corpus: DataFrame, batch: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Incremental ingestion dedup: documents in ``batch`` survive only
+    if their content hash appears neither in the existing ``corpus``
+    nor earlier (lower id) within the batch itself — the daily-ingest
+    shape, where the corpus side is the pre-built hash index and only
+    the (much smaller) batch shuffles against it. Left-anti join on
+    the hash + a first-per-hash window inside the batch."""
+    from pyspark.sql import Window as W
+
+    corpus_hashes = corpus.select(F.md5(F.col(content_col)).alias("content_hash")).distinct()
+    hashed = batch.select(
+        F.col(id_col), F.md5(F.col(content_col)).alias("content_hash")
+    )
+    fresh = hashed.join(corpus_hashes, "content_hash", "left_anti")
+    w = W.partitionBy("content_hash").orderBy(id_col)
+    return (
+        fresh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "content_hash")
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even-id docs stand in for the existing corpus, odd-id docs for
+    the incoming batch; count + list survivors of the batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(corpus, batch, "doc_id", "text").orderBy("doc_id")
+
+
+ORACLE["dedup_incremental"] = """
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 2 = 0
+),
+batch AS (
+  SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 2 = 1
+),
+fresh AS (
+  SELECT b.* FROM batch b ANTI JOIN corpus c USING (content_hash)
+)
+SELECT doc_id, content_hash
+FROM (
+  SELECT doc_id, content_hash,
+         row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rk
+  FROM fresh
+) WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return exact_duplicate_groups(docs, "doc_id", "text")
@@ -750,6 +803,7 @@ GROUP BY 1
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_incremental": dedup_incremental,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_verified": dedup_lsh_verified,

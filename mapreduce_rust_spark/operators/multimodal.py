@@ -244,8 +244,73 @@ ORDER BY media_id, frame_idx
 """
 
 
+
+
+CHUNK_WIN = 256
+CHUNK_HOP = 128
+
+
+def chunk_payloads(media: DataFrame, win: int = CHUNK_WIN, hop: int = CHUNK_HOP) -> DataFrame:
+    """Sliding-window chunking of binary payloads — the audio
+    frame/windowing primitive (win=frame size, hop=stride; hop < win
+    gives overlapping frames). Entirely JVM-side: window starts come
+    from ``sequence`` + ``explode`` and the slice is a binary
+    ``substring``, so the full corpus chunks inside whole-stage
+    codegen with zero Python. Each chunk carries its offset and a
+    sha256 so downstream stages (feature extraction, chunk-level
+    dedup) can key on content."""
+    starts = F.expr(
+        f"sequence(0, greatest(0, cast(ceil((n_bytes - {win}) / {hop}) as bigint)))"
+    )
+    return (
+        media.withColumn("chunk_id", F.explode(starts))
+        .select(
+            "media_id",
+            "chunk_id",
+            (F.col("chunk_id") * hop).alias("start_byte"),
+            F.expr(f"substring(payload, chunk_id * {hop} + 1, {win})").alias("chunk"),
+        )
+        .select(
+            "media_id",
+            "chunk_id",
+            "start_byte",
+            F.octet_length("chunk").cast("bigint").alias("chunk_bytes"),
+            F.sha2("chunk", 256).alias("chunk_sha"),
+        )
+    )
+
+
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 256-byte windows (128-byte hop) over every payload.
+    The oracle recomputes the windows with VARCHAR substrings — byte
+    and character offsets coincide because the testdata text is pure
+    ASCII (asserted across all SFs); on real multi-byte payloads only
+    the Spark binary path applies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_payloads(media_from_documents(docs))
+
+
+ORACLE["multimodal_audio_chunks"] = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+chunks AS (
+  SELECT media_id, i AS chunk_id, i * {CHUNK_HOP} AS start_byte,
+         substring(text, i * {CHUNK_HOP} + 1, {CHUNK_WIN}) AS chunk
+  FROM media,
+       unnest(generate_series(0, greatest(0, CAST(ceil((n_bytes - {CHUNK_WIN}) / {CHUNK_HOP}.0) AS BIGINT)))) AS g(i)
+)
+SELECT media_id, chunk_id, CAST(start_byte AS BIGINT) AS start_byte,
+       CAST(length(chunk) AS BIGINT) AS chunk_bytes,
+       sha256(chunk) AS chunk_sha
+FROM chunks
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decode_fake": multimodal_decode_fake,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_audio_chunks": multimodal_audio_chunks,
 }

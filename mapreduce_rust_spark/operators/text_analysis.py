@@ -469,6 +469,34 @@ LIMIT 30
 """
 
 
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation for the heuristic language-ID: confusion
+    matrix (true lang × predicted lang → count) against the corpus's
+    labeled ``lang`` column — the accuracy report a pipeline produces
+    before trusting a cheap classifier to route 100 TB. One join on
+    doc_id (both sides are per-doc projections of the same scan) and
+    a |langs|² aggregation."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pred = language_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    truth = docs.select("doc_id", F.col("lang").alias("true_lang"))
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+ORACLE["lang_id_confusion"] = f"""
+SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+FROM documents d JOIN ({_language_id_sql()}) p USING (doc_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "text_lm_likelihood": text_lm_likelihood,
     "text_diversity": text_diversity,
@@ -478,4 +506,5 @@ QUERIES = {
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "lang_id_confusion": lang_id_confusion,
 }
