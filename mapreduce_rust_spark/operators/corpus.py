@@ -338,6 +338,116 @@ ORDER BY source
 """
 
 
+
+
+def budget_select_per_source(
+    df: DataFrame, part_col: str, order_col: str, size_col: str, budget: int
+) -> DataFrame:
+    """Data selection under a token budget: within each ``part_col``
+    group, take rows in descending ``order_col`` (quality) order until
+    the running ``size_col`` total passes ``budget`` — the
+    highest-quality-docs-that-fit curation rule. A per-group window
+    cumsum (no global sort; each source sorts independently), then a
+    filter on the PRECEDING total so the row that crosses the budget
+    line is still kept (budget is a floor target, not a hard cap)."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(part_col)
+        .orderBy(F.col(order_col).desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    run = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn("_run", run).filter(F.col("_run") < budget).drop("_run")
+
+
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source selection report: top-quality docs until 5000 chars
+    per source — (source, n_kept, chars_kept, min quality kept)."""
+    from mapreduce_rust_spark.operators.text_analysis import quality_scores
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    q = quality_scores(docs, "doc_id", "text").select("doc_id", "quality_score")
+    scored = docs.select("doc_id", "source", "n_chars").join(q, "doc_id")
+    kept = budget_select_per_source(scored, "source", "quality_score", "n_chars", 5000)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+            fround(F.min("quality_score"), 4).alias("min_quality_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _budget_select_oracle() -> str:
+    from mapreduce_rust_spark.operators.text_analysis import _quality_sql
+
+    return f"""
+WITH q AS ({_quality_sql()}),
+scored AS (
+  SELECT d.doc_id, d.source, d.n_chars, q.quality_score
+  FROM documents d JOIN q USING (doc_id)
+),
+runs AS (
+  SELECT *, coalesce(sum(n_chars) OVER (
+      PARTITION BY source ORDER BY quality_score DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+  FROM scored
+)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+       {fround_sql("min(quality_score)", 4)} AS min_quality_kept
+FROM runs WHERE run < 5000
+GROUP BY source ORDER BY source
+"""
+
+
+def assign_splits(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash: the
+    md5 hex first character buckets ids into 16 slices — 14 train,
+    1 val, 1 test (87.5/6.25/6.25). Reproducible across runs, engines,
+    and retries; pure scan-stage expression, no shuffle."""
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    return df.withColumn(
+        "split",
+        F.when(h == "e", F.lit("val"))
+        .when(h == "f", F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split census: (source, split, n_docs, total chars) — the
+    deterministic held-out split every training corpus needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_splits(docs, "doc_id")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+ORACLE["corpus_budget_select"] = _budget_select_oracle()
+
+ORACLE["corpus_split_assign"] = """
+SELECT source,
+       CASE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         WHEN 'e' THEN 'val' WHEN 'f' THEN 'test' ELSE 'train'
+       END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "sample_hash_deterministic": sample_hash_deterministic,
     "tfidf_top_terms": tfidf_top_terms,
@@ -345,4 +455,6 @@ QUERIES = {
     "corpus_shard_pack": corpus_shard_pack,
     "sample_stratified": sample_stratified,
     "source_mix_weights": source_mix_weights,
+    "corpus_budget_select": corpus_budget_select,
+    "corpus_split_assign": corpus_split_assign,
 }

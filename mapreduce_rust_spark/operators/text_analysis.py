@@ -471,6 +471,24 @@ LIMIT 30
 
 
 
+def _quality_sql() -> str:
+    """DuckDB (doc_id, quality_score) twin of quality_scores() —
+    shared by the pipeline and budget-selection oracles."""
+    score = (
+        "(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)) * 0.5"
+        " + (1 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)) * 0.2"
+        " + (CASE WHEN (length(text) - length(regexp_replace(text, '[^ \t\n]', '', 'g')))::DOUBLE"
+        r"             / len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))"
+        "        BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END)"
+        r" + (CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 20"
+        "        THEN 0.1 ELSE 0.0 END)"
+    )
+    return (
+        f"SELECT doc_id, {fround_sql(score, 4)} AS quality_score\n"
+        "FROM documents WHERE length(text) > 0"
+    )
+
+
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier evaluation for the heuristic language-ID: confusion
     matrix (true lang × predicted lang → count) against the corpus's
