@@ -21,6 +21,7 @@ from mapreduce_rust_spark.functions.text import bpe_ish_tokens
 from mapreduce_rust_spark.operators.dedup import exact_duplicate_groups
 from mapreduce_rust_spark.operators.text_analysis import (
     _language_id_sql,
+    _quality_sql,
     language_id,
     quality_scores,
 )
@@ -64,17 +65,7 @@ WITH survivors AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
 quality AS (
-  SELECT doc_id,
-         floor(round((
-           (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)) * 0.5
-           + (1 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)) * 0.2
-           + (CASE WHEN (length(text) - length(regexp_replace(text, '[^ \t\n]', '', 'g')))::DOUBLE
-                        / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
-                   BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END)
-           + (CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 20
-                   THEN 0.1 ELSE 0.0 END)
-         ), 8) * 10000) / 10000 AS quality_score
-  FROM documents WHERE length(text) > 0
+  {_quality_sql()}
 ),
 lang AS (
   SELECT doc_id, pred_lang FROM ({_language_id_sql()}) l
