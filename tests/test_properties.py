@@ -227,3 +227,92 @@ def test_ewma_closed_form_vs_sequential_model(spark, vals):
     for i, x in enumerate(vals):
         y = x if y is None else (1 - alpha) * y + alpha * x
         assert got[i] == pytest.approx(y, rel=1e-9, abs=1e-9)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=30),
+    budget=st.integers(min_value=1, max_value=300),
+)
+@_settings
+def test_budget_select_model_equivalence(spark, sizes, budget):
+    """Budget selection must equal the sequential model: walking rows
+    in selection order (descending quality here encoded as descending
+    id), a row is kept iff the PRECEDING kept total is under budget —
+    the crossing row is kept, everything after is dropped."""
+    from mapreduce_rust_spark.operators.corpus import budget_select_per_source
+
+    rows = [("g", i, float(len(sizes) - i), s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, q double, sz long")
+    kept = {
+        r["doc_id"]
+        for r in budget_select_per_source(df, "src", "q", "sz", budget).collect()
+    }
+    run = 0
+    expect = set()
+    for i, s in enumerate(sizes):  # q is descending in i, ties impossible
+        if run < budget:
+            expect.add(i)
+        run += s
+    assert kept == expect
+
+
+@given(
+    corpus_texts=st.lists(st.text(alphabet="abc ", max_size=8), min_size=0, max_size=12),
+    batch_texts=st.lists(st.text(alphabet="abc ", max_size=8), min_size=1, max_size=12),
+)
+@_settings
+def test_incremental_dedup_model(spark, corpus_texts, batch_texts):
+    """Batch survivors = first occurrence (lowest id) of each content
+    not already present in the corpus."""
+    from mapreduce_rust_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)] or [(0, "<sentinel>")],
+        "doc_id long, text string",
+    )
+    if not corpus_texts:
+        corpus = corpus.filter("doc_id < 0")  # empty corpus case
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch_texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in incremental_dedup(corpus, batch, "doc_id", "text").collect()}
+    seen = set(corpus_texts)
+    expect = set()
+    for i, t in enumerate(batch_texts):
+        if t not in seen:
+            expect.add(100 + i)
+            seen.add(t)
+    assert got == expect
+
+
+@given(
+    n_bytes=st.integers(min_value=1, max_value=900),
+)
+@_settings
+def test_chunk_payloads_covers_every_byte(spark, n_bytes):
+    """Window bookkeeping: chunks start every hop bytes, the first
+    window starts at 0, consecutive windows overlap by win-hop, and
+    every payload byte falls inside at least one window."""
+    from mapreduce_rust_spark.operators.multimodal import (
+        CHUNK_HOP,
+        CHUNK_WIN,
+        chunk_payloads,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, b"x" * n_bytes)], "media_id long, payload binary")
+    media = df.select(
+        "media_id", "payload", F.octet_length("payload").cast("bigint").alias("n_bytes")
+    )
+    rows = sorted(
+        (r["chunk_id"], r["start_byte"], r["chunk_bytes"])
+        for r in chunk_payloads(media).collect()
+    )
+    assert rows[0][1] == 0
+    covered = 0
+    for cid, start, nb in rows:
+        assert start == cid * CHUNK_HOP
+        assert nb <= CHUNK_WIN
+        assert start <= covered  # no gap
+        covered = max(covered, start + nb)
+    assert covered == n_bytes
