@@ -341,7 +341,12 @@ ORDER BY source
 
 
 def budget_select_per_source(
-    df: DataFrame, part_col: str, order_col: str, size_col: str, budget: int
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Data selection under a token budget: within each ``part_col``
     group, take rows in descending ``order_col`` (quality) order until
@@ -349,12 +354,13 @@ def budget_select_per_source(
     highest-quality-docs-that-fit curation rule. A per-group window
     cumsum (no global sort; each source sorts independently), then a
     filter on the PRECEDING total so the row that crosses the budget
-    line is still kept (budget is a floor target, not a hard cap)."""
+    line is still kept (budget is a floor target, not a hard cap).
+    Ties on ``order_col`` break deterministically on ``id_col``."""
     from pyspark.sql import Window as W
 
     w = (
         W.partitionBy(part_col)
-        .orderBy(F.col(order_col).desc(), "doc_id")
+        .orderBy(F.col(order_col).desc(), id_col)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     run = F.coalesce(F.sum(size_col).over(w), F.lit(0))

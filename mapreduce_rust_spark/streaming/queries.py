@@ -32,7 +32,7 @@ from itertools import count
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.functions.numeric import fround
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql
 from mapreduce_rust_spark.functions.text import tokenize_whitespace
 
 ORACLE: dict[str, str] = {}
@@ -44,17 +44,12 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``readStream`` twin of ``sources.tables.load_table``: same
     path, same schema (taken from a metadata-only batch read), same
     nanos→timestamp restoration."""
-    from mapreduce_rust_spark.sources.tables import (
-        ensure_session_confs,
-        load_table,
-        normalize_ts,
-    )
+    from mapreduce_rust_spark.sources.tables import ensure_session_confs, normalize_ts
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     ensure_session_confs(spark)
-    # schema from the (cached) batch read's RAW relation is not
-    # reachable once normalize_ts rewrites ts, so take the footer
-    # schema directly; load_table warms the same footer for batch use
+    # the RAW (pre-normalize_ts) schema is required here, so this
+    # footer read cannot reuse the batch loader's cached frame
     schema = spark.read.parquet(path).schema
     # the file-stream source requires a directory base path, so stream
     # the dataset dir filtered down to this table's file
@@ -304,11 +299,11 @@ def streaming_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["streaming_cdc_latest"] = """
+ORACLE["streaming_cdc_latest"] = f"""
 SELECT user_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
        event_id AS last_event_id,
-       floor(round((value), 6) * 100) / 100 AS last_value,
+       {fround_sql("value")} AS last_value,
        n_updates
 FROM (
   SELECT user_id, ts, event_id, value,
