@@ -131,6 +131,145 @@ GROUP BY a.user_id
 """
 
 
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of: each purchase matched to the CLOSEST
+    click in either direction within a 10-minute tolerance (ties →
+    the earlier click). Same scale shape as the backward as-of — one
+    union, ONE key shuffle and ONE sort feed two window frames (the
+    backward carry-forward and the forward carry-back share the same
+    partitioning and ordering), then a per-row arithmetic pick. Never
+    an interval product."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    l_tagged = purchases.select(
+        "user_id", F.col("ts").alias("_ts"), F.lit(1).alias("_side"),
+        "event_id", F.lit(None).cast("timestamp").alias("_r_ts"),
+    )
+    r_tagged = clicks.select(
+        "user_id", F.col("ts").alias("_ts"), F.lit(0).alias("_side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("ts").alias("_r_ts"),
+    )
+    base = W.partitionBy("user_id").orderBy("_ts", "_side")
+    w_back = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_fwd = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    u = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("back_ts", F.last("_r_ts", ignorenulls=True).over(w_back))
+        .withColumn("fwd_ts", F.first("_r_ts", ignorenulls=True).over(w_fwd))
+        .filter(F.col("_side") == 1)
+    )
+    d_back = F.col("_ts").cast("double") - F.col("back_ts").cast("double")
+    d_fwd = F.col("fwd_ts").cast("double") - F.col("_ts").cast("double")
+    TOL = 600.0
+    back_ok = F.col("back_ts").isNotNull() & (d_back <= TOL)
+    fwd_ok = F.col("fwd_ts").isNotNull() & (d_fwd <= TOL)
+    # nearest; tie -> earlier (the backward side)
+    pick_back = back_ok & (~fwd_ok | (d_back <= d_fwd))
+    nearest = F.when(pick_back, F.col("back_ts")).when(fwd_ok, F.col("fwd_ts"))
+    dist = F.when(pick_back, d_back).when(fwd_ok, d_fwd)
+    return u.filter(nearest.isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.date_format(nearest, "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.floor(dist).cast("bigint").alias("dist_sec"),
+        F.when(pick_back, F.lit("back")).otherwise(F.lit("fwd")).alias("direction"),
+    )
+
+
+ORACLE["asof_join_nearest"] = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+cand AS (
+  SELECT p.event_id, p.user_id, p.ts AS p_ts, c.ts AS c_ts,
+         abs(epoch(p.ts) - epoch(c.ts)) AS dist,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY abs(epoch(p.ts) - epoch(c.ts)), c.ts) AS rk
+  FROM p JOIN c ON p.user_id = c.user_id
+              AND abs(epoch(p.ts) - epoch(c.ts)) <= 600
+)
+SELECT event_id, user_id,
+       strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       CAST(floor(dist) AS BIGINT) AS dist_sec,
+       CASE WHEN c_ts <= p_ts THEN 'back' ELSE 'fwd' END AS direction
+FROM cand WHERE rk = 1
+"""
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per-user activity sessions (30-min gap,
+    built with the native ``session_window`` aggregation) overlapped
+    against the hourly wall-clock grid — "how many sessions were live
+    in each hour". The grid side is a tiny generated dimension
+    (broadcast); the overlap predicate filters inside the broadcast
+    join, so the session side never shuffles for it — the shape that
+    survives when sessions number in the billions but the grid stays
+    small."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .drop("w")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour_start")
+    )
+    joined = sess.join(
+        F.broadcast(grid),
+        (F.col("hour_start") < F.col("s_end"))
+        & (F.col("s_start") < F.col("hour_start") + F.expr("interval 1 hour")),
+    )
+    return (
+        joined.groupBy(F.date_format("hour_start", "yyyy-MM-dd HH:00").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_live_sessions"))
+        .orderBy("hour")
+    )
+
+
+ORACLE["interval_overlap_join"] = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM (
+    SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+    FROM marked
+  ) GROUP BY user_id, sid
+),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+  FROM bounds
+),
+hits AS (
+  SELECT hour_start
+  FROM sess JOIN grid
+    ON hour_start < s_end AND s_start < hour_start + INTERVAL 1 HOUR
+)
+SELECT strftime(hour_start, '%Y-%m-%d %H:00') AS hour,
+       count(*) AS n_live_sessions
+FROM hits
+GROUP BY hour
+ORDER BY hour
+"""
+
+
 def percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type (Spark
     ``percentile`` ≡ DuckDB ``quantile_cont``: both linear
@@ -321,6 +460,8 @@ ORDER BY 1
 
 QUERIES = {
     "asof_join": asof_join_q,
+    "asof_join_nearest": asof_join_nearest,
+    "interval_overlap_join": interval_overlap_join,
     "range_join": range_join_q,
     "percentiles": percentiles_q,
     "grouping_sets": grouping_sets_q,
