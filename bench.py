@@ -56,6 +56,15 @@ def main() -> int:
     spark.createDataFrame([(0, 1.0)], "k long, v double").groupBy("k").applyInPandas(
         lambda pdf: pdf, "k long, v double"
     ).write.format("noop").mode("overwrite").save()
+    # ... and the Python Data Source worker path (separate from the
+    # pandas-UDF workers; ~4 s of spawn+Arrow-channel setup measured
+    # once per JVM, otherwise charged to the datasource slug)
+    from mapreduce_rust_spark.sources.pysource import _register_source
+
+    _register_source(spark)
+    spark.read.format("mrs_range").load().limit(1).write.format("noop").mode(
+        "overwrite"
+    ).save()
     # Warm the OS page cache over the input tables: per-query timings
     # should measure the engine, not whether a prior process happened to
     # leave the parquet files resident. (~100 MB at sf0.1, one pass.)
