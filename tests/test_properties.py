@@ -316,3 +316,101 @@ def test_chunk_payloads_covers_every_byte(spark, n_bytes):
         assert start <= covered  # no gap
         covered = max(covered, start + nb)
     assert covered == n_bytes
+
+
+@given(
+    purchases=st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=8),
+    clicks=st.lists(st.integers(min_value=0, max_value=3000), min_size=0, max_size=8),
+)
+@_settings
+def test_asof_nearest_matches_bruteforce(spark, purchases, clicks):
+    """The one-shuffle nearest-as-of must equal the brute-force pick:
+    closest click within 600 s, ties to the earlier click."""
+    import datetime as dt
+
+    from mapreduce_rust_spark.plans import advanced
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=s), 7, "purchase", 0.0, "{}")
+        for i, s in enumerate(purchases)
+    ] + [
+        (100 + i, base + dt.timedelta(seconds=s), 7, "click", 0.0, "{}")
+        for i, s in enumerate(clicks)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(advanced, "load_table", lambda s, d, n: ev):
+        got = {
+            r["event_id"]: (r["dist_sec"], r["click_ts"], r["direction"])
+            for r in advanced.asof_join_nearest(spark, "unused").collect()
+        }
+    for i, p in enumerate(purchases):
+        in_tol = [c for c in clicks if abs(c - p) <= 600]
+        if not in_tol:
+            assert i not in got
+            continue
+        best = min(in_tol, key=lambda c: (abs(c - p), c))
+        dist, ts_str, direction = got[i]
+        assert dist == abs(best - p)
+        assert ts_str == (base + dt.timedelta(seconds=best)).strftime("%Y-%m-%d %H:%M:%S")
+        assert direction == ("back" if best <= p else "fwd")
+
+
+@given(
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=6 * 3600), min_size=1, max_size=12
+    ),
+)
+@_settings
+def test_interval_overlap_matches_bruteforce(spark, offsets):
+    """Hourly live-session counts must equal the brute-force model:
+    sessions are maximal 30-min-gap runs; a session is live in every
+    hour slot its [first, last] interval overlaps."""
+    import datetime as dt
+
+    from mapreduce_rust_spark.plans import advanced
+
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (i, base + dt.timedelta(seconds=s), 7, "view", 0.0, "{}")
+        for i, s in enumerate(sorted(offsets))
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(advanced, "load_table", lambda s, d, n: ev):
+        got = {
+            r["hour"]: r["n_live_sessions"]
+            for r in advanced.interval_overlap_join(spark, "unused").collect()
+        }
+    # model: split sorted offsets into sessions on >30min gaps
+    ss = sorted(offsets)
+    sessions = []
+    start = prev = ss[0]
+    for s in ss[1:]:
+        if s - prev > 1800:
+            sessions.append((start, prev))
+            start = s
+        prev = s
+    sessions.append((start, prev))
+    lo = (base + dt.timedelta(seconds=ss[0])).replace(minute=0, second=0)
+    hi = (base + dt.timedelta(seconds=ss[-1])).replace(minute=0, second=0)
+    expect = {}
+    cur = lo
+    while cur <= hi:
+        h0 = (cur - base).total_seconds()
+        # exact predicate from the operator: hour_start < s_end AND s_start < hour_start + 1h
+        n = sum(1 for a, b in sessions if h0 < b and a < h0 + 3600)
+        if n:
+            expect[cur.strftime("%Y-%m-%d %H:00")] = n
+        cur += dt.timedelta(hours=1)
+    assert got == expect
