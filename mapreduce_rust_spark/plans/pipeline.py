@@ -87,4 +87,74 @@ WHERE quality_score >= {MIN_QUALITY}
 GROUP BY pred_lang
 """
 
-QUERIES = {"pipeline_prepare_corpus": pipeline_prepare_corpus}
+def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second capstone: the dedup funnel report a corpus owner reads
+    before deleting anything — per source: total docs, exact-duplicate
+    docs (non-survivors of the hash census), docs entangled in
+    near-dup clusters (MinHash-LSH components), and the share of the
+    corpus that survives both passes. Composes the session-memoized
+    dedup artifacts (hash census, signature index, component
+    labeling), so consuming it after any other dedup slug adds only
+    the per-source rollup."""
+    from mapreduce_rust_spark.operators.graph import dedup_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    full = fan_out(load_table(spark, sf_dir, "documents"))
+    exact_survivors = exact_duplicate_groups(full, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id"), F.lit(1).alias("_exact_keep")
+    )
+    clustered = dedup_components(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), F.lit(1).alias("_in_cluster")
+    )
+    joined = (
+        docs.join(exact_survivors, "doc_id", "left")
+        .join(clustered, "doc_id", "left")
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_exact_keep").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact_dupes"),
+            F.sum(F.coalesce("_in_cluster", F.lit(0))).cast("bigint").alias("n_near_clustered"),
+            fround(
+                F.sum(F.coalesce("_exact_keep", F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("exact_survivor_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_report_oracle() -> str:
+    from mapreduce_rust_spark.operators.graph import _components_oracle
+
+    return f"""
+WITH exact_survivors AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+clustered AS (
+  SELECT node AS doc_id FROM ({_components_oracle()})
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN s.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dupes,
+       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_clustered,
+       {fround_sql("sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)", 4)} AS exact_survivor_share
+FROM documents d
+LEFT JOIN exact_survivors s USING (doc_id)
+LEFT JOIN clustered c USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+ORACLE["pipeline_dedup_report"] = _dedup_report_oracle()
+
+
+QUERIES = {
+    "pipeline_prepare_corpus": pipeline_prepare_corpus,
+    "pipeline_dedup_report": pipeline_dedup_report,
+}
