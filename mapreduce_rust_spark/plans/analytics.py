@@ -188,12 +188,18 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     order), so each row's revenue is truncated to exact cents first —
     integer addition is order-independent."""
     li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(_revenue() * 100).cast("bigint")
+    # (l_orderkey, l_linenumber) is NOT unique in the testdata (true
+    # duplicate key rows exist at sf0.1), so the cents value itself is
+    # the final tie-break: rows that still tie are identical in the
+    # summand and any residual order is cumsum-invariant. Without this
+    # the two engines pick different prefix orders on tied keys and
+    # one intermediate running value differs.
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", cents)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cents = F.floor(_revenue() * 100).cast("bigint")
     return li.select(
         "l_suppkey",
         "l_orderkey",
@@ -206,7 +212,8 @@ ORACLE["window_running_sum"] = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) OVER (
          PARTITION BY l_suppkey
-         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                  CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100 AS running_revenue
 FROM lineitem
 """
