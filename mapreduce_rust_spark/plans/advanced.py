@@ -221,9 +221,14 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = bounds.select(
         F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour_start")
     )
+    # overlap of an hour slot [h, h+1) with the CLOSED session span
+    # [s_start, s_end]: the end instant is a real event (the session is
+    # live at it), and a single-event session has s_start == s_end —
+    # with a half-open `h < s_end` test such a session lands in NO
+    # bucket when it falls exactly on an hour boundary
     joined = sess.join(
         F.broadcast(grid),
-        (F.col("hour_start") < F.col("s_end"))
+        (F.col("hour_start") <= F.col("s_end"))
         & (F.col("s_start") < F.col("hour_start") + F.expr("interval 1 hour")),
     )
     return (
@@ -260,7 +265,7 @@ grid AS (
 hits AS (
   SELECT hour_start
   FROM sess JOIN grid
-    ON hour_start < s_end AND s_start < hour_start + INTERVAL 1 HOUR
+    ON hour_start <= s_end AND s_start < hour_start + INTERVAL 1 HOUR
 )
 SELECT strftime(hour_start, '%Y-%m-%d %H:00') AS hour,
        count(*) AS n_live_sessions

@@ -319,25 +319,32 @@ def test_chunk_payloads_covers_every_byte(spark, n_bytes):
 
 
 @given(
-    purchases=st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=8),
-    clicks=st.lists(st.integers(min_value=0, max_value=3000), min_size=0, max_size=8),
+    purchases=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3000), st.integers(min_value=1, max_value=3)),
+        min_size=1, max_size=8,
+    ),
+    clicks=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3000), st.integers(min_value=1, max_value=3)),
+        min_size=0, max_size=8,
+    ),
 )
 @_settings
 def test_asof_nearest_matches_bruteforce(spark, purchases, clicks):
     """The one-shuffle nearest-as-of must equal the brute-force pick:
-    closest click within 600 s, ties to the earlier click."""
+    closest SAME-USER click within 600 s, ties to the earlier click.
+    Multiple users so cross-user leakage (a dropped partitionBy) fails
+    the test rather than only the sf0.1 gate."""
     import datetime as dt
 
     from mapreduce_rust_spark.plans import advanced
-    from pyspark.sql import functions as F
 
     base = dt.datetime(2024, 1, 1)
     rows = [
-        (i, base + dt.timedelta(seconds=s), 7, "purchase", 0.0, "{}")
-        for i, s in enumerate(purchases)
+        (i, base + dt.timedelta(seconds=s), u, "purchase", 0.0, "{}")
+        for i, (s, u) in enumerate(purchases)
     ] + [
-        (100 + i, base + dt.timedelta(seconds=s), 7, "click", 0.0, "{}")
-        for i, s in enumerate(clicks)
+        (100 + i, base + dt.timedelta(seconds=s), u, "click", 0.0, "{}")
+        for i, (s, u) in enumerate(clicks)
     ]
     ev = spark.createDataFrame(
         rows,
@@ -346,12 +353,13 @@ def test_asof_nearest_matches_bruteforce(spark, purchases, clicks):
     import unittest.mock as mock
 
     with mock.patch.object(advanced, "load_table", lambda s, d, n: ev):
-        got = {
-            r["event_id"]: (r["dist_sec"], r["click_ts"], r["direction"])
-            for r in advanced.asof_join_nearest(spark, "unused").collect()
-        }
-    for i, p in enumerate(purchases):
-        in_tol = [c for c in clicks if abs(c - p) <= 600]
+        out = advanced.asof_join_nearest(spark, "unused").collect()
+    got = {
+        r["event_id"]: (r["dist_sec"], r["click_ts"], r["direction"]) for r in out
+    }
+    assert len(out) == len(got)  # exactly one row per matched purchase
+    for i, (p, u) in enumerate(purchases):
+        in_tol = [c for c, cu in clicks if cu == u and abs(c - p) <= 600]
         if not in_tol:
             assert i not in got
             continue
@@ -363,23 +371,30 @@ def test_asof_nearest_matches_bruteforce(spark, purchases, clicks):
 
 
 @given(
-    offsets=st.lists(
-        st.integers(min_value=0, max_value=6 * 3600), min_size=1, max_size=12
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6 * 3600),
+            st.integers(min_value=1, max_value=2),
+        ),
+        min_size=1,
+        max_size=12,
     ),
 )
 @_settings
-def test_interval_overlap_matches_bruteforce(spark, offsets):
+def test_interval_overlap_matches_bruteforce(spark, events):
     """Hourly live-session counts must equal the brute-force model:
-    sessions are maximal 30-min-gap runs; a session is live in every
-    hour slot its [first, last] interval overlaps."""
+    per-user sessions are maximal 30-min-gap runs; a session is live
+    in every hour slot overlapping its CLOSED [first, last] span
+    (single-event sessions on an hour boundary count exactly once).
+    Two users so a dropped per-user partitioning fails here."""
     import datetime as dt
 
     from mapreduce_rust_spark.plans import advanced
 
     base = dt.datetime(2024, 1, 1, 0, 30)
     rows = [
-        (i, base + dt.timedelta(seconds=s), 7, "view", 0.0, "{}")
-        for i, s in enumerate(sorted(offsets))
+        (i, base + dt.timedelta(seconds=s), u, "view", 0.0, "{}")
+        for i, (s, u) in enumerate(sorted(events))
     ]
     ev = spark.createDataFrame(
         rows,
@@ -392,24 +407,26 @@ def test_interval_overlap_matches_bruteforce(spark, offsets):
             r["hour"]: r["n_live_sessions"]
             for r in advanced.interval_overlap_join(spark, "unused").collect()
         }
-    # model: split sorted offsets into sessions on >30min gaps
-    ss = sorted(offsets)
+    # model: per user, split sorted offsets into sessions on >30min gaps
     sessions = []
-    start = prev = ss[0]
-    for s in ss[1:]:
-        if s - prev > 1800:
-            sessions.append((start, prev))
-            start = s
-        prev = s
-    sessions.append((start, prev))
-    lo = (base + dt.timedelta(seconds=ss[0])).replace(minute=0, second=0)
-    hi = (base + dt.timedelta(seconds=ss[-1])).replace(minute=0, second=0)
+    for u in {u for _, u in events}:
+        ss = sorted(s for s, eu in events if eu == u)
+        start = prev = ss[0]
+        for s in ss[1:]:
+            if s - prev > 1800:
+                sessions.append((start, prev))
+                start = s
+            prev = s
+        sessions.append((start, prev))
+    all_s = sorted(s for s, _ in events)
+    lo = (base + dt.timedelta(seconds=all_s[0])).replace(minute=0, second=0)
+    hi = (base + dt.timedelta(seconds=all_s[-1])).replace(minute=0, second=0)
     expect = {}
     cur = lo
     while cur <= hi:
         h0 = (cur - base).total_seconds()
-        # exact predicate from the operator: hour_start < s_end AND s_start < hour_start + 1h
-        n = sum(1 for a, b in sessions if h0 < b and a < h0 + 3600)
+        # exact predicate: hour_start <= s_end AND s_start < hour_start + 1h
+        n = sum(1 for a, b in sessions if h0 <= b and a < h0 + 3600)
         if n:
             expect[cur.strftime("%Y-%m-%d %H:00")] = n
         cur += dt.timedelta(hours=1)
