@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.functions.numeric import fround
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql
 from mapreduce_rust_spark.functions.vectors import (
     cosine_from_norms,
     cosine_similarity,
@@ -490,6 +490,124 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization report — the compression step an
+    ANN index applies before storing billions of vectors: affine map
+    of each vector onto [0, 255] by its own min/max, then the
+    round-trip reconstruction error. Pure array expressions (zero
+    Python, zero shuffle beyond the scan); the quantized codes are
+    integers from identical IEEE arithmetic in both engines, so the
+    whole report is exactly oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    scale = (mx.cast("double") - mn.cast("double")) / F.lit(255.0)
+    # guard constant vectors: scale 0 → all codes 0
+    code = F.when(
+        scale > 0,
+        F.transform(
+            v,
+            lambda x: F.floor(
+                (x.cast("double") - mn.cast("double")) / scale + F.lit(0.5)
+            ).cast("int"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    recon_err = F.when(
+        scale > 0,
+        F.aggregate(
+            F.zip_with(
+                v,
+                code,
+                lambda x, c: F.abs(
+                    x.cast("double")
+                    - (mn.cast("double") + c.cast("double") * scale)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        / F.size(v),
+    ).otherwise(F.lit(0.0))
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("n_dims"),
+        F.array_min(code).alias("qmin"),
+        F.array_max(code).alias("qmax"),
+        fround(recon_err, 6).alias("mean_abs_err"),
+    )
+
+
+ORACLE["embedding_quantize_int8"] = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_min(embedding)::DOUBLE AS mn,
+         (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE) / 255.0 AS scale
+  FROM embeddings
+),
+coded AS (
+  SELECT vec_id, embedding, mn, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(embedding,
+                     x -> CAST(floor((x::DOUBLE - mn) / scale + 0.5) AS INT))
+              ELSE list_transform(embedding, x -> 0)
+         END AS code
+  FROM base
+)
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS n_dims,
+       list_min(code) AS qmin,
+       list_max(code) AS qmax,
+       {fround_sql("CASE WHEN scale > 0 THEN list_sum(list_transform(list_zip(embedding, code), p -> abs(p[1]::DOUBLE - (mn + p[2]::DOUBLE * scale)))) / len(embedding) ELSE 0.0 END", 6)} AS mean_abs_err
+FROM coded
+"""
+
+
+def embedding_text_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal alignment join: documents ⋈ embeddings on the
+    shared id, rolled up per language — the sanity report ("does every
+    doc have a vector, and do norms look right per slice") a
+    text+vector corpus runs before training. The embeddings side
+    projects to (id, norm) before the join, so only 12 bytes/row reach
+    the shuffle; per-vector norms are grid-snapped before averaging so
+    the cross-engine comparison is summation-order-proof."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    vecs = emb.select(F.col("vec_id").alias("doc_id"), fround(norm, 4).alias("norm"))
+    return (
+        docs.join(vecs, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("norm").isNotNull().cast("bigint")).alias("n_with_vec"),
+            fround(F.avg("norm"), 4).alias("avg_norm"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["embedding_text_align"] = f"""
+WITH vecs AS (
+  SELECT vec_id AS doc_id,
+         {fround_sql("sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))", 4)} AS norm
+  FROM embeddings
+)
+SELECT d.lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN v.norm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_vec,
+       {fround_sql("avg(v.norm)", 4)} AS avg_norm
+FROM documents d LEFT JOIN vecs v USING (doc_id)
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
 _COV_DIMS = 8
 
 
@@ -563,4 +681,6 @@ QUERIES = {
     "knn_classify": knn_classify,
     "embedding_kmeans": embedding_kmeans,
     "embedding_covariance": embedding_covariance,
+    "embedding_quantize_int8": embedding_quantize_int8,
+    "embedding_text_align": embedding_text_align,
 }
