@@ -771,7 +771,46 @@ LIMIT 20
 """
 
 
+def json_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema profiling: census of the JSON keys in
+    the events ``props`` column — per key: rows carrying it, distinct
+    values, numeric min/max. The schema-inference report a pipeline
+    runs before promoting a free-form JSON blob to real columns.
+    ``from_json`` to a map + ``explode`` keeps parsing JVM-side; the
+    aggregation keys on the (tiny) key space."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("k", "v")
+    )
+    return (
+        kv.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("v").alias("n_distinct"),
+            fround(F.min(F.col("v").cast("double")), 4).alias("min_num"),
+            fround(F.max(F.col("v").cast("double")), 4).alias("max_num"),
+        )
+        .orderBy("k")
+    )
+
+
+ORACLE["json_key_census"] = f"""
+WITH kv AS (
+  SELECT u.k, json_extract_string(e.props, '$.' || u.k) AS v
+  FROM events e, unnest(json_keys(e.props)) AS u(k)
+)
+SELECT k, count(*) AS n_rows,
+       count(DISTINCT v) AS n_distinct,
+       {fround_sql("min(TRY_CAST(v AS DOUBLE))", 4)} AS min_num,
+       {fround_sql("max(TRY_CAST(v AS DOUBLE))", 4)} AS max_num
+FROM kv
+GROUP BY k
+ORDER BY k
+"""
+
+
 QUERIES = {
+    "json_key_census": json_key_census,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
