@@ -460,6 +460,72 @@ def embedding_near_dup_pairs(
 # --- registry queries + oracles -------------------------------------
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection by shingle CONTAINMENT:
+    c = |A∩B| / min(|A|, |B|) — a truncated copy of a long document
+    scores ~1.0 here while its Jaccard can be arbitrarily small, so
+    this is the screen that catches prefix/truncation duplicates.
+    Same inverted-index plan as exact Jaccard (self-join on shingle,
+    sizes joined back); shares the memoized shingle frame."""
+    if sh is None:
+        sh = shingle_sets(df, id_col, text_col, k).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    n1 = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("n2"))
+    cont = F.col("i") / F.least("n1", "n2")
+    return (
+        inter.join(n1, "d1")
+        .join(n2, "d2")
+        .select("d1", "d2", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs at 0.8 over the documents corpus, built on
+    the session-memoized shingle index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.8,
+        sh=shingle_index(spark, sf_dir, k=3),
+    )
+
+
+ORACLE["dedup_containment"] = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, CAST(i AS DOUBLE) / least(n1.n, n2.n) AS containment
+FROM inter
+JOIN sizes n1 ON n1.doc_id = d1
+JOIN sizes n2 ON n2.doc_id = d2
+WHERE CAST(i AS DOUBLE) / least(n1.n, n2.n) >= 0.8
+"""
+
+
 def incremental_dedup(
     corpus: DataFrame, batch: DataFrame, id_col: str, content_col: str
 ) -> DataFrame:
@@ -804,6 +870,7 @@ GROUP BY 1
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
+    "dedup_containment": dedup_containment,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_verified": dedup_lsh_verified,

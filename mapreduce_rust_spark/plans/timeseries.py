@@ -504,7 +504,47 @@ GROUP BY event_type, GROUPING SETS ((month), (month, day),
 """
 
 
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-slot median over each event type's hourly count
+    series — the robust smoother (spikes don't drag it the way a
+    rolling mean is dragged). Exact interpolated percentile evaluated
+    over a bounded 24-row window frame: state per frame is tiny and
+    fixed, and the window partitions by event type over the (small)
+    hourly series, never over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-23, W.currentRow)
+    )
+    med = F.expr("percentile(cnt, 0.5)").over(w)
+    return hourly.select(
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        "cnt",
+        fround(med, 4).alias("rolling_median_24h"),
+    )
+
+
+ORACLE["ts_rolling_median"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(hour, '%Y-%m-%d %H:00') AS hour, event_type, cnt,
+       floor(round((quantile_cont(cnt, 0.5) OVER (
+         PARTITION BY event_type ORDER BY hour
+         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)), 8) * 10000) / 10000
+         AS rolling_median_24h
+FROM hourly
+"""
+
+
 QUERIES = {
+    "ts_rolling_median": ts_rolling_median,
     "ts_gapfill_hourly": ts_gapfill_hourly,
     "window_lag_delta": window_lag_delta,
     "window_rank_suite": window_rank_suite,
