@@ -114,6 +114,42 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     ).distinct()
 
 
+def pair_intersection_stats(sh: DataFrame, id_col: str) -> DataFrame:
+    """(d1, d2, i, n1, n2) for every document pair sharing ≥1 shingle:
+    the shared substrate of every set-similarity score — Jaccard,
+    containment, overlap coefficient all derive from these five
+    numbers. One shingle self-join + one size join-back; the costliest
+    stage of exact pairwise dedup, built once and reused."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    n1 = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("n2"))
+    return inter.join(n1, "d1").join(n2, "d2")
+
+
+def pair_stats_index(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Memoized (per session) pair-intersection statistics over the
+    documents shingle index — consumed by both the Jaccard and the
+    containment scorers, so the shingle self-join runs once per
+    dataset instead of once per metric."""
+    return _memoized(
+        _SIG_INDEX,
+        (sf_dir, f"pairstats-k{k}"),
+        lambda: pair_intersection_stats(shingle_index(spark, sf_dir, k), "doc_id"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -501,12 +537,13 @@ def containment_pairs(
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Containment pairs at 0.8 over the documents corpus, built on
-    the session-memoized shingle index."""
-    docs = load_table(spark, sf_dir, "documents")
-    return containment_pairs(
-        docs, "doc_id", "text", k=3, threshold=0.8,
-        sh=shingle_index(spark, sf_dir, k=3),
+    """Containment pairs at 0.8 over the documents corpus, sharing
+    the memoized pair-intersection statistics with the Jaccard slug —
+    only the score expression differs."""
+    stats = pair_stats_index(spark, sf_dir, k=3)
+    cont = F.col("i") / F.least("n1", "n2")
+    return stats.select("d1", "d2", cont.alias("containment")).filter(
+        F.col("containment") >= 0.8
     )
 
 
@@ -645,10 +682,10 @@ LIMIT 100
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=0.25,
-        sh=shingle_index(spark, sf_dir, k=3),
+    stats = pair_stats_index(spark, sf_dir, k=3)
+    jac = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return stats.select("d1", "d2", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.25
     )
 
 

@@ -777,7 +777,10 @@ def json_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     values, numeric min/max. The schema-inference report a pipeline
     runs before promoting a free-form JSON blob to real columns.
     ``from_json`` to a map + ``explode`` keeps parsing JVM-side; the
-    aggregation keys on the (tiny) key space."""
+    aggregation keys on the (tiny) key space. (Duplicate keys within
+    one object diverge by design between engines — Spark's map is
+    last-wins, the oracle's unnest sees each occurrence — valid JSON
+    from any sane producer has unique keys.)"""
     ev = load_table(spark, sf_dir, "events")
     kv = ev.select(
         F.explode(F.from_json("props", "map<string,string>")).alias("k", "v")
@@ -796,7 +799,7 @@ def json_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["json_key_census"] = f"""
 WITH kv AS (
-  SELECT u.k, json_extract_string(e.props, '$.' || u.k) AS v
+  SELECT u.k, json_extract_string(e.props, '$.\"' || u.k || '\"') AS v
   FROM events e, unnest(json_keys(e.props)) AS u(k)
 )
 SELECT k, count(*) AS n_rows,

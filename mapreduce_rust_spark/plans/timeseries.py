@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.functions.numeric import fround
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql
 from mapreduce_rust_spark.sources.tables import load_table
 
 ORACLE: dict[str, str] = {}
@@ -529,15 +529,13 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["ts_rolling_median"] = """
+ORACLE["ts_rolling_median"] = f"""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt
   FROM events GROUP BY 1, 2
 )
 SELECT strftime(hour, '%Y-%m-%d %H:00') AS hour, event_type, cnt,
-       floor(round((quantile_cont(cnt, 0.5) OVER (
-         PARTITION BY event_type ORDER BY hour
-         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)), 8) * 10000) / 10000
+       {fround_sql("quantile_cont(cnt, 0.5) OVER (PARTITION BY event_type ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)", 4)}
          AS rolling_median_24h
 FROM hourly
 """
