@@ -290,21 +290,53 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_payloads(media_from_documents(docs))
 
 
-ORACLE["multimodal_audio_chunks"] = f"""
-WITH media AS (
-  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n_bytes
-  FROM documents
-),
-chunks AS (
+_CHUNKS_SQL = f"""
+  WITH media AS (
+    SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n_bytes
+    FROM documents
+  )
   SELECT media_id, i AS chunk_id, i * {CHUNK_HOP} AS start_byte,
          substring(text, i * {CHUNK_HOP} + 1, {CHUNK_WIN}) AS chunk
   FROM media,
        unnest(generate_series(0, greatest(0, CAST(ceil((n_bytes - {CHUNK_WIN}) / {CHUNK_HOP}.0) AS BIGINT)))) AS g(i)
-)
+"""
+
+
+ORACLE["multimodal_audio_chunks"] = f"""
 SELECT media_id, chunk_id, CAST(start_byte AS BIGINT) AS start_byte,
        CAST(length(chunk) AS BIGINT) AS chunk_bytes,
        sha256(chunk) AS chunk_sha
-FROM chunks
+FROM ({_CHUNKS_SQL}) chunks
+"""
+
+
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level content dedup across media: windows whose content
+    hash appears in ≥2 DISTINCT media — the byte-level shared-content
+    census (duplicated intros, boilerplate frames, re-uploads) that
+    per-file hashing can't see. Runs on the chunk stream from
+    chunk_payloads; one shuffle keyed on the 32-byte hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_payloads(media_from_documents(docs))
+    return (
+        chunks.groupBy("chunk_sha")
+        .agg(
+            F.countDistinct("media_id").alias("n_media"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_media") >= 2)
+        .orderBy(F.col("n_media").desc(), F.col("n_occurrences").desc(), "chunk_sha")
+    )
+
+
+ORACLE["multimodal_chunk_dedup"] = f"""
+SELECT sha256(chunk) AS chunk_sha,
+       count(DISTINCT media_id) AS n_media,
+       count(*) AS n_occurrences
+FROM ({_CHUNKS_SQL}) chunks
+GROUP BY 1
+HAVING count(DISTINCT media_id) >= 2
+ORDER BY n_media DESC, n_occurrences DESC, chunk_sha
 """
 
 
@@ -313,4 +345,5 @@ QUERIES = {
     "multimodal_decode_fake": multimodal_decode_fake,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_audio_chunks": multimodal_audio_chunks,
+    "multimodal_chunk_dedup": multimodal_chunk_dedup,
 }

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql
 from mapreduce_rust_spark.sources.tables import load_table
 
 ORACLE: dict[str, str] = {}
@@ -194,7 +195,56 @@ GROUP BY user_id, event_type, island
 """
 
 
+def time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration attribution: the time between consecutive events is
+    credited to the EARLIER event's type ("the user was in that state
+    until the next thing happened") — the engagement-time primitive
+    behind session-depth and feature-usage reports. One lead() window
+    per user (high-cardinality partitioning), then a tiny per-type
+    rollup; gaps > 30 min are capped as session breaks so idle time
+    does not inflate a state."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lead("ts").over(w).cast("double") - F.col("ts").cast("double")
+    capped = F.when(gap > 1800, F.lit(1800.0)).otherwise(gap)
+    per_event = ev.select("event_type", capped.alias("dur"))
+    return (
+        per_event.filter(F.col("dur").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            fround(F.sum("dur"), 2).alias("total_sec"),
+            fround(F.avg("dur"), 4).alias("avg_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["time_in_state"] = f"""
+WITH raw AS (
+  SELECT event_type,
+         epoch(lead(ts) OVER w) - epoch(ts) AS g
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+gaps AS (
+  -- NOT least(): DuckDB's least() SKIPS nulls, which would turn every
+  -- user's terminal event into a phantom 1800 s interval
+  SELECT event_type,
+         CASE WHEN g IS NULL THEN NULL
+              WHEN g > 1800 THEN 1800.0 ELSE g END AS dur
+  FROM raw
+)
+SELECT event_type, count(*) AS n_intervals,
+       {fround_sql("sum(dur)", 2)} AS total_sec,
+       {fround_sql("avg(dur)", 4)} AS avg_sec
+FROM gaps WHERE dur IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "time_in_state": time_in_state,
     "cohort_retention": cohort_retention,
     "funnel_conversion": funnel_conversion,
     "event_path_analysis": event_path_analysis,

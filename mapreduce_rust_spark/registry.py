@@ -84,7 +84,7 @@ def _load() -> None:
 # yet — after this round every pre-round-3 slug has been value-checked
 # by the driver at least once.
 #
-# ROUND-4 ROTATION PLAN: swap this list for the 20 round-3 additions,
+# ROUND-4 ROTATION PLAN: swap this list for the 22 round-3 additions,
 # which are the only slugs then lacking driver evidence —
 # scd2_compress_states, bpe_pair_counts, source_mix_weights,
 # robust_mad_outliers, source_python_datasource, embedding_covariance,
@@ -92,8 +92,9 @@ def _load() -> None:
 # dedup_incremental, corpus_budget_select, corpus_split_assign,
 # asof_join_nearest, interval_overlap_join, pipeline_dedup_report,
 # embedding_quantize_int8, embedding_text_align, json_key_census,
-# ts_rolling_median, dedup_containment — plus any round-4 additions,
-# backfilled to 50 with the oldest-evidence slugs.
+# ts_rolling_median, dedup_containment, time_in_state,
+# multimodal_chunk_dedup — plus any round-4 additions, backfilled to
+# 50 with the oldest-evidence slugs.
 _PRIORITY: tuple[str, ...] = (
     "unpivot_melt",
     "cdc_upsert_apply",
