@@ -212,10 +212,34 @@ FROM documents
 
 
 def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode-path plumbing over the fake decoder — no SQL oracle (the
-    decode is a Python stub by design); driver records rows-only."""
+    """Decode-path plumbing over the fake decoder. The stub is a pure
+    function of the payload bytes (char-sum of the first 64 bytes +
+    byte length), so the oracle recomputes every output column
+    analytically in SQL — the full mapInPandas decode chain (schema,
+    Arrow batching, partitioning) is value-checked end to end. When a
+    real codec replaces the stub only the oracle's formulas die; the
+    plumbing check moves to the pytest golden. Byte == char values
+    because the testdata text is pure ASCII (asserted across SFs)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return decode_media(media_from_documents(docs), fake_decoder=True)
+
+
+ORACLE["multimodal_decode_fake"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         'text/plain' AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         coalesce(list_sum(list_transform(
+           string_split(substring(text, 1, 64), ''), c -> ascii(c))), 0) AS h
+  FROM documents
+)
+SELECT media_id, media_type,
+       CAST(16 + h % 64 AS INT) AS width,
+       CAST(16 + (h // 64) % 64 AS INT) AS height,
+       CAST(1 + n_bytes % 4 AS INT) AS n_frames,
+       round((n_bytes % 1000) / 1000.0, 3) AS feature_norm
+FROM m
+"""
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -466,7 +466,10 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster (n_assigned, mean cosine to centroid). Genuinely
     iterative → no SQL oracle (driver records rows-only), same
     contract as the components loop; the per-round plan is
-    broadcast-assign + (cid, dim) mean aggregation."""
+    broadcast-assign + (cid, dim) mean aggregation. Value-level
+    verification lives in ``tests/test_llm_ops.py::
+    test_embedding_kmeans_numpy_golden``, which recomputes the whole
+    Lloyd trace in numpy and matches this summary."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, max_iter=3)
     sim = fround(cosine_similarity(F.col("embedding"), F.col("cv")), 6)

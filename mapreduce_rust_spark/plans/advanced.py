@@ -319,15 +319,35 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 
 
 def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct sketch next to the exact count. No SQL
-    oracle — sketch estimates are engine-specific by nature (driver
-    records rows-only); the pytest suite asserts <5% relative error
-    against the exact count."""
+    """HyperLogLog++ distinct sketch VALUE-CHECKED against the exact
+    count. The raw estimate is engine-specific (DuckDB's HLL ≠
+    Spark's), so the oracle-checkable surface is the exact count plus
+    the sketch's error CONTRACT: ``within_tol`` asserts the estimate
+    lands within 3× the configured rsd (0.05 → 15%) of the exact
+    count, and the oracle claims ``true`` for every group. A sketch
+    regression (wrong estimate, wrong rsd wiring) flips the boolean
+    and fails the driver's hash compare — a real value-level check,
+    unlike the former rows-only row. HLL++ is deterministic for a
+    given dataset + rsd, so the boolean is stable across runs."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.05)
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        exact.alias("exact_parts"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.lit(0.15) * exact.cast("double")
+        ).alias("within_tol"),
     )
+
+
+ORACLE["approx_distinct"] = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       true AS within_tol
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 def scalar_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:

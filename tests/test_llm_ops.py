@@ -264,6 +264,67 @@ def test_kmeans_centroids_separate_clusters(spark):
         assert len(cids) == 1, (c, cids)
 
 
+def test_embedding_kmeans_numpy_golden(spark, sf_dir):
+    """Value-level check for the (non-SQL-expressible) iterative
+    k-means: recompute the full Lloyd trace in numpy — deterministic
+    init (first k ids), fixed 3 rounds, floored-cosine assignment with
+    smaller-cid tie-break — and require the registry query's
+    per-cluster summary to match (counts exactly, mean cosine to the
+    reported 4-decimal precision)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mapreduce_rust_spark.operators.similarity import embedding_kmeans
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    # float32 -> float64 is exact, matching the JVM's cast('double')
+    V = np.asarray(tbl["embedding"], dtype=np.float32).astype(np.float64)[order]
+
+    def fr(x, scale):
+        f = 10.0**scale
+        return np.floor(np.round(x, scale + 4) * f) / f
+
+    k = 8
+    init_mask = ids < k
+    cid_vals = ids[init_mask].astype(int)  # sorted already
+    cents = V[init_mask]
+
+    def cos_matrix(c):
+        vn = np.linalg.norm(V, axis=1, keepdims=True)
+        cn = np.linalg.norm(c, axis=1, keepdims=True)
+        return fr(V @ c.T / (vn * cn.T), 6)
+
+    for _ in range(3):
+        sim = cos_matrix(cents)
+        assign = sim.argmax(axis=1)  # first max == smallest cid wins ties
+        assert all((assign == j).any() for j in range(len(cid_vals)))
+        cents = np.stack([V[assign == j].mean(axis=0) for j in range(len(cid_vals))])
+
+    sim = cos_matrix(cents)
+    assign = sim.argmax(axis=1)
+    best = sim[np.arange(len(V)), assign]
+    expected = {
+        int(cid_vals[j]): (
+            int((assign == j).sum()),
+            fr(best[assign == j].mean(), 4),
+        )
+        for j in range(len(cid_vals))
+        if (assign == j).any()
+    }
+
+    got = {
+        r["cid"]: (r["n_assigned"], r["mean_cos"])
+        for r in embedding_kmeans(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for cid, (n, mc) in expected.items():
+        assert got[cid][0] == n, (cid, got[cid], (n, mc))
+        assert abs(got[cid][1] - mc) <= 1e-4, (cid, got[cid], (n, mc))
+
+
 def test_simhash_banded_equals_bruteforce(spark, sf_dir):
     """Pigeonhole banding must reproduce the n^2 pair scan exactly."""
     from mapreduce_rust_spark.operators.dedup import (
