@@ -73,6 +73,18 @@ def _h64_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def _capped_shingle_sql(max_df: int) -> str:
+    """The oracle twin of :func:`stop_shingle_filter`: the shingle set
+    with document frequency capped at ``max_df`` (window-count form —
+    one pass instead of a groupBy+join)."""
+    return f"""
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS _df
+    FROM ({_SHINGLE_SQL}) raw_sh
+  ) WHERE _df <= {max_df}
+"""
+
+
 # --- MinHash parameters (deterministic, shared verbatim with SQL) ---
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1; a*(h%p)+b stays within int64
@@ -114,12 +126,48 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     ).distinct()
 
 
-def pair_intersection_stats(sh: DataFrame, id_col: str) -> DataFrame:
+# Default posting-list bound for the exact pairwise scorers. A shingle
+# shared by D documents yields D·(D-1)/2 pairs in the self-join, so one
+# boilerplate shingle on 1 M docs means ~5·10¹¹ pairs — THE scale-
+# killer of exact set-similarity. Capping document frequency bounds
+# every posting list (≤ MAX_SHINGLE_DF²/2 pairs per shingle) and is
+# standard practice: a shingle that frequent is boilerplate and carries
+# no similarity signal anyway. 128 does not bind at the test SFs
+# (measured max df: 7 at sf0.01, 25 at sf0.1), and the oracle SQL
+# mirrors the filter so the semantics stay value-checked even when it
+# does bind.
+MAX_SHINGLE_DF = 128
+
+
+def stop_shingle_filter(sh: DataFrame, id_col: str, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``
+    (stop-shingles). ``sh`` is distinct per (doc, shingle), so df is a
+    plain count; the filtered frame defines the reduced universe that
+    sizes AND intersections are computed over — self-consistent
+    'similarity over non-boilerplate shingles' semantics."""
+    dfreq = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("s")
+    )
+    return sh.join(dfreq, "s")
+
+
+def pair_intersection_stats(
+    sh: DataFrame, id_col: str, max_df: int | None = MAX_SHINGLE_DF
+) -> DataFrame:
     """(d1, d2, i, n1, n2) for every document pair sharing ≥1 shingle:
     the shared substrate of every set-similarity score — Jaccard,
     containment, overlap coefficient all derive from these five
     numbers. One shingle self-join + one size join-back; the costliest
-    stage of exact pairwise dedup, built once and reused."""
+    stage of exact pairwise dedup, built once and reused.
+
+    ``max_df`` bounds every posting list entering the self-join (see
+    :data:`MAX_SHINGLE_DF`); pass ``None`` for the uncapped plan —
+    acceptable only when an upstream bound on docs-per-shingle exists."""
+    if max_df is not None:
+        sh = stop_shingle_filter(sh, id_col, max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -138,15 +186,19 @@ def pair_intersection_stats(sh: DataFrame, id_col: str) -> DataFrame:
     return inter.join(n1, "d1").join(n2, "d2")
 
 
-def pair_stats_index(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+def pair_stats_index(
+    spark: SparkSession, sf_dir: str, k: int = 3, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
     """Memoized (per session) pair-intersection statistics over the
     documents shingle index — consumed by both the Jaccard and the
     containment scorers, so the shingle self-join runs once per
     dataset instead of once per metric."""
     return _memoized(
         _SIG_INDEX,
-        (sf_dir, f"pairstats-k{k}"),
-        lambda: pair_intersection_stats(shingle_index(spark, sf_dir, k), "doc_id"),
+        (sf_dir, f"pairstats-k{k}-df{max_df}"),
+        lambda: pair_intersection_stats(
+            shingle_index(spark, sf_dir, k), "doc_id", max_df=max_df
+        ),
     )
 
 
@@ -157,42 +209,28 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.25,
     sh: DataFrame | None = None,
+    max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact pairwise Jaccard over k-shingle sets, via inverted index
-    (self-join on shingle → |intersection| per pair, sizes joined
-    back). Output (d1, d2, jaccard) with d1 < d2.
+    (:func:`pair_intersection_stats` — self-join on shingle →
+    |intersection| per pair, sizes joined back). Output
+    (d1, d2, jaccard) with d1 < d2.
 
     jaccard = i/(n1+n2-i) over exact ints: bit-identical across
-    engines, no rounding needed. Cost is Σ_s count(s)² — fine while
-    no shingle is near-universal; for web-scale corpora run MinHash
+    engines, no rounding needed. Cost is Σ_s count(s)², bounded by the
+    ``max_df`` stop-shingle cap; for web-scale corpora run MinHash
     LSH (below) and reserve this for candidate verification.
 
-    The shingle frame feeds three plan branches (both self-join sides
-    and the size table); persist() keeps the explode+distinct from
-    running three times — at cluster scale, checkpoint it to parquet."""
+    The shingle frame feeds several plan branches (df filter, both
+    self-join sides, the size table); persist() keeps the
+    explode+distinct from re-running — at cluster scale, checkpoint
+    it to parquet."""
     if sh is None:
         sh = shingle_sets(df, id_col, text_col, k).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
-        )
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    n1 = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("n1"))
-    n2 = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("n2"))
+    stats = pair_intersection_stats(sh, id_col, max_df=max_df)
     jac = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
-    return (
-        inter.join(n1, "d1")
-        .join(n2, "d2")
-        .select("d1", "d2", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return stats.select("d1", "d2", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -454,11 +492,12 @@ def embedding_near_dup_pairs(
     is multiplied against the full (unit-normalized) corpus matrix in
     one BLAS call — ~100× faster than per-pair ``zip_with`` expression
     evaluation (measured 82 s → <2 s at sf0.1). The corpus matrix is
-    closure-shipped to executors, which bounds this exact variant to
-    corpora that fit in executor memory (same contract as a broadcast
-    join); beyond that, all-pairs is infeasible by definition and the
-    LSH/bucketed variants apply. cos is truncated via
-    floor(round(x,8)*1e4)/1e4 before thresholding, mirroring the
+    shipped via ``sparkContext.broadcast`` — ONE torrent transfer per
+    executor, not a per-task closure copy — which bounds this exact
+    variant to corpora that fit in executor memory (same contract as a
+    broadcast join); beyond that, all-pairs is infeasible by
+    definition and the LSH/bucketed variants apply. cos is truncated
+    via floor(round(x,8)*1e4)/1e4 before thresholding, mirroring the
     oracle (see functions/numeric.py for why round-then-floor)."""
     import numpy as np
     import pandas as pd
@@ -468,9 +507,10 @@ def embedding_near_dup_pairs(
     m = np.stack(corpus["_v"].to_numpy()).astype("float64")
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    mn = m / norms
+    bc = emb.sparkSession.sparkContext.broadcast((ids, m / norms))
 
     def block(batches):
+        b_ids, b_mn = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -478,13 +518,13 @@ def embedding_near_dup_pairs(
             an = np.linalg.norm(a, axis=1, keepdims=True)
             an[an == 0] = 1.0
             a = a / an
-            sims = np.floor(np.round(a @ mn.T, 8) * 10000) / 10000
+            sims = np.floor(np.round(a @ b_mn.T, 8) * 10000) / 10000
             a_ids = pdf[id_col].to_numpy()
             d1, d2, cs = [], [], []
             for i, aid in enumerate(a_ids):
-                mask = (sims[i] >= threshold) & (ids > aid)
+                mask = (sims[i] >= threshold) & (b_ids > aid)
                 d1.extend([aid] * int(mask.sum()))
-                d2.extend(ids[mask])
+                d2.extend(b_ids[mask])
                 cs.extend(sims[i][mask])
             yield pd.DataFrame({"d1": d1, "d2": d2, "cos_sim": cs})
 
@@ -503,36 +543,21 @@ def containment_pairs(
     k: int = 3,
     threshold: float = 0.8,
     sh: DataFrame | None = None,
+    max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Asymmetric near-duplicate detection by shingle CONTAINMENT:
     c = |A∩B| / min(|A|, |B|) — a truncated copy of a long document
     scores ~1.0 here while its Jaccard can be arbitrarily small, so
     this is the screen that catches prefix/truncation duplicates.
-    Same inverted-index plan as exact Jaccard (self-join on shingle,
-    sizes joined back); shares the memoized shingle frame."""
+    Thin wrapper over :func:`pair_intersection_stats` (one shared
+    inverted-index plan for every set-similarity score); only the
+    score expression differs from :func:`jaccard_pairs`."""
     if sh is None:
         sh = shingle_sets(df, id_col, text_col, k).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
-        )
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    n1 = sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("n1"))
-    n2 = sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("n2"))
+    stats = pair_intersection_stats(sh, id_col, max_df=max_df)
     cont = F.col("i") / F.least("n1", "n2")
-    return (
-        inter.join(n1, "d1")
-        .join(n2, "d2")
-        .select("d1", "d2", cont.alias("containment"))
-        .filter(F.col("containment") >= threshold)
+    return stats.select("d1", "d2", cont.alias("containment")).filter(
+        F.col("containment") >= threshold
     )
 
 
@@ -548,7 +573,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["dedup_containment"] = f"""
-WITH sh AS ({_SHINGLE_SQL}),
+WITH sh AS ({_capped_shingle_sql(MAX_SHINGLE_DF)}),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
@@ -690,7 +715,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["dedup_ngram_jaccard"] = f"""
-WITH ds AS ({_SHINGLE_SQL}),
+WITH ds AS ({_capped_shingle_sql(MAX_SHINGLE_DF)}),
 sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i

@@ -37,12 +37,16 @@ def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
     )
     types = ev.select("event_type").distinct()
-    grid = F.broadcast(hours.crossJoin(types))
+    grid = hours.crossJoin(types)
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(F.count(F.lit(1)).alias("c"))
+    # broadcast the non-preserved (right) side: a hint on the left
+    # side of a left-outer join is invalid and Spark discards it with
+    # a HintErrorLogger warning. The aggregate is ≤ |hours|×|types|
+    # rows — broadcast-sized by construction.
     return (
-        grid.join(hourly, ["hour", "event_type"], "left")
+        grid.join(F.broadcast(hourly), ["hour", "event_type"], "left")
         .select(
             F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
             "event_type",
@@ -290,11 +294,13 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
     )
     types = ev.select("event_type").distinct()
-    grid = F.broadcast(hours.crossJoin(types))
+    grid = hours.crossJoin(types)
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(F.avg("value").alias("obs"))
-    dense = grid.join(hourly, ["hour", "event_type"], "left").select(
+    # broadcast the right side (see ts_gapfill_hourly — a left-side
+    # hint on a left-outer join is discarded)
+    dense = grid.join(F.broadcast(hourly), ["hour", "event_type"], "left").select(
         "hour", "event_type", "obs", F.unix_micros("hour").alias("h_us")
     )
     w = W.partitionBy("event_type").orderBy("h_us")

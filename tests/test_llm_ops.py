@@ -264,6 +264,81 @@ def test_kmeans_centroids_separate_clusters(spark):
         assert len(cids) == 1, (c, cids)
 
 
+def test_pair_stats_cap_noop_when_not_binding(spark, sf_dir):
+    """With max_df above the corpus's true max document frequency the
+    stop-shingle filter is the identity: capped pair stats must equal
+    the uncapped plan row-for-row (the cap only ever REMOVES
+    boilerplate postings, so equality here pins the filter's no-false-
+    positive direction)."""
+    from mapreduce_rust_spark.operators.dedup import (
+        pair_intersection_stats,
+        shingle_sets,
+    )
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sh = shingle_sets(docs, "doc_id", "text", k=3).persist()
+    capped = pair_intersection_stats(sh, "doc_id", max_df=10**9).collect()
+    uncapped = pair_intersection_stats(sh, "doc_id", max_df=None).collect()
+    key = lambda r: (r["d1"], r["d2"])
+    assert sorted(map(tuple, capped), key=lambda t: t[:2]) == sorted(
+        map(tuple, uncapped), key=lambda t: t[:2]
+    )
+    assert len({key(r) for r in capped}) == len(capped)
+    sh.unpersist()
+
+
+def test_pair_stats_cap_bounds_posting_lists(spark):
+    """When the cap binds: (a) no shingle with df > cap reaches the
+    self-join (the posting-list bound that makes exact pairwise
+    100 TB-safe), (b) pairs sharing ONLY boilerplate disappear,
+    (c) true duplicate pairs survive with the same score, matching
+    the LSH+verification path's output on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rust_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_verified_pairs,
+        shingle_sets,
+        stop_shingle_filter,
+    )
+
+    boiler = "common header line shared by every document here"
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, boiler + " alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+        (3, boiler + " one two three four five six seven eight nine"),
+        (4, boiler + " ten eleven twelve thirteen fourteen fifteen sixteen"),
+        (5, boiler + " completely different tail words appear in this one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_sets(df, "doc_id", "text", k=3).persist()
+
+    cap = 4  # boilerplate shingles have df=5 > cap; unique tails df≤2
+    kept = stop_shingle_filter(sh, "doc_id", cap)
+    [mx] = kept.groupBy("s").count().agg(F.max("count")).collect()
+    assert mx[0] <= cap
+
+    capped_pairs = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.5, sh=sh, max_df=cap
+        ).collect()
+    }
+    # only the true duplicate pair survives; boilerplate-only pairs
+    # (e.g. 3-4) are gone, and identical docs still score 1.0
+    assert capped_pairs == {(1, 2): 1.0}
+
+    verified = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in lsh_verified_pairs(
+            df, "doc_id", "text", k=3, threshold=0.5, sh=sh
+        ).collect()
+    }
+    assert (1, 2) in verified and verified[(1, 2)] == 1.0
+    sh.unpersist()
+
+
 def test_embedding_kmeans_numpy_golden(spark, sf_dir):
     """Value-level check for the (non-SQL-expressible) iterative
     k-means: recompute the full Lloyd trace in numpy — deterministic
