@@ -790,8 +790,12 @@ def json_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("v").alias("n_distinct"),
-            fround(F.min(F.col("v").cast("double")), 4).alias("min_num"),
-            fround(F.max(F.col("v").cast("double")), 4).alias("max_num"),
+            # try_cast, not cast: Spark 4 runs ANSI mode by default, so
+            # a plain cast CRASHES on non-numeric values while the
+            # oracle's TRY_CAST yields NULL — current testdata is all-
+            # numeric but the layout varies per round
+            fround(F.min(F.col("v").try_cast("double")), 4).alias("min_num"),
+            fround(F.max(F.col("v").try_cast("double")), 4).alias("max_num"),
         )
         .orderBy("k")
     )

@@ -34,14 +34,27 @@ TABLE_NAMES = (
 BROADCAST_SAFE = ("region", "nation", "supplier")
 
 
-# (session id, sf_dir, table) → analyzed DataFrame. A load_table call
-# costs ~0.2 s of py4j/footer/conf round-trips; queries load 1-4 tables
-# each, so across a 140-query suite the repeated loads are a double-
-# digit-seconds tax. DataFrames are immutable logical plans — reusing
-# one across queries is free and changes nothing downstream. Keyed by
-# id(session) so a fresh session (new JVM state) never sees another
-# session's plans.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# (session id, sf_dir, table, file mtime) → analyzed DataFrame. A
+# load_table call costs ~0.2 s of py4j/footer/conf round-trips; queries
+# load 1-4 tables each, so across a 140-query suite the repeated loads
+# are a double-digit-seconds tax. DataFrames are immutable logical
+# plans — reusing one across queries is free and changes nothing
+# downstream. Keyed by id(session) so a fresh session (new JVM state)
+# never sees another session's plans; the id is collision-safe ONLY
+# because each cached DataFrame holds a reference to its session
+# (df.sparkSession), pinning the object alive for the entry's lifetime
+# — an invariant any future value type must preserve. The file mtime
+# in the key invalidates stale plans when a host regenerates the
+# parquet under the same path (testdata IS regenerated between driver
+# rounds); clear_table_cache() is the explicit big hammer.
+_TABLE_CACHE: dict[tuple[int, str, str, float], DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    """Drop every memoized table plan (and fan_out derivation) — for
+    hosts that regenerate testdata in place mid-session."""
+    _TABLE_CACHE.clear()
+    _FANOUT_CACHE.clear()
 # (id(frame), target) → (frame, fanned-out frame): fan_out's partition
 # probe (df.rdd → plan-to-RDD translation) and repartition-plan build
 # cost ~0.25 s of py4j per call and are pure functions of the input
@@ -102,11 +115,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_session_confs(spark)
-    key = (id(spark), sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.stat(path).st_mtime
+    except OSError:
+        mtime = -1.0  # let the Spark reader raise its own error
+    key = (id(spark), sf_dir, name, mtime)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    df = normalize_ts(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+    df = normalize_ts(spark.read.parquet(path))
     if len(_TABLE_CACHE) > 256:  # bound growth in long-lived hosts
         _TABLE_CACHE.clear()
     _TABLE_CACHE[key] = df

@@ -431,3 +431,56 @@ def test_interval_overlap_matches_bruteforce(spark, events):
             expect[cur.strftime("%Y-%m-%d %H:00")] = n
         cur += dt.timedelta(hours=1)
     assert got == expect
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        [float(i) for i in range(101)],  # deciles land EXACTLY on data points
+        [i / 7 for i in range(100)],  # non-representable sevenths stress interpolation
+        [1.0] * 40 + [2.0] * 30 + [3.0] * 31,  # heavy ties: many boundaries coincide
+    ],
+    ids=["on-point", "sevenths", "ties"],
+)
+def test_quantile_bins_boundary_values_match_duckdb(spark, vals):
+    """Boundary-value property for equal-frequency binning: when a
+    value sits exactly ON an interpolated quantile boundary, a 1-ulp
+    interpolation difference between Spark's percentile() and DuckDB's
+    quantile_cont() would flip its bin — the grid-snap (fround at 1e-4
+    on the boundary array in BOTH engines) must make the bin
+    assignment identical. Exercises exact-hit, irrational-fraction,
+    and tied-boundary layouts."""
+    import duckdb
+
+    from mapreduce_rust_spark.functions.numeric import fround_sql
+    from mapreduce_rust_spark.operators.profiling import quantile_bin_counts
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["bin"]: (r["n"], r["lo"], r["hi"])
+        for r in quantile_bin_counts(df, "x", 10).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    qs = [i / 10 for i in range(1, 10)]
+    oracle = f"""
+    WITH b AS (
+      SELECT list_transform(quantile_cont(x, {qs}), v -> {fround_sql('v', 4)}) AS bnds
+      FROM t
+    ),
+    binned AS (
+      SELECT x AS v, len(list_filter(bnds, e -> e <= x)) AS bin
+      FROM t CROSS JOIN b
+    )
+    SELECT bin, count(*) AS n,
+           {fround_sql("min(v)", 4)} AS lo,
+           {fround_sql("max(v)", 4)} AS hi
+    FROM binned GROUP BY bin ORDER BY bin
+    """
+    expect = {
+        int(bin_): (int(n), lo, hi)
+        for bin_, n, lo, hi in con.execute(oracle).fetchall()
+    }
+    assert got == expect
