@@ -81,11 +81,15 @@ def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
     # State-store COMMIT overhead (delta file per store per partition
     # per micro-batch) dominates a bounded local replay: a stream-
     # stream join carries 4 stores/partition, and measured wall-clock
-    # at 32 vs 8 partitions is 9.6 s vs 3.3 s for the same job. Cap the
-    # replay at 8; a production stream sizes this to its executor count
-    # BEFORE first checkpoint (it is frozen thereafter) where per-
-    # partition commit cost amortizes over real per-batch volume.
-    target = str(min(spark.sparkContext.defaultParallelism, 8))
+    # at 32 vs 8 partitions was 9.6 s vs 3.3 s for the same job. But
+    # compute-heavy streams lose parallelism under a tight cap — the
+    # hopping-window agg measured 3.9 s at 8 vs 1.4 s at 16 in one
+    # session, while the state-heavy slugs were within noise of 8 —
+    # so 16 is the local-replay compromise. A production stream sizes
+    # this to its executor count BEFORE first checkpoint (it is
+    # frozen thereafter) where per-partition commit cost amortizes
+    # over real per-batch volume.
+    target = str(min(spark.sparkContext.defaultParallelism, 16))
     if old_parts != target:
         spark.conf.set("spark.sql.shuffle.partitions", target)
     try:
