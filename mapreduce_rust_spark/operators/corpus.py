@@ -454,6 +454,162 @@ ORDER BY 1, 2
 """
 
 
+SEQ_LEN = 256  # context-window length (tokens) for pack_sequences
+
+
+def pack_sequences(
+    df: DataFrame, part_col: str, order_col: str, text_col: str,
+    seq_len: int = SEQ_LEN,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — THE pretraining batcher:
+    within each ``part_col`` stream, documents are conceptually
+    concatenated in ``order_col`` order and cut into fixed
+    ``seq_len``-token context windows; a document may SPAN windows.
+    Emits each doc's token offset and first/last window index.
+
+    Unlike :func:`pack_shards` (greedy whole-doc bins), this is
+    token-granular: ``n_chunks > 1`` means the doc crosses a window
+    boundary (the fragmentation the packing report aggregates).
+    Pure window arithmetic over an exclusive running token sum — one
+    shuffle partitioned by the stream column, so at 100 TB each
+    window covers one source/shard stream, never the whole corpus."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        df.withColumn("n_tok", n_tok)
+        .withColumn("start_tok", start)
+        .select(
+            part_col,
+            order_col,
+            "n_tok",
+            "start_tok",
+            F.floor(F.col("start_tok") / seq_len).alias("first_seq"),
+            F.floor(
+                (F.col("start_tok") + F.greatest(F.col("n_tok") - 1, F.lit(0)))
+                / seq_len
+            ).alias("last_seq"),
+        )
+    )
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing report per source stream: docs, tokens, context windows
+    consumed, and how many docs cross a window boundary (the
+    fragmentation metric that decides seq_len vs doc-length fit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, "source", "doc_id", "text", SEQ_LEN)
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            (F.max("last_seq") + 1).cast("bigint").alias("n_sequences"),
+            F.sum(
+                (F.col("last_seq") > F.col("first_seq")).cast("int")
+            ).cast("bigint").alias("n_crossing"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["corpus_pack_sequences"] = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM toks
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(max((start_tok + greatest(n_tok - 1, 0)) // {SEQ_LEN}) + 1 AS BIGINT)
+         AS n_sequences,
+       CAST(sum(CASE WHEN (start_tok + greatest(n_tok - 1, 0)) // {SEQ_LEN}
+                          > start_tok // {SEQ_LEN} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_crossing
+FROM packed
+GROUP BY source
+ORDER BY source
+"""
+
+
+N_ORDER_BUCKETS = 16  # hex-prefix buckets for the two-phase global rank
+
+
+def distributed_row_number(
+    df: DataFrame, key_col, n_buckets: int = N_ORDER_BUCKETS
+) -> DataFrame:
+    """Global row_number over ``key_col`` WITHOUT a single-partition
+    window — the scalable form of a global sort rank. Two phases:
+    (1) bucket rows by key prefix range (here: first hex char of the
+    key, which orders identically to the key itself), count per
+    bucket, and turn the tiny per-bucket counts into exclusive
+    offsets on the driver; (2) rank within each bucket in parallel
+    and add the broadcast offset. A naive ``row_number() OVER
+    (ORDER BY key)`` funnels 100 TB through ONE task; this plan's
+    widest window is one bucket (~1/n_buckets of the data) and the
+    offset table is n_buckets rows."""
+    keyed = df.withColumn("_ok", key_col).withColumn(
+        "_bucket", F.substring("_ok", 1, 1)
+    )
+    counts = {
+        r["_bucket"]: r["n"]
+        for r in keyed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(b, o) for b, o in offsets.items()], "_bucket string, _off long"
+        )
+    )
+    w = Window.partitionBy("_bucket").orderBy("_ok")
+    return (
+        keyed.join(off_df, "_bucket")
+        .withColumn("pos", (F.col("_off") + F.row_number().over(w)).cast("bigint"))
+        .drop("_bucket", "_off")
+    )
+
+
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: global position of every
+    document under a seeded content-hash ordering (reproducible across
+    runs and engines — no rand()), computed with the two-phase
+    distributed rank so no single task ever sees the whole corpus.
+    The order key md5(seed:doc_id) interleaves sources uniformly —
+    the epoch-shuffle primitive of a pretraining data loader."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    return (
+        distributed_row_number(docs, key)
+        .select("pos", "doc_id", "source", "_ok")
+        .withColumnRenamed("_ok", "order_key")
+        .orderBy("pos")
+    )
+
+
+ORACLE["corpus_shuffle_order"] = """
+SELECT row_number() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)))
+         AS pos,
+       doc_id, source,
+       md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS order_key
+FROM documents
+ORDER BY pos
+"""
+
+
 QUERIES = {
     "sample_hash_deterministic": sample_hash_deterministic,
     "tfidf_top_terms": tfidf_top_terms,
@@ -463,4 +619,6 @@ QUERIES = {
     "source_mix_weights": source_mix_weights,
     "corpus_budget_select": corpus_budget_select,
     "corpus_split_assign": corpus_split_assign,
+    "corpus_pack_sequences": corpus_pack_sequences,
+    "corpus_shuffle_order": corpus_shuffle_order,
 }

@@ -272,6 +272,40 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour DISTINCT event-type count per user — the
+    breadth-of-activity metric (how many different things did this
+    user do in the trailing day). Distinct aggregates are not
+    window-native in Spark, so the frame collects the type column and
+    dedups in an array expression (``array_distinct``) — fine because
+    the value domain inside one frame is small (event types, not
+    event ids); a high-cardinality domain would swap in an HLL sketch
+    column. Same partitioned RANGE shuffle as ``window_range_24h``."""
+    ev = load_table(spark, sf_dir, "events")
+    day_us = 24 * 3600 * 1_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-day_us, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("bigint")
+        .alias("n_types_24h"),
+    )
+
+
+ORACLE["window_rolling_distinct"] = """
+SELECT user_id, event_id,
+       count(DISTINCT event_type) OVER w AS n_types_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation over the dense hourly grid: hours with
     events carry the observed hourly average; gap hours get the
@@ -555,6 +589,7 @@ QUERIES = {
     "ts_ohlc_resample": ts_ohlc_resample,
     "session_window_builtin": session_window_builtin,
     "window_range_24h": window_range_24h,
+    "window_rolling_distinct": window_rolling_distinct,
     "ts_interpolate_linear": ts_interpolate_linear,
     "ts_ewma": ts_ewma,
     "window_sliding_counts": window_sliding_counts,

@@ -61,6 +61,7 @@ def _load() -> None:
         "mapreduce_rust_spark.operators.corpus",
         "mapreduce_rust_spark.operators.multimodal",
         "mapreduce_rust_spark.operators.skew",
+        "mapreduce_rust_spark.operators.linkage",
         "mapreduce_rust_spark.operators.graph",
         "mapreduce_rust_spark.operators.profiling",
         "mapreduce_rust_spark.sources.formats",
@@ -113,6 +114,11 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_chunk_dedup",
     # --- upgraded from rows-only to oracle-checked this round ---
     "approx_distinct",
+    # --- round-4 additions (need first driver evidence) ---
+    "corpus_pack_sequences",
+    "corpus_shuffle_order",
+    "entity_match_blocked",
+    "window_rolling_distinct",
     # --- oldest-evidence backfill (round-1-only driver rows) ---
     "source_scan_wholefile",
     "source_scan_lines",
@@ -137,10 +143,6 @@ _PRIORITY: tuple[str, ...] = (
     "global_topk",
     "pivot_agg",
     "semi_join",
-    "anti_join",
-    "orders_by_month",
-    "grouping_sets",
-    "scalar_functions",
 )
 
 

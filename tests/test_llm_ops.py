@@ -478,3 +478,69 @@ def test_ann_recall_vs_exact_baseline(spark, sf_dir):
     assert recall_ivf >= 0.3, recall_ivf
     assert recall_lsh >= 0.05, recall_lsh
     assert recall_ivf > recall_lsh
+
+
+def test_pack_sequences_spans_chunks(spark):
+    """Concat-and-chunk: token offsets and window spans must follow
+    the running sum; a doc straddling a 4-token boundary reports
+    first_seq < last_seq."""
+    from mapreduce_rust_spark.operators.corpus import pack_sequences
+
+    rows = [
+        (1, "a b c"),        # start 0, 3 toks -> seq 0..0
+        (2, "d e f"),        # start 3, toks 3 -> spans seq 0..1 (tokens 3,4,5)
+        (3, "g"),            # start 6 -> seq 1
+        (4, "h i j k l m"),  # start 7, 6 toks -> spans 1..3 (7..12)
+    ]
+    df = spark.createDataFrame([("s", i, t) for i, t in rows], "src string, doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["start_tok"], r["first_seq"], r["last_seq"])
+        for r in pack_sequences(df, "src", "doc_id", "text", seq_len=4).collect()
+    }
+    assert got == {
+        1: (3, 0, 0, 0),
+        2: (3, 3, 0, 1),
+        3: (1, 6, 1, 1),
+        4: (6, 7, 1, 3),
+    }
+
+
+def test_distributed_row_number_equals_global_window(spark):
+    """The two-phase bucketed rank must be IDENTICAL to the naive
+    single-partition row_number for any key column."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from mapreduce_rust_spark.operators.corpus import distributed_row_number
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    key = F.md5(F.col("k").cast("string"))
+    got = {
+        r["k"]: r["pos"]
+        for r in distributed_row_number(df, key).collect()
+    }
+    expect = {
+        r["k"]: r["pos"]
+        for r in df.withColumn(
+            "pos", F.row_number().over(W.orderBy(key.alias("_gk")))
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_blocked_fuzzy_pairs_hand_data(spark):
+    """Pairs only within blocks; edit distance filters across them."""
+    from mapreduce_rust_spark.operators.linkage import blocked_fuzzy_pairs
+
+    rows = [
+        (1, "blue metal box", "A"),
+        (2, "blue metal bax", "A"),   # dist 1 from 1
+        (3, "totally other name", "A"),
+        (4, "blue metal box", "B"),   # same name, different block
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    got = {
+        (r["id1"], r["id2"]): r["edit_dist"]
+        for r in blocked_fuzzy_pairs(df, "id", "name", ["blk"], max_dist=3).collect()
+    }
+    assert got == {(1, 2): 1}
