@@ -119,6 +119,8 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_shuffle_order",
     "entity_match_blocked",
     "window_rolling_distinct",
+    "approx_quantiles",
+    "sketch_union_distinct",
     # --- oldest-evidence backfill (round-1-only driver rows) ---
     "source_scan_wholefile",
     "source_scan_lines",
@@ -141,8 +143,6 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_agg",
     "cube_agg",
     "global_topk",
-    "pivot_agg",
-    "semi_join",
 )
 
 
