@@ -153,3 +153,21 @@ def test_source_mix_weights_sum_to_uniform(spark, sf_dir):
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
     for r in rows:
         assert abs(r["share"] * r["uniform_weight"] - 1.0 / n) < 1e-3
+
+
+def test_sketch_union_dedups_overlapping_groups(spark):
+    """The union estimate must reflect the DISTINCT union of ids, not
+    the sum of per-group estimates — ids shared across groups are the
+    whole point of mergeable sketches."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(500)] + [("b", i) for i in range(250, 750)],
+        "g string, uid long",
+    )
+    per = df.groupBy("g").agg(F.hll_sketch_agg("uid").alias("sk"))
+    [row] = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()
+    # exact distinct union = 750; naive sum of groups = 1000
+    assert abs(row["est"] - 750) <= 750 * 0.05
