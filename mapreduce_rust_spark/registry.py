@@ -121,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_rolling_distinct",
     "approx_quantiles",
     "sketch_union_distinct",
+    "dedup_lsh_star",
     # --- oldest-evidence backfill (round-1-only driver rows) ---
     "source_scan_wholefile",
     "source_scan_lines",
@@ -142,7 +143,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_running_sum",
     "rollup_agg",
     "cube_agg",
-    "global_topk",
 )
 
 

@@ -544,3 +544,28 @@ def test_blocked_fuzzy_pairs_hand_data(spark):
         for r in blocked_fuzzy_pairs(df, "id", "name", ["blk"], max_dist=3).collect()
     }
     assert got == {(1, 2): 1}
+
+
+def test_lsh_star_edges_connectivity_equivalent(spark, sf_dir):
+    """Star edges must induce EXACTLY the same connected components as
+    the full quadratic LSH candidate-pair set — that equivalence is
+    the whole argument for the linear-output variant."""
+    from mapreduce_rust_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_star_edges,
+        signature_index,
+    )
+    from mapreduce_rust_spark.operators.graph import connected_components
+
+    sigs = signature_index(spark, sf_dir, k=3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id").select("d1", "d2")
+    stars = lsh_star_edges(sigs, "doc_id")
+    comp_pairs = {
+        (r["node"], r["comp"]) for r in connected_components(pairs).collect()
+    }
+    comp_stars = {
+        (r["node"], r["comp"]) for r in connected_components(stars).collect()
+    }
+    assert comp_pairs == comp_stars
+    # and the star edge count is bounded by the pair count
+    assert stars.count() <= pairs.count()
