@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.sources.tables import load_table
+from mapreduce_rust_spark.sources.tables import fan_out, load_table
 
 ORACLE: dict[str, str] = {}
 
@@ -64,7 +64,10 @@ def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     edit distance <= 12 — the catalog-dedup screen. Block sizes at
     TPC-H geometry are |parts| / (25 brands x 50 sizes), so the
     per-block pair count stays quadratic-in-tiny."""
-    part = load_table(spark, sf_dir, "part")
+    # fan_out: the probe side carries the levenshtein evaluation — on
+    # single-row-group local parquet the scan is ONE partition and the
+    # whole edit-distance pass would run single-threaded
+    part = fan_out(load_table(spark, sf_dir, "part"))
     return blocked_fuzzy_pairs(
         part, "p_partkey", "p_name", ["p_brand", "p_size"], max_dist=12
     ).select(

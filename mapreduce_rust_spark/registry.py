@@ -84,10 +84,11 @@ def _load() -> None:
 # the then-unchecked 50, and ROUND 4 (this list) the 22 round-3
 # additions — the only slugs still lacking driver-side evidence —
 # plus `approx_distinct` (upgraded this round from rows-only to a
-# value-checked oracle row) and 27 oldest-evidence (round-1-only)
-# backfill slugs. After this round every slug registered through
-# round 3 has been value-checked by the driver at least once, and the
-# round-1 block starts accumulating refreshed evidence.
+# value-checked oracle row), the 8 round-4 additions, and 19
+# oldest-evidence (round-1-only) backfill slugs. After this round
+# every slug registered through round 3 has been value-checked by the
+# driver at least once, every round-4 slug gets first evidence, and
+# the round-1 block starts accumulating refreshed evidence.
 _PRIORITY: tuple[str, ...] = (
     # --- the 22 round-3 additions: zero driver-side evidence yet ---
     "scd2_compress_states",
@@ -122,6 +123,7 @@ _PRIORITY: tuple[str, ...] = (
     "approx_quantiles",
     "sketch_union_distinct",
     "dedup_lsh_star",
+    "sink_python_datasource",
     # --- oldest-evidence backfill (round-1-only driver rows) ---
     "source_scan_wholefile",
     "source_scan_lines",
@@ -142,7 +144,6 @@ _PRIORITY: tuple[str, ...] = (
     "top_k_per_group",
     "window_running_sum",
     "rollup_agg",
-    "cube_agg",
 )
 
 

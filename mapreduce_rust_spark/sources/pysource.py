@@ -116,4 +116,112 @@ FROM src GROUP BY bucket ORDER BY bucket
 """
 
 
-QUERIES = {"source_python_datasource": source_python_datasource}
+def _register_sink(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+    class _JsonDirWriter(DataSourceWriter):
+        """Partition-parallel JSON-lines writer with the two-phase
+        commit the reference's sink lacked entirely (worker.rs:199-208
+        writes final files directly — a crashed worker leaves partial
+        output): tasks write temp files and return them as commit
+        messages; only the driver-side commit() renames them into
+        place, so readers never observe a half-written part. On a
+        cluster the path must be shared storage (same contract as the
+        reference's ./intermediate dirs, coordinator.rs:146-149)."""
+
+        def __init__(self, options) -> None:
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            _os.makedirs(self.path, exist_ok=True)
+            tmp = _os.path.join(
+                self.path, f"_tmp-{pid}-{_uuid.uuid4().hex}.jsonl"
+            )
+            with open(tmp, "w") as fh:
+                for row in iterator:
+                    fh.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+            return _Msg(tmp)
+
+        def commit(self, messages):
+            import os as _os
+
+            for i, m in enumerate(messages):
+                _os.replace(
+                    m.path,
+                    _os.path.join(
+                        _os.path.dirname(m.path), f"part-{i:05d}.jsonl"
+                    ),
+                )
+
+        def abort(self, messages):
+            import os as _os
+
+            for m in messages:
+                try:
+                    _os.remove(m.path)
+                except OSError:
+                    pass
+
+    class JsonDirSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "mrs_jsonsink"
+
+        def writer(self, schema, overwrite):
+            return _JsonDirWriter(self.options)
+
+    spark.dataSource.register(JsonDirSink)
+
+
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the custom Python WRITER: aggregate the
+    range source, write JSON-lines parts via the two-phase-commit
+    sink, read the committed files back. The returned frame is the
+    read-back — so the oracle match proves the writer's contract
+    (partition fan-out, commit rename, faithful values), not just
+    that save() returned."""
+    from mapreduce_rust_spark.session import scratch_dir
+
+    _register_source(spark)
+    _register_sink(spark)
+    agg = (
+        spark.read.format("mrs_range")
+        .load()
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("sum_id"),
+            F.sum("val").alias("sum_val"),
+        )
+    )
+    out = scratch_dir(prefix="mrs_pysink_")
+    agg.write.format("mrs_jsonsink").option("path", out).mode("append").save()
+    return (
+        spark.read.schema("bucket bigint, n bigint, sum_id bigint, sum_val bigint")
+        .json(out)
+        .orderBy("bucket")
+    )
+
+
+ORACLE["sink_python_datasource"] = ORACLE["source_python_datasource"]
+
+
+QUERIES = {
+    "source_python_datasource": source_python_datasource,
+    "sink_python_datasource": sink_python_datasource,
+}
