@@ -1003,8 +1003,63 @@ GROUP BY 1
 """
 
 
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep histogram for dedup tuning: how many candidate
+    pairs exist at each Jaccard decile, with a cumulative
+    pairs-at-or-above column — the report a data engineer reads to
+    pick the dedup threshold BEFORE committing a 100 TB pass. Reuses
+    the memoized pair-intersection index (zero extra shingle work when
+    any other exact scorer already ran); the global window for the
+    cumulative sum runs over ≤10 bucket rows, never row-level data.
+    Bucket edges use the shared round-then-floor so both engines bin
+    borderline ratios identically."""
+    from pyspark.sql import Window as W
+
+    stats = pair_stats_index(spark, sf_dir, k=3)
+    j = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    bucket = F.floor(F.round(j, 8) * 10) / 10
+    hist = (
+        stats.select(bucket.alias("j_bucket"))
+        .groupBy("j_bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w = W.orderBy(F.col("j_bucket").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return hist.select(
+        "j_bucket", "n_pairs", F.sum("n_pairs").over(w).alias("n_pairs_ge")
+    ).orderBy("j_bucket")
+
+
+ORACLE["dedup_threshold_curve"] = f"""
+WITH sh AS ({_capped_shingle_sql(MAX_SHINGLE_DF)}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+hist AS (
+  SELECT floor(round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 8) * 10) / 10
+           AS j_bucket,
+         count(*) AS n_pairs
+  FROM inter
+  JOIN sizes n1 ON n1.doc_id = d1
+  JOIN sizes n2 ON n2.doc_id = d2
+  GROUP BY 1
+)
+SELECT j_bucket, n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY j_bucket DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_pairs_ge
+FROM hist
+ORDER BY j_bucket
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_threshold_curve": dedup_threshold_curve,
     "dedup_incremental": dedup_incremental,
     "dedup_containment": dedup_containment,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -575,8 +575,122 @@ ORDER BY 1
 """
 
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256  # 2 hex chars of md5 → bucket 0..255
+
+
+def _hexval(c):
+    """Hex char (Column) → 0..15, via ascii arithmetic — portable to
+    the oracle, unlike conv()/from_hex which only one engine has."""
+    a = F.ascii(c)
+    return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+
+def _cms_bucket(word, d: int):
+    h = F.md5(F.concat(F.lit(f"cms{d}:"), word))
+    return (
+        _hexval(F.substring(h, 1, 1)) * 16 + _hexval(F.substring(h, 2, 1))
+    ).cast("bigint")
+
+
+def _cms_bucket_sql(expr: str, d: str) -> str:
+    def hv(i: int) -> str:
+        a = f"ascii(substr(md5('cms' || {d} || ':' || {expr}), {i}, 1))"
+        return f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
+
+    return f"CAST({hv(1)} * 16 + {hv(2)} AS BIGINT)"
+
+
+def sketch_cms_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min sketch heavy-hitter estimation, built ENTIRELY with
+    groupBy — the sketch is just a {depth}×{width} = 4×256 cell table
+    of (hash-row, bucket) counts, so 'build the sketch' is one
+    aggregation over exploded words with a fixed-size key space, and
+    merging shards is cell-wise addition (the mergeable-sketch
+    property, same architecture as ``sketch_union_distinct``). At
+    100 TB this replaces an unbounded per-word state with 1024 cells.
+    The estimate for a word is min over the 4 rows of its bucket
+    counts (CMS guarantees est ≥ true). Unlike the HLL/GK slugs whose
+    internals are engine-specific, the md5-derived hash makes the
+    WHOLE sketch bit-identical in DuckDB, so the oracle value-checks
+    the actual estimates for the top-10 exact words, not just an
+    error contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    cells = (
+        words.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"), _cms_bucket(F.col("w"), d).alias("b")
+                        )
+                        for d in range(_CMS_DEPTH)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy(F.col("cell.d").alias("d"), F.col("cell.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "w")
+        .limit(10)
+    )
+    probe_cells = probes.select(
+        "w",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket(F.col("w"), d).alias("b")
+                    )
+                    for d in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("w", "true_cnt", F.col("cell.d").alias("d"), F.col("cell.b").alias("b"))
+    return (
+        probe_cells.join(F.broadcast(cells), ["d", "b"])
+        .groupBy(F.col("w").alias("word"), "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .orderBy(F.col("true_cnt").desc(), "word")
+    )
+
+
+ORACLE["sketch_cms_counts"] = f"""
+WITH words AS (
+  SELECT w FROM (
+    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
+  ) WHERE w != ''
+),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cells AS (
+  SELECT d, {_cms_bucket_sql("w", "d")} AS b, count(*) AS cnt
+  FROM words, ds
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT w, count(*) AS true_cnt
+  FROM words GROUP BY 1
+  ORDER BY true_cnt DESC, w LIMIT 10
+)
+SELECT p.w AS word, p.true_cnt, CAST(min(c.cnt) AS BIGINT) AS cms_est
+FROM probes p, ds
+JOIN cells c ON c.d = ds.d AND c.b = {_cms_bucket_sql("p.w", "ds.d")}
+GROUP BY 1, 2
+ORDER BY true_cnt DESC, word
+"""
+
+
 QUERIES = {
     "asof_join": asof_join_q,
+    "sketch_cms_counts": sketch_cms_counts_q,
     "asof_join_nearest": asof_join_nearest,
     "interval_overlap_join": interval_overlap_join,
     "range_join": range_join_q,

@@ -243,10 +243,146 @@ ORDER BY event_type
 """
 
 
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user behavior: P(next event type |
+    current event type), estimated from every consecutive pair in each
+    user's timeline. One lead() window shuffled on user_id (high
+    cardinality), then a groupBy whose key space is |types|² — the
+    transition matrix stays tiny at any corpus scale, so the row-level
+    normalization window runs over ≤25 rows. This is the
+    "what-happens-next" model behind session simulators and
+    next-action predictors."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_from = W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        fround(F.col("n") / F.sum("n").over(w_from), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+ORACLE["markov_transitions"] = f"""
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       {fround_sql("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)", 6)}
+         AS p
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: view → click within 30 min → purchase
+    within 30 min of that click. Unlike ``funnel_conversion`` (whose
+    steps may be hours apart), each step must land inside the window,
+    so the stages resolve sequentially: first view per user, then the
+    first qualifying click per user (one semi-aggregated join of the
+    click slice against the per-user view frame), then the first
+    qualifying purchase. Each stage joins the NEXT event slice against
+    a per-user single-row frame on user_id — two hash joins on a
+    high-cardinality key, never an n-way self-join of the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    lim = 1800  # 30 min, seconds
+    t = F.unix_timestamp("ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(t).alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", t.alias("tc"))
+        .join(views, "user_id")
+        .filter((F.col("tc") > F.col("t_view")) & (F.col("tc") <= F.col("t_view") + lim))
+        .groupBy("user_id")
+        .agg(F.min("tc").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", t.alias("tp"))
+        .join(clicks, "user_id")
+        .filter(
+            (F.col("tp") > F.col("t_click")) & (F.col("tp") <= F.col("t_click") + lim)
+        )
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("t_purchase"))
+    )
+    return (
+        views.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("1_view").alias("step"), "n")
+        .unionByName(
+            clicks.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("2_click_30m").alias("step"), "n"
+            )
+        )
+        .unionByName(
+            purchases.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("3_purchase_30m").alias("step"), "n"
+            )
+        )
+        .orderBy("step")
+    )
+
+
+ORACLE["funnel_time_bounded"] = """
+WITH ev AS (
+  -- floor to whole seconds: Spark's unix_timestamp truncates micros,
+  -- DuckDB's epoch() keeps them — boundary comparisons must agree
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+),
+views AS (
+  SELECT user_id, min(t) AS t_view
+  FROM ev WHERE event_type = 'view' GROUP BY 1
+),
+clicks AS (
+  SELECT e.user_id, min(e.t) AS t_click
+  FROM ev e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND e.t > v.t_view AND e.t <= v.t_view + 1800
+  GROUP BY 1
+),
+purchases AS (
+  SELECT e.user_id, min(e.t) AS t_purchase
+  FROM ev e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.t > c.t_click AND e.t <= c.t_click + 1800
+  GROUP BY 1
+)
+SELECT '1_view' AS step, count(*) AS n FROM views
+UNION ALL
+SELECT '2_click_30m', count(*) FROM clicks
+UNION ALL
+SELECT '3_purchase_30m', count(*) FROM purchases
+ORDER BY step
+"""
+
+
 QUERIES = {
     "time_in_state": time_in_state,
     "cohort_retention": cohort_retention,
     "funnel_conversion": funnel_conversion,
+    "funnel_time_bounded": funnel_time_bounded,
     "event_path_analysis": event_path_analysis,
+    "markov_transitions": markov_transitions,
     "scd2_compress_states": scd2_compress_states,
 }

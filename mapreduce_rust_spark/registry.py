@@ -37,6 +37,7 @@ def _load() -> None:
         advanced,
         analytics,
         behavior,
+        incremental,
         parity,
         pipeline,
         sqlface,
@@ -52,6 +53,7 @@ def _load() -> None:
     _register(timeseries.QUERIES, timeseries.ORACLE)
     _register(pipeline.QUERIES, pipeline.ORACLE)
     _register(behavior.QUERIES, behavior.ORACLE)
+    _register(incremental.QUERIES, incremental.ORACLE)
     for mod_name in (
         "mapreduce_rust_spark.operators.dedup",
         "mapreduce_rust_spark.streaming.queries",
@@ -84,7 +86,7 @@ def _load() -> None:
 # the then-unchecked 50, and ROUND 4 (this list) the 22 round-3
 # additions — the only slugs still lacking driver-side evidence —
 # plus `approx_distinct` (upgraded this round from rows-only to a
-# value-checked oracle row), the 8 round-4 additions, and 19
+# value-checked oracle row), the 15 round-4 additions, and 12
 # oldest-evidence (round-1-only) backfill slugs. After this round
 # every slug registered through round 3 has been value-checked by the
 # driver at least once, every round-4 slug gets first evidence, and
@@ -124,6 +126,14 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_union_distinct",
     "dedup_lsh_star",
     "sink_python_datasource",
+    # --- late round-4 additions (need first driver evidence) ---
+    "incremental_agg_merge",
+    "snapshot_diff",
+    "scd2_point_in_time",
+    "markov_transitions",
+    "funnel_time_bounded",
+    "dedup_threshold_curve",
+    "sketch_cms_counts",
     # --- oldest-evidence backfill (round-1-only driver rows) ---
     "source_scan_wholefile",
     "source_scan_lines",
@@ -137,13 +147,6 @@ _PRIORITY: tuple[str, ...] = (
     "union_merge",
     "cogroup_merge",
     "sink_write_json",
-    "tokenize_whitespace",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "top_k_per_group",
-    "window_running_sum",
-    "rollup_agg",
 )
 
 

@@ -1,0 +1,175 @@
+"""Unit tests for the incremental-maintenance plans, the behavioral
+additions (Markov transitions, time-bounded funnel), the dedup
+threshold curve, and the count-min sketch — semantics pinned on
+controlled frames and invariants, independent of the DuckDB oracles."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+    """The whole point of the operator: merged partial state must be
+    row-identical to the one-shot aggregation over all data."""
+    from mapreduce_rust_spark.plans.incremental import incremental_agg_merge
+    from mapreduce_rust_spark.sources.tables import load_table
+    from mapreduce_rust_spark.functions.numeric import fround
+
+    merged = {
+        (r["event_type"], r["day"]): (r["cnt"], r["sum_value"], r["avg_value"])
+        for r in incremental_agg_merge(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    full = {
+        (r["event_type"], r["day"]): (r["cnt"], r["sum_value"], r["avg_value"])
+        for r in ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            fround(F.sum("value"), 2).alias("sum_value"),
+            fround(F.sum("value") / F.count(F.lit(1)), 4).alias("avg_value"),
+        )
+        .collect()
+    }
+    assert merged == full
+
+
+def test_snapshot_diff_classification(spark, sf_dir):
+    """insert/delete/update counts follow from the modular snapshot
+    definitions; recompute them arithmetically from the key set."""
+    from mapreduce_rust_spark.plans.incremental import snapshot_diff
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    got = {r["change_type"]: r["n_keys"] for r in snapshot_diff(spark, sf_dir).collect()}
+    keys = [
+        r["o_orderkey"]
+        for r in load_table(spark, sf_dir, "orders").select("o_orderkey").collect()
+    ]
+    inserts = sum(1 for k in keys if k % 10 == 0 and k % 7 != 0)
+    deletes = sum(1 for k in keys if k % 7 == 0 and k % 10 != 0)
+    # updates: in both snapshots AND repriced — the +10% reprice of a
+    # positive price always changes the value
+    updates = sum(1 for k in keys if k % 10 != 0 and k % 7 != 0 and k % 3 == 0)
+    assert got == {"insert": inserts, "delete": deletes, "update": updates}
+
+
+def test_scd2_point_in_time_crafted_timeline(spark):
+    """One user: click-run then view-run; purchases before the first
+    state, inside each run, and after the last run's start."""
+    import mapreduce_rust_spark.plans.incremental as inc
+
+    rows = [
+        # state events (non-purchase)
+        (1, ts("2024-01-01 10:00:00"), 7, "click", 0.0, "{}"),
+        (2, ts("2024-01-01 11:00:00"), 7, "click", 0.0, "{}"),
+        (3, ts("2024-01-01 12:00:00"), 7, "view", 0.0, "{}"),
+        # purchases: before any state / in click run / in view run (open end)
+        (4, ts("2024-01-01 09:00:00"), 7, "purchase", 0.0, "{}"),
+        (5, ts("2024-01-01 10:30:00"), 7, "purchase", 0.0, "{}"),
+        (6, ts("2024-01-01 23:00:00"), 7, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    real_load = inc.load_table
+    try:
+        inc.load_table = lambda s, d, name: df
+        got = {
+            r["state"]: r["n_purchases"]
+            for r in inc.scd2_point_in_time(spark, "ignored").collect()
+        }
+    finally:
+        inc.load_table = real_load
+    assert got == {"none": 1, "click": 1, "view": 1}
+
+
+def test_markov_transition_rows_probability_normalized(spark, sf_dir):
+    from mapreduce_rust_spark.plans.behavior import markov_transitions
+
+    rows = markov_transitions(spark, sf_dir).collect()
+    assert rows, "transition matrix must be non-empty"
+    by_from: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 <= r["p"] <= 1.0
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["p"]
+    # truncation rounding loses at most 1e-6 per row (≤5 rows per source)
+    for total in by_from.values():
+        assert abs(total - 1.0) < 1e-4
+
+
+def test_funnel_time_bounded_crafted_windows(spark):
+    """click outside 30 min of the first view must NOT count; purchase
+    within 30 min of the qualifying click must count."""
+    import mapreduce_rust_spark.plans.behavior as beh
+
+    rows = [
+        # user 1: view -> click +10min -> purchase +20min  (full funnel)
+        (1, ts("2024-01-01 10:00:00"), 1, "view", 0.0, "{}"),
+        (2, ts("2024-01-01 10:10:00"), 1, "click", 0.0, "{}"),
+        (3, ts("2024-01-01 10:30:00"), 1, "purchase", 0.0, "{}"),
+        # user 2: view -> click +31min (outside window)
+        (4, ts("2024-01-01 10:00:00"), 2, "view", 0.0, "{}"),
+        (5, ts("2024-01-01 10:31:00"), 2, "click", 0.0, "{}"),
+        # user 3: click with no view at all
+        (6, ts("2024-01-01 10:00:00"), 3, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    real_load = beh.load_table
+    try:
+        beh.load_table = lambda s, d, name: df
+        got = {
+            r["step"]: r["n"]
+            for r in beh.funnel_time_bounded(spark, "ignored").collect()
+        }
+    finally:
+        beh.load_table = real_load
+    assert got == {"1_view": 2, "2_click_30m": 1, "3_purchase_30m": 1}
+
+
+def test_dedup_threshold_curve_invariants(spark, sf_dir):
+    """Cumulative column must be monotone (descending thresholds) and
+    end at the total pair count of the underlying index."""
+    from mapreduce_rust_spark.operators.dedup import (
+        dedup_threshold_curve,
+        pair_stats_index,
+    )
+
+    rows = dedup_threshold_curve(spark, sf_dir).orderBy(F.col("j_bucket").desc()).collect()
+    assert rows
+    total = pair_stats_index(spark, sf_dir, k=3).count()
+    cum = 0
+    for r in rows:
+        cum += r["n_pairs"]
+        assert r["n_pairs_ge"] == cum
+    assert cum == total
+
+
+def test_cms_overestimates_and_bounded_error(spark, sf_dir):
+    """CMS law: est >= true always; with depth 4 / width 256 the
+    expected overestimate per row is n_words/256 — assert the min-row
+    estimate stays within 5 * n_words / width of truth."""
+    from mapreduce_rust_spark.plans.advanced import sketch_cms_counts_q
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    rows = sketch_cms_counts_q(spark, sf_dir).collect()
+    assert len(rows) == 10
+    n_words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .count()
+    )
+    bound = 5 * n_words / 256
+    for r in rows:
+        assert r["cms_est"] >= r["true_cnt"]
+        assert r["cms_est"] - r["true_cnt"] <= bound
