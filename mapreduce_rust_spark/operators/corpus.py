@@ -600,6 +600,69 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution report — the input to every
+    truncation / context-window / packing decision: docs and token
+    volume per 25-token bin, plus the cumulative share of ALL tokens
+    living in documents at or above each bin (read it as "cutting at
+    this length discards X% of the corpus"). Token counting is a pure
+    per-row array expression fused into the scan; the histogram
+    aggregation has a key space of |corpus max length / 25| rows, so
+    the cumulative window runs over a frame that stays tiny at any
+    corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    ).cast("bigint")
+    hist = (
+        docs.select((n_tokens - n_tokens % 25).alias("bin_lo"), n_tokens.alias("n"))
+        .groupBy("bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+        )
+    )
+    w = Window.orderBy(F.col("bin_lo").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        "bin_lo",
+        "n_docs",
+        "total_tokens",
+        fround(
+            F.sum("total_tokens").over(w)
+            / F.sum("total_tokens").over(w_all).cast("double"),
+            6,
+        ).alias("cum_token_share_ge"),
+    ).orderBy("bin_lo")
+
+
+ORACLE["corpus_length_histogram"] = f"""
+WITH lens AS (
+  SELECT len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n
+  FROM documents
+),
+hist AS (
+  SELECT n - n % 25 AS bin_lo, count(*) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens
+  FROM lens GROUP BY 1
+)
+SELECT bin_lo, n_docs, total_tokens,
+       {fround_sql(
+           "sum(total_tokens) OVER (ORDER BY bin_lo DESC ROWS BETWEEN "
+           "UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE / "
+           "sum(total_tokens) OVER ()",
+           6,
+       )} AS cum_token_share_ge
+FROM hist
+ORDER BY bin_lo
+"""
+
+
 ORACLE["corpus_shuffle_order"] = """
 SELECT row_number() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)))
          AS pos,
@@ -621,4 +684,5 @@ QUERIES = {
     "corpus_split_assign": corpus_split_assign,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_shuffle_order": corpus_shuffle_order,
+    "corpus_length_histogram": corpus_length_histogram,
 }

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql
 from mapreduce_rust_spark.functions.text import (
     hash64,
     normalize_text,
@@ -1057,9 +1058,81 @@ ORDER BY j_bucket
 """
 
 
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall evaluation of LSH candidate generation against
+    (capped-)exact Jaccard truth at 0.5 — the report you produce
+    BEFORE trusting the approximate path with a 100 TB dedup pass
+    (where only the LSH side is affordable and truth comes from a
+    sampled audit just like this). Both pair sets come from the
+    memoized session indexes (zero extra shingle/signature work); the
+    outer join runs over two candidate-scale pair frames, never the
+    corpus. Truth uses the df-capped shingle universe (same semantics
+    as ``dedup_ngram_jaccard``); candidates are banded MinHash at
+    est_sim ≥ 0.5 over uncapped signatures — mirrored exactly in the
+    oracle, so a banding/signature regression moves tp/fp/fn and
+    fails the value hash."""
+    stats = pair_stats_index(spark, sf_dir, k=3)
+    jac = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    truth = stats.select("d1", "d2").filter(jac >= 0.5).withColumn("t", F.lit(1))
+    cand = (
+        candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3)
+        .select("d1", "d2")
+        .withColumn("c", F.lit(1))
+    )
+    labeled = truth.join(cand, ["d1", "d2"], "full_outer")
+    tp = F.sum((F.col("t").isNotNull() & F.col("c").isNotNull()).cast("bigint"))
+    fp = F.sum((F.col("t").isNull() & F.col("c").isNotNull()).cast("bigint"))
+    fn = F.sum((F.col("t").isNotNull() & F.col("c").isNull()).cast("bigint"))
+    return labeled.agg(
+        tp.alias("tp"), fp.alias("fp"), fn.alias("fn")
+    ).select(
+        "tp",
+        "fp",
+        "fn",
+        fround(F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 4).alias(
+            "precision"
+        ),
+        fround(F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 4).alias(
+            "recall"
+        ),
+    )
+
+
+ORACLE["dedup_lsh_eval"] = f"""
+WITH sh AS ({_capped_shingle_sql(MAX_SHINGLE_DF)}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE i / (s1.n + s2.n - i) >= 0.5
+),
+cand AS (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+),
+labeled AS (
+  SELECT coalesce(t.d1, c.d1) AS d1,
+         t.d1 IS NOT NULL AS is_t, c.d1 IS NOT NULL AS is_c
+  FROM truth t FULL OUTER JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
+)
+SELECT CAST(sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN NOT is_t AND is_c THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN is_t AND NOT is_c THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       {fround_sql("sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END)::DOUBLE / nullif(sum(CASE WHEN is_c THEN 1 ELSE 0 END), 0)", 4)} AS precision,
+       {fround_sql("sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END)::DOUBLE / nullif(sum(CASE WHEN is_t THEN 1 ELSE 0 END), 0)", 4)} AS recall
+FROM labeled
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_threshold_curve": dedup_threshold_curve,
+    "dedup_lsh_eval": dedup_lsh_eval,
     "dedup_incremental": dedup_incremental,
     "dedup_containment": dedup_containment,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

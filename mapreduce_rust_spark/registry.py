@@ -86,7 +86,7 @@ def _load() -> None:
 # the then-unchecked 50, and ROUND 4 (this list) the 22 round-3
 # additions — the only slugs still lacking driver-side evidence —
 # plus `approx_distinct` (upgraded this round from rows-only to a
-# value-checked oracle row), the 15 round-4 additions, and 12
+# value-checked oracle row), the 17 round-4 additions, and 10
 # oldest-evidence (round-1-only) backfill slugs. After this round
 # every slug registered through round 3 has been value-checked by the
 # driver at least once, every round-4 slug gets first evidence, and
@@ -134,6 +134,8 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_time_bounded",
     "dedup_threshold_curve",
     "sketch_cms_counts",
+    "dedup_lsh_eval",
+    "corpus_length_histogram",
     # --- oldest-evidence backfill (round-1-only driver rows) ---
     "source_scan_wholefile",
     "source_scan_lines",
@@ -145,8 +147,6 @@ _PRIORITY: tuple[str, ...] = (
     "reduce_udf",
     "combine_map_side",
     "union_merge",
-    "cogroup_merge",
-    "sink_write_json",
 )
 
 

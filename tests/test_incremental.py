@@ -154,6 +154,42 @@ def test_dedup_threshold_curve_invariants(spark, sf_dir):
     assert cum == total
 
 
+def test_dedup_lsh_eval_confusion_consistency(spark, sf_dir):
+    """tp+fn must equal the exact-truth pair count; rates in [0,1]."""
+    from mapreduce_rust_spark.operators.dedup import (
+        dedup_lsh_eval,
+        pair_stats_index,
+    )
+
+    [r] = dedup_lsh_eval(spark, sf_dir).collect()
+    assert r["tp"] >= 0 and r["fp"] >= 0 and r["fn"] >= 0
+    stats = pair_stats_index(spark, sf_dir, k=3)
+    n_truth = stats.filter(
+        F.col("i") / (F.col("n1") + F.col("n2") - F.col("i")) >= 0.5
+    ).count()
+    assert r["tp"] + r["fn"] == n_truth
+    if r["precision"] is not None:
+        assert 0.0 <= r["precision"] <= 1.0
+    if r["recall"] is not None:
+        assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_corpus_length_histogram_totals(spark, sf_dir):
+    """Doc counts must sum to the corpus size and the cumulative token
+    share must reach 1.0 at the smallest bin."""
+    from mapreduce_rust_spark.operators.corpus import corpus_length_histogram
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    rows = corpus_length_histogram(spark, sf_dir).collect()
+    assert rows
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    by_bin = sorted(rows, key=lambda r: r["bin_lo"])
+    assert abs(by_bin[0]["cum_token_share_ge"] - 1.0) < 1e-5
+    shares = [r["cum_token_share_ge"] for r in by_bin]
+    assert shares == sorted(shares, reverse=True)
+
+
 def test_cms_overestimates_and_bounded_error(spark, sf_dir):
     """CMS law: est >= true always; with depth 4 / width 256 the
     expected overestimate per row is n_words/256 — assert the min-row
