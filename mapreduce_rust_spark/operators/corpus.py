@@ -600,6 +600,64 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling for corpus construction: each document is
+    kept with probability equal to its (clamped) quality score, so the
+    sampled corpus is quality-tilted WITHOUT a global sort or a
+    per-source quota pass. The coin flip is the deterministic
+    content-hash fraction (md5 of the id scaled to [0,1)) compared
+    against the score — reproducible across runs, retries, and
+    engines, exactly like ``sample_hash_deterministic``; a 100 TB run
+    is one scan with a fused filter. Output is the per-source census:
+    total docs, kept docs, mean quality (≈ expected keep rate), and
+    the realized keep ratio."""
+    from mapreduce_rust_spark.functions.text import hash64
+    from mapreduce_rust_spark.operators.text_analysis import quality_scores
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    q = quality_scores(docs, "doc_id", "text").select("doc_id", "quality_score")
+    frac = (hash64(F.col("doc_id").cast("string")) % 1048576) / 1048576.0
+    w = F.least(F.greatest(F.col("quality_score"), F.lit(0.0)), F.lit(1.0))
+    labeled = docs.select("doc_id", "source").join(q, "doc_id").select(
+        "source", (frac < w).cast("bigint").alias("kept"), "quality_score"
+    )
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            fround(F.avg("quality_score"), 4).alias("avg_quality"),
+            fround(F.sum("kept") / F.count(F.lit(1)), 4).alias("kept_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def _quality_weighted_oracle() -> str:
+    from mapreduce_rust_spark.operators.text_analysis import _quality_sql
+
+    return f"""
+WITH q AS ({_quality_sql()}),
+labeled AS (
+  SELECT d.source,
+         CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1048576 / 1048576.0
+                < least(greatest(q.quality_score, 0), 1)
+              THEN 1 ELSE 0 END AS kept,
+         q.quality_score
+  FROM documents d JOIN q USING (doc_id)
+)
+SELECT source, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
+       {fround_sql("avg(quality_score)", 4)} AS avg_quality,
+       {fround_sql("sum(kept)::DOUBLE / count(*)", 4)} AS kept_ratio
+FROM labeled
+GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE["sample_quality_weighted"] = _quality_weighted_oracle()
+
+
 def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-length distribution report — the input to every
     truncation / context-window / packing decision: docs and token
@@ -685,4 +743,5 @@ QUERIES = {
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_shuffle_order": corpus_shuffle_order,
     "corpus_length_histogram": corpus_length_histogram,
+    "sample_quality_weighted": sample_quality_weighted,
 }

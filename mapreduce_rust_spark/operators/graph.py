@@ -282,8 +282,49 @@ FROM r3 ORDER BY rank DESC, node
 
 ORACLE["graph_pagerank"] = _pagerank_oracle()
 
+
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-duplicate graph — the structural
+    health check of a dedup run: a heavy tail (one node touching
+    thousands of pairs) means a boilerplate cluster is about to blow
+    up the pair join, and the star-edge / cap mitigations should kick
+    in. Reuses the memoized candidate pairs; two tiny aggregations
+    (per-node degree, then degree → node count), both with key spaces
+    orders of magnitude below the corpus."""
+    from mapreduce_rust_spark.operators.dedup import candidate_pairs_index
+
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3)
+    nodes = pairs.select(F.col("d1").alias("node")).unionAll(
+        pairs.select(F.col("d2").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+def _degree_oracle() -> str:
+    from mapreduce_rust_spark.operators.dedup import _minhash_oracle
+
+    return f"""
+WITH pairs AS (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+),
+nodes AS (
+  SELECT d1 AS node FROM pairs UNION ALL SELECT d2 FROM pairs
+),
+deg AS (SELECT node, count(*) AS degree FROM nodes GROUP BY 1)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE["graph_degree_distribution"] = _degree_oracle()
+
 QUERIES = {
     "dedup_components": dedup_components,
     "dedup_keep_best": dedup_keep_best,
     "graph_pagerank": graph_pagerank,
+    "graph_degree_distribution": graph_degree_distribution,
 }

@@ -581,8 +581,58 @@ FROM hourly
 """
 
 
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal seasonality profile: per (event_type, hour-of-day)
+    volume, mean, and dispersion, plus the hour's mean as a ratio of
+    the type's overall mean — the 24-point seasonal fingerprint that
+    capacity planning and anomaly baselines subtract before flagging
+    residuals. One aggregation with a |types|×24 key space; the
+    normalizing window runs over 24 rows per type, never row-level
+    data — at 100 TB this is one scan and one tiny shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("_avg"),
+        F.stddev_samp("value").alias("_sd"),
+        F.sum("value").alias("_sum"),
+    )
+    w = W.partitionBy("event_type")
+    overall = F.sum("_sum").over(w) / F.sum("n").over(w)
+    return prof.select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        fround("_avg", 4).alias("avg_value"),
+        fround("_sd", 4).alias("sd_value"),
+        fround(F.col("_avg") / overall, 4).alias("ratio_to_mean"),
+    ).orderBy("event_type", "hour_of_day")
+
+
+ORACLE["ts_seasonal_profile"] = f"""
+WITH prof AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+         count(*) AS n, avg(value) AS a, stddev_samp(value) AS sd,
+         sum(value) AS s
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour_of_day, n,
+       {fround_sql("a", 4)} AS avg_value,
+       {fround_sql("sd", 4)} AS sd_value,
+       {fround_sql(
+           "a / (sum(s) OVER (PARTITION BY event_type) / "
+           "sum(n) OVER (PARTITION BY event_type))",
+           4,
+       )} AS ratio_to_mean
+FROM prof
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "ts_rolling_median": ts_rolling_median,
+    "ts_seasonal_profile": ts_seasonal_profile,
     "ts_gapfill_hourly": ts_gapfill_hourly,
     "window_lag_delta": window_lag_delta,
     "window_rank_suite": window_rank_suite,

@@ -86,7 +86,7 @@ def _load() -> None:
 # the then-unchecked 50, and ROUND 4 (this list) the 22 round-3
 # additions — the only slugs still lacking driver-side evidence —
 # plus `approx_distinct` (upgraded this round from rows-only to a
-# value-checked oracle row), the 17 round-4 additions, and 10
+# value-checked oracle row), the 20 round-4 additions, and 7
 # oldest-evidence (round-1-only) backfill slugs. After this round
 # every slug registered through round 3 has been value-checked by the
 # driver at least once, every round-4 slug gets first evidence, and
@@ -136,6 +136,9 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_cms_counts",
     "dedup_lsh_eval",
     "corpus_length_histogram",
+    "graph_degree_distribution",
+    "sample_quality_weighted",
+    "ts_seasonal_profile",
     # --- oldest-evidence backfill (round-1-only driver rows) ---
     "source_scan_wholefile",
     "source_scan_lines",
@@ -144,9 +147,6 @@ _PRIORITY: tuple[str, ...] = (
     "partition_modulo",
     "map_udf",
     "map_udtf",
-    "reduce_udf",
-    "combine_map_side",
-    "union_merge",
 )
 
 

@@ -190,6 +190,54 @@ def test_corpus_length_histogram_totals(spark, sf_dir):
     assert shares == sorted(shares, reverse=True)
 
 
+def test_graph_degree_distribution_counts_nodes(spark, sf_dir):
+    """Σ n_nodes must equal the number of distinct nodes in the pair
+    graph, and Σ degree·n_nodes = 2·|edges| (handshake lemma)."""
+    from mapreduce_rust_spark.operators.dedup import candidate_pairs_index
+    from mapreduce_rust_spark.operators.graph import graph_degree_distribution
+
+    rows = graph_degree_distribution(spark, sf_dir).collect()
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3)
+    n_edges = pairs.count()
+    n_nodes = (
+        pairs.select(F.col("d1").alias("n"))
+        .unionAll(pairs.select(F.col("d2").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_nodes"] for r in rows) == n_nodes
+    assert sum(r["degree"] * r["n_nodes"] for r in rows) == 2 * n_edges
+
+
+def test_quality_weighted_sampling_rate_tracks_quality(spark, sf_dir):
+    """Keep rate should track mean quality: with the hash fraction
+    uniform on [0,1), E[kept | q] = clamp(q, 0, 1). Assert the
+    realized per-source ratio is within a generous tolerance of the
+    mean quality (25 docs/source at sf0.001 → wide binomial CI)."""
+    from mapreduce_rust_spark.operators.corpus import sample_quality_weighted
+
+    rows = sample_quality_weighted(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert abs(r["kept_ratio"] - min(max(r["avg_quality"], 0.0), 1.0)) < 0.35
+
+
+def test_seasonal_profile_shape_and_normalization(spark, sf_dir):
+    """24 hours per type; volume-weighted mean of hourly ratios = 1."""
+    from mapreduce_rust_spark.plans.timeseries import ts_seasonal_profile
+
+    rows = ts_seasonal_profile(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        assert len(rs) == 24, t
+        n_total = sum(r["n"] for r in rs)
+        wmean = sum(r["ratio_to_mean"] * r["n"] for r in rs) / n_total
+        assert abs(wmean - 1.0) < 1e-3
+
+
 def test_cms_overestimates_and_bounded_error(spark, sf_dir):
     """CMS law: est >= true always; with depth 4 / width 256 the
     expected overestimate per row is n_words/256 — assert the min-row
