@@ -619,8 +619,16 @@ def sketch_cms_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.split("text", r"\s+")).alias("w")
     ).filter(F.col("w") != "")
+    # aggregate the token stream to (word, count) FIRST: the 4 hash
+    # rows then explode over |vocab| rows instead of |tokens| rows and
+    # the cell counts become sum(count) — identical sketch, ~|tokens|/
+    # |vocab| less hashing (in-session warm A/B at sf0.1: 2.7 s →
+    # 1.2 s). The word-count aggregation is shared with the probe
+    # ranking.
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt")).persist()
     cells = (
-        words.select(
+        counts.select(
+            "true_cnt",
             F.explode(
                 F.array(
                     *[
@@ -630,17 +638,12 @@ def sketch_cms_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for d in range(_CMS_DEPTH)
                     ]
                 )
-            ).alias("cell")
+            ).alias("cell"),
         )
         .groupBy(F.col("cell.d").alias("d"), F.col("cell.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("true_cnt").alias("cnt"))
     )
-    probes = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("true_cnt"))
-        .orderBy(F.col("true_cnt").desc(), "w")
-        .limit(10)
-    )
+    probes = counts.orderBy(F.col("true_cnt").desc(), "w").limit(10)
     probe_cells = probes.select(
         "w",
         "true_cnt",
