@@ -630,9 +630,99 @@ ORDER BY 1, 2
 """
 
 
+def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay sizing report: how late does data actually
+    arrive? The generator's events carry no disorder (event_id is
+    exactly event-time-ordered — verified, lateness ≡ 0), so arrival
+    time is modeled as event-time plus a deterministic content-hash
+    jitter of 0–10 min (the bounded network/broker delay a real
+    ingest sees). Each event's lateness is the high-watermark (max
+    event-time among earlier ARRIVALS) minus its own event-time,
+    bucketed into minutes, with the cumulative share of events a
+    ``withWatermark(delay)`` would capture at each delay — the
+    empirical basis for every watermark choice in ``streaming/``.
+
+    The prefix-max is DISTRIBUTED: a naive ``max(ts) OVER (ORDER BY
+    arrival)`` funnels the whole stream through one range-sorted
+    partition chain; instead arrivals are range-bucketed into hours
+    (the ≤|hours|-row per-bucket maxima get an exclusive running max
+    broadcast back) and each bucket computes its within-bucket
+    running max in parallel — the same two-phase shape as
+    ``corpus_shuffle_order``'s distributed rank. Exact integer
+    microseconds end-to-end."""
+    from mapreduce_rust_spark.functions.text import hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    tus = F.unix_micros("ts")
+    arrival = tus + hash64(F.col("event_id").cast("string")) % 600000000
+    keyed = ev.select(
+        "event_id",
+        tus.alias("tus"),
+        arrival.alias("arr"),
+        F.floor(arrival / 3600000000).cast("bigint").alias("_bkt"),
+    )
+    bmax = keyed.groupBy("_bkt").agg(F.max("tus").alias("_bmax"))
+    w_prev = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    prev = bmax.select("_bkt", F.max("_bmax").over(w_prev).alias("_prev"))
+    w_run = W.partitionBy("_bkt").orderBy("arr", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    hwm = F.greatest(
+        F.max("tus").over(w_run), F.coalesce("_prev", F.lit(0).cast("bigint"))
+    )
+    late_min = ((hwm - F.col("tus")) / F.lit(60000000)).cast("bigint")
+    hist = (
+        keyed.join(F.broadcast(prev), "_bkt")
+        .select(F.least(late_min, F.lit(120)).alias("late_min"))
+        .groupBy("late_min")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w_cum = W.orderBy("late_min").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return hist.select(
+        "late_min",
+        "n_events",
+        fround(
+            F.sum("n_events").over(w_cum) / F.sum("n_events").over(w_all).cast("double"),
+            6,
+        ).alias("captured_share"),
+    ).orderBy("late_min")
+
+
+ORACLE["late_data_audit"] = f"""
+WITH arr AS (
+  SELECT event_id, epoch_us(ts) AS tus,
+         epoch_us(ts)
+           + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+             % 600000000 AS arr
+  FROM events
+),
+run AS (
+  SELECT tus,
+         max(tus) OVER (ORDER BY arr, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+  FROM arr
+),
+hist AS (
+  SELECT least((hwm - tus) // 60000000, 120) AS late_min,
+         count(*) AS n_events
+  FROM run GROUP BY 1
+)
+SELECT late_min, n_events,
+       {fround_sql(
+           "sum(n_events) OVER (ORDER BY late_min ROWS BETWEEN UNBOUNDED "
+           "PRECEDING AND CURRENT ROW)::DOUBLE / sum(n_events) OVER ()",
+           6,
+       )} AS captured_share
+FROM hist
+ORDER BY late_min
+"""
+
+
 QUERIES = {
     "ts_rolling_median": ts_rolling_median,
     "ts_seasonal_profile": ts_seasonal_profile,
+    "late_data_audit": late_data_audit,
     "ts_gapfill_hourly": ts_gapfill_hourly,
     "window_lag_delta": window_lag_delta,
     "window_rank_suite": window_rank_suite,

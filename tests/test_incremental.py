@@ -238,6 +238,38 @@ def test_seasonal_profile_shape_and_normalization(spark, sf_dir):
         assert abs(wmean - 1.0) < 1e-3
 
 
+def test_late_data_audit_matches_naive_global_window(spark, sf_dir):
+    """The two-phase distributed prefix-max must reproduce the naive
+    single-partition global window exactly."""
+    from pyspark.sql import Window as W
+
+    from mapreduce_rust_spark.functions.text import hash64
+    from mapreduce_rust_spark.plans.timeseries import late_data_audit
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    got = {r["late_min"]: r["n_events"] for r in late_data_audit(spark, sf_dir).collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    tus = F.unix_micros("ts")
+    arrival = tus + hash64(F.col("event_id").cast("string")) % 600000000
+    w = W.orderBy(arrival, "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    naive = (
+        ev.select(
+            F.least(
+                ((F.max(tus).over(w) - tus) / F.lit(60000000)).cast("bigint"),
+                F.lit(120),
+            ).alias("late_min")
+        )
+        .groupBy("late_min")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    expected = {r["late_min"]: r["n_events"] for r in naive.collect()}
+    assert got == expected
+
+    rows = late_data_audit(spark, sf_dir).orderBy("late_min").collect()
+    assert abs(rows[-1]["captured_share"] - 1.0) < 1e-5
+
+
 def test_cms_overestimates_and_bounded_error(spark, sf_dir):
     """CMS law: est >= true always; with depth 4 / width 256 the
     expected overestimate per row is n_words/256 — assert the min-row
