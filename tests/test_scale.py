@@ -376,3 +376,53 @@ def test_python_datasource_partition_planning(spark):
     _register_source(spark)
     df = spark.read.format("mrs_range").load()
     assert df.rdd.getNumPartitions() == N_PARTS
+
+
+def test_late_data_audit_no_global_sort(spark, sf_dir):
+    """The distributed prefix-max must not fall back to a range-
+    partitioned global window: the only windows are per-arrival-hour
+    buckets plus the ≤|hours|-row offset frame."""
+    from mapreduce_rust_spark.plans.timeseries import late_data_audit
+
+    p = plan_str(late_data_audit(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # row-level data only ever hash-partitions (on the arrival-hour
+    # bucket); the tiny frames use single-partition windows, and NO
+    # range sort exists anywhere in the plan
+    assert "rangepartitioning" not in p
+    assert p.count("hashpartitioning") >= 1
+
+
+def test_snapshot_diff_single_key_shuffle_no_cartesian(spark, sf_dir):
+    from mapreduce_rust_spark.plans.incremental import snapshot_diff
+
+    p = plan_str(snapshot_diff(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    # both snapshots shuffle on the join key once (full outer can't
+    # broadcast); AQE may add coalesces but no extra row-level sorts
+    assert "SortMergeJoin FullOuter" in p or "SortMergeJoin" in p
+
+
+def test_cms_sketch_cells_bounded(spark, sf_dir):
+    """The sketch must stay 4×256 cells regardless of corpus size —
+    the fixed-size-state property that makes it mergeable at 100 TB."""
+    from mapreduce_rust_spark.plans.advanced import (
+        _CMS_DEPTH,
+        _CMS_WIDTH,
+        _cms_bucket,
+    )
+    from mapreduce_rust_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", r"\s+")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    cells = words.select(
+        *[_cms_bucket(F.col("w"), d).alias(f"b{d}") for d in range(_CMS_DEPTH)]
+    )
+    for d in range(_CMS_DEPTH):
+        stats = cells.agg(
+            F.min(f"b{d}").alias("lo"), F.max(f"b{d}").alias("hi")
+        ).collect()[0]
+        assert 0 <= stats["lo"] and stats["hi"] < _CMS_WIDTH
