@@ -221,7 +221,108 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["sink_python_datasource"] = ORACLE["source_python_datasource"]
 
 
+def _register_stream_source(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _RangeStreamReader(SimpleDataSourceStreamReader):
+        """Offset-tracked micro-batch reader over the deterministic
+        range: each ``read`` advances the offset by 512 rows, so the
+        4096-row relation arrives as 8 replayable micro-batches.
+        ``readBetweenOffsets`` regenerates any [start, end) slice —
+        the exactly-once recovery contract (a restarted query replays
+        from the last committed offset and must see identical rows,
+        which pure integer arithmetic guarantees)."""
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            if pos >= N_ROWS:
+                return iter([]), {"pos": pos}
+            end = min(pos + 512, N_ROWS)
+            return self._rows(pos, end), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["pos"], end["pos"])
+
+        @staticmethod
+        def _rows(a: int, b: int):
+            return iter([(i, i % 16, (i * i) % 9973) for i in range(a, b)])
+
+    class DeterministicRangeStream(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "mrs_range_stream"
+
+        def schema(self) -> str:
+            return "id bigint, bucket bigint, val bigint"
+
+        def simpleStreamReader(self, schema):
+            return _RangeStreamReader()
+
+    spark.dataSource.register(DeterministicRangeStream)
+
+
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingestion through a custom Python Data Source: the
+    same deterministic relation as ``source_python_datasource``, but
+    arriving as 8 offset-tracked micro-batches through a
+    ``SimpleDataSourceStreamReader`` into a complete-mode streaming
+    aggregation. The oracle is the identical batch SQL — hash-equality
+    proves the streaming connector delivered exactly-once semantics
+    end-to-end (no dropped or duplicated batch), not just that the
+    query ran. availableNow drains only one read() for simple stream
+    readers, so the run uses a continuous trigger with a bounded
+    drain: poll the sink until all rows are absorbed, then stop."""
+    import time
+
+    from mapreduce_rust_spark.session import scratch_dir
+
+    _register_stream_source(spark)
+    sdf = spark.readStream.format("mrs_range_stream").load()
+    agg = sdf.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").alias("sum_id"),
+        F.sum("val").alias("sum_val"),
+    )
+    name = "mrs_pystream_sink"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    target = str(min(spark.sparkContext.defaultParallelism, 16))
+    if old_parts != target:
+        spark.conf.set("spark.sql.shuffle.partitions", target)
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .option("checkpointLocation", scratch_dir(prefix="mrs_pystream_ckpt_"))
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                got = spark.sql(
+                    f"SELECT coalesce(sum(n), 0) AS c FROM {name}"
+                ).collect()[0]["c"]
+                if got >= N_ROWS:
+                    break
+                time.sleep(0.1)
+        finally:
+            query.stop()
+            query.awaitTermination(30)
+    finally:
+        if old_parts != target:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name).orderBy("bucket")
+
+
+ORACLE["source_python_stream"] = ORACLE["source_python_datasource"]
+
+
 QUERIES = {
     "source_python_datasource": source_python_datasource,
     "sink_python_datasource": sink_python_datasource,
+    "source_python_stream": source_python_stream,
 }

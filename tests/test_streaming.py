@@ -161,3 +161,35 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     )
     want = {r["u"]: r["n"] for r in batch.collect()}
     assert {k: v[0] for k, v in got.items()} == want
+
+
+def test_python_stream_source_matches_batch_source(spark):
+    """The streaming connector must deliver the exact relation the
+    batch connector scans — same totals per bucket, no dropped or
+    duplicated micro-batch."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rust_spark.sources.pysource import (
+        _register_source,
+        source_python_stream,
+    )
+
+    got = {
+        r["bucket"]: (r["n"], r["sum_id"], r["sum_val"])
+        for r in source_python_stream(spark, "ignored").collect()
+    }
+    _register_source(spark)
+    batch = (
+        spark.read.format("mrs_range")
+        .load()
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("sum_id"),
+            F.sum("val").alias("sum_val"),
+        )
+    )
+    expected = {
+        r["bucket"]: (r["n"], r["sum_id"], r["sum_val"]) for r in batch.collect()
+    }
+    assert got == expected
