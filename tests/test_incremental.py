@@ -14,16 +14,26 @@ def ts(s: str):
     return datetime.fromisoformat(s)
 
 
-def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "cutoff",
+    ["2024-01-02 00:00:00", "2024-01-15 12:00:00", "2024-01-24 00:00:00",
+     "2024-02-01 00:00:00"],
+)
+def test_incremental_merge_equals_full_recompute(spark, sf_dir, cutoff, monkeypatch):
     """The whole point of the operator: merged partial state must be
-    row-identical to the one-shot aggregation over all data."""
-    from mapreduce_rust_spark.plans.incremental import incremental_agg_merge
+    row-identical to the one-shot aggregation over all data — for ANY
+    cutoff, including one where the delta is empty."""
+    import mapreduce_rust_spark.plans.incremental as inc
     from mapreduce_rust_spark.sources.tables import load_table
     from mapreduce_rust_spark.functions.numeric import fround
 
+    monkeypatch.setattr(inc, "_CUTOFF", cutoff)
     merged = {
         (r["event_type"], r["day"]): (r["cnt"], r["sum_value"], r["avg_value"])
-        for r in incremental_agg_merge(spark, sf_dir).collect()
+        for r in inc.incremental_agg_merge(spark, sf_dir).collect()
     }
     ev = load_table(spark, sf_dir, "events")
     full = {
