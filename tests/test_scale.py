@@ -426,3 +426,27 @@ def test_cms_sketch_cells_bounded(spark, sf_dir):
             F.min(f"b{d}").alias("lo"), F.max(f"b{d}").alias("hi")
         ).collect()[0]
         assert 0 <= stats["lo"] and stats["hi"] < _CMS_WIDTH
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path, sf_dir):
+    """Joining a hive-partitioned fact against a FILTERED dim must
+    prune fact partitions at RUNTIME via dynamic partition pruning —
+    the mechanism that turns a 100 TB star-join into a scan of only
+    the matching partition directories."""
+    from mapreduce_rust_spark.sinks import write_partitioned_parquet
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "ev_dpp")
+    write_partitioned_parquet(ev, out, ["event_type"])
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 2.0), ("error", 3.0), ("purchase", 4.0),
+         ("signup", 5.0)],
+        "event_type string, weight double",
+    ).filter(F.col("weight") < 1.5)  # only 'click' survives
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    p = plan_str(joined)
+    assert "dynamicpruning" in p.lower(), p[:2000]
+    got = {r["event_type"]: r["count"] for r in joined.collect()}
+    assert got == {"click": ev.filter("event_type = 'click'").count()}
