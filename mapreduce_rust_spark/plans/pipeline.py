@@ -154,7 +154,75 @@ ORDER BY d.source
 ORACLE["pipeline_dedup_report"] = _dedup_report_oracle()
 
 
+def delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation census: a deterministic
+    forget-list (subject key % 97 == 0 — standing in for the DSAR
+    queue) is anti-joined through every table that carries a subject
+    key, reporting rows before / deleted / after per table. Each leg
+    is ONE broadcast anti-join against the (always tiny relative to
+    facts) forget set — the erasure job a 100 TB lakehouse runs
+    nightly without ever shuffling the fact tables; the actual
+    deletion is the same plan with the census swapped for a rewrite
+    of the surviving partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    forget = (
+        ev.select(F.col("user_id").alias("k"))
+        .unionByName(cust.select(F.col("c_custkey").alias("k")))
+        .filter(F.col("k") % 97 == 0)
+        .distinct()
+    )
+
+    def leg(df: DataFrame, key: str, table: str) -> DataFrame:
+        before = df.agg(F.count(F.lit(1)).alias("n_before"))
+        after = df.join(
+            F.broadcast(forget), df[key] == forget["k"], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_after"))
+        return before.crossJoin(after).select(
+            F.lit(table).alias("table_name"),
+            "n_before",
+            (F.col("n_before") - F.col("n_after")).alias("n_deleted"),
+            "n_after",
+        )
+
+    return (
+        leg(ev, "user_id", "events")
+        .unionByName(leg(orders, "o_custkey", "orders"))
+        .unionByName(leg(cust, "c_custkey", "customer"))
+        .orderBy("table_name")
+    )
+
+
+ORACLE["delete_propagation"] = """
+WITH forget AS (
+  SELECT DISTINCT k FROM (
+    SELECT user_id AS k FROM events
+    UNION ALL SELECT c_custkey FROM customer
+  ) WHERE k % 97 = 0
+),
+legs AS (
+  SELECT 'customer' AS table_name, count(*) AS n_before,
+         count(*) FILTER (c_custkey IN (SELECT k FROM forget)) AS n_deleted
+  FROM customer
+  UNION ALL
+  SELECT 'events', count(*),
+         count(*) FILTER (user_id IN (SELECT k FROM forget))
+  FROM events
+  UNION ALL
+  SELECT 'orders', count(*),
+         count(*) FILTER (o_custkey IN (SELECT k FROM forget))
+  FROM orders
+)
+SELECT table_name, n_before, CAST(n_deleted AS BIGINT) AS n_deleted,
+       CAST(n_before - n_deleted AS BIGINT) AS n_after
+FROM legs
+ORDER BY table_name
+"""
+
+
 QUERIES = {
     "pipeline_prepare_corpus": pipeline_prepare_corpus,
     "pipeline_dedup_report": pipeline_dedup_report,
+    "delete_propagation": delete_propagation,
 }

@@ -280,6 +280,21 @@ def test_late_data_audit_matches_naive_global_window(spark, sf_dir):
     assert abs(rows[-1]["captured_share"] - 1.0) < 1e-5
 
 
+def test_delete_propagation_census_consistency(spark, sf_dir):
+    """n_deleted + n_after == n_before per table, and the events leg
+    must equal the direct %97 predicate count (every event subject is
+    in the forget domain by construction)."""
+    from mapreduce_rust_spark.plans.pipeline import delete_propagation
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    rows = {r["table_name"]: r for r in delete_propagation(spark, sf_dir).collect()}
+    assert set(rows) == {"events", "orders", "customer"}
+    for r in rows.values():
+        assert r["n_deleted"] + r["n_after"] == r["n_before"]
+    ev = load_table(spark, sf_dir, "events")
+    assert rows["events"]["n_deleted"] == ev.filter("user_id % 97 = 0").count()
+
+
 def test_cms_overestimates_and_bounded_error(spark, sf_dir):
     """CMS law: est >= true always; with depth 4 / width 256 the
     expected overestimate per row is n_words/256 — assert the min-row
