@@ -676,9 +676,78 @@ def _covariance_oracle() -> str:
 ORACLE["embedding_covariance"] = _covariance_oracle()
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the sign-LSH bucketed ANN against exact brute-force
+    truth, per query — the ANN-family twin of ``dedup_lsh_eval``: the
+    audit you run on a sample before trusting the sublinear path with
+    the full corpus (where brute force is unaffordable by definition,
+    exactly as there). Both top-k frames already exist as registry
+    plans; the eval is one join on (query, neighbor) plus a per-query
+    rollup — query-count-sized, never corpus-sized."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qs = emb.filter(F.expr(_QUERY_PRED))
+    exact = topk_bruteforce(qs, emb, "vec_id", "embedding", k=3).select(
+        "query_id", "neighbor_id"
+    )
+    approx = topk_bucketed(qs, emb, "vec_id", "embedding", k=3).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            fround(F.coalesce("n_hits", F.lit(0)) / F.col("k"), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE["ann_recall_eval"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_sign_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE {_QUERY_PRED}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos_sql('q.qv', 'e.v')} DESC, e.vec_id) AS rank
+    FROM q JOIN e ON q.query_id <> e.vec_id
+  ) WHERE rank <= 3
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos_sql('q.qv', 'e.v')} DESC, e.vec_id) AS rank
+    FROM q JOIN e USING (bucket)
+    WHERE q.query_id <> e.vec_id
+  ) WHERE rank <= 3
+),
+hits AS (
+  SELECT query_id, count(*) AS n_hits
+  FROM exact JOIN approx USING (query_id, neighbor_id)
+  GROUP BY 1
+),
+base AS (SELECT query_id, count(*) AS k FROM exact GROUP BY 1)
+SELECT b.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       {fround_sql("coalesce(h.n_hits, 0)::DOUBLE / b.k", 4)} AS recall
+FROM base b LEFT JOIN hits h USING (query_id)
+ORDER BY b.query_id
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_bucketed": ann_topk_bucketed,
+    "ann_recall_eval": ann_recall_eval,
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_centroids": embedding_centroids,
     "knn_classify": knn_classify,

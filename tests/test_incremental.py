@@ -295,6 +295,33 @@ def test_delete_propagation_census_consistency(spark, sf_dir):
     assert rows["events"]["n_deleted"] == ev.filter("user_id % 97 = 0").count()
 
 
+def test_ann_recall_eval_bounds_and_exact_self_recall(spark, sf_dir):
+    """Recall in [0,1] with n_hits ≤ 3; evaluating brute force against
+    itself must give recall 1.0 for every query."""
+    from mapreduce_rust_spark.operators.similarity import (
+        _QUERY_PRED,
+        ann_recall_eval,
+        topk_bruteforce,
+    )
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    rows = ann_recall_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 3
+        assert 0.0 <= r["recall"] <= 1.0
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.expr(_QUERY_PRED))
+    exact = topk_bruteforce(qs, emb, "vec_id", "embedding", k=3).select(
+        "query_id", "neighbor_id"
+    )
+    self_hits = exact.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).count()
+    assert all(r["count"] == 3 for r in self_hits.collect())
+
+
 def test_cms_overestimates_and_bounded_error(spark, sf_dir):
     """CMS law: est >= true always; with depth 4 / width 256 the
     expected overestimate per row is n_words/256 — assert the min-row
