@@ -450,3 +450,40 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path, sf_dir):
     assert "dynamicpruning" in p.lower(), p[:2000]
     got = {r["event_type"]: r["count"] for r in joined.collect()}
     assert got == {"click": ev.filter("event_type = 'click'").count()}
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """With one key carrying 50% of rows and broadcast disabled, AQE
+    must mark the sort-merge join skew=true and split the hot
+    partition at RUNTIME — the engine-level backstop behind the
+    explicit salting operators (skew.py)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 2 == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), F.col("id")))
+            .alias("key"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 2000).select(
+            F.when(F.col("id") == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), F.col("id")))
+            .alias("key"),
+            F.col("id").alias("w"),
+        )
+        j = left.join(right, "key")
+        assert len(j.collect()) == 101000  # 100k hot + 1k distinct tail
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
