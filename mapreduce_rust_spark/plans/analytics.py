@@ -415,6 +415,46 @@ FROM events GROUP BY 1
 """
 
 
+def variant_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the Spark 4 VARIANT type:
+    ``parse_json`` encodes ``props`` once into the binary variant
+    form, then typed path extraction (``try_variant_get``) and
+    ``schema_of_variant`` run against that encoding — the
+    parse-once / extract-many layout that replaces per-path JSON
+    string re-parsing (``events_json_extract`` is the string-path
+    twin) and is the engine's answer to open schemas at 100 TB.
+    try_variant_get's null-on-mismatch matches the oracle's TRY_CAST
+    semantics; the per-type rollup checks count, sum, min/max of the
+    extracted field plus the inferred variant schema."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"), F.schema_of_variant(v).alias("vschema"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.min("vschema").alias("variant_schema"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["variant_json_suite"] = """
+SELECT event_type, count(*) AS cnt,
+       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       'OBJECT<k: BIGINT>' AS variant_schema
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag window +
     cumulative flags — the batch analogue of a session window. The
@@ -833,6 +873,7 @@ QUERIES = {
     "set_intersect": set_intersect,
     "orders_by_month": orders_by_month,
     "events_json_extract": events_json_extract,
+    "variant_json_suite": variant_json_suite,
     "sessionize": sessionize,
     "events_hourly": events_hourly,
     "unpivot_melt": unpivot_melt,

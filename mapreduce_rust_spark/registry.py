@@ -86,7 +86,7 @@ def _load() -> None:
 # the then-unchecked 50, and ROUND 4 (this list) the 22 round-3
 # additions — the only slugs still lacking driver-side evidence —
 # plus `approx_distinct` (upgraded this round from rows-only to a
-# value-checked oracle row), the 24 round-4 additions, and 3
+# value-checked oracle row), the 26 round-4 additions, and 1
 # oldest-evidence (round-1-only) backfill slugs. After this round
 # every slug registered through round 3 has been value-checked by the
 # driver at least once, every round-4 slug gets first evidence, and
@@ -143,10 +143,10 @@ _PRIORITY: tuple[str, ...] = (
     "source_python_stream",
     "delete_propagation",
     "ann_recall_eval",
+    "variant_json_suite",
+    "streaming_state_inspect",
     # --- oldest-evidence backfill (round-1-only driver rows) ---
     "source_scan_wholefile",
-    "source_scan_lines",
-    "source_list_dir",
 )
 
 

@@ -438,7 +438,53 @@ GROUP BY 1, 2
 """
 
 
+def streaming_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational state-store introspection (Spark 4 state data
+    source): run the per-type streaming count to completion, then read
+    the aggregation's STATE STORE back as a batch DataFrame from the
+    checkpoint — the debugging/ops surface that answers "what does my
+    stream believe right now" without touching the running query. The
+    oracle is the plain batch aggregation: hash-equality proves the
+    state contents themselves (not the sink output) are exactly the
+    counts — state corruption, lost micro-batches, or misrouted keys
+    would all surface here. Reading state scales with state size (one
+    row per key per shard), never with the replayed stream."""
+    from mapreduce_rust_spark.session import scratch_dir
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    ckpt = scratch_dir(prefix="mrs_state_inspect_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    target = str(min(spark.sparkContext.defaultParallelism, 16))
+    if old_parts != target:
+        spark.conf.set("spark.sql.shuffle.partitions", target)
+    try:
+        query = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if old_parts != target:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("cnt"),
+    ).orderBy("event_type")
+
+
+ORACLE["streaming_state_inspect"] = """
+SELECT event_type, count(*) AS cnt
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "streaming_state_inspect": streaming_state_inspect,
     "streaming_events_hourly": streaming_events_hourly,
     "streaming_wordcount": streaming_wordcount,
     "streaming_dedup_exact": streaming_dedup_exact,
