@@ -1129,11 +1129,111 @@ FROM labeled
 """
 
 
+# --- Bloom-filter membership prefilter ------------------------------
+
+# deliberately small filter (512 bits, 2 hashes) so sf-scale corpora
+# produce a visible false-positive band for the exact verify stage to
+# kill — at production scale m/k are sized for the target FP rate and
+# the filter is built once per corpus shard and bit-OR-merged (the
+# same mergeable-sketch property as the CMS/HLL slugs).
+_BLOOM_M = 512
+_BLOOM_K = 2
+
+
+def _bloom_pos(col, j: int):
+    """Bit position of hash ``j`` — md5-derived (:func:`hash64`) so the
+    DuckDB oracle reproduces the filter bit-for-bit."""
+    return F.pmod(hash64(F.concat(F.lit(f"bf{j}:"), col)), F.lit(_BLOOM_M))
+
+
+def _bloom_pos_sql(expr: str, j: str) -> str:
+    seeded = f"'bf' || {j} || ':' || {expr}"
+    return f"({_h64_sql(seeded)} % {_BLOOM_M})"
+
+
+def bloom_prefilter(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """Incremental-ingest membership PREFILTER: build a Bloom filter
+    over the corpus' content, probe every batch document, and verify
+    only the candidates exactly. The filter is an aggregate of set bit
+    positions (≤ ``_BLOOM_M`` rows — broadcast to every probe task),
+    so the batch never shuffles against the corpus at all unless a
+    probe hits all ``k`` bits: at 100 TB the expensive exact
+    verification join runs on the candidate sliver, not the batch.
+    Bloom guarantees no false negatives (asserted as a property in
+    tests/test_llm_ops.py); false positives are expected and exposed
+    via ``n_hit``/``is_true_dup`` so the oracle value-checks the whole
+    filter construction, probe arithmetic, AND the verify outcome."""
+    probe_cols = F.array(*[_bloom_pos(F.col(content_col), j) for j in range(k)])
+    bits = corpus.select(F.explode(probe_cols).alias("p")).distinct()
+    probes = batch.select(F.col(id_col), F.explode(probe_cols).alias("p"))
+    hits = (
+        probes.join(F.broadcast(bits), "p")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    corpus_hashes = (
+        corpus.select(F.md5(F.col(content_col)).alias("chash"))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    return (
+        batch.select(F.col(id_col), F.md5(F.col(content_col)).alias("chash"))
+        .join(hits, id_col, "left")
+        .join(F.broadcast(corpus_hashes), "chash", "left")
+        .select(
+            id_col,
+            F.coalesce("hits", F.lit(0)).alias("n_hit"),
+            (F.coalesce("hits", F.lit(0)) == k).cast("int").alias("bloom_candidate"),
+            F.coalesce("dup", F.lit(0)).alias("is_true_dup"),
+        )
+    )
+
+
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even-id docs stand in for the existing corpus (same split as
+    ``dedup_incremental``), odd-id docs for the incoming batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return bloom_prefilter(corpus, batch, "doc_id", "text").orderBy("doc_id")
+
+
+ORACLE["dedup_bloom_prefilter"] = f"""
+WITH js AS (SELECT unnest([0, 1]) AS j),
+bits AS (
+  SELECT DISTINCT {_bloom_pos_sql("text", "j")} AS p
+  FROM documents, js WHERE doc_id % 2 = 0
+),
+probes AS (
+  SELECT doc_id, {_bloom_pos_sql("text", "j")} AS p
+  FROM documents, js WHERE doc_id % 2 = 1
+),
+hits AS (
+  SELECT doc_id, count(*) AS hits FROM probes JOIN bits USING (p) GROUP BY 1
+)
+SELECT b.doc_id,
+       coalesce(h.hits, 0) AS n_hit,
+       CAST(coalesce(h.hits, 0) = {_BLOOM_K} AS INT) AS bloom_candidate,
+       CAST(b.text IN (SELECT text FROM documents WHERE doc_id % 2 = 0) AS INT)
+         AS is_true_dup
+FROM documents b LEFT JOIN hits h USING (doc_id)
+WHERE b.doc_id % 2 = 1
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_threshold_curve": dedup_threshold_curve,
     "dedup_lsh_eval": dedup_lsh_eval,
     "dedup_incremental": dedup_incremental,
+    "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_containment": dedup_containment,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,

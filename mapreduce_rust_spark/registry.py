@@ -145,8 +145,11 @@ _PRIORITY: tuple[str, ...] = (
     "ann_recall_eval",
     "variant_json_suite",
     "streaming_state_inspect",
-    # --- oldest-evidence backfill (round-1-only driver rows) ---
-    "source_scan_wholefile",
+    # --- post-bench round-4 additions (zorder is window slot 50;
+    # bloom sits first in line for the round-5 window and is
+    # pre-verified by tools/check_correctness.py at sf0.01+sf0.1) ---
+    "sink_zorder_prune",
+    "dedup_bloom_prefilter",
 )
 
 

@@ -569,3 +569,31 @@ def test_lsh_star_edges_connectivity_equivalent(spark, sf_dir):
     assert comp_pairs == comp_stars
     # and the star edge count is bounded by the pair count
     assert stars.count() <= pairs.count()
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Bloom's one-sided guarantee: every true duplicate MUST be a
+    candidate (no false negatives, whatever the filter size); fresh
+    docs are mostly rejected at this corpus/filter ratio."""
+    from mapreduce_rust_spark.operators.dedup import bloom_prefilter
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i}") for i in range(40)], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"corpus doc {i}") for i in range(0, 40, 4)]
+        + [(200 + i, f"fresh doc {i}") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bloom_prefilter(corpus, batch, "doc_id", "text").collect()
+    }
+    assert len(out) == 40
+    for i in range(0, 40, 4):
+        r = out[100 + i]
+        assert r["is_true_dup"] == 1 and r["bloom_candidate"] == 1 and r["n_hit"] == 2
+    fresh = [out[200 + i] for i in range(30)]
+    assert all(r["is_true_dup"] == 0 for r in fresh)
+    # 80 set bits of 512 -> ~2% FP rate; allow generous slack
+    assert sum(r["bloom_candidate"] for r in fresh) <= 5

@@ -487,3 +487,68 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_zorder_files_prune_2d_box(spark, sf_dir, tmp_path):
+    """The z-ordered layout must make the slug's 2-D box predicate
+    file-skippable on parquet footer min/max stats for BOTH plain
+    columns (>=10 of 16 files), while an id-sorted layout — whose
+    files all span the full (ub, hr) range — can skip almost none.
+    This pins the actual data-skipping property sink_zorder_prune
+    claims, not just result correctness."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_rust_spark.sources.formats import zorder_value
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    # x-dim from event_id so the test is scale-independent (the tiny
+    # sf0.001 user pool never reaches the slug's ub box); the flat
+    # contrast layout sorts by `value`, uncorrelated with both dims
+    ev = load_table(spark, sf_dir, "events").select(
+        "value",
+        (F.col("event_id") % 64).alias("ub"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    )
+    zdir, fdir = str(tmp_path / "z"), str(tmp_path / "flat")
+    (
+        ev.withColumn("z", zorder_value(F.col("ub"), F.col("hr"), 6, 5))
+        .repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+        .write.parquet(zdir)
+    )
+    (
+        ev.repartitionByRange(16, "value")
+        .sortWithinPartitions("value")
+        .write.parquet(fdir)
+    )
+
+    def file_skip_stats(d):
+        total = skipped = 0
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, name)).metadata
+            stats: dict[str, tuple] = {}
+            for r in range(md.num_row_groups):
+                rg = md.row_group(r)
+                for c in range(rg.num_columns):
+                    col = rg.column(c)
+                    s = col.statistics
+                    if s is None or s.min is None:
+                        continue
+                    lo, hi = stats.get(col.path_in_schema, (s.min, s.max))
+                    stats[col.path_in_schema] = (min(lo, s.min), max(hi, s.max))
+            if "ub" not in stats:
+                continue  # empty file
+            total += 1
+            (ub_lo, ub_hi), (hr_lo, hr_hi) = stats["ub"], stats["hr"]
+            if ub_hi < 16 or ub_lo > 31 or hr_hi < 8 or hr_lo > 15:
+                skipped += 1
+        return total, skipped
+
+    z_total, z_skip = file_skip_stats(zdir)
+    f_total, f_skip = file_skip_stats(fdir)
+    assert z_total == 16 and z_skip >= 10, (z_total, z_skip)
+    assert f_skip <= 2, (f_total, f_skip)
