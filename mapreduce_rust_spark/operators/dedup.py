@@ -1228,12 +1228,64 @@ ORDER BY doc_id
 """
 
 
+def corpus_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of a doc's distinct
+    3-shingles whose first corpus occurrence (lowest doc_id) is in
+    this doc — the curation signal behind "stop ingesting this crawl
+    slice, it's no longer adding new text". Unlike the pairwise
+    scorers this never joins doc-to-doc: one window over the shingle
+    inverted index (min doc_id per shingle) + one per-doc aggregate,
+    so cost stays linear in shingle postings at any corpus size.
+    Reuses the memoized shingle index."""
+    return shingle_novelty(shingle_index(spark, sf_dir, k=3), "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def shingle_novelty(sh: DataFrame, id_col: str) -> DataFrame:
+    """Core of :func:`corpus_shingle_novelty` over a (id, s) shingle
+    frame: one window (min id per shingle) + one per-doc aggregate."""
+    w = Window.partitionBy("s")
+    firsts = sh.select(id_col, F.min(id_col).over(w).alias("first_doc"))
+    return (
+        firsts.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col(id_col)).cast("bigint")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
+        )
+    )
+
+
+ORACLE["corpus_shingle_novelty"] = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+firsts AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY s) AS first_doc FROM sh
+)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS novelty
+FROM firsts
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_threshold_curve": dedup_threshold_curve,
     "dedup_lsh_eval": dedup_lsh_eval,
     "dedup_incremental": dedup_incremental,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
+    "corpus_shingle_novelty": corpus_shingle_novelty,
     "dedup_containment": dedup_containment,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,

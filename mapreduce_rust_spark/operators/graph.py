@@ -322,9 +322,78 @@ SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1
 
 ORACLE["graph_degree_distribution"] = _degree_oracle()
 
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over a canonical (d1 < d2) edge
+    list — the classic two-join distributed formulation: wedge
+    (a,b)+(b,c) closed by the (a,c) edge, each triangle enumerated
+    exactly once because a < b < c is forced by edge canonicality.
+    Cost is Σ_b deg(b)² for the wedge join — at cluster scale, orient
+    edges by degree (low→high) first; here the LSH posting-list cap
+    already bounds degrees."""
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.d2") == F.col("e2.d1"))
+        .join(
+            e3,
+            (F.col("e3.d1") == F.col("e1.d1"))
+            & (F.col("e3.d2") == F.col("e2.d2")),
+        )
+        .select(
+            F.col("e1.d1").alias("a"),
+            F.col("e1.d2").alias("b"),
+            F.col("e2.d2").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate graph (the clustering-
+    coefficient building block): a triangle is three documents that
+    are ALL pairwise near-duplicates — dense boilerplate cliques show
+    up here while the component census still sees one undifferentiated
+    blob. Reuses the memoized candidate pairs; the joins run over the
+    edge list (orders of magnitude smaller than the corpus)."""
+    from mapreduce_rust_spark.operators.dedup import candidate_pairs_index
+
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3)
+    return triangle_count(pairs.select("d1", "d2")).orderBy("node")
+
+
+def _triangle_oracle() -> str:
+    from mapreduce_rust_spark.operators.dedup import _minhash_oracle
+
+    return f"""
+WITH pairs AS (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+),
+tri AS (
+  SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.d1 = e1.d2
+  JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+),
+nodes AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, count(*) AS n_triangles FROM nodes GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE["graph_triangle_count"] = _triangle_oracle()
+
 QUERIES = {
     "dedup_components": dedup_components,
     "dedup_keep_best": dedup_keep_best,
     "graph_pagerank": graph_pagerank,
     "graph_degree_distribution": graph_degree_distribution,
+    "graph_triangle_count": graph_triangle_count,
 }

@@ -719,6 +719,56 @@ ORDER BY late_min
 """
 
 
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average for IRREGULARLY sampled series (the
+    TimescaleDB ``time_weight('LOCF')`` hypertable aggregate): each
+    observation is weighted by how long it remained the latest one,
+    so a burst of rapid-fire samples can't dominate a plain avg and a
+    sensor that reports rarely isn't under-counted. LOCF segments via
+    one lead() window per type's timeline (total ordering includes
+    event_id — sf0.1 holds true duplicate timestamps) + one aggregate:
+    the same two-exchange shape as any per-key window pass, with one
+    (weighted-sum, duration) pair of state per type. The plain avg
+    over the SAME segments rides along so the report shows what the
+    weighting changed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    dur = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).cast(
+        "double"
+    )
+    seg = ev.select("event_type", "value", dur.alias("dur_us")).filter(
+        F.col("dur_us").isNotNull()
+    )
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            fround(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+            ).alias("twa_value"),
+            fround(F.avg("value"), 4).alias("plain_avg"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["ts_time_weighted_avg"] = f"""
+WITH seg AS (
+  SELECT event_type, value,
+         CAST(epoch_us(lead(ts) OVER (PARTITION BY event_type
+                ORDER BY ts, event_id)) - epoch_us(ts) AS DOUBLE) AS dur_us
+  FROM events
+)
+SELECT event_type,
+       {fround_sql("sum(value * dur_us) / sum(dur_us)", 4)} AS twa_value,
+       {fround_sql("avg(value)", 4)} AS plain_avg,
+       count(*) AS n_segments
+FROM seg
+WHERE dur_us IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "ts_rolling_median": ts_rolling_median,
     "ts_seasonal_profile": ts_seasonal_profile,
@@ -734,4 +784,5 @@ QUERIES = {
     "ts_ewma": ts_ewma,
     "window_sliding_counts": window_sliding_counts,
     "ts_multires_rollup": ts_multires_rollup,
+    "ts_time_weighted_avg": ts_time_weighted_avg,
 }

@@ -145,11 +145,21 @@ _PRIORITY: tuple[str, ...] = (
     "ann_recall_eval",
     "variant_json_suite",
     "streaming_state_inspect",
-    # --- post-bench round-4 additions (zorder is window slot 50;
-    # bloom sits first in line for the round-5 window and is
-    # pre-verified by tools/check_correctness.py at sf0.01+sf0.1) ---
+    # --- post-bench round-4 addition (window slot 50) ---
     "sink_zorder_prune",
+)
+
+# Late round-4 additions that no longer fit the driver's 50-slot
+# value-check window: placed immediately after it (positions 51+) so
+# they are FIRST in line for the round-5 window rotation. Each is
+# pre-verified locally by tools/check_correctness.py at sf0.01 AND
+# sf0.1 (plain session), so the missing driver evidence is the only
+# gap, and it closes next round.
+_NEXT_WINDOW: tuple[str, ...] = (
     "dedup_bloom_prefilter",
+    "graph_triangle_count",
+    "ts_time_weighted_avg",
+    "corpus_shingle_novelty",
 )
 
 
@@ -158,10 +168,10 @@ def _ordered(d: dict[str, QueryFn | str]) -> dict:
         # a typo here would silently shift the driver's value-checked
         # first-50 window; fail loudly instead (oracle dict is a
         # subset, so only the query dict is checked)
-        missing = set(_PRIORITY) - set(d)
+        missing = (set(_PRIORITY) | set(_NEXT_WINDOW)) - set(d)
         if missing:
             raise ValueError(f"_PRIORITY names unknown slugs: {sorted(missing)}")
-    head = {k: d[k] for k in _PRIORITY if k in d}
+    head = {k: d[k] for k in (*_PRIORITY, *_NEXT_WINDOW) if k in d}
     return head | {k: v for k, v in d.items() if k not in head}
 
 

@@ -171,3 +171,38 @@ def test_sketch_union_dedups_overlapping_groups(spark):
     ).collect()
     # exact distinct union = 750; naive sum of groups = 1000
     assert abs(row["est"] - 750) <= 750 * 0.05
+
+
+def test_time_weighted_avg_known_segments(spark):
+    """LOCF weighting: a value held for 18 s dominates one held 2 s —
+    twa = 1.0 while the plain avg of the same segments is 5.0."""
+    import datetime as dt
+
+    import pytest
+
+    from pyspark.sql import Window as W
+
+    base = dt.datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, base, "a", 0.0),
+            (2, base + dt.timedelta(seconds=18), "a", 10.0),
+            (3, base + dt.timedelta(seconds=20), "a", 99.0),
+        ],
+        "event_id bigint, ts timestamp, event_type string, value double",
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    dur = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).cast("double")
+    seg = ev.select("event_type", "value", dur.alias("dur_us")).filter(
+        F.col("dur_us").isNotNull()
+    )
+    row = (
+        seg.groupBy("event_type")
+        .agg(
+            (F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us")).alias("twa"),
+            F.avg("value").alias("plain"),
+        )
+        .collect()[0]
+    )
+    assert row["twa"] == pytest.approx(1.0)
+    assert row["plain"] == pytest.approx(5.0)

@@ -597,3 +597,43 @@ def test_bloom_prefilter_no_false_negatives(spark):
     assert all(r["is_true_dup"] == 0 for r in fresh)
     # 80 set bits of 512 -> ~2% FP rate; allow generous slack
     assert sum(r["bloom_candidate"] for r in fresh) <= 5
+
+
+def test_triangle_count_known_graph(spark):
+    """Two fused triangles plus a dangling edge: counts must match the
+    hand-enumerated census and dangling nodes must not appear."""
+    from mapreduce_rust_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6), (6, 7), (5, 7), (7, 8), (6, 8)],
+        "d1 bigint, d2 bigint",
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 6: 2, 7: 2, 8: 1}
+
+
+def test_shingle_novelty_bounds_and_duplicates(spark):
+    """A verbatim duplicate of an earlier doc has novelty 0; the first
+    doc always has novelty 1; fresh text has novelty 1."""
+    from mapreduce_rust_spark.operators.dedup import shingle_novelty, shingle_sets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta theta"),
+            (4, "gamma delta epsilon zeta eta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sh = shingle_sets(docs, "doc_id", "text", k=3)
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in shingle_novelty(sh, "doc_id").collect()
+    }
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (2, 2, 1.0)
+    # doc 4: 3 shingles, "gamma delta epsilon" and "delta epsilon zeta"
+    # are new, "epsilon zeta eta" was first seen in doc 3
+    assert got[4] == (3, 2, pytest.approx(2 / 3))
