@@ -552,3 +552,40 @@ def test_zorder_files_prune_2d_box(spark, sf_dir, tmp_path):
     f_total, f_skip = file_skip_stats(fdir)
     assert z_total == 16 and z_skip >= 10, (z_total, z_skip)
     assert f_skip <= 2, (f_total, f_skip)
+
+
+def test_bloom_prefilter_bits_broadcast_no_smj(spark, sf_dir):
+    """The bit-position set (<=512 rows) must reach the probe join as
+    a broadcast — the whole point is that the batch never shuffles
+    against the corpus."""
+    from mapreduce_rust_spark.operators.dedup import dedup_bloom_prefilter
+
+    p = plan_str(dedup_bloom_prefilter(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_shingle_novelty_single_posting_shuffle(spark, sf_dir):
+    """Novelty is one window over the shingle postings plus one per-doc
+    aggregate — it must never join doc-to-doc (no join at all) and
+    must not sort globally beyond the final orderBy."""
+    from mapreduce_rust_spark.operators.dedup import corpus_shingle_novelty
+
+    p = plan_str(corpus_shingle_novelty(spark, sf_dir))
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_time_weighted_avg_two_exchanges(spark, sf_dir):
+    """Exactly two exchanges: the per-type window shuffle (whose
+    hashpartitioning the groupBy then REUSES — no separate aggregate
+    exchange) and the presentation sort. More means the plan lost the
+    partitioning reuse or added a join."""
+    import re
+
+    from mapreduce_rust_spark.plans.timeseries import ts_time_weighted_avg
+
+    p = plan_str(ts_time_weighted_avg(spark, sf_dir))
+    assert "partial_sum" in p  # map-side combine survives
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+    assert "Join" not in p
