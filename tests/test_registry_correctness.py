@@ -38,6 +38,16 @@ def test_priority_slugs_in_driver_window():
     assert not missing, f"priority slugs pushed out of the 50-slot window: {missing}"
 
 
+def test_next_window_queue_directly_after_window():
+    """Slugs that no longer fit the 50-slot window must queue at
+    positions 51+ so the round-5 rotation picks them up first."""
+    from mapreduce_rust_spark.registry import _NEXT_WINDOW, _PRIORITY, queries
+
+    order = list(queries())
+    n = len(_PRIORITY)
+    assert order[n : n + len(_NEXT_WINDOW)] == list(_NEXT_WINDOW)
+
+
 @pytest.mark.parametrize("slug", _slugs())
 def test_query_matches_oracle(spark, sf_dir, duck, slug):
     from mapreduce_rust_spark.registry import oracle_sql, queries
