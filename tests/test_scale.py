@@ -589,3 +589,44 @@ def test_time_weighted_avg_two_exchanges(spark, sf_dir):
     assert "partial_sum" in p  # map-side combine survives
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
     assert "Join" not in p
+
+
+def test_zorder_value_bijective_on_grid(spark):
+    """The Morton interleave must be a bijection from the full
+    (2^6 × 2^5) grid onto [0, 2^11) — any collision or out-of-range
+    value silently breaks the file-clustering contract."""
+    from mapreduce_rust_spark.sources.formats import zorder_value
+
+    grid = (
+        spark.range(0, 64)
+        .selectExpr("id AS x")
+        .crossJoin(spark.range(0, 32).selectExpr("id AS y"))
+    )
+    z = grid.select(zorder_value(F.col("x"), F.col("y"), 6, 5).alias("z"))
+    row = z.agg(
+        F.countDistinct("z").alias("n"),
+        F.min("z").alias("lo"),
+        F.max("z").alias("hi"),
+    ).collect()[0]
+    assert (row["n"], row["lo"], row["hi"]) == (2048, 0, 2047)
+
+
+def test_triangle_joins_broadcast_at_runtime(spark, sf_dir):
+    """The static plan shows sort-merge joins (sizes unknown before
+    the memoized edge list materializes), but AQE must convert the
+    wedge/closure joins to broadcast at RUNTIME on the tiny
+    candidate-pair frame — the executed plan is the contract, not the
+    static one. The pair-index build is materialized first: its band
+    self-join is legitimately shuffle-based and not under test."""
+    from mapreduce_rust_spark.operators.dedup import candidate_pairs_index
+    from mapreduce_rust_spark.operators.graph import graph_triangle_count
+
+    candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3).count()
+    df = graph_triangle_count(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan";
+    # only the Final Plan section is what actually ran
+    final = executed.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
