@@ -317,6 +317,136 @@ ORDER BY e.event_type
 """
 
 
+def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ / Great-Expectations-style CONSTRAINT audit — the gate a
+    pipeline runs before publishing a table: primary-key uniqueness,
+    referential integrity, value-range and non-null checks, one row
+    per check with the violation count. Every check is either one
+    algebraic aggregate over its table (map-side combined, one row
+    out) or an anti-join against the referenced key set (nation
+    broadcasts; the orders key side shuffles once — the same shape any
+    FK validation needs at any scale). Long-form output so expectation
+    tables can join on check_name."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+
+    def report(name, n_checked, n_violations):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            n_checked.cast("bigint").alias("n_checked"),
+            n_violations.cast("bigint").alias("n_violations"),
+        )
+
+    checks = [
+        orders.agg(
+            report(
+                "orders_pk_unique",
+                F.count(F.lit(1)),
+                F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
+            ).alias("r")
+        ),
+        orders.agg(
+            report(
+                "orders_totalprice_nonneg",
+                F.count(F.lit(1)),
+                F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)),
+            ).alias("r")
+        ),
+        li.agg(
+            report(
+                "lineitem_qty_range_1_50",
+                F.count(F.lit(1)),
+                F.sum(
+                    F.when(
+                        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+                    ).otherwise(0)
+                ),
+            ).alias("r")
+        ),
+        li.join(
+            orders.select("o_orderkey").distinct(),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(
+            report(
+                "lineitem_fk_orders", F.count(F.lit(1)), F.count(F.lit(1))
+            ).alias("r")
+        ),
+        cust.join(
+            F.broadcast(nation.select("n_nationkey")),
+            cust["c_nationkey"] == F.col("n_nationkey"),
+            "left_anti",
+        ).agg(
+            report(
+                "customer_fk_nation", F.count(F.lit(1)), F.count(F.lit(1))
+            ).alias("r")
+        ),
+        docs.agg(
+            report(
+                "documents_text_nonempty",
+                F.count(F.lit(1)),
+                F.sum(
+                    F.when(
+                        F.col("text").isNull() | (F.trim("text") == ""), 1
+                    ).otherwise(0)
+                ),
+            ).alias("r")
+        ),
+        ev.agg(
+            report(
+                "events_ts_nonnull",
+                F.count(F.lit(1)),
+                F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)),
+            ).alias("r")
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.select(
+        F.col("r.check_name").alias("check_name"),
+        F.col("r.n_checked").alias("n_checked"),
+        F.col("r.n_violations").alias("n_violations"),
+        (F.col("r.n_violations") == 0).cast("int").alias("ok"),
+    ).orderBy("check_name")
+
+
+ORACLE["quality_constraint_audit"] = """
+WITH checks AS (
+  SELECT 'orders_pk_unique' AS check_name, count(*) AS n_checked,
+         count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+  UNION ALL
+  SELECT 'orders_totalprice_nonneg', count(*),
+         sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) FROM orders
+  UNION ALL
+  SELECT 'lineitem_qty_range_1_50', count(*),
+         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_fk_orders', count(*), count(*)
+  FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT 'customer_fk_nation', count(*), count(*)
+  FROM customer ANTI JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT 'documents_text_nonempty', count(*),
+         sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+  FROM documents
+  UNION ALL
+  SELECT 'events_ts_nonnull', count(*),
+         sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) FROM events
+)
+SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_violations = 0 AS INT) AS ok
+FROM checks ORDER BY check_name
+"""
+
+
 QUERIES = {
     "table_profile": table_profile,
     "table_histogram": table_histogram,
@@ -324,4 +454,5 @@ QUERIES = {
     "quantile_bins": quantile_bins,
     "anomaly_zscore": anomaly_zscore,
     "robust_mad_outliers": robust_mad_outliers,
+    "quality_constraint_audit": quality_constraint_audit,
 }

@@ -160,6 +160,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "graph_triangle_count",
     "ts_time_weighted_avg",
     "corpus_shingle_novelty",
+    "quality_constraint_audit",
 )
 
 
