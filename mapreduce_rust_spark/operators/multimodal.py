@@ -242,6 +242,58 @@ FROM m
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→RESIZE chain on the deterministic stubs — the second
+    Arrow stage the brief's multimodal pipeline needs. The decoded
+    dims join back to the source payload on media_id (only because the
+    decode schema drops the payload; a production pipeline threads the
+    payload through the decode stage and needs no join), then the
+    resize ``mapInPandas`` stage emits its repeated-truncated stand-in
+    payload, reduced here to (length, md5) so the DuckDB oracle
+    recomputes BOTH fake stages analytically — schema, batching, and
+    the byte-level resize contract are value-checked end to end.
+    Swapping a real PIL/ffmpeg kernel into ``_fake_resize`` changes no
+    plan shape; only the oracle's closed form dies."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    media = media_from_documents(docs)
+    decoded = decode_media(media, fake_decoder=True)
+    withp = decoded.join(media.select("media_id", "payload"), "media_id")
+    resized = resize_media(withp, fake_resizer=True)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        "target_w",
+        "target_h",
+        F.octet_length("resized_payload").cast("bigint").alias("resized_bytes"),
+        F.md5("resized_payload").alias("resized_md5"),
+    )
+
+
+ORACLE["multimodal_resize"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text)) AS n_bytes,
+         coalesce(list_sum(list_transform(
+           string_split(substring(text, 1, 64), ''), c -> ascii(c))), 0) AS h
+  FROM documents
+),
+r AS (
+  SELECT media_id,
+         CAST(16 + h % 64 AS INT) AS width,
+         CAST(16 + (h // 64) % 64 AS INT) AS height,
+         substring(repeat(text,
+             CAST(512 // greatest(n_bytes, 1) + 1 AS INT)), 1, 512) AS rp
+  FROM m
+)
+SELECT media_id, width, height,
+       CAST(64 AS INT) AS target_w, CAST(64 AS INT) AS target_h,
+       CAST(octet_length(encode(rp)) AS BIGINT) AS resized_bytes,
+       md5(rp) AS resized_md5
+FROM r
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over the decoded stream: decode (fake stub) →
     explode frame indices → keep every 2nd. Runs the REAL mapInPandas
@@ -367,6 +419,7 @@ ORDER BY n_media DESC, n_occurrences DESC, chunk_sha
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decode_fake": multimodal_decode_fake,
+    "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_audio_chunks": multimodal_audio_chunks,
     "multimodal_chunk_dedup": multimodal_chunk_dedup,

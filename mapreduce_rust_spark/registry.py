@@ -161,6 +161,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "ts_time_weighted_avg",
     "corpus_shingle_novelty",
     "quality_constraint_audit",
+    "multimodal_resize",
 )
 
 
