@@ -484,3 +484,87 @@ def test_quantile_bins_boundary_values_match_duckdb(spark, vals):
         for bin_, n, lo, hi in con.execute(oracle).fetchall()
     }
     assert got == expect
+
+
+@given(
+    dup_idx=st.lists(st.integers(min_value=0, max_value=19), max_size=8),
+    fresh=st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=20,
+        ),
+        max_size=8,
+        unique=True,
+    ),
+)
+@_settings
+def test_bloom_prefilter_never_drops_a_true_dup(spark, dup_idx, fresh):
+    """Bloom's one-sided error, fuzzed: whatever the batch mix of
+    verbatim corpus duplicates and arbitrary fresh strings, every true
+    duplicate hits all k bits (false negatives are impossible) and
+    is_true_dup agrees with exact membership."""
+    from mapreduce_rust_spark.operators.dedup import bloom_prefilter
+
+    corpus_texts = [f"corpus row {i}" for i in range(20)]
+    corpus = spark.createDataFrame(
+        list(enumerate(corpus_texts)), "doc_id bigint, text string"
+    )
+    batch_rows = [(100 + j, corpus_texts[i]) for j, i in enumerate(dup_idx)] + [
+        (200 + j, t) for j, t in enumerate(fresh)
+    ]
+    if not batch_rows:
+        return
+    batch = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in bloom_prefilter(corpus, batch, "doc_id", "text").collect()
+    }
+    for did, text in batch_rows:
+        r = out[did]
+        truly = text in corpus_texts
+        assert r["is_true_dup"] == int(truly)
+        if truly:
+            assert r["bloom_candidate"] == 1 and r["n_hit"] == 2
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=2,
+        max_size=12,
+    )
+)
+@_settings
+def test_time_weighted_avg_equals_plain_avg_on_regular_grid(spark, values):
+    """On a REGULAR sampling grid every LOCF segment has the same
+    duration, so the time-weighted average must equal the plain
+    average of the same segments — the invariant separating the
+    weighting logic from the windowing."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(seconds=10 * i), "t", float(v))
+            for i, v in enumerate(values)
+        ],
+        "event_id bigint, ts timestamp, event_type string, value double",
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    dur = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).cast("double")
+    seg = ev.select("event_type", "value", dur.alias("dur_us")).filter(
+        F.col("dur_us").isNotNull()
+    )
+    row = (
+        seg.groupBy("event_type")
+        .agg(
+            (F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us")).alias("twa"),
+            F.avg("value").alias("plain"),
+        )
+        .collect()[0]
+    )
+    assert abs(row["twa"] - row["plain"]) < 1e-9 * max(1.0, abs(row["plain"]))
