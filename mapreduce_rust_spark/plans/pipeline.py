@@ -87,6 +87,57 @@ WHERE quality_score >= {MIN_QUALITY}
 GROUP BY pred_lang
 """
 
+def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-extra-pass pipeline metrics via Spark's Observation API:
+    the quality-gate pass is observed IN FLIGHT — total scored docs,
+    docs passing the gate, mean quality — so the job that writes the
+    output (a noop sink here) also feeds the data-quality dashboard
+    with NO second scan of the corpus. The metrics are driver-side
+    scalars by nature (one row per job); the oracle recomputes the
+    same aggregates analytically, value-checking that the observed
+    numbers match a full recount. The reference's only job 'metrics'
+    are its output files (`worker.rs:138-143`); this is the
+    engine-native upgrade a 100 TB pipeline needs."""
+    import math
+
+    from pyspark.sql import Observation
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    scored = quality_scores(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    obs = Observation("corpus_gate")
+    observed = scored.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("quality_score") >= MIN_QUALITY).cast("bigint")
+        ).alias("n_kept"),
+        F.avg("quality_score").alias("avg_q"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    # mirror fround_sql(…, 4): pre-round at 8 absorbs summation-order
+    # noise, floor at 4 makes the comparison exact
+    avg_q = math.floor(round(m["avg_q"], 8) * 10000) / 10000
+    return spark.createDataFrame(
+        [(m["n_docs"], m["n_kept"], avg_q)],
+        "n_docs bigint, n_kept bigint, avg_quality double",
+    )
+
+
+ORACLE["pipeline_observed_metrics"] = f"""
+WITH quality AS (
+  {_quality_sql()}
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(CASE WHEN quality_score >= {MIN_QUALITY} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_kept,
+       {fround_sql("avg(quality_score)", 4)} AS avg_quality
+FROM quality
+"""
+
+
 def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second capstone: the dedup funnel report a corpus owner reads
     before deleting anything — per source: total docs, exact-duplicate
@@ -224,5 +275,6 @@ ORDER BY table_name
 QUERIES = {
     "pipeline_prepare_corpus": pipeline_prepare_corpus,
     "pipeline_dedup_report": pipeline_dedup_report,
+    "pipeline_observed_metrics": pipeline_observed_metrics,
     "delete_propagation": delete_propagation,
 }

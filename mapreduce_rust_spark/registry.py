@@ -162,6 +162,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "corpus_shingle_novelty",
     "quality_constraint_audit",
     "multimodal_resize",
+    "pipeline_observed_metrics",
 )
 
 
