@@ -214,6 +214,49 @@ FROM ({_TOKENS_SQL}) GROUP BY w
 """
 
 
+def reduce_arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ReduceFn boundary on Spark 4's Arrow-NATIVE grouped map
+    (``applyInArrow``): each group's reducer receives a
+    ``pyarrow.Table`` and returns one — zero pandas materialization,
+    so the Python boundary cost is pure Arrow IPC (the fastest
+    possible custom-reduce path; the applyInPandas variant in
+    ``reduce_udf`` pays an extra columnar→pandas conversion each way).
+    Reduces events per type to (n, sum) like the reference's ReduceFn
+    folds its value list (``mr_app/src/client.rs:13-21``)."""
+    import math
+
+    import pyarrow as pa
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def agg(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.sum(table.column("value")).as_py() or 0.0
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": [table.num_rows],
+                # mirror fround(col): pre-round 6 absorbs summation-
+                # order noise, floor at 2 makes the value exact
+                "sum_value": [math.floor(round(s, 6) * 100) / 100],
+            }
+        )
+
+    return (
+        ev.groupBy("event_type")
+        .applyInArrow(agg, schema="event_type string, n bigint, sum_value double")
+        .orderBy("event_type")
+    )
+
+
+ORACLE["reduce_arrow_native"] = """
+SELECT event_type, count(*) AS n,
+       floor(round((sum(value)), 6) * 100) / 100 AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def combine_map_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial (map-side) aggregation — the combiner the reference
     lists as unfinished (README.md:70 TODO 1; prototype-only grouping
@@ -400,6 +443,7 @@ QUERIES = {
     "map_udtf": map_udtf_q,
     "group_by_key": group_by_key_q,
     "reduce_udf": reduce_udf,
+    "reduce_arrow_native": reduce_arrow_native,
     "combine_map_side": combine_map_side,
     "union_merge": union_merge_q,
     "cogroup_merge": cogroup_merge_q,

@@ -163,6 +163,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "quality_constraint_audit",
     "multimodal_resize",
     "pipeline_observed_metrics",
+    "reduce_arrow_native",
+    "source_python_stream_partitioned",
 )
 
 

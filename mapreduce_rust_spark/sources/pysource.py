@@ -269,6 +269,114 @@ def _register_stream_source(spark: SparkSession) -> None:
     spark.dataSource.register(DeterministicRangeStream)
 
 
+def _register_partitioned_stream_source(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _RangeSplit(InputPartition):
+        def __init__(self, a: int, b: int):
+            self.a, self.b = a, b
+
+    class _PartitionedRangeStreamReader(DataSourceStreamReader):
+        """Full ``DataSourceStreamReader`` — the SCALE path a
+        ``SimpleDataSourceStreamReader`` (driver-side, single-threaded
+        ``read``) cannot take: ``latestOffset`` advances one
+        micro-batch per poll, and ``partitions`` splits each
+        [start, end) offset range into 4 independent splits that
+        Spark schedules as PARALLEL tasks on executors. Offsets are
+        pure integer arithmetic, so any split replays identically —
+        the same exactly-once recovery contract as the simple reader,
+        now with executor-parallel ingestion."""
+
+        def initialOffset(self) -> dict:
+            return {"pos": 0}
+
+        def latestOffset(self) -> dict:
+            self._pos = min(getattr(self, "_pos", 0) + N_ROWS // 2, N_ROWS)
+            return {"pos": self._pos}
+
+        def partitions(self, start: dict, end: dict):
+            a, b = start["pos"], end["pos"]
+            step = max(1, (b - a) // 4)
+            edges = list(range(a, b, step)) + [b]
+            return [_RangeSplit(x, y) for x, y in zip(edges, edges[1:])]
+
+        def read(self, partition):
+            for i in range(partition.a, partition.b):
+                yield (i, i % 16, (i * i) % 9973)
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    class PartitionedRangeStream(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "mrs_range_pstream"
+
+        def schema(self) -> str:
+            return "id bigint, bucket bigint, val bigint"
+
+        def streamReader(self, schema):
+            return _PartitionedRangeStreamReader()
+
+    spark.dataSource.register(PartitionedRangeStream)
+
+
+def source_python_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same relation and drain protocol as ``source_python_stream``,
+    ingested through the PARTITIONED stream reader: 2 micro-batches ×
+    4 executor-parallel splits each. Hash-equality against the batch
+    oracle proves no split was dropped, duplicated, or mis-ranged —
+    the partition-planning contract, on top of exactly-once."""
+    import time
+
+    from mapreduce_rust_spark.session import scratch_dir
+
+    _register_partitioned_stream_source(spark)
+    sdf = spark.readStream.format("mrs_range_pstream").load()
+    agg = sdf.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").alias("sum_id"),
+        F.sum("val").alias("sum_val"),
+    )
+    name = "mrs_pstream_sink"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    target = str(min(spark.sparkContext.defaultParallelism, 16))
+    if old_parts != target:
+        spark.conf.set("spark.sql.shuffle.partitions", target)
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .option("checkpointLocation", scratch_dir(prefix="mrs_pstream_ckpt_"))
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                got = spark.sql(
+                    f"SELECT coalesce(sum(n), 0) AS c FROM {name}"
+                ).collect()[0]["c"]
+                if got >= N_ROWS:
+                    break
+                time.sleep(0.05)
+        finally:
+            query.stop()
+            query.awaitTermination(30)
+    finally:
+        if old_parts != target:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name).orderBy("bucket")
+
+
+ORACLE["source_python_stream_partitioned"] = ORACLE["source_python_datasource"]
+
+
 def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ingestion through a custom Python Data Source: the
     same deterministic relation as ``source_python_datasource``, but
@@ -330,4 +438,5 @@ QUERIES = {
     "source_python_datasource": source_python_datasource,
     "sink_python_datasource": sink_python_datasource,
     "source_python_stream": source_python_stream,
+    "source_python_stream_partitioned": source_python_stream_partitioned,
 }
