@@ -174,6 +174,44 @@ FROM ({_TOKENS_SQL}) GROUP BY 1
 """
 
 
+def map_arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MapFn boundary on ``mapInArrow`` — the streaming-batch twin
+    of :func:`reduce_arrow_native`: each Arrow RecordBatch is
+    transformed in place (token count per document, real Python user
+    code over ``pyarrow.compute``), no pandas conversion on either
+    side. Same flatMap-parity semantics as ``map_udf``
+    (``worker.rs:106-121``), one API tier cheaper."""
+    import pyarrow as pa
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def count_tokens(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id"))
+            text = batch.column(batch.schema.get_field_index("text"))
+            # count \S+ matches: exactly the non-empty whitespace-split
+            # token count, with no empty-token edge cases at the ends
+            n = pc.count_substring_regex(text, pattern=r"\S+")
+            yield pa.record_batch(
+                [ids.cast(pa.int64()), n.cast(pa.int64())],
+                ["doc_id", "n_tokens"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        count_tokens, schema="doc_id bigint, n_tokens bigint"
+    )
+
+
+ORACLE["map_arrow_native"] = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+         AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
 def group_by_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``group_by_key`` (``worker.rs:126-131``): all values collected
     per key. Joined to a string so the grouped array is hashable by
@@ -440,6 +478,7 @@ QUERIES = {
     "split_roundrobin": split_roundrobin,
     "partition_modulo": partition_modulo,
     "map_udf": map_udf,
+    "map_arrow_native": map_arrow_native,
     "map_udtf": map_udtf_q,
     "group_by_key": group_by_key_q,
     "reduce_udf": reduce_udf,

@@ -165,6 +165,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "pipeline_observed_metrics",
     "reduce_arrow_native",
     "source_python_stream_partitioned",
+    "map_arrow_native",
 )
 
 
