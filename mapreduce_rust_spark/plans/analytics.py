@@ -773,6 +773,17 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact against itself. Distinct parts per order first: duplicate
     lines of the same part must not inflate the pair count."""
     li = load_table(spark, sf_dir, "lineitem")
+    return (
+        _basket_pair_counts(li)
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+def _basket_pair_counts(li: DataFrame) -> DataFrame:
+    """(p1, p2, n_orders) co-occurrence counts with p1 < p2, via the
+    bounded per-order array explosion (shared by the top-pairs and
+    association-rule slugs)."""
     baskets = (
         li.select("l_orderkey", "l_partkey")
         .distinct()
@@ -792,12 +803,7 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pair")
     ).select(F.col("pair.p1").alias("p1"), F.col("pair.p2").alias("p2"))
-    return (
-        pairs.groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy(F.col("n_orders").desc(), "p1", "p2")
-        .limit(20)
-    )
+    return pairs.groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
 ORACLE["basket_part_pairs"] = """
@@ -807,6 +813,74 @@ FROM baskets a JOIN baskets b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2
 ORDER BY n_orders DESC, p1, p2
+LIMIT 20
+"""
+
+
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATION RULES over the basket pairs: support, directional
+    confidence, and lift per co-ordered part pair — the metric layer
+    that turns raw co-occurrence counts into 'customers who bought X
+    also buy Y'. All inputs are exact integers (pair count, per-item
+    basket counts, total baskets), so every ratio is one IEEE division
+    — bit-identical across engines, no rounding gymnastics. The item
+    frame is part-dimension-sized (broadcast); the total is a 1-row
+    aggregate cross-joined in. Top 20 by lift among pairs seen ≥ 2×."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    pair_counts = _basket_pair_counts(li).filter(F.col("n_orders") >= 2)
+    item = baskets.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    total = baskets.agg(F.countDistinct("l_orderkey").alias("n_total"))
+    joined = (
+        pair_counts.join(
+            F.broadcast(item.select(F.col("p").alias("p1"), F.col("n_item").alias("n1"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(item.select(F.col("p").alias("p2"), F.col("n_item").alias("n2"))),
+            "p2",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return (
+        joined.select(
+            "p1",
+            "p2",
+            "n_orders",
+            (F.col("n_orders") / F.col("n_total")).alias("support"),
+            (F.col("n_orders") / F.col("n1")).alias("conf_p1_to_p2"),
+            (F.col("n_orders") / F.col("n2")).alias("conf_p2_to_p1"),
+            (
+                F.col("n_orders") * F.col("n_total") / (F.col("n1") * F.col("n2"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+ORACLE["basket_association_rules"] = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+item AS (SELECT l_partkey AS p, count(*) AS n_item FROM baskets GROUP BY 1),
+total AS (SELECT count(DISTINCT l_orderkey) AS n_total FROM baskets)
+SELECT p1, p2, n_orders,
+       CAST(n_orders AS DOUBLE) / n_total AS support,
+       CAST(n_orders AS DOUBLE) / i1.n_item AS conf_p1_to_p2,
+       CAST(n_orders AS DOUBLE) / i2.n_item AS conf_p2_to_p1,
+       CAST(n_orders * n_total AS DOUBLE) / (i1.n_item * i2.n_item) AS lift
+FROM pairs
+JOIN item i1 ON i1.p = p1
+JOIN item i2 ON i2.p = p2
+CROSS JOIN total
+ORDER BY lift DESC, p1, p2
 LIMIT 20
 """
 
@@ -881,4 +955,5 @@ QUERIES = {
     "complex_types_suite": complex_types_suite,
     "customer_rfm": customer_rfm,
     "basket_part_pairs": basket_part_pairs,
+    "basket_association_rules": basket_association_rules,
 }

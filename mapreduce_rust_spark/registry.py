@@ -166,6 +166,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "reduce_arrow_native",
     "source_python_stream_partitioned",
     "map_arrow_native",
+    "basket_association_rules",
 )
 
 
