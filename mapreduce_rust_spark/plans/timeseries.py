@@ -769,6 +769,73 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-ADJUSTED volume anomalies: hourly event counts
+    compared against the type's diurnal baseline (mean/σ per
+    (type, hour-of-day) stratum), flagging hours whose residual
+    |z| ≥ 2 — the alert rule that doesn't page at 9am just because
+    mornings are busy (the raw per-type screen is ``anomaly_zscore``;
+    this one subtracts the season first). One hourly aggregation
+    (|hours|×|types| keys) + one stratum window over 24·|types|
+    groups. Both engines filter on the SAME truncated z, so boundary
+    hours can't flicker between them."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("hod", F.hour("hour").cast("bigint"))
+    )
+    w = W.partitionBy("event_type", "hod")
+    # constant strata (σ = 0, e.g. singleton hours at tiny SFs) carry
+    # no anomaly signal and would divide-by-zero under ANSI mode —
+    # excluded identically on both engines via the explicit sd filter
+    withm = hourly.select(
+        "event_type",
+        "hour",
+        "hod",
+        "n",
+        F.avg("n").over(w).alias("_mu"),
+        F.stddev_samp("n").over(w).alias("_sd"),
+    ).filter(F.col("_sd") > 0)
+    zr = fround((F.col("n") - F.col("_mu")) / F.col("_sd"), 4)
+    return (
+        withm.select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+            "hod",
+            "n",
+            fround(F.col("_mu"), 4).alias("baseline"),
+            zr.alias("z"),
+        )
+        .filter((F.col("z") >= 2.0) | (F.col("z") <= -2.0))
+        .orderBy("event_type", "hour")
+    )
+
+
+ORACLE["ts_anomaly_seasonal"] = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+withm AS (
+  SELECT event_type, hour, n,
+         avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type, hour(hour))
+),
+strat AS (
+  SELECT event_type, strftime(hour, '%Y-%m-%d %H:00') AS hour,
+         CAST(hour(hour) AS BIGINT) AS hod, n,
+         {fround_sql("mu", 4)} AS baseline,
+         {fround_sql("(n - mu) / sd", 4)} AS z
+  FROM withm WHERE sd > 0
+)
+SELECT * FROM strat
+WHERE z >= 2.0 OR z <= -2.0
+ORDER BY event_type, hour
+"""
+
+
 QUERIES = {
     "ts_rolling_median": ts_rolling_median,
     "ts_seasonal_profile": ts_seasonal_profile,
@@ -785,4 +852,5 @@ QUERIES = {
     "window_sliding_counts": window_sliding_counts,
     "ts_multires_rollup": ts_multires_rollup,
     "ts_time_weighted_avg": ts_time_weighted_avg,
+    "ts_anomaly_seasonal": ts_anomaly_seasonal,
 }

@@ -167,6 +167,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "source_python_stream_partitioned",
     "map_arrow_native",
     "basket_association_rules",
+    "ts_anomaly_seasonal",
 )
 
 
