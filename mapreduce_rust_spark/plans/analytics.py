@@ -780,15 +780,17 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _basket_pair_counts(li: DataFrame) -> DataFrame:
+def _basket_pair_counts(
+    li: DataFrame, baskets: DataFrame | None = None
+) -> DataFrame:
     """(p1, p2, n_orders) co-occurrence counts with p1 < p2, via the
     bounded per-order array explosion (shared by the top-pairs and
-    association-rule slugs)."""
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+    association-rule slugs). Pass a pre-built (persisted) distinct
+    basket frame to share the scan with other branches."""
+    if baskets is None:
+        baskets = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = baskets.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("parts")
     )
     pairs = baskets.select(
         F.explode(
@@ -827,8 +829,15 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is part-dimension-sized (broadcast); the total is a 1-row
     aggregate cross-joined in. Top 20 by lift among pairs seen ≥ 2×."""
     li = load_table(spark, sf_dir, "lineitem")
+    # the distinct basket frame feeds three branches; deliberately NOT
+    # persisted — a cache boundary materializes at the session's full
+    # shuffle-partition count and blocks AQE coalescing (measured 6.8 s
+    # cached vs 3.1 s recomputed at sf0.1), and the parquet scan it
+    # would save is the cheap part
     baskets = li.select("l_orderkey", "l_partkey").distinct()
-    pair_counts = _basket_pair_counts(li).filter(F.col("n_orders") >= 2)
+    pair_counts = _basket_pair_counts(li, baskets=baskets).filter(
+        F.col("n_orders") >= 2
+    )
     item = baskets.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).alias("n_item")
     )
