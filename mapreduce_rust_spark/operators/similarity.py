@@ -290,6 +290,66 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZED brute-force ANN: the same exact top-k search run over
+    int8-RECONSTRUCTED vectors — the memory-bound configuration every
+    billion-vector index actually serves (4 bytes → 1 byte per dim;
+    at 100 TB the index fits in a quarter of the RAM). Reconstruction
+    (mn + round((x−mn)/scale)·scale, per vector) reuses the affine
+    arithmetic of ``embedding_quantize_int8`` — identical IEEE ops in
+    identical order in both engines, so the oracle reproduces the
+    entire quantize→decode→search pipeline bit-for-bit. Read next to
+    ``ann_topk_bruteforce`` for the ranking drift compression buys."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    v = F.col("embedding")
+    mn = F.array_min(v).cast("double")
+    scale = (F.array_max(v).cast("double") - mn) / F.lit(255.0)
+    recon = F.when(
+        scale > 0,
+        F.transform(
+            v,
+            lambda x: mn
+            + F.floor((x.cast("double") - mn) / scale + F.lit(0.5)) * scale,
+        ),
+    ).otherwise(F.transform(v, lambda x: mn))
+    recq = emb.select("vec_id", recon.alias("recon"))
+    qs = recq.filter(F.expr(_QUERY_PRED))
+    return topk_bruteforce(qs, recq, "vec_id", "recon", k=5)
+
+
+ORACLE["ann_topk_int8"] = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve,
+         list_min(embedding)::DOUBLE AS mn,
+         (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE) / 255.0
+           AS scale
+  FROM embeddings
+),
+rec AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0
+              THEN list_transform(ve, x -> mn + floor((x - mn) / scale + 0.5) * scale)
+              ELSE list_transform(ve, x -> mn)
+         END AS v
+  FROM base
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM rec WHERE {_QUERY_PRED}),
+scored AS (
+  SELECT q.query_id, rec.vec_id AS neighbor_id,
+         floor(round(list_cosine_similarity(q.qv, rec.v), 10) * 1000000) / 1000000 AS sim
+  FROM q JOIN rec ON q.query_id <> rec.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, floor(round(sim, 8) * 10000) / 10000 AS sim
+FROM ranked WHERE rank <= 5
+"""
+
+
 def ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.expr(_QUERY_PRED))
@@ -746,6 +806,7 @@ ORDER BY b.query_id
 
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_int8": ann_topk_int8,
     "ann_topk_bucketed": ann_topk_bucketed,
     "ann_recall_eval": ann_recall_eval,
     "ann_topk_ivf": ann_topk_ivf,

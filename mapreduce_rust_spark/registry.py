@@ -168,6 +168,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "map_arrow_native",
     "basket_association_rules",
     "ts_anomaly_seasonal",
+    "ann_topk_int8",
 )
 
 
