@@ -1182,17 +1182,33 @@ def bloom_prefilter(
         .distinct()
         .withColumn("dup", F.lit(1))
     )
-    return (
+    probed = (
         batch.select(F.col(id_col), F.md5(F.col(content_col)).alias("chash"))
         .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "chash",
+            F.coalesce("hits", F.lit(0)).alias("n_hit"),
+            (F.coalesce("hits", F.lit(0)) == k).cast("int").alias("bloom_candidate"),
+        )
+    )
+    # Exact verification runs ONLY on the candidate sliver; Bloom has
+    # no false negatives, so non-candidates are duplicates-free by
+    # construction and skip the corpus join entirely (is_true_dup=0).
+    verified = (
+        probed.filter(F.col("bloom_candidate") == 1)
         .join(F.broadcast(corpus_hashes), "chash", "left")
         .select(
             id_col,
-            F.coalesce("hits", F.lit(0)).alias("n_hit"),
-            (F.coalesce("hits", F.lit(0)) == k).cast("int").alias("bloom_candidate"),
+            "n_hit",
+            "bloom_candidate",
             F.coalesce("dup", F.lit(0)).alias("is_true_dup"),
         )
     )
+    passed = probed.filter(F.col("bloom_candidate") != 1).select(
+        id_col, "n_hit", "bloom_candidate", F.lit(0).alias("is_true_dup")
+    )
+    return verified.unionAll(passed)
 
 
 def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,11 +54,19 @@ def connected_components(
     # loop itself dropping to ~0.4 s/round). On a multi-node cluster
     # use rdd.checkpoint()/write-to-parquet for fault-tolerant
     # truncation instead of executor-local blocks.
+    # LAZY checkpoints (eager=False) fold materialization into the
+    # convergence aggregate: each round runs exactly ONE job — the
+    # Σcomp collect — which computes the propagated labels, caches the
+    # truncation blocks as a side effect, and returns the convergence
+    # scalar. The eager form cost 2 blocking driver round-trips per
+    # round (checkpoint job + collect job); halving them halves the
+    # loop's sensitivity to driver/scheduler latency (the r04 bench
+    # outlier was exactly this latency under host load).
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # identity-label init FUSED with the first propagation round: a
     # node's round-1 label is min(self, neighbors), which one grouped
@@ -68,7 +76,7 @@ def connected_components(
     labels = (
         e.groupBy(F.col("a").alias("node"))
         .agg(F.least(F.min("b"), F.min("a")).alias("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # labels only ever decrease, so Σcomp is a strictly decreasing
     # potential until the fixpoint — one cheap aggregate per round
@@ -82,7 +90,7 @@ def connected_components(
             .union(labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = prop.agg(F.sum("comp")).collect()[0][0]
         labels = prop

@@ -367,22 +367,29 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("r")
         ),
+        # FK checks via LEFT join + count-of-null-match, so n_checked
+        # is the number of rows actually checked (the full child
+        # table), not the violation count an anti-join would report.
         li.join(
             orders.select("o_orderkey").distinct(),
             li["l_orderkey"] == F.col("o_orderkey"),
-            "left_anti",
+            "left",
         ).agg(
             report(
-                "lineitem_fk_orders", F.count(F.lit(1)), F.count(F.lit(1))
+                "lineitem_fk_orders",
+                F.count(F.lit(1)),
+                F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)),
             ).alias("r")
         ),
         cust.join(
             F.broadcast(nation.select("n_nationkey")),
             cust["c_nationkey"] == F.col("n_nationkey"),
-            "left_anti",
+            "left",
         ).agg(
             report(
-                "customer_fk_nation", F.count(F.lit(1)), F.count(F.lit(1))
+                "customer_fk_nation",
+                F.count(F.lit(1)),
+                F.sum(F.when(F.col("n_nationkey").isNull(), 1).otherwise(0)),
             ).alias("r")
         ),
         docs.agg(
@@ -427,11 +434,14 @@ WITH checks AS (
          sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
   FROM lineitem
   UNION ALL
-  SELECT 'lineitem_fk_orders', count(*), count(*)
-  FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey
+  SELECT 'lineitem_fk_orders', count(*),
+         sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
   UNION ALL
-  SELECT 'customer_fk_nation', count(*), count(*)
-  FROM customer ANTI JOIN nation ON c_nationkey = n_nationkey
+  SELECT 'customer_fk_nation', count(*),
+         sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
   UNION ALL
   SELECT 'documents_text_nonempty', count(*),
          sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)

@@ -523,13 +523,15 @@ ORDER BY w.query_id
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd's k-means over the embeddings table (k = 8,
     3 rounds, deterministic init = first k ids) summarized as
-    per-cluster (n_assigned, mean cosine to centroid). Genuinely
-    iterative → no SQL oracle (driver records rows-only), same
-    contract as the components loop; the per-round plan is
-    broadcast-assign + (cid, dim) mean aggregation. Value-level
-    verification lives in ``tests/test_llm_ops.py::
-    test_embedding_kmeans_numpy_golden``, which recomputes the whole
-    Lloyd trace in numpy and matches this summary."""
+    per-cluster (n_assigned, mean cosine to centroid). The per-round
+    plan is broadcast-assign + (cid, dim) mean aggregation. The trace
+    is deterministic (fixed init, fixed iteration count, floored-
+    cosine assignment with centroid-id tie-break), so the oracle
+    UNROLLS the 3 Lloyd iterations as chained CTEs — fully
+    value-checked despite being an iterative algorithm; a numpy
+    golden test (``tests/test_llm_ops.py::
+    test_embedding_kmeans_numpy_golden``) independently pins the same
+    trace."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, max_iter=3)
     sim = fround(cosine_similarity(F.col("embedding"), F.col("cv")), 6)
@@ -551,6 +553,50 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    """DuckDB replay of the exact Lloyd trace ``embedding_kmeans``
+    runs: deterministic init (first ``k`` vec_ids), then ``iters``
+    unrolled assign→update rounds as chained CTEs (fixed iteration
+    count ⇒ no recursion needed), then the final assignment summary.
+    Assignment uses the same floored cosine (`_cos_sql` ≡ Spark's
+    ``fround(cos, 6)``) and centroid-id tie-break, so both engines
+    take identical argmax decisions; centroid updates are per-
+    (cid, pos) means rebuilt into ordered lists."""
+    ctes = [
+        "emb AS (SELECT vec_id, embedding FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+  FROM emb WHERE vec_id < {k})""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM emb e CROSS JOIN c{i - 1} c) WHERE rn = 1)""")
+        ctes.append(f"""c{i} AS (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT cid, pos, avg(val) AS m FROM (
+      SELECT cid, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos FROM a{i})
+    GROUP BY cid, pos) GROUP BY cid)""")
+    ctes.append(f"""fin AS (
+  SELECT vec_id, cid, sim FROM (
+    SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.cv')} AS sim,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+    FROM emb e CROSS JOIN c{iters} c) WHERE rn = 1)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT cid, count(*) AS n_assigned,
+       {fround_sql("avg(sim)", 4)} AS mean_cos
+FROM fin GROUP BY cid ORDER BY cid
+"""
+
+
+ORACLE["embedding_kmeans"] = _kmeans_oracle(k=8, iters=3)
 
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:

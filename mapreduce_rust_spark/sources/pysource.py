@@ -295,11 +295,19 @@ def _register_partitioned_stream_source(spark: SparkSession) -> None:
             return {"pos": 0}
 
         def latestOffset(self) -> dict:
+            # Monotonic w.r.t. the committed log: a fresh reader
+            # instance (checkpoint restart) starts with _pos = 0, but
+            # Spark calls commit(lastCommitted) during recovery before
+            # planning new batches, which fast-forwards _pos — so the
+            # offset can never regress behind a committed position and
+            # re-plan an already-committed range (duplicate rows).
             self._pos = min(getattr(self, "_pos", 0) + N_ROWS // 2, N_ROWS)
             return {"pos": self._pos}
 
         def partitions(self, start: dict, end: dict):
-            a, b = start["pos"], end["pos"]
+            # max(a, b) guard: even if a planner handed us a regressed
+            # end offset, never produce a backwards range.
+            a, b = start["pos"], max(start["pos"], end["pos"])
             step = max(1, (b - a) // 4)
             edges = list(range(a, b, step)) + [b]
             return [_RangeSplit(x, y) for x, y in zip(edges, edges[1:])]
@@ -309,7 +317,9 @@ def _register_partitioned_stream_source(spark: SparkSession) -> None:
                 yield (i, i % 16, (i * i) % 9973)
 
         def commit(self, end: dict) -> None:
-            pass
+            # Fast-forward the pacing cursor past anything already
+            # committed, so latestOffset is monotonic across restarts.
+            self._pos = max(getattr(self, "_pos", 0), end["pos"])
 
     class PartitionedRangeStream(DataSource):
         @classmethod

@@ -224,7 +224,9 @@ def test_partitioned_stream_reader_resumes_exactly_once(spark, tmp_path):
             .start()
         )
         try:
-            deadline = time.time() + 90
+            # generous: under host contention (parallel Spark
+            # sessions) micro-batch commits can take tens of seconds
+            deadline = time.time() + 180
             while time.time() < deadline:
                 try:
                     n = spark.read.parquet(out).count()
