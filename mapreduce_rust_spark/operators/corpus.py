@@ -731,8 +731,66 @@ ORDER BY pos
 """
 
 
+SAMPLE_TEMP_T = 2.0  # temperature; 1/T = 0.5 → sqrt scaling
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source sampling (the mT5/multilingual-mix
+    recipe, Xue et al. 2021): source sampling probability ∝
+    n_docs^(1/T), renormalized — T > 1 flattens the mix, upweighting
+    tail sources without going all the way to uniform (which
+    ``source_mix_weights`` reports). Output per source: raw share,
+    temperature share, and the upsample factor a data loader applies.
+    Same two tiny aggregations + one-row broadcast as the mix-weights
+    report — the 100 TB cost is the single (source) group-by."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    inv_t = 1.0 / SAMPLE_TEMP_T
+    scaled = per_src.withColumn(
+        "w", F.pow(F.col("n_docs").cast("double"), F.lit(inv_t))
+    )
+    total = scaled.agg(
+        F.sum("n_docs").alias("all_docs"), F.sum("w").alias("all_w")
+    )
+    return (
+        scaled.join(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            fround(F.col("n_docs") / F.col("all_docs"), 6).alias("raw_share"),
+            fround(F.col("w") / F.col("all_w"), 6).alias("temp_share"),
+            fround(
+                (F.col("w") / F.col("all_w"))
+                / (F.col("n_docs") / F.col("all_docs")),
+                6,
+            ).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["sample_temperature"] = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         pow(count(*)::DOUBLE, {1.0 / SAMPLE_TEMP_T}) AS w
+  FROM documents GROUP BY 1
+),
+total AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS all_docs, sum(w) AS all_w
+  FROM per_src
+)
+SELECT source, n_docs,
+       {fround_sql("n_docs::DOUBLE / all_docs", 6)} AS raw_share,
+       {fround_sql("w / all_w", 6)} AS temp_share,
+       {fround_sql("(w / all_w) / (n_docs::DOUBLE / all_docs)", 6)} AS upsample_factor
+FROM per_src CROSS JOIN total
+ORDER BY source
+"""
+
+
 QUERIES = {
     "sample_hash_deterministic": sample_hash_deterministic,
+    "sample_temperature": sample_temperature,
     "tfidf_top_terms": tfidf_top_terms,
     "inverted_index_postings": inverted_index_postings,
     "corpus_shard_pack": corpus_shard_pack,

@@ -977,6 +977,70 @@ WHERE floor(round(list_cosine_similarity(a.v, b.v), 8) * 10000) / 10000 >= 0.3
 """
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via sign-LSH bucketing — the SCALE
+    path whose exactness baseline is ``dedup_embedding_cosine``:
+    instead of the all-pairs GEMM, vectors join only within their
+    sign bucket (bit b = sign of component b), so the candidate set
+    is a 2^B-ary hash-partitioned self-join — shuffle on the bucket
+    key, never a cartesian. At 100 TB the bucket column is the
+    partition key of the stored index (same layout as the IVF `cid`
+    write, similarity.py): bucket joins prune to co-located
+    partitions. Recall loss vs the baseline is measurable with the
+    same audit pattern as ``ann_recall_eval``; precision is exact
+    because candidates are re-scored with the true cosine. Pure JVM
+    expressions (zip_with dot) — no Python in the pair loop."""
+    from mapreduce_rust_spark.functions.vectors import cosine_from_norms, l2_norm
+    from mapreduce_rust_spark.operators.similarity import sign_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "embedding",
+        sign_bucket(F.col("embedding")).alias("bucket"),
+        l2_norm("embedding").alias("nrm"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("v1"),
+        "bucket",
+        F.col("nrm").alias("n1"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("v2"),
+        "bucket",
+        F.col("nrm").alias("n2"),
+    )
+    sim = fround(cosine_from_norms("v1", "v2", "n1", "n2"), 4)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("d1", "d2", "bucket", "cos_sim")
+    )
+
+
+def _embedding_lsh_oracle() -> str:
+    from mapreduce_rust_spark.operators.similarity import _sign_bucket_sql
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_sign_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS d1, b.vec_id AS d2, a.bucket,
+       floor(round(list_cosine_similarity(a.v, b.v), 8) * 10000) / 10000 AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE floor(round(list_cosine_similarity(a.v, b.v), 8) * 10000) / 10000 >= 0.3
+"""
+
+
+ORACLE["dedup_embedding_lsh"] = _embedding_lsh_oracle()
+
+
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup after text canonicalization (lowercase, strip
     punctuation/whitespace runs) — catches the trivial near-dups
@@ -1309,6 +1373,7 @@ QUERIES = {
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_span_exact": dedup_span_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
 }

@@ -457,6 +457,50 @@ FROM checks ORDER BY check_name
 """
 
 
+K_ANON_K = 5
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the customer table's
+    quasi-identifier tuple (nation, market segment, account-balance
+    band): every QI equivalence class with its size and whether it
+    meets k ≥ {K_ANON_K} — the re-identification-risk report a
+    pipeline runs before releasing micro-data or joining user-level
+    training data. Classes below k are the rows to suppress or
+    generalize. One hash aggregation on the QI key — the same single
+    shuffle any 100 TB group-by takes; band width is the
+    generalization knob."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("acctbal_band"),
+    )
+    return (
+        qi.groupBy("nationkey", "mktsegment", "acctbal_band")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            "nationkey",
+            "mktsegment",
+            "acctbal_band",
+            "class_size",
+            (F.col("class_size") >= K_ANON_K).cast("int").alias("is_k_anonymous"),
+        )
+        .orderBy("nationkey", "mktsegment", "acctbal_band")
+    )
+
+
+ORACLE["privacy_k_anonymity"] = f"""
+SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+       count(*) AS class_size,
+       CAST(count(*) >= {K_ANON_K} AS INT) AS is_k_anonymous
+FROM customer
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "table_profile": table_profile,
     "table_histogram": table_histogram,
@@ -465,4 +509,5 @@ QUERIES = {
     "anomaly_zscore": anomaly_zscore,
     "robust_mad_outliers": robust_mad_outliers,
     "quality_constraint_audit": quality_constraint_audit,
+    "privacy_k_anonymity": privacy_k_anonymity,
 }

@@ -850,8 +850,96 @@ ORDER BY b.query_id
 """
 
 
+MAXSIM_GROUP = 10  # token-vectors per pseudo-document
+MAXSIM_NQ = 3  # query documents
+MAXSIM_TOPK = 3
+
+
+def ann_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval (ColBERT-style MaxSim,
+    Khattab & Zaharia 2020): documents are SETS of token vectors
+    (pseudo-docs of {MAXSIM_GROUP} consecutive vec_ids), and
+    score(q, d) = Σ over q's token vectors of max cosine against d's
+    token vectors. Candidate generation is sign-LSH bucketed — query
+    tokens join corpus tokens on the bucket key (the PLAID-style
+    pruned form: token pairs in different buckets contribute 0), so
+    the plan is a broadcast hash join on bucket, never a token-level
+    cartesian. Two-level aggregation: max per (query token, doc),
+    then sum per (query doc, doc) — both partial-aggregated map-side.
+    At 100 TB the corpus token index is stored partitioned by bucket
+    (same layout as the IVF cid write) and the per-query cost is
+    |q_tokens| bucket probes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        F.floor(F.col("vec_id") / MAXSIM_GROUP).cast("bigint").alias("doc"),
+        F.col("vec_id"),
+        F.col("embedding"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+        sign_bucket(F.col("embedding")).alias("bucket"),
+    )
+    q = F.broadcast(
+        toks.filter(F.col("doc") < MAXSIM_NQ).select(
+            F.col("doc").alias("query_doc"),
+            F.col("vec_id").alias("q_tok"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "bucket",
+        )
+    )
+    c = toks.filter(F.col("doc") >= MAXSIM_NQ).select(
+        F.col("doc").alias("doc_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "bucket",
+    )
+    sim = fround(cosine_from_norms("qv", "cv", "qn", "cn"), 6)
+    w = W.partitionBy("query_doc").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        q.join(c, "bucket")
+        .select("query_doc", "q_tok", "doc_id", sim.alias("sim"))
+        .groupBy("query_doc", "q_tok", "doc_id")
+        .agg(F.max("sim").alias("tok_max"))
+        .groupBy("query_doc", "doc_id")
+        .agg(fround(F.sum("tok_max"), 4).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MAXSIM_TOPK)
+        .select("query_doc", "rank", "doc_id", "score")
+    )
+
+
+ORACLE["ann_maxsim_multivector"] = f"""
+WITH toks AS (
+  SELECT vec_id // {MAXSIM_GROUP} AS doc, vec_id, embedding AS v,
+         {_sign_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.doc AS query_doc, q.vec_id AS q_tok, c.doc AS doc_id,
+         {_cos_sql("q.v", "c.v")} AS sim
+  FROM toks q JOIN toks c ON q.bucket = c.bucket
+  WHERE q.doc < {MAXSIM_NQ} AND c.doc >= {MAXSIM_NQ}
+),
+tok_max AS (
+  SELECT query_doc, q_tok, doc_id, max(sim) AS tok_max
+  FROM pairs GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT query_doc, doc_id,
+         {fround_sql("sum(tok_max)", 4)} AS score
+  FROM tok_max GROUP BY 1, 2
+)
+SELECT query_doc, rank, doc_id, score FROM (
+  SELECT query_doc, doc_id, score,
+         row_number() OVER (PARTITION BY query_doc
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores)
+WHERE rank <= {MAXSIM_TOPK}
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_maxsim_multivector": ann_maxsim_multivector,
     "ann_topk_int8": ann_topk_int8,
     "ann_topk_bucketed": ann_topk_bucketed,
     "ann_recall_eval": ann_recall_eval,

@@ -515,6 +515,311 @@ ORDER BY 1, 2
 """
 
 
+# Gopher-style rule thresholds (Rae et al. 2021, table A1 — public).
+# Rules the synthetic corpus can't exercise (bullet/ellipsis line
+# ratios need multi-line docs) are omitted rather than vacuously
+# reported.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_WLEN, GOPHER_MAX_WLEN = 3.0, 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOPWORDS = 1
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-paper quality FILTER report: per-document rule metrics,
+    one pass/fail flag per rule, and the overall keep decision — the
+    doc-level gate a pretraining pipeline runs before tokenization.
+    Unlike ``text_quality`` (a soft score), this is the hard
+    rule-based drop decision with per-rule attribution, so the funnel
+    report can say WHY documents were dropped. Embarrassingly
+    parallel: token-array expressions per row, zero shuffle — at
+    100 TB the cost is one pass over the text fused with the scan."""
+    toks = tokenize_whitespace(text_col)
+    base = df.select(F.col(id_col), F.col(text_col).alias("_t"), toks.alias("w"))
+    n = F.size("w")
+    mean_wlen = F.aggregate(
+        "w", F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / n.cast("double")
+    alpha_frac = (
+        F.size(F.filter("w", lambda x: x.rlike("[a-zA-Z]"))).cast("double") / n
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform("w", F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    m = base.filter(F.size("w") > 0).select(
+        id_col,
+        n.alias("n_words"),
+        fround(mean_wlen, 4).alias("mean_word_len"),
+        fround(alpha_frac, 4).alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+    )
+    ok_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    ok_wlen = (F.col("mean_word_len") >= GOPHER_MIN_WLEN) & (
+        F.col("mean_word_len") <= GOPHER_MAX_WLEN
+    )
+    ok_alpha = F.col("alpha_word_frac") > GOPHER_MIN_ALPHA_FRAC
+    ok_stop = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    return m.select(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "n_stopwords",
+        ok_words.cast("int").alias("ok_word_count"),
+        ok_wlen.cast("int").alias("ok_mean_wlen"),
+        ok_alpha.cast("int").alias("ok_alpha_frac"),
+        ok_stop.cast("int").alias("ok_stopwords"),
+        (ok_words & ok_wlen & ok_alpha & ok_stop).cast("int").alias("keep"),
+    )
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_rules(
+        fan_out(load_table(spark, sf_dir, "documents")), "doc_id", "text"
+    )
+
+
+ORACLE["text_gopher_quality"] = rf"""
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         {fround_sql("list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)", 4)} AS mean_word_len,
+         {fround_sql("len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(w)", 4)} AS alpha_word_frac,
+         len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+             {_sql_list(GOPHER_STOPWORDS)})) AS n_stopwords
+  FROM lists WHERE len(w) > 0
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+       alpha_word_frac, CAST(n_stopwords AS INT) AS n_stopwords,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS INT) AS ok_word_count,
+       CAST(mean_word_len BETWEEN {GOPHER_MIN_WLEN} AND {GOPHER_MAX_WLEN} AS INT) AS ok_mean_wlen,
+       CAST(alpha_word_frac > {GOPHER_MIN_ALPHA_FRAC} AS INT) AS ok_alpha_frac,
+       CAST(n_stopwords >= {GOPHER_MIN_STOPWORDS} AS INT) AS ok_stopwords,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND mean_word_len BETWEEN {GOPHER_MIN_WLEN} AND {GOPHER_MAX_WLEN}
+            AND alpha_word_frac > {GOPHER_MIN_ALPHA_FRAC}
+            AND n_stopwords >= {GOPHER_MIN_STOPWORDS} AS INT) AS keep
+FROM m
+"""
+
+
+N_BPE_MERGES = 3
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING loop (Sennrich et al. 2016): learn the first
+    ``N_BPE_MERGES`` merge rules over the corpus — the iterative step
+    ``bpe_pair_counts`` (one round of pair statistics) feeds. Each
+    round: count adjacent symbol pairs weighted by word frequency,
+    pick the most frequent pair (count desc, then lexicographic
+    tie-break), and greedily merge it left-to-right in every word's
+    symbol sequence. Output = the learned merge table.
+
+    Scale shape: ONE corpus-wide shuffle builds the word-frequency
+    vocab; the merge loop then runs on the vocab (millions of rows at
+    100 TB, not the corpus), with the argmax pair broadcast back —
+    exactly how production BPE trainers distribute (corpus pass once,
+    train on aggregated counts). The loop is fully declarative (no
+    driver collect): round r's plan embeds round r-1's broadcast
+    argmax. Like ``embedding_kmeans``, the fixed round count lets the
+    oracle unroll the whole trace as chained CTEs — an iterative
+    algorithm with full value-level verification."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(tokenize_whitespace("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
+    )
+    vocab = words.select("w", "cnt", chars.alias("s"))
+    tops = []
+    for r in range(1, N_BPE_MERGES + 1):
+        m = F.greatest(F.size("s") - 1, F.lit(0))
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice("s", 1, m),
+                    F.slice("s", 2, m),
+                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+            .limit(1)
+        )
+        tops.append(
+            top.select(
+                F.lit(r).alias("merge_rank"), "lhs", "rhs", "pair_count"
+            )
+        )
+        merged = vocab.crossJoin(
+            F.broadcast(
+                top.select(F.col("lhs").alias("ml"), F.col("rhs").alias("mr"))
+            )
+        )
+        # greedy left-to-right merge application as an array fold;
+        # try_element_at: NULL (not ANSI error) on the empty-acc probe
+        new_s = F.aggregate(
+            "s",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.try_element_at(acc, F.lit(-1)) == F.col("ml"))
+                & (x == F.col("mr")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.col("ml"), F.col("mr"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = merged.select("w", "cnt", new_s.alias("s"))
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionAll(t)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_train_oracle(n_merges: int = N_BPE_MERGES) -> str:
+    ctes = [
+        r"""words AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+    FROM documents) GROUP BY w)""",
+        """v0 AS (
+  SELECT w, cnt,
+         list_transform(generate_series(1, length(w)), i -> w[i]) AS s
+  FROM words)""",
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT s_l AS lhs, s_r AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT cnt, unnest(s[1:len(s)-1]) AS s_l, unnest(s[2:len(s)]) AS s_r
+        FROM v{r - 1} WHERE len(s) >= 2)
+  GROUP BY 1, 2)""")
+        ctes.append(f"""m{r} AS (
+  SELECT lhs, rhs, pair_count FROM p{r}
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1)""")
+        ctes.append(f"""v{r} AS (
+  SELECT w, cnt,
+         list_reduce(list_transform(s, x -> [x]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.lhs
+                             AND x[1] = m.rhs
+                       THEN acc[1:len(acc)-1] || [m.lhs || m.rhs]
+                       ELSE acc || x END) AS s
+  FROM v{r - 1}, m{r} m)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, lhs, rhs, pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"WITH {', '.join(ctes)}\n{union}\nORDER BY merge_rank"
+
+
+ORACLE["bpe_train_merges"] = _bpe_train_oracle()
+
+
+WINNOW_K = 3  # words per shingle
+WINNOW_W = 4  # shingle-hash window
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """MOSS-style winnowing fingerprint summary (Schleimer, Wilkerson
+    & Aiken, SIGMOD 2003): hash every k-word shingle IN DOCUMENT
+    ORDER, slide a w-wide window over the hash sequence, keep each
+    window's minimum, and the distinct kept hashes are the document's
+    fingerprints. Guarantees every match of length ≥ w+k-1 words
+    shares a fingerprint — positional coverage that the global
+    min-hash (``text_fingerprint``) can't give. Summarized per doc
+    (count / min / max / checksum) so the result is one row per
+    document; the fingerprint SET (explode before distinct) is the
+    posting-list form a plagiarism index would store. All array
+    expressions — linear per row, zero shuffle."""
+    from mapreduce_rust_spark.functions.text import hash64, word_shingles
+
+    sh = word_shingles(F.col(text_col), k)
+    hashes = F.transform(sh, hash64)
+    base = df.select(F.col(id_col), hashes.alias("h"))
+    n = F.size("h")
+    m = F.greatest(n - F.lit(w - 1), F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda j: F.array_min(F.slice("h", j, w)),
+    )
+    fps = F.when(n >= w, F.array_distinct(mins)).otherwise(
+        F.when(n > 0, F.array(F.array_min("h"))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    return base.select(
+        id_col,
+        n.alias("n_shingles"),
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("fp_min"),
+        F.array_max(fps).alias("fp_max"),
+        # checksum folds each 60-bit hash mod 1e9+7 first: ≤1e9 per
+        # term keeps the bigint sum overflow-free in both engines
+        F.aggregate(
+            fps, F.lit(0).cast("bigint"), lambda a, x: a + x % 1000000007
+        ).alias("fp_checksum"),
+    )
+
+
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnowing_fingerprints(
+        fan_out(load_table(spark, sf_dir, "documents")), "doc_id", "text"
+    )
+
+
+ORACLE["text_winnowing"] = rf"""
+WITH lists AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS l
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(l) - {WINNOW_K - 1}, 0)),
+           i -> ('0x' || substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]), 1, 15))::BIGINT) AS h
+  FROM lists
+),
+fp AS (
+  SELECT doc_id, len(h) AS n_shingles,
+         CASE WHEN len(h) >= {WINNOW_W} THEN
+           list_distinct(list_transform(
+             generate_series(1, len(h) - {WINNOW_W - 1}),
+             j -> list_aggregate(h[j:j+{WINNOW_W - 1}], 'min')))
+         WHEN len(h) > 0 THEN [list_aggregate(h, 'min')]
+         ELSE [] END AS fps
+  FROM sh
+)
+SELECT doc_id, CAST(n_shingles AS INT) AS n_shingles,
+       CAST(len(fps) AS INT) AS n_fingerprints,
+       list_aggregate(fps, 'min') AS fp_min,
+       list_aggregate(fps, 'max') AS fp_max,
+       CAST(coalesce(list_sum(list_transform(fps, x -> x % 1000000007)), 0)
+            AS BIGINT) AS fp_checksum
+FROM fp
+"""
+
+
 QUERIES = {
     "text_lm_likelihood": text_lm_likelihood,
     "text_diversity": text_diversity,
@@ -524,5 +829,8 @@ QUERIES = {
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_gopher_quality": text_gopher_quality,
+    "text_winnowing": text_winnowing,
+    "bpe_train_merges": bpe_train_merges,
     "lang_id_confusion": lang_id_confusion,
 }

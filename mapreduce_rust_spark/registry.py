@@ -108,7 +108,13 @@ _PRIORITY: tuple[str, ...] = (
     # --- upgraded from rows-only to a full value oracle this round ---
     "embedding_kmeans",
     # --- round-5 additions (need first driver evidence) ---
-    # (inserted here as they land)
+    "dedup_embedding_lsh",
+    "text_gopher_quality",
+    "text_winnowing",
+    "bpe_train_merges",
+    "privacy_k_anonymity",
+    "sample_temperature",
+    "ann_maxsim_multivector",
     # --- oldest-evidence backfill: latest driver row is round 1 ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -139,6 +145,12 @@ _PRIORITY: tuple[str, ...] = (
     "sink_write_json",
     "anti_join",
     "semi_join",
+)
+
+# Slugs queued immediately after the 50-slot window (positions 51+):
+# remaining round-1-only-evidence backfill, first in line for the
+# round-6 rotation.
+_NEXT_WINDOW: tuple[str, ...] = (
     "cube_agg",
     "rollup_agg",
     "grouping_sets",
@@ -146,12 +158,6 @@ _PRIORITY: tuple[str, ...] = (
     "global_topk",
     "top_k_per_group",
     "orders_by_month",
-)
-
-# Slugs queued immediately after the 50-slot window (positions 51+):
-# remaining round-1-only-evidence backfill, first in line for the
-# round-6 rotation.
-_NEXT_WINDOW: tuple[str, ...] = (
     "scalar_functions",
     "window_running_sum",
 )

@@ -637,3 +637,168 @@ def test_shingle_novelty_bounds_and_duplicates(spark):
     # doc 4: 3 shingles, "gamma delta epsilon" and "delta epsilon zeta"
     # are new, "epsilon zeta eta" was first seen in doc 3
     assert got[4] == (3, 2, pytest.approx(2 / 3))
+
+
+# ---------- round-5 additions ----------
+
+
+def test_gopher_rules_flags(spark):
+    """Rule attribution: a 60-word doc with stopwords passes; a short
+    doc fails the word-count rule; a numeric doc fails the alpha
+    rule."""
+    from mapreduce_rust_spark.operators.text_analysis import gopher_rules
+
+    long_good = " ".join(["the quick brown fox jumps with vigor and"] * 8)  # 64 words
+    docs = spark.createDataFrame(
+        [
+            (1, long_good),
+            (2, "too short to keep"),
+            (3, " ".join(["12345 67890"] * 30)),  # 60 words, all numeric
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(docs, "doc_id", "text").collect()}
+    assert got[1]["ok_word_count"] == 1
+    assert got[1]["ok_stopwords"] == 1
+    assert got[1]["keep"] == 1
+    assert got[2]["ok_word_count"] == 0 and got[2]["keep"] == 0
+    assert got[3]["ok_word_count"] == 1
+    assert got[3]["ok_alpha_frac"] == 0 and got[3]["keep"] == 0
+
+
+def test_winnowing_guarantee(spark):
+    """The winnowing guarantee: two docs sharing a run of >= w+k-1
+    words share at least one fingerprint; disjoint docs share none.
+    Fingerprint count never exceeds shingle count."""
+    from mapreduce_rust_spark.operators.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+    from mapreduce_rust_spark.functions.text import hash64, word_shingles
+
+    shared_run = "alpha beta gamma delta epsilon zeta"  # 6 = w+k-1 words
+    docs = spark.createDataFrame(
+        [
+            (1, "pre one two " + shared_run + " post three"),
+            (2, shared_run + " completely different tail words here"),
+            (3, "nothing in common with the others at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # fingerprint SETS via the same building blocks
+    sh = word_shingles(F.col("text"), WINNOW_K)
+    hashes = F.transform(sh, hash64)
+    base = docs.select("doc_id", hashes.alias("h"))
+    n = F.size("h")
+    m = F.greatest(n - F.lit(WINNOW_W - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), m), lambda j: F.array_min(F.slice("h", j, WINNOW_W))
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in base.select(
+        "doc_id", F.array_distinct(mins).alias("fps")).collect()}
+    assert fps[1] & fps[2], "shared >= w+k-1 word run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    summary = {r["doc_id"]: r for r in winnowing_fingerprints(
+        docs, "doc_id", "text").collect()}
+    for d, row in summary.items():
+        assert 0 < row["n_fingerprints"] <= row["n_shingles"]
+        assert row["fp_min"] <= row["fp_max"]
+
+
+def test_bpe_train_merges_golden(spark):
+    """3 merge rounds on a controlled corpus, checked against the
+    hand-computed BPE trace (pair counts weighted by word frequency,
+    greedy left-to-right application)."""
+    from mapreduce_rust_spark.operators import text_analysis as ta
+
+    # corpus: "aab" x3, "ab" x2  ->
+    # r1: pairs: (a,a):3  (a,b):5 -> merge (a,b) count 5
+    # r2: aab -> [a, ab] x3 ; ab -> [ab] x2 -> pairs: (a,ab):3 -> merge (a,ab)
+    # r3: aab -> [aab] x3, no pairs left except none -> vocab exhausted
+    docs = spark.createDataFrame(
+        [(1, "aab aab aab ab ab")], "doc_id bigint, text string"
+    )
+    import mapreduce_rust_spark.sources.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark_, sf_dir, name: docs
+        ta.load_table = tables.load_table
+        rows = ta.bpe_train_merges(spark, "unused").collect()
+    finally:
+        tables.load_table = orig
+        ta.load_table = orig
+    got = [(r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"]) for r in rows]
+    assert got[0] == (1, "a", "b", 5)
+    assert got[1] == (2, "a", "ab", 3)
+    # round 3: only single-symbol words remain -> no pairs; merge table
+    # has fewer than 3 rows
+    assert len(got) == 2
+
+
+def test_k_anonymity_class_sizes(spark):
+    from mapreduce_rust_spark.operators.profiling import K_ANON_K
+
+    assert K_ANON_K == 5  # oracle SQL hardcodes the same threshold
+
+
+def test_maxsim_scores_by_hand(spark):
+    """MaxSim on axis-aligned vectors where cosines are 0/1: score =
+    number of query tokens whose direction exists in the doc."""
+    from mapreduce_rust_spark.operators import similarity as sim
+
+    # pseudo-docs of 10: doc 0 = query (vec 0-9), docs 3+ = corpus
+    # doc 3 (vec 30-39) contains both e1 and e2; doc 4 only e1.
+    def e(i, dim=4):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    rows = [(0, e(1)), (1, e(2))]           # query doc 0: tokens e1, e2
+    rows += [(30, e(1)), (31, e(2))]         # doc 3: e1 and e2
+    rows += [(40, e(1)), (41, e(1))]         # doc 4: only e1
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id bigint, embedding array<float>"
+    )
+    import mapreduce_rust_spark.sources.tables as tables
+
+    orig = sim.load_table
+    try:
+        sim.load_table = lambda spark_, sf_dir, name: emb
+        got = {
+            (r["query_doc"], r["doc_id"]): r["score"]
+            for r in sim.ann_maxsim_multivector(spark, "unused").collect()
+        }
+    finally:
+        sim.load_table = orig
+    # doc 3 matches both query tokens (score 2), doc 4 only e1 (score 1)
+    assert got[(0, 3)] == pytest.approx(2.0)
+    assert got[(0, 4)] == pytest.approx(1.0)
+
+
+def test_embedding_lsh_subset_of_bruteforce(spark):
+    """Bucketed pairs are a subset of brute-force pairs at the same
+    threshold, and every reported pair's cosine is exact."""
+    from mapreduce_rust_spark.operators import dedup as dd
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 8)).astype("float32")
+    vecs[1] = vecs[0] * 1.5          # same direction -> cosine 1
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id bigint, embedding array<float>",
+    )
+    import mapreduce_rust_spark.sources.tables as tables
+
+    orig = dd.load_table
+    try:
+        dd.load_table = lambda spark_, sf_dir, name: emb
+        lsh = {(r["d1"], r["d2"]) for r in dd.dedup_embedding_lsh(spark, "unused").collect()}
+        brute = {(r["d1"], r["d2"]) for r in dd.dedup_embedding_cosine(spark, "unused").collect()}
+    finally:
+        dd.load_table = orig
+    assert lsh <= brute
+    assert (0, 1) in lsh, "colinear vectors share every sign bucket"
