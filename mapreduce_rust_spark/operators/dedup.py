@@ -557,6 +557,28 @@ def simhash_pairs_banded(
     )
 
 
+# executor-process-local cache of GEMM side-input matrices, keyed by
+# scratch path; populated lazily by the first task on each worker
+_GEMM_SIDE: dict[str, tuple] = {}
+
+
+def _gemm_side_input(path: str):
+    """Load (ids, unit-normalized matrix) from the side-input parquet,
+    once per executor process. Runs ON THE WORKER — the driver only
+    ships the path string."""
+    if path not in _GEMM_SIDE:
+        import numpy as np
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(path, format="parquet").to_table()
+        ids = t.column("_id").to_numpy()
+        m = np.stack(t.column("_v").to_pandas().to_numpy()).astype("float64")
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        _GEMM_SIDE[path] = (ids, m / norms)
+    return _GEMM_SIDE[path]
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.3
 ) -> DataFrame:
@@ -567,25 +589,31 @@ def embedding_near_dup_pairs(
     is multiplied against the full (unit-normalized) corpus matrix in
     one BLAS call — ~100× faster than per-pair ``zip_with`` expression
     evaluation (measured 82 s → <2 s at sf0.1). The corpus matrix is
-    shipped via ``sparkContext.broadcast`` — ONE torrent transfer per
-    executor, not a per-task closure copy — which bounds this exact
-    variant to corpora that fit in executor memory (same contract as a
-    broadcast join); beyond that, all-pairs is infeasible by
-    definition and the LSH/bucketed variants apply. cos is truncated
-    via floor(round(x,8)*1e4)/1e4 before thresholding, mirroring the
+    a SIDE-INPUT FILE: a distributed parquet write of (id, vec), which
+    each executor reads once and caches process-locally — the driver
+    never materializes the corpus (the former ``toPandas()`` +
+    ``sparkContext.broadcast`` did, serializing the whole matrix
+    through one process). On a cluster the scratch path must be
+    shared storage (HDFS/S3) — the same contract as any side-input.
+    The matrix must fit in executor memory (same bound as a broadcast
+    join); beyond that, all-pairs is infeasible by definition and the
+    LSH/bucketed variants apply. cos is truncated via
+    floor(round(x,8)*1e4)/1e4 before thresholding, mirroring the
     oracle (see functions/numeric.py for why round-then-floor)."""
+    import os
+
     import numpy as np
     import pandas as pd
 
-    corpus = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).toPandas()
-    ids = corpus["_id"].to_numpy()
-    m = np.stack(corpus["_v"].to_numpy()).astype("float64")
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    bc = emb.sparkSession.sparkContext.broadcast((ids, m / norms))
+    from mapreduce_rust_spark.session import scratch_dir
+
+    side_path = os.path.join(scratch_dir(prefix="mrs_gemm_"), "corpus")
+    emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).write.mode(
+        "overwrite"
+    ).parquet(side_path)
 
     def block(batches):
-        b_ids, b_mn = bc.value
+        b_ids, b_mn = _gemm_side_input(side_path)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
