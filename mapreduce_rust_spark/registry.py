@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "privacy_k_anonymity",
     "sample_temperature",
     "ann_maxsim_multivector",
+    "format_xml_roundtrip",
     # --- oldest-evidence backfill: latest driver row is round 1 ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -144,13 +145,13 @@ _PRIORITY: tuple[str, ...] = (
     "split_roundrobin",
     "sink_write_json",
     "anti_join",
-    "semi_join",
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+):
 # remaining round-1-only-evidence backfill, first in line for the
 # round-6 rotation.
 _NEXT_WINDOW: tuple[str, ...] = (
+    "semi_join",
     "cube_agg",
     "rollup_agg",
     "grouping_sets",

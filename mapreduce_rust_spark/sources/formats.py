@@ -73,9 +73,22 @@ def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roundtrip(_orders_stringified(spark, sf_dir), "orc")
 
 
+def format_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE XML source (spark-xml merged into core): write
+    orders as <row> elements, read back with explicit schema. Same
+    both-directions contract as the csv/json/orc round-trips. XML is
+    interchange-only at scale (row format, no pushdown) — same
+    docstring-level guidance as csv/json. Avro was probed and is NOT
+    available in this build (external module jar not bundled with the
+    pip distribution), so it is deliberately absent rather than
+    stubbed."""
+    return roundtrip(_orders_stringified(spark, sf_dir), "xml", rowTag="row")
+
+
 ORACLE["format_csv_roundtrip"] = _ORDERS_ORACLE
 ORACLE["format_json_roundtrip"] = _ORDERS_ORACLE
 ORACLE["format_orc_roundtrip"] = _ORDERS_ORACLE
+ORACLE["format_xml_roundtrip"] = _ORDERS_ORACLE
 
 
 def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,6 +342,7 @@ QUERIES = {
     "format_csv_roundtrip": format_csv_roundtrip,
     "format_json_roundtrip": format_json_roundtrip,
     "format_orc_roundtrip": format_orc_roundtrip,
+    "format_xml_roundtrip": format_xml_roundtrip,
     "sink_partitioned_parquet": sink_partitioned_parquet,
     "sink_bucketed_join": sink_bucketed_join,
     "source_schema_evolution": source_schema_evolution,
