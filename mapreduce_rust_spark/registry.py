@@ -116,6 +116,9 @@ _PRIORITY: tuple[str, ...] = (
     "sample_temperature",
     "ann_maxsim_multivector",
     "format_xml_roundtrip",
+    "sql_pipe_syntax",
+    "sql_collation_group",
+    "sql_lateral_topn",
     # --- oldest-evidence backfill: latest driver row is round 1 ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -142,15 +145,15 @@ _PRIORITY: tuple[str, ...] = (
     "source_scan_wholefile",
     "source_scan_lines",
     "source_list_dir",
-    "split_roundrobin",
-    "sink_write_json",
-    "anti_join",
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+):
 # remaining round-1-only-evidence backfill, first in line for the
 # round-6 rotation.
 _NEXT_WINDOW: tuple[str, ...] = (
+    "split_roundrobin",
+    "sink_write_json",
+    "anti_join",
     "semi_join",
     "cube_agg",
     "rollup_agg",
