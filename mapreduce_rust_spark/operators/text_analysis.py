@@ -636,10 +636,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unroll the whole trace as chained CTEs — an iterative
     algorithm with full value-level verification."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # localCheckpoint pins the vocab: without it every merge round's
+    # plan branch re-embeds (and re-runs) the corpus word-count scan —
+    # measured 7 parquet scans in the executed plan. The checkpoint
+    # makes the corpus pass happen exactly ONCE; the loop then reads
+    # the (vocab-sized) materialized frame. Same pattern as the
+    # components loop (operators/graph.py).
     words = (
         docs.select(F.explode(tokenize_whitespace("text")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     chars = F.transform(
         F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))

@@ -630,3 +630,61 @@ def test_triangle_joins_broadcast_at_runtime(spark, sf_dir):
     final = executed.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final
+
+
+def test_embedding_lsh_bucket_join_no_cartesian(spark, sf_dir):
+    """The sign-LSH near-dup self-join must be a hash join on the
+    bucket key — never a cartesian/nested-loop pair explosion."""
+    from mapreduce_rust_spark.operators.dedup import dedup_embedding_lsh
+
+    p = plan_str(dedup_embedding_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
+
+
+def test_maxsim_broadcast_join_partial_aggs(spark, sf_dir):
+    """MaxSim: query tokens broadcast onto the corpus token side (the
+    corpus never shuffles for the probe), and both aggregation levels
+    partial-aggregate map-side."""
+    from mapreduce_rust_spark.operators.similarity import ann_maxsim_multivector
+
+    p = plan_str(ann_maxsim_multivector(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final at both levels
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_dir):
+    """The rule filter is a pure map pass: no exchange anywhere in the
+    plan (fan_out repartition aside, no aggregation shuffle)."""
+    from mapreduce_rust_spark.operators.text_analysis import gopher_rules
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan_str(gopher_rules(docs, "doc_id", "text"))
+    assert "Exchange" not in p
+
+
+def test_winnowing_zero_shuffle(spark, sf_dir):
+    """Winnowing fingerprint summaries are per-row array work: no
+    exchange in the plan."""
+    from mapreduce_rust_spark.operators.text_analysis import winnowing_fingerprints
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan_str(winnowing_fingerprints(docs, "doc_id", "text"))
+    assert "Exchange" not in p
+
+
+def test_bpe_train_single_corpus_scan(spark, sf_dir):
+    """BPE training must scan the documents table exactly once: the
+    word-count vocab is localCheckpointed, so the merge rounds' plan
+    branches read the materialized vocab — ZERO corpus scans appear
+    in the output plan (the one real scan runs inside the checkpoint
+    job). Without the checkpoint the plan embedded 7 corpus scans."""
+    from mapreduce_rust_spark.operators.text_analysis import bpe_train_merges
+
+    p = plan_str(bpe_train_merges(spark, sf_dir))
+    assert p.count("documents.parquet") == 0
+    # pair-count aggregations still partial-aggregate map-side
+    assert p.count("HashAggregate") >= 2
