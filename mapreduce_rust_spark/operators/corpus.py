@@ -788,9 +788,115 @@ ORDER BY source
 """
 
 
+CDC_MODULUS = 8  # expected chunk length in tokens (boundary rate 1/8)
+
+
+def corpus_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rsync/LBFS-style): a token ends a
+    chunk when its content hash ≡ 0 mod {CDC_MODULUS}, so chunk
+    boundaries move WITH the content — an insertion early in a
+    document shifts byte offsets but not downstream boundaries, which
+    is why CDC dedup beats fixed windows (``multimodal_audio_chunks``)
+    on edited/reflowed near-duplicates. Output: the cross-document
+    shared-chunk census (chunk hash → occurrences, distinct docs,
+    token length) for chunks seen ≥ 2 times — the storage/transfer
+    dedup table. Boundary detection and chunk assembly are per-row
+    array expressions (zero shuffle); only the 16-byte chunk hash +
+    counts shuffle for the census. At 100 TB: one scan, one hash
+    aggregation on a well-spread key."""
+    from mapreduce_rust_spark.functions.text import hash64, tokenize_whitespace
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = tokenize_whitespace("text")
+    base = docs.select("doc_id", toks.alias("t"))
+    hm = F.transform("t", lambda x: hash64(x) % CDC_MODULUS)
+    bounds = F.concat(
+        F.array(F.lit(0)),
+        F.filter(
+            F.sequence(F.lit(1), F.size("t")),
+            lambda i: F.element_at(hm, i) == 0,
+        ),
+        F.array(F.size("t")),
+    )
+    withb = base.filter(F.size("t") > 0).select("doc_id", "t", bounds.alias("b"))
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("b") - 1),
+            lambda j: F.when(
+                F.element_at("b", j + 1) > F.element_at("b", j),
+                F.array_join(
+                    F.slice(
+                        "t",
+                        F.element_at("b", j) + 1,
+                        F.element_at("b", j + 1) - F.element_at("b", j),
+                    ),
+                    " ",
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    exploded = withb.select("doc_id", F.explode(chunks).alias("chunk"))
+    return (
+        exploded.select(
+            "doc_id",
+            F.md5("chunk").alias("chunk_hash"),
+            F.size(F.split("chunk", " ")).alias("tok_len"),
+        )
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("tok_len").alias("tok_len"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .orderBy(F.col("n_occ").desc(), "chunk_hash")
+        .limit(100)
+    )
+
+
+ORACLE["corpus_cdc_chunks"] = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+h AS (
+  SELECT doc_id, l,
+         list_transform(l, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT
+                                % {CDC_MODULUS}) AS hm
+  FROM d WHERE len(l) > 0
+),
+b AS (
+  SELECT doc_id, l,
+         [0] || list_filter(generate_series(1, len(l)), i -> hm[i] = 0)
+             || [len(l)] AS bounds
+  FROM h
+),
+c AS (
+  SELECT doc_id, unnest(list_filter(
+           list_transform(generate_series(1, len(bounds) - 1),
+             j -> CASE WHEN bounds[j+1] > bounds[j]
+                  THEN array_to_string(l[bounds[j]+1:bounds[j+1]], ' ') END),
+           x -> x IS NOT NULL)) AS chunk
+  FROM b
+)
+SELECT md5(chunk) AS chunk_hash,
+       count(*) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(max(len(string_split(chunk, ' '))) AS INT) AS tok_len
+FROM c
+GROUP BY 1
+HAVING count(*) >= 2
+ORDER BY n_occ DESC, chunk_hash
+LIMIT 100
+"""
+
+
 QUERIES = {
     "sample_hash_deterministic": sample_hash_deterministic,
     "sample_temperature": sample_temperature,
+    "corpus_cdc_chunks": corpus_cdc_chunks,
     "tfidf_top_terms": tfidf_top_terms,
     "inverted_index_postings": inverted_index_postings,
     "corpus_shard_pack": corpus_shard_pack,

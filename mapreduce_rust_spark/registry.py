@@ -119,6 +119,8 @@ _PRIORITY: tuple[str, ...] = (
     "sql_pipe_syntax",
     "sql_collation_group",
     "sql_lateral_topn",
+    "corpus_cdc_chunks",
+    "streaming_foreachbatch_upsert",
     # --- oldest-evidence backfill: latest driver row is round 1 ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -143,14 +145,14 @@ _PRIORITY: tuple[str, ...] = (
     "cogroup_merge",
     "tokenize_whitespace",
     "source_scan_wholefile",
-    "source_scan_lines",
-    "source_list_dir",
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+):
 # remaining round-1-only-evidence backfill, first in line for the
 # round-6 rotation.
 _NEXT_WINDOW: tuple[str, ...] = (
+    "source_scan_lines",
+    "source_list_dir",
     "split_roundrobin",
     "sink_write_json",
     "anti_join",

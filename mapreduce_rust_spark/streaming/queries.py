@@ -483,8 +483,102 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` MERGE/upsert SINK — the other half of the CDC
+    story: ``streaming_cdc_latest`` compacts upserts INSIDE the stream
+    (state store); this slug applies each micro-batch to an external
+    keyed table (latest row per bucket), the pattern every
+    Delta/Iceberg-less parquet upsert pipeline uses. Each batch
+    writes a NEW version directory keyed by batch_id (overwrite is
+    idempotent per batch id → exactly-once under retries), merging
+    the previous version with the batch via one per-key window. The
+    source is the deterministic 4-micro-batch Python stream, so the
+    final table is value-checkable: hash-equality against the batch
+    argmax proves no batch was dropped, duplicated, or misordered
+    through the sink protocol."""
+    import os
+    import time
+
+    from pyspark.sql import Window
+
+    from mapreduce_rust_spark.sources.pysource import (
+        N_ROWS,
+        _register_stream_source,
+    )
+
+    _register_stream_source(spark)
+    sdf = spark.readStream.format("mrs_range_stream").load()
+    base = scratch_dir(prefix="mrs_fbu_")
+    holder: dict[str, object] = {"path": None, "max_id": -1}
+
+    def upsert(bdf: DataFrame, batch_id: int) -> None:
+        cur = bdf.select("bucket", "id", "val")
+        if holder["path"] is not None:
+            cur = bdf.sparkSession.read.parquet(holder["path"]).unionByName(cur)
+        w = Window.partitionBy("bucket").orderBy(F.col("id").desc())
+        latest = (
+            cur.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        new_path = os.path.join(base, f"v{batch_id}")
+        # 16 rows per version: one file, no shuffle-width file churn
+        latest.coalesce(1).write.mode("overwrite").parquet(new_path)
+        holder["path"] = new_path
+        # progress marker computed IN the callback (runs on the
+        # driver) so the drain loop below never launches poll jobs
+        top = bdf.sparkSession.read.parquet(new_path).agg(F.max("id")).collect()[0][0]
+        if top is not None:
+            holder["max_id"] = max(int(holder["max_id"]), int(top))
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    target = str(min(spark.sparkContext.defaultParallelism, 16))
+    if old_parts != target:
+        spark.conf.set("spark.sql.shuffle.partitions", target)
+    try:
+        query = (
+            sdf.writeStream.foreachBatch(upsert)
+            .trigger(processingTime="0 seconds")
+            .option("checkpointLocation", scratch_dir(prefix="mrs_fbu_ckpt_"))
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if int(holder["max_id"]) == N_ROWS - 1:
+                    break
+                time.sleep(0.05)
+        finally:
+            query.stop()
+            query.awaitTermination(30)
+    finally:
+        if old_parts != target:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (
+        spark.read.parquet(holder["path"])
+        .select(
+            "bucket",
+            F.col("id").alias("latest_id"),
+            F.col("val").alias("latest_val"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE["streaming_foreachbatch_upsert"] = """
+WITH r AS (
+  SELECT i AS id, i % 16 AS bucket, (i * i) % 9973 AS val
+  FROM range(0, 4096) t(i)
+)
+SELECT bucket, id AS latest_id, val AS latest_val FROM r
+QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id DESC) = 1
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "streaming_state_inspect": streaming_state_inspect,
+    "streaming_foreachbatch_upsert": streaming_foreachbatch_upsert,
     "streaming_events_hourly": streaming_events_hourly,
     "streaming_wordcount": streaming_wordcount,
     "streaming_dedup_exact": streaming_dedup_exact,
