@@ -159,10 +159,13 @@ def kmeans_centroids(
     = N×d, fine for embedding dims). ``localCheckpoint`` truncates
     the iterative lineage, same as ``operators.graph`` — without it
     planning cost grows per round."""
+    # lazy checkpoints: no per-round blocking materialization job —
+    # the final action materializes the whole round chain through the
+    # truncated-lineage boundaries (same pattern as operators/graph).
     cents = (
         corpus_df.filter(F.col(id_col) < k)
         .select(F.col(id_col).cast("int").alias("cid"), F.col(vec_col).alias("cv"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         sim = fround(cosine_similarity(F.col(vec_col), F.col("cv")), 6)
@@ -186,7 +189,7 @@ def kmeans_centroids(
                     lambda s: s["m"],
                 ).alias("cv")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return cents
 

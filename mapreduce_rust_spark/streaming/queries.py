@@ -63,7 +63,9 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_ts(sdf)
 
 
-def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
+def run_available_now(
+    sdf: DataFrame, output_mode: str, partitions: int | None = None
+) -> DataFrame:
     """Execute a streaming DataFrame to completion over the currently
     available input and return the memory sink as a batch frame.
 
@@ -89,7 +91,13 @@ def run_available_now(sdf: DataFrame, output_mode: str) -> DataFrame:
     # this to its executor count BEFORE first checkpoint (it is
     # frozen thereafter) where per-partition commit cost amortizes
     # over real per-batch volume.
-    target = str(min(spark.sparkContext.defaultParallelism, 16))
+    # callers with unusually state-store-heavy plans (the stream-
+    # stream join: 4 stores/partition) pass an explicit lower cap
+    target = str(
+        partitions
+        if partitions is not None
+        else min(spark.sparkContext.defaultParallelism, 16)
+    )
     if old_parts != target:
         spark.conf.set("spark.sql.shuffle.partitions", target)
     try:
@@ -386,7 +394,11 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"
         ),
     )
-    out = run_available_now(joined, "append")
+    # 8 partitions: this plan commits 4 state stores per partition per
+    # micro-batch; measured 3.3 s at 8 vs 9.6 s at 32 (r03), and the
+    # 16-partition session default still pays ~2× the 8-partition
+    # commit fan-out for the same bounded replay
+    out = run_available_now(joined, "append", partitions=8)
     return out.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_attributed"),
         fround(F.sum("p_value")).alias("attributed_value"),

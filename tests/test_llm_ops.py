@@ -802,3 +802,29 @@ def test_embedding_lsh_subset_of_bruteforce(spark):
         dd.load_table = orig
     assert lsh <= brute
     assert (0, 1) in lsh, "colinear vectors share every sign bucket"
+
+
+def test_cdc_chunks_edit_locality(spark):
+    """The content-defined-chunking property: inserting tokens early
+    in a document changes only the chunk(s) around the edit — the
+    chunks after the next boundary are IDENTICAL (fixed-width
+    windows would shift every downstream chunk)."""
+    from mapreduce_rust_spark.operators import corpus as co
+    import mapreduce_rust_spark.sources.tables as tables
+
+    base_words = [f"w{i}" for i in range(60)]
+    edited = base_words[:3] + ["INSERTED", "TOKENS"] + base_words[3:]
+    docs = spark.createDataFrame(
+        [(1, " ".join(base_words)), (2, " ".join(edited))],
+        "doc_id bigint, text string",
+    )
+    orig = co.load_table
+    try:
+        co.load_table = lambda spark_, sf_dir, name: docs
+        census = co.corpus_cdc_chunks(spark, "unused").collect()
+    finally:
+        co.load_table = orig
+    # shared chunks (n_docs == 2) must exist: everything after the
+    # first boundary past the edit is byte-identical in both docs
+    shared = [r for r in census if r["n_docs"] == 2]
+    assert shared, "edit-locality: downstream chunks must be shared"
