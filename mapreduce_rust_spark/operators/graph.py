@@ -398,8 +398,43 @@ SELECT node, count(*) AS n_triangles FROM nodes GROUP BY 1 ORDER BY 1
 
 ORACLE["graph_triangle_count"] = _triangle_oracle()
 
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION: how many near-dup clusters
+    have 2 members, 3, … — the shape report that decides dedup policy
+    (a fat head of giant clusters means boilerplate/templating and
+    argues for keep-one-per-cluster; a long tail of pairs means
+    organic duplication). Free off the memoized component labeling
+    (one extra two-level aggregation); the cluster-size key is tiny."""
+    labels = dedup_components(spark, sf_dir)
+    return (
+        labels.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn(
+            "n_docs_covered",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _cluster_sizes_oracle() -> str:
+    return f"""
+WITH comps AS ({_components_oracle()})
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs_covered
+FROM (SELECT comp, count(*) AS cluster_size FROM comps GROUP BY comp)
+GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+ORACLE["dedup_cluster_sizes"] = _cluster_sizes_oracle()
+
+
 QUERIES = {
     "dedup_components": dedup_components,
+    "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_keep_best": dedup_keep_best,
     "graph_pagerank": graph_pagerank,
     "graph_degree_distribution": graph_degree_distribution,

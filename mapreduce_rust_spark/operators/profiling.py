@@ -501,6 +501,55 @@ ORDER BY 1, 2, 3
 """
 
 
+L_DIVERSITY_L = 3
+
+
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the
+    follow-up k-anonymity needs: a QI class can be large (k-anonymous)
+    yet leak its sensitive attribute if every member shares the same
+    value. Per QI class (nation, market segment): size, number of
+    DISTINCT sensitive values (account-balance band), and whether it
+    meets l ≥ {L_DIVERSITY_L}. Same single hash aggregation as the
+    k-anonymity audit, with a count-distinct on the sensitive column."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("sensitive_band"),
+    )
+    return (
+        qi.groupBy("nationkey", "mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("sensitive_band").alias("n_sensitive_values"),
+        )
+        .select(
+            "nationkey",
+            "mktsegment",
+            "class_size",
+            "n_sensitive_values",
+            (F.col("n_sensitive_values") >= L_DIVERSITY_L)
+            .cast("int")
+            .alias("is_l_diverse"),
+        )
+        .orderBy("nationkey", "mktsegment")
+    )
+
+
+ORACLE["privacy_l_diversity"] = f"""
+SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+       count(*) AS class_size,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT)
+         AS n_sensitive_values,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+            >= {L_DIVERSITY_L} AS INT) AS is_l_diverse
+FROM customer
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "table_profile": table_profile,
     "table_histogram": table_histogram,
@@ -510,4 +559,5 @@ QUERIES = {
     "robust_mad_outliers": robust_mad_outliers,
     "quality_constraint_audit": quality_constraint_audit,
     "privacy_k_anonymity": privacy_k_anonymity,
+    "privacy_l_diversity": privacy_l_diversity,
 }

@@ -940,9 +940,118 @@ WHERE rank <= {MAXSIM_TOPK}
 """
 
 
+PQ_M = 8  # subspaces
+PQ_K = 16  # codebook entries per subspace
+PQ_DIM = 64  # embedding dimensionality (subvector dim = PQ_DIM // PQ_M)
+
+
+def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) — the compression
+    behind billion-scale ANN indexes: split each vector into
+    {PQ_M} subvectors, quantize each against a {PQ_K}-entry per-
+    subspace codebook, store one byte per subspace. Codebooks are
+    deterministic (subvectors of the first {PQ_K} vectors — same
+    oracle-reproducibility trick as ``ivf_centroids``; production
+    trains them with per-subspace k-means, which ``kmeans_centroids``
+    already provides). Output: the 8 code bytes per vector plus the
+    reconstruction MSE, which falls out of the argmin for free (the
+    winning distance IS the subspace's squared reconstruction error).
+    Plan: explode to (vector, subspace), broadcast-join the 128-row
+    codebook on the subspace key, one window argmin, one conditional
+    aggregation back to wide form — the corpus shuffles once on
+    vec_id-sized keys; 100 TB-safe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub_d = PQ_DIM // PQ_M
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice("embedding", j * sub_d + 1, sub_d).alias("sv"),
+                    )
+                    for j in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.j", "s.sv")
+    codebook = F.broadcast(
+        subs.filter(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("j").alias("cj"),
+            F.col("sv").alias("cv_sub"),
+        )
+    )
+    dist = fround(
+        F.aggregate(
+            F.zip_with(
+                "sv",
+                "cv_sub",
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = W.partitionBy("vec_id", "j").orderBy(F.col("d").asc(), F.col("cid"))
+    best = (
+        subs.join(codebook, F.col("j") == F.col("cj"))
+        .select("vec_id", "j", "cid", dist.alias("d"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    code_cols = [
+        F.max(F.when(F.col("j") == j, F.col("cid"))).alias(f"c{j}")
+        for j in range(PQ_M)
+    ]
+    return (
+        best.groupBy("vec_id")
+        .agg(*code_cols, fround(F.sum("d") / PQ_DIM, 6).alias("recon_mse"))
+        .orderBy("vec_id")
+    )
+
+
+def _pq_oracle() -> str:
+    sub_d = PQ_DIM // PQ_M
+    subs = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, embedding[{j * sub_d + 1}:{(j + 1) * sub_d}] AS sv"
+        " FROM embeddings"
+        for j in range(PQ_M)
+    )
+    dist = (
+        "list_sum(list_transform(list_zip(s.sv, c.sv), "
+        "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+    )
+    codes = ", ".join(
+        f"CAST(max(CASE WHEN j = {j} THEN cid END) AS INT) AS c{j}"
+        for j in range(PQ_M)
+    )
+    return f"""
+WITH subs AS ({subs}),
+cb AS (SELECT CAST(vec_id AS INT) AS cid, j, sv FROM subs WHERE vec_id < {PQ_K}),
+scored AS (
+  SELECT s.vec_id, s.j, c.cid, {fround_sql(dist, 6)} AS d,
+         row_number() OVER (PARTITION BY s.vec_id, s.j
+                            ORDER BY {fround_sql(dist, 6)} ASC, c.cid) AS rn
+  FROM subs s JOIN cb c ON s.j = c.j
+)
+SELECT vec_id, {codes},
+       {fround_sql(f"sum(d) / {PQ_DIM}", 6)} AS recon_mse
+FROM scored WHERE rn = 1
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+ORACLE["ann_pq_encode"] = _pq_oracle()
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_maxsim_multivector": ann_maxsim_multivector,
+    "ann_pq_encode": ann_pq_encode,
     "ann_topk_int8": ann_topk_int8,
     "ann_topk_bucketed": ann_topk_bucketed,
     "ann_recall_eval": ann_recall_eval,

@@ -121,6 +121,9 @@ _PRIORITY: tuple[str, ...] = (
     "sql_lateral_topn",
     "corpus_cdc_chunks",
     "streaming_foreachbatch_upsert",
+    "dedup_cluster_sizes",
+    "privacy_l_diversity",
+    "ann_pq_encode",
     # --- oldest-evidence backfill: latest driver row is round 1 ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -141,9 +144,6 @@ _PRIORITY: tuple[str, ...] = (
     "reduce_udf",
     "partition_modulo",
     "combine_map_side",
-    "union_merge",
-    "cogroup_merge",
-    "tokenize_whitespace",
     "source_scan_wholefile",
 )
 
@@ -151,6 +151,9 @@ _PRIORITY: tuple[str, ...] = (
 # remaining round-1-only-evidence backfill, first in line for the
 # round-6 rotation.
 _NEXT_WINDOW: tuple[str, ...] = (
+    "union_merge",
+    "cogroup_merge",
+    "tokenize_whitespace",
     "source_scan_lines",
     "source_list_dir",
     "split_roundrobin",
