@@ -945,6 +945,69 @@ PQ_K = 16  # codebook entries per subspace
 PQ_DIM = 64  # embedding dimensionality (subvector dim = PQ_DIM // PQ_M)
 
 
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, j, sv): each vector exploded into its PQ_M subvectors."""
+    sub_d = PQ_DIM // PQ_M
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice("embedding", j * sub_d + 1, sub_d).alias("sv"),
+                    )
+                    for j in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.j", "s.sv")
+
+
+def _pq_sqdist(a: str, b: str):
+    """Floored squared L2 between two subvector columns."""
+    return fround(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _pq_codebook(subs: DataFrame):
+    """Broadcast (cid, cj, cv_sub) codebook: subvectors of the first
+    PQ_K vectors."""
+    return F.broadcast(
+        subs.filter(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("j").alias("cj"),
+            F.col("sv").alias("cv_sub"),
+        )
+    )
+
+
+def _pq_assignments(emb: DataFrame) -> DataFrame:
+    """(vec_id, j, cid, d): per-subspace argmin codebook assignment
+    with its squared distance — shared by the encode report and the
+    ADC search."""
+    subs = _pq_subvectors(emb)
+    codebook = _pq_codebook(subs)
+    w = W.partitionBy("vec_id", "j").orderBy(F.col("d").asc(), F.col("cid"))
+    return (
+        subs.join(codebook, F.col("j") == F.col("cj"))
+        .select("vec_id", "j", "cid", _pq_sqdist("sv", "cv_sub").alias("d"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+
+
 def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al. 2011) — the compression
     behind billion-scale ANN indexes: split each vector into
@@ -960,49 +1023,7 @@ def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook on the subspace key, one window argmin, one conditional
     aggregation back to wide form — the corpus shuffles once on
     vec_id-sized keys; 100 TB-safe."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    sub_d = PQ_DIM // PQ_M
-    subs = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.slice("embedding", j * sub_d + 1, sub_d).alias("sv"),
-                    )
-                    for j in range(PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", "s.j", "s.sv")
-    codebook = F.broadcast(
-        subs.filter(F.col("vec_id") < PQ_K).select(
-            F.col("vec_id").cast("int").alias("cid"),
-            F.col("j").alias("cj"),
-            F.col("sv").alias("cv_sub"),
-        )
-    )
-    dist = fround(
-        F.aggregate(
-            F.zip_with(
-                "sv",
-                "cv_sub",
-                lambda a, b: (a.cast("double") - b.cast("double"))
-                * (a.cast("double") - b.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    w = W.partitionBy("vec_id", "j").orderBy(F.col("d").asc(), F.col("cid"))
-    best = (
-        subs.join(codebook, F.col("j") == F.col("cj"))
-        .select("vec_id", "j", "cid", dist.alias("d"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-    )
+    best = _pq_assignments(load_table(spark, sf_dir, "embeddings"))
     code_cols = [
         F.max(F.when(F.col("j") == j, F.col("cid"))).alias(f"c{j}")
         for j in range(PQ_M)
@@ -1048,10 +1069,101 @@ GROUP BY vec_id ORDER BY vec_id
 ORACLE["ann_pq_encode"] = _pq_oracle()
 
 
+PQ_NQ = 3  # ADC query vectors
+PQ_TOPK = 3
+
+
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via ASYMMETRIC DISTANCE COMPUTATION (ADC): the query
+    stays full-precision; each corpus vector is its 8 code bytes.
+    Per query, a distance TABLE (8 subspaces × 16 centroids = 128
+    floats) is computed once, then every corpus vector's approximate
+    distance is just 8 table lookups summed — no vector math in the
+    scan. That's why PQ serves billion-vector indexes: the scan
+    touches 8 bytes/vector + a broadcast-resident table. Plan shape
+    here is exactly that: the (vec_id, j, cid) code list joins the
+    broadcast distance table on (j, cid), one partial-aggregated sum
+    per (query, vector), one window top-k. Exact-rerank of the PQ
+    shortlist (the production refinement step) is what
+    ``ann_topk_bruteforce`` provides; recall audit mirrors
+    ``ann_recall_eval``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = _pq_assignments(emb).select("vec_id", "j", "cid")
+    all_subs = _pq_subvectors(emb)
+    q_subs = _pq_subvectors(emb.filter(F.col("vec_id") < PQ_NQ)).select(
+        F.col("vec_id").alias("query_id"), F.col("j").alias("qj"), "sv"
+    )
+    dt = q_subs.join(
+        _pq_codebook(all_subs), F.col("qj") == F.col("cj")
+    ).select(
+        "query_id",
+        F.col("qj").alias("j"),
+        "cid",
+        _pq_sqdist("sv", "cv_sub").alias("dt"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), "vec_id")
+    return (
+        codes.join(F.broadcast(dt), ["j", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(fround(F.sum("dt"), 4).alias("approx_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "approx_dist")
+    )
+
+
+def _pq_topk_oracle() -> str:
+    sub_d = PQ_DIM // PQ_M
+    subs = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, embedding[{j * sub_d + 1}:{(j + 1) * sub_d}] AS sv"
+        " FROM embeddings"
+        for j in range(PQ_M)
+    )
+    dist = (
+        "list_sum(list_transform(list_zip(s.sv, c.sv), "
+        "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+    )
+    return f"""
+WITH subs AS ({subs}),
+cb AS (SELECT CAST(vec_id AS INT) AS cid, j, sv FROM subs WHERE vec_id < {PQ_K}),
+assigned AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT s.vec_id, s.j, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+                              ORDER BY {fround_sql(dist, 6)} ASC, c.cid) AS rn
+    FROM subs s JOIN cb c ON s.j = c.j
+  ) WHERE rn = 1
+),
+dt AS (
+  SELECT s.vec_id AS query_id, s.j, c.cid, {fround_sql(dist, 6)} AS dt
+  FROM subs s JOIN cb c ON s.j = c.j
+  WHERE s.vec_id < {PQ_NQ}
+),
+scores AS (
+  SELECT d.query_id, a.vec_id,
+         {fround_sql("sum(d.dt)", 4)} AS approx_dist
+  FROM assigned a JOIN dt d ON a.j = d.j AND a.cid = d.cid
+  WHERE a.vec_id <> d.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbor_id, approx_dist FROM (
+  SELECT query_id, vec_id AS neighbor_id, approx_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_dist ASC, vec_id) AS rank
+  FROM scores)
+WHERE rank <= {PQ_TOPK}
+"""
+
+
+ORACLE["ann_topk_pq"] = _pq_topk_oracle()
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_maxsim_multivector": ann_maxsim_multivector,
     "ann_pq_encode": ann_pq_encode,
+    "ann_topk_pq": ann_topk_pq,
     "ann_topk_int8": ann_topk_int8,
     "ann_topk_bucketed": ann_topk_bucketed,
     "ann_recall_eval": ann_recall_eval,

@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_sizes",
     "privacy_l_diversity",
     "ann_pq_encode",
+    "ann_topk_pq",
     # --- oldest-evidence backfill: latest driver row is round 1 ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -144,13 +145,13 @@ _PRIORITY: tuple[str, ...] = (
     "reduce_udf",
     "partition_modulo",
     "combine_map_side",
-    "source_scan_wholefile",
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+):
 # remaining round-1-only-evidence backfill, first in line for the
 # round-6 rotation.
 _NEXT_WINDOW: tuple[str, ...] = (
+    "source_scan_wholefile",
     "union_merge",
     "cogroup_merge",
     "tokenize_whitespace",
