@@ -836,8 +836,98 @@ ORDER BY event_type, hour
 """
 
 
+CP_WIN = 24  # hours on each side of the candidate changepoint
+CP_Z = 3.0  # mean-shift threshold in pooled-σ units
+
+
+def ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift CHANGEPOINT detection on the hourly volume series:
+    for every hour, compare the mean of the preceding {CP_WIN} hours
+    against the following {CP_WIN} hours and flag shifts ≥ {CP_Z}
+    pooled standard errors — the sliding two-sample z-test (the
+    window form of CUSUM; the recursive CUSUM statistic itself is not
+    SQL-expressible, the two-window test is and detects the same
+    level shifts). This is the "did the pipeline's input volume
+    regime change" monitor. One hourly aggregation, then TWO
+    row-bounded window passes per type over the (tiny)
+    |hours|×|types| series; edge hours without full windows are
+    excluded identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ws = W.partitionBy("event_type").orderBy("hour")
+    before = ws.rowsBetween(-CP_WIN, -1)
+    after = ws.rowsBetween(1, CP_WIN)
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.avg("n").over(before).alias("_mb"),
+        F.count("n").over(before).alias("_cb"),
+        F.avg("n").over(after).alias("_ma"),
+        F.count("n").over(after).alias("_ca"),
+        F.stddev_samp("n").over(
+            W.partitionBy("event_type")
+        ).alias("_sd"),
+    ).filter(
+        (F.col("_cb") == CP_WIN) & (F.col("_ca") == CP_WIN) & (F.col("_sd") > 0)
+    )
+    # two-sample z: shift / (σ · sqrt(2/W)); F.sqrt (not Python **0.5)
+    # so both engines take the correctly-rounded sqrt of the same
+    # double — pow(x, 0.5) can differ from sqrt(x) in the last ulp
+    z = fround(
+        (F.col("_ma") - F.col("_mb"))
+        / (F.col("_sd") * F.sqrt(F.lit(2.0 / CP_WIN))),
+        4,
+    )
+    return (
+        stats.select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+            "n",
+            fround(F.col("_mb"), 4).alias("mean_before"),
+            fround(F.col("_ma"), 4).alias("mean_after"),
+            z.alias("shift_z"),
+        )
+        .filter((F.col("shift_z") >= CP_Z) | (F.col("shift_z") <= -CP_Z))
+        .orderBy("event_type", "hour")
+    )
+
+
+ORACLE["ts_changepoint_meanshift"] = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, hour, n,
+         avg(n) OVER wb AS mb, count(n) OVER wb AS cb,
+         avg(n) OVER wa AS ma, count(n) OVER wa AS ca,
+         stddev_samp(n) OVER (PARTITION BY event_type) AS sd
+  FROM hourly
+  WINDOW wb AS (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN {CP_WIN} PRECEDING AND 1 PRECEDING),
+         wa AS (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN 1 FOLLOWING AND {CP_WIN} FOLLOWING)
+),
+scored AS (
+  SELECT event_type, strftime(hour, '%Y-%m-%d %H:00') AS hour, n,
+         {fround_sql("mb", 4)} AS mean_before,
+         {fround_sql("ma", 4)} AS mean_after,
+         {fround_sql(f"(ma - mb) / (sd * sqrt(2.0 / {CP_WIN}))", 4)} AS shift_z
+  FROM stats
+  WHERE cb = {CP_WIN} AND ca = {CP_WIN} AND sd > 0
+)
+SELECT * FROM scored
+WHERE shift_z >= {CP_Z} OR shift_z <= -{CP_Z}
+ORDER BY event_type, hour
+"""
+
+
 QUERIES = {
     "ts_rolling_median": ts_rolling_median,
+    "ts_changepoint_meanshift": ts_changepoint_meanshift,
     "ts_seasonal_profile": ts_seasonal_profile,
     "late_data_audit": late_data_audit,
     "ts_gapfill_hourly": ts_gapfill_hourly,

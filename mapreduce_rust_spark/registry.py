@@ -125,6 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "privacy_l_diversity",
     "ann_pq_encode",
     "ann_topk_pq",
+    "ts_changepoint_meanshift",
     # --- oldest-evidence backfill: latest driver row is round 1 ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -144,13 +145,14 @@ _PRIORITY: tuple[str, ...] = (
     "map_udtf",
     "reduce_udf",
     "partition_modulo",
-    "combine_map_side",
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+):
 # remaining round-1-only-evidence backfill, first in line for the
 # round-6 rotation.
 _NEXT_WINDOW: tuple[str, ...] = (
+    "combine_map_side",
+    "sink_write_json",
     "source_scan_wholefile",
     "union_merge",
     "cogroup_merge",
@@ -158,7 +160,6 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "source_scan_lines",
     "source_list_dir",
     "split_roundrobin",
-    "sink_write_json",
     "anti_join",
     "semi_join",
     "cube_agg",

@@ -828,3 +828,31 @@ def test_cdc_chunks_edit_locality(spark):
     # first boundary past the edit is byte-identical in both docs
     shared = [r for r in census if r["n_docs"] == 2]
     assert shared, "edit-locality: downstream chunks must be shared"
+
+
+def test_pq_codebook_vectors_self_code(spark):
+    """Every codebook vector must encode as itself with zero
+    reconstruction error; non-codebook vectors get valid code range."""
+    from mapreduce_rust_spark.operators import similarity as sim
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(24, 64)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(24)],
+        "vec_id bigint, embedding array<float>",
+    )
+    orig = sim.load_table
+    try:
+        sim.load_table = lambda spark_, sf_dir, name: emb
+        rows = {r["vec_id"]: r for r in sim.ann_pq_encode(spark, "unused").collect()}
+    finally:
+        sim.load_table = orig
+    for i in range(sim.PQ_K):
+        r = rows[i]
+        assert r["recon_mse"] == 0.0
+        assert all(r[f"c{j}"] == i for j in range(sim.PQ_M))
+    for i in range(sim.PQ_K, 24):
+        r = rows[i]
+        assert r["recon_mse"] > 0
+        assert all(0 <= r[f"c{j}"] < sim.PQ_K for j in range(sim.PQ_M))
