@@ -617,7 +617,7 @@ FROM m
 N_BPE_MERGES = 3
 
 
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_trained_vocab(spark: SparkSession, sf_dir: str):
     """BPE TRAINING loop (Sennrich et al. 2016): learn the first
     ``N_BPE_MERGES`` merge rules over the corpus — the iterative step
     ``bpe_pair_counts`` (one round of pair statistics) feeds. Each
@@ -634,7 +634,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collect): round r's plan embeds round r-1's broadcast
     argmax. Like ``embedding_kmeans``, the fixed round count lets the
     oracle unroll the whole trace as chained CTEs — an iterative
-    algorithm with full value-level verification."""
+    algorithm with full value-level verification. Returns the
+    merged vocab frame (w, cnt, s) and the per-round argmax frames —
+    ``bpe_train_merges`` emits the merge table,
+    ``corpus_tokenizer_coverage`` consumes the merged symbol
+    sequences."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     # localCheckpoint pins the vocab: without it every merge round's
     # plan branch re-embeds (and re-runs) the corpus word-count scan —
@@ -697,6 +701,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.concat(acc, F.array(x))),
         )
         vocab = merged.select("w", "cnt", new_s.alias("s"))
+    return vocab, tops
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, tops = _bpe_trained_vocab(spark, sf_dir)
     out = tops[0]
     for t in tops[1:]:
         out = out.unionAll(t)
@@ -739,6 +748,73 @@ def _bpe_train_oracle(n_merges: int = N_BPE_MERGES) -> str:
 
 
 ORACLE["bpe_train_merges"] = _bpe_train_oracle()
+
+
+def corpus_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer COVERAGE report: apply the learned BPE merges back to
+    the corpus and measure, per source, how much the 3-rule tokenizer
+    compresses — total char count vs total post-merge symbol count
+    and the chars-per-symbol ratio. This is the report that decides
+    whether a tokenizer trained on one mix generalizes to another
+    (sources with low compression are out-of-domain for the merges).
+    Plan: the (tiny, broadcast) merged vocab joins the per-(source,
+    word) occurrence counts — one corpus shuffle on (source, word),
+    one broadcast join, one per-source aggregation."""
+    vocab, _ = _bpe_trained_vocab(spark, sf_dir)
+    syms = vocab.select(
+        "w",
+        F.size("s").alias("n_syms"),
+        F.length("w").alias("n_chars"),
+    )
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    occ = (
+        docs.select("source", F.explode(tokenize_whitespace("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        occ.join(F.broadcast(syms), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("n_chars")).alias("total_chars"),
+            F.sum(F.col("n") * F.col("n_syms")).alias("total_symbols"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "total_chars",
+            "total_symbols",
+            fround(
+                F.col("total_chars").cast("double") / F.col("total_symbols"), 6
+            ).alias("chars_per_symbol"),
+        )
+        .orderBy("source")
+    )
+
+
+def _tokenizer_coverage_oracle() -> str:
+    chain = _bpe_train_oracle()
+    # reuse the trainer's CTE chain up to the final merged vocab v3,
+    # then aggregate coverage instead of emitting the merge table
+    body = chain[chain.index("WITH ") : chain.index("\nSELECT 1 AS merge_rank")]
+    return f"""{body},
+occ AS (
+  SELECT source, w, count(*) AS n FROM (
+    SELECT source,
+           unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+    FROM documents) GROUP BY 1, 2
+)
+SELECT o.source, CAST(sum(o.n) AS BIGINT) AS n_tokens,
+       CAST(sum(o.n * length(v.w)) AS BIGINT) AS total_chars,
+       CAST(sum(o.n * len(v.s)) AS BIGINT) AS total_symbols,
+       {fround_sql("sum(o.n * length(v.w))::DOUBLE / sum(o.n * len(v.s))", 6)} AS chars_per_symbol
+FROM occ o JOIN v{N_BPE_MERGES} v ON o.w = v.w
+GROUP BY o.source ORDER BY o.source
+"""
+
+
+ORACLE["corpus_tokenizer_coverage"] = _tokenizer_coverage_oracle()
 
 
 WINNOW_K = 3  # words per shingle
@@ -839,5 +915,6 @@ QUERIES = {
     "text_gopher_quality": text_gopher_quality,
     "text_winnowing": text_winnowing,
     "bpe_train_merges": bpe_train_merges,
+    "corpus_tokenizer_coverage": corpus_tokenizer_coverage,
     "lang_id_confusion": lang_id_confusion,
 }

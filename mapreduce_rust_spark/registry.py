@@ -126,6 +126,8 @@ _PRIORITY: tuple[str, ...] = (
     "ann_pq_encode",
     "ann_topk_pq",
     "ts_changepoint_meanshift",
+    "streaming_append_finalized",
+    "corpus_tokenizer_coverage",
     # --- oldest-evidence backfill: latest driver row is round 1 ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -143,14 +145,14 @@ _PRIORITY: tuple[str, ...] = (
     "q22_dormant_customers",
     "map_udf",
     "map_udtf",
-    "reduce_udf",
-    "partition_modulo",
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+):
 # remaining round-1-only-evidence backfill, first in line for the
 # round-6 rotation.
 _NEXT_WINDOW: tuple[str, ...] = (
+    "reduce_udf",
+    "partition_modulo",
     "combine_map_side",
     "sink_write_json",
     "source_scan_wholefile",

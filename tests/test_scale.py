@@ -688,3 +688,32 @@ def test_bpe_train_single_corpus_scan(spark, sf_dir):
     assert p.count("documents.parquet") == 0
     # pair-count aggregations still partial-aggregate map-side
     assert p.count("HashAggregate") >= 2
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Spark's runtime bloom-filter join (InjectRuntimeFilter): a
+    selective dimension filter seeds a bloom filter that pre-filters
+    the fact side BEFORE the shuffle — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the ~matching sliver. Enabled by default; the application-side
+    size threshold (10 GB default) is what gates it locally, so the
+    test pins that the optimizer injects `might_contain` once the
+    fact side is large enough to qualify."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy().count()
+        p = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "might_contain" in p or "bloomfilter" in p
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
