@@ -856,3 +856,25 @@ def test_pq_codebook_vectors_self_code(spark):
         r = rows[i]
         assert r["recon_mse"] > 0
         assert all(0 <= r[f"c{j}"] < sim.PQ_K for j in range(sim.PQ_M))
+
+
+def test_tokenizer_coverage_golden(spark):
+    """On the controlled BPE corpus both learned merges fully compress
+    'aab' and 'ab' to single symbols: 13 chars over 5 tokens ->
+    5 symbols, chars_per_symbol = 2.6."""
+    from mapreduce_rust_spark.operators import text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [(1, "aab aab aab ab ab")], "doc_id bigint, text string"
+    ).withColumn("source", F.lit("s1"))
+    orig = ta.load_table
+    try:
+        ta.load_table = lambda spark_, sf_dir, name: docs
+        [row] = ta.corpus_tokenizer_coverage(spark, "unused").collect()
+    finally:
+        ta.load_table = orig
+    assert row["source"] == "s1"
+    assert row["n_tokens"] == 5
+    assert row["total_chars"] == 13
+    assert row["total_symbols"] == 5
+    assert row["chars_per_symbol"] == 2.6
