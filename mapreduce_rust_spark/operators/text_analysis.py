@@ -680,10 +680,16 @@ def _bpe_trained_vocab(spark: SparkSession, sf_dir: str):
                 F.lit(r).alias("merge_rank"), "lhs", "rhs", "pair_count"
             )
         )
-        merged = vocab.crossJoin(
+        # LEFT join on TRUE (not a cross join): when a round finds no
+        # pair at all (vocab already fully merged), the empty argmax
+        # must leave the vocab intact, not annihilate it — null ml/mr
+        # nulls the fold condition, so every symbol passes through
+        merged = vocab.join(
             F.broadcast(
                 top.select(F.col("lhs").alias("ml"), F.col("rhs").alias("mr"))
-            )
+            ),
+            F.lit(True),
+            "left",
         )
         # greedy left-to-right merge application as an array fold;
         # try_element_at: NULL (not ANSI error) on the empty-acc probe
@@ -739,7 +745,7 @@ def _bpe_train_oracle(n_merges: int = N_BPE_MERGES) -> str:
                              AND x[1] = m.rhs
                        THEN acc[1:len(acc)-1] || [m.lhs || m.rhs]
                        ELSE acc || x END) AS s
-  FROM v{r - 1}, m{r} m)""")
+  FROM v{r - 1} LEFT JOIN m{r} m ON TRUE)""")
     union = "\nUNION ALL\n".join(
         f"SELECT {r} AS merge_rank, lhs, rhs, pair_count FROM m{r}"
         for r in range(1, n_merges + 1)
