@@ -691,8 +691,85 @@ ORDER BY true_cnt DESC, word
 """
 
 
+UDTF_TOPK = 3
+
+
+def udtf_dynamic_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output
+    schema is computed at PLAN time from the constant argument — one
+    ``top{{i}}`` column per requested rank — which a fixed-schema UDTF
+    (``map_udtf``) cannot express. The function itself emits each
+    document's k most frequent whitespace tokens (count desc, token
+    tie-break), NULL-padded. Applied via LATERAL so the per-row
+    correlation is planned as a join, not a driver loop. This is the
+    engine's dynamic-schema UDF surface; the per-row Python cost is
+    the point being demonstrated — wide scans should prefer the
+    column-expression operators."""
+    from pyspark.sql.functions import udtf
+
+    @udtf
+    class TopWords:
+        @staticmethod
+        def analyze(*args):
+            from pyspark.sql.functions import AnalyzeResult
+            from pyspark.sql.types import StringType, StructType
+
+            k = int(args[1].value)
+            schema = StructType()
+            for i in range(1, k + 1):
+                schema = schema.add(f"top{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, k):
+            from collections import Counter
+
+            toks = [t for t in (text or "").split() if t]
+            ranked = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))
+            out = [w for w, _ in ranked[: int(k)]]
+            out += [None] * (int(k) - len(out))
+            yield tuple(out)
+
+    spark.udtf.register("mrs_top_words", TopWords)
+    from mapreduce_rust_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, "documents")
+    cols = ", ".join(f"t.top{i}" for i in range(1, UDTF_TOPK + 1))
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, {cols}
+        FROM documents d, LATERAL mrs_top_words(d.text, {UDTF_TOPK}) t
+        ORDER BY d.doc_id
+        """
+    )
+
+
+def _udtf_topwords_oracle(k: int = UDTF_TOPK) -> str:
+    picks = ",\n       ".join(
+        f"max(CASE WHEN rk = {i} THEN w END) AS top{i}" for i in range(1, k + 1)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS w
+  FROM documents
+),
+c AS (SELECT doc_id, w, count(*) AS n FROM toks GROUP BY 1, 2),
+r AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, w) AS rk
+  FROM c
+)
+SELECT doc_id, {picks}
+FROM r GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ORACLE["udtf_dynamic_topwords"] = _udtf_topwords_oracle()
+
+
 QUERIES = {
     "asof_join": asof_join_q,
+    "udtf_dynamic_topwords": udtf_dynamic_topwords,
     "sketch_cms_counts": sketch_cms_counts_q,
     "asof_join_nearest": asof_join_nearest,
     "interval_overlap_join": interval_overlap_join,

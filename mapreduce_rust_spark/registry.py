@@ -128,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_changepoint_meanshift",
     "streaming_append_finalized",
     "corpus_tokenizer_coverage",
+    "udtf_dynamic_topwords",
     # --- oldest-evidence backfill: latest driver row is round 1 ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -144,13 +145,13 @@ _PRIORITY: tuple[str, ...] = (
     "q19_discounted_revenue",
     "q22_dormant_customers",
     "map_udf",
-    "map_udtf",
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+):
 # remaining round-1-only-evidence backfill, first in line for the
 # round-6 rotation.
 _NEXT_WINDOW: tuple[str, ...] = (
+    "map_udtf",
     "reduce_udf",
     "partition_modulo",
     "combine_map_side",
