@@ -405,6 +405,81 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_BANDS = 60  # signature bits (byte-value bands mod 60)
+
+
+def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash DUPLICATE GROUPS over media payloads: a 60-bit
+    signature per payload (bit b = 1 iff byte-value band b occurs
+    more often than the uniform expectation — a byte-distribution
+    fingerprint, robust to reordering/cropping in a way the exact
+    sha/chunk census is not), then media sharing an IDENTICAL
+    signature form a perceptual-duplicate group. One explode +
+    two hash aggregations + one group-by on the signature — linear,
+    the 100 TB-safe form (hamming-ball neighbor search over these
+    signatures is ``simhash_pairs_banded``'s pigeonhole machinery,
+    already shipped; on this corpus the h≤3 ball is quadratic by
+    data design, so the slug reports the exact-signature groups).
+    Byte values are computed through the documented ASCII equivalence
+    (payload = utf-8 of pure-ASCII text, asserted by the decode
+    oracle), keeping the heavy histogram pass in whole-stage
+    codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.length("text") > 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.length("text").alias("nc"),
+        F.explode(
+            F.transform(F.split("text", ""), lambda c: F.ascii(c) % PHASH_BANDS)
+        ).alias("band"),
+    )
+    cnts = base.groupBy("media_id", "band").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("nc").alias("nc")
+    )
+    sig = cnts.groupBy("media_id").agg(
+        F.sum(
+            F.when(
+                F.col("cnt") > F.col("nc") / float(PHASH_BANDS),
+                # column-valued shift: the python F.shiftleft only
+                # accepts a literal bit count
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(band AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("phash")
+    )
+    return (
+        sig.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.min("media_id").alias("keep_media_id"),
+        )
+        .filter(F.col("n_media") >= 2)
+        .orderBy(F.col("n_media").desc(), "phash")
+    )
+
+
+ORACLE["multimodal_phash_groups"] = f"""
+WITH ch AS (
+  SELECT doc_id AS media_id, length(text) AS nc,
+         ascii(c) % {PHASH_BANDS} AS band
+  FROM (SELECT doc_id, text, unnest(string_split(text, '')) AS c
+        FROM documents)
+  WHERE length(text) > 0
+),
+cnts AS (
+  SELECT media_id, band, count(*) AS cnt, any_value(nc) AS nc
+  FROM ch GROUP BY 1, 2
+),
+sig AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN cnt > nc / {float(PHASH_BANDS)}
+                  THEN (1::BIGINT << band) ELSE 0 END) AS BIGINT) AS phash
+  FROM cnts GROUP BY 1
+)
+SELECT phash, count(*) AS n_media, min(media_id) AS keep_media_id
+FROM sig GROUP BY 1 HAVING count(*) >= 2
+ORDER BY n_media DESC, phash
+"""
+
+
 ORACLE["multimodal_chunk_dedup"] = f"""
 SELECT sha256(chunk) AS chunk_sha,
        count(DISTINCT media_id) AS n_media,
@@ -423,4 +498,5 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_audio_chunks": multimodal_audio_chunks,
     "multimodal_chunk_dedup": multimodal_chunk_dedup,
+    "multimodal_phash_groups": multimodal_phash_groups,
 }

@@ -925,9 +925,82 @@ ORDER BY event_type, hour
 """
 
 
+STL_HALF = 24  # trend window half-width (hours)
+
+
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition (simplified STL) of the
+    hourly volume series: trend = centered ±{STL_HALF} h rolling mean,
+    seasonal = per-(type, hour-of-day) mean of the detrended series,
+    residual = the rest. The decomposition every capacity forecast /
+    anomaly explainer starts from (``ts_anomaly_seasonal`` uses the
+    seasonal stratum directly; this emits all three components so
+    downstream can reason about each). Two window passes + one
+    stratum join over the tiny |hours|×|types| series; the corpus
+    pays one hourly aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-STL_HALF, STL_HALF)
+    )
+    detr = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.avg("n").over(wt).alias("_trend"),
+    ).withColumn("_detr", F.col("n") - F.col("_trend"))
+    ws = W.partitionBy("event_type", F.hour("hour"))
+    out = detr.select(
+        "event_type",
+        "hour",
+        "n",
+        "_trend",
+        "_detr",
+        F.avg("_detr").over(ws).alias("_seasonal"),
+    )
+    return out.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+        "n",
+        fround(F.col("_trend"), 4).alias("trend"),
+        fround(F.col("_seasonal"), 4).alias("seasonal"),
+        fround(F.col("_detr") - F.col("_seasonal"), 4).alias("residual"),
+    ).orderBy("event_type", "hour")
+
+
+ORACLE["ts_stl_decompose"] = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+detr AS (
+  SELECT event_type, hour, n,
+         avg(n) OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN {STL_HALF} PRECEDING
+                      AND {STL_HALF} FOLLOWING) AS trend
+  FROM hourly
+),
+seas AS (
+  SELECT event_type, hour, n, trend, n - trend AS d,
+         avg(n - trend) OVER (PARTITION BY event_type, hour(hour)) AS seasonal
+  FROM detr
+)
+SELECT event_type, strftime(hour, '%Y-%m-%d %H:00') AS hour, n,
+       {fround_sql("trend", 4)} AS trend,
+       {fround_sql("seasonal", 4)} AS seasonal,
+       {fround_sql("d - seasonal", 4)} AS residual
+FROM seas ORDER BY event_type, hour
+"""
+
+
 QUERIES = {
     "ts_rolling_median": ts_rolling_median,
     "ts_changepoint_meanshift": ts_changepoint_meanshift,
+    "ts_stl_decompose": ts_stl_decompose,
     "ts_seasonal_profile": ts_seasonal_profile,
     "late_data_audit": late_data_audit,
     "ts_gapfill_hourly": ts_gapfill_hourly,

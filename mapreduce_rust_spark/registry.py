@@ -129,6 +129,8 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_append_finalized",
     "corpus_tokenizer_coverage",
     "udtf_dynamic_topwords",
+    "ts_stl_decompose",
+    "multimodal_phash_groups",
     # --- oldest-evidence backfill: latest driver row is round 1 ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -142,15 +144,15 @@ _PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q18_large_orders",
-    "q19_discounted_revenue",
     "q22_dormant_customers",
-    "map_udf",
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+):
 # remaining round-1-only-evidence backfill, first in line for the
 # round-6 rotation.
 _NEXT_WINDOW: tuple[str, ...] = (
+    "map_udf",
+    "q19_discounted_revenue",
     "map_udtf",
     "reduce_udf",
     "partition_modulo",
