@@ -823,6 +823,121 @@ GROUP BY o.source ORDER BY o.source
 ORACLE["corpus_tokenizer_coverage"] = _tokenizer_coverage_oracle()
 
 
+RAKE_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
+RAKE_MAX_PHRASE = 4
+RAKE_TOPK = 20
+
+
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = summed length of phrases containing
+    it), a phrase scores the sum of its words; output the corpus-wide
+    top {RAKE_TOPK} phrases (length ≤ {RAKE_MAX_PHRASE}). The classic
+    cheap keyphrase pass a corpus-exploration pipeline runs before
+    anything model-based. Plan: one posexplode + running-sum window
+    splits phrases (phrase id = stopwords seen so far), two hash
+    aggregations build word stats, one broadcast join scores phrases
+    — every shuffle keyed on tokens/phrases (high cardinality)."""
+    from pyspark.sql import Window as W
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("pos", "w"),
+    )
+    is_stop = F.col("w").isin(RAKE_STOPWORDS).cast("int")
+    win = W.partitionBy("doc_id").orderBy("pos")
+    flagged = toks.select(
+        "doc_id", "pos", "w", is_stop.alias("stop")
+    ).withColumn("pid", F.sum("stop").over(win))
+    phrases = (
+        flagged.filter(F.col("stop") == 0)
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .filter(F.col("plen") <= RAKE_MAX_PHRASE)
+    )
+    words = phrases.select(
+        "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    stats = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    scored_words = stats.select(
+        "w", (F.col("deg").cast("double") / F.col("freq")).alias("wscore")
+    )
+    distinct_phrases = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    phrase_scores = (
+        distinct_phrases.select(
+            "phrase", "n_occurrences", F.explode(F.split("phrase", " ")).alias("w")
+        )
+        .join(F.broadcast(scored_words), "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(fround(F.sum("wscore"), 4).alias("score"))
+    )
+    return phrase_scores.orderBy(
+        F.col("score").desc(), "phrase"
+    ).limit(RAKE_TOPK)
+
+
+ORACLE["text_rake_keyphrases"] = rf"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS l
+        FROM documents)
+),
+flagged AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN w IN {tuple(RAKE_STOPWORDS)} THEN 1 ELSE 0 END AS stop,
+         sum(CASE WHEN w IN {tuple(RAKE_STOPWORDS)} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+  FROM toks
+),
+phrases AS (
+  SELECT doc_id, pid, string_agg(w, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen
+  FROM flagged WHERE stop = 0 GROUP BY doc_id, pid
+  HAVING count(*) <= {RAKE_MAX_PHRASE}
+),
+words AS (
+  SELECT plen, unnest(string_split(phrase, ' ')) AS w FROM phrases
+),
+stats AS (
+  SELECT w, count(*) AS freq, sum(plen) AS deg FROM words GROUP BY w
+),
+dp AS (
+  SELECT phrase, count(*) AS n_occurrences FROM phrases GROUP BY phrase
+),
+ps AS (
+  SELECT d.phrase, d.n_occurrences,
+         {fround_sql("sum(s.deg::DOUBLE / s.freq)", 4)} AS score
+  FROM (SELECT phrase, n_occurrences,
+               unnest(string_split(phrase, ' ')) AS w FROM dp) d
+  JOIN stats s USING (w)
+  GROUP BY d.phrase, d.n_occurrences
+)
+SELECT phrase, n_occurrences, score FROM ps
+ORDER BY score DESC, phrase LIMIT {RAKE_TOPK}
+"""
+
+
 WINNOW_K = 3  # words per shingle
 WINNOW_W = 4  # shingle-hash window
 
@@ -922,5 +1037,6 @@ QUERIES = {
     "text_winnowing": text_winnowing,
     "bpe_train_merges": bpe_train_merges,
     "corpus_tokenizer_coverage": corpus_tokenizer_coverage,
+    "text_rake_keyphrases": text_rake_keyphrases,
     "lang_id_confusion": lang_id_confusion,
 }

@@ -377,8 +377,85 @@ ORDER BY step
 """
 
 
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into two deterministic arms
+    (user_id parity stands in for the assignment hash), Welch's
+    unequal-variance t statistic on event value per event type — the
+    report every experimentation pipeline materializes. Closed-form
+    two-group statistics: ONE aggregation over (type, arm), then the
+    5-row arithmetic — no per-user collection, no resampling; at
+    100 TB this is a single partial-aggregated shuffle on a 2×|types|
+    key. (p-values need the t CDF — not SQL-expressible — so the
+    statistic and Welch degrees of freedom are reported; thresholding
+    |t| is how the gate consumes it anyway.)"""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.col("value"),
+    )
+    g = arms.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = g.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n0"),
+        F.col("m").alias("m0"),
+        F.col("v").alias("v0"),
+    )
+    b = g.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("m").alias("m1"),
+        F.col("v").alias("v1"),
+    )
+    se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    welch_df = (se2 * se2) / (
+        (F.col("v0") / F.col("n0")) * (F.col("v0") / F.col("n0"))
+        / (F.col("n0") - 1)
+        + (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1"))
+        / (F.col("n1") - 1)
+    )
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            "n0",
+            "n1",
+            fround(F.col("m0") - F.col("m1"), 4).alias("mean_diff"),
+            fround((F.col("m0") - F.col("m1")) / F.sqrt(se2), 4).alias("t_stat"),
+            fround(welch_df, 2).alias("welch_df"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["ab_welch_ttest"] = f"""
+WITH g AS (
+  SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+         count(*) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT a.event_type, a.n AS n0, b.n AS n1, a.m AS m0, b.m AS m1,
+         a.v AS v0, b.v AS v1,
+         a.v / a.n + b.v / b.n AS se2
+  FROM g a JOIN g b ON a.event_type = b.event_type
+  WHERE a.arm = 0 AND b.arm = 1
+)
+SELECT event_type, n0, n1,
+       {fround_sql("m0 - m1", 4)} AS mean_diff,
+       {fround_sql("(m0 - m1) / sqrt(se2)", 4)} AS t_stat,
+       {fround_sql("(se2 * se2) / ((v0/n0)*(v0/n0)/(n0-1) + (v1/n1)*(v1/n1)/(n1-1))", 2)} AS welch_df
+FROM j ORDER BY event_type
+"""
+
+
 QUERIES = {
     "time_in_state": time_in_state,
+    "ab_welch_ttest": ab_welch_ttest,
     "cohort_retention": cohort_retention,
     "funnel_conversion": funnel_conversion,
     "funnel_time_bounded": funnel_time_bounded,

@@ -997,8 +997,58 @@ FROM seas ORDER BY event_type, hour
 """
 
 
+SNAIVE_LAG = 24  # seasonal-naive horizon (hours)
+
+
+def ts_forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST: predict each hour's volume
+    with the value 24 hours earlier and score MAE/RMSE per event type
+    — the baseline every real forecasting model must beat, and the
+    standing backtest a pipeline runs to detect when its seasonality
+    assumption broke (compare against ``ts_changepoint_meanshift``).
+    One hourly aggregation + one lag window + one per-type aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("hour")
+    scored = hourly.withColumn(
+        "pred", F.lag("n", SNAIVE_LAG).over(w)
+    ).filter(F.col("pred").isNotNull())
+    err = F.col("n") - F.col("pred")
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours_scored"),
+            fround(F.avg(F.abs(err)), 4).alias("mae"),
+            fround(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["ts_forecast_snaive_backtest"] = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, n,
+         lag(n, {SNAIVE_LAG}) OVER (PARTITION BY event_type
+                                    ORDER BY hour) AS pred
+  FROM hourly
+)
+SELECT event_type, count(*) AS n_hours_scored,
+       {fround_sql("avg(abs(n - pred))", 4)} AS mae,
+       {fround_sql("sqrt(avg((n - pred) * (n - pred)))", 4)} AS rmse
+FROM scored WHERE pred IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ts_rolling_median": ts_rolling_median,
+    "ts_forecast_snaive_backtest": ts_forecast_snaive_backtest,
     "ts_changepoint_meanshift": ts_changepoint_meanshift,
     "ts_stl_decompose": ts_stl_decompose,
     "ts_seasonal_profile": ts_seasonal_profile,

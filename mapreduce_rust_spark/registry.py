@@ -131,6 +131,9 @@ _PRIORITY: tuple[str, ...] = (
     "udtf_dynamic_topwords",
     "ts_stl_decompose",
     "multimodal_phash_groups",
+    "text_rake_keyphrases",
+    "ts_forecast_snaive_backtest",
+    "ab_welch_ttest",
     # --- oldest-evidence backfill: latest driver row is round 1 ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -142,15 +145,15 @@ _PRIORITY: tuple[str, ...] = (
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q22_dormant_customers",
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+):
 # remaining round-1-only-evidence backfill, first in line for the
 # round-6 rotation.
 _NEXT_WINDOW: tuple[str, ...] = (
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q22_dormant_customers",
     "map_udf",
     "q19_discounted_revenue",
     "map_udtf",
