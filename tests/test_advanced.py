@@ -206,3 +206,59 @@ def test_time_weighted_avg_known_segments(spark):
     )
     assert row["twa"] == pytest.approx(1.0)
     assert row["plain"] == pytest.approx(5.0)
+
+
+def test_welch_t_zero_on_identical_arms(spark):
+    """Identical arm distributions give t = 0 and mean_diff = 0."""
+    from mapreduce_rust_spark.plans import behavior as bh
+
+    rows = []
+    for u in range(40):
+        # users 0..39; parity arms see the same value multiset
+        rows.append((u, "click", float(u // 2 % 5 + 1)))
+    ev = spark.createDataFrame(rows, "user_id bigint, event_type string, value double")
+    orig = bh.load_table
+    try:
+        bh.load_table = lambda spark_, sf_dir, name: ev
+        [r] = bh.ab_welch_ttest(spark, "unused").collect()
+    finally:
+        bh.load_table = orig
+    assert r["mean_diff"] == 0.0 and r["t_stat"] == 0.0
+    assert r["n0"] == 20 and r["n1"] == 20
+
+
+def test_snaive_perfect_on_periodic_series(spark):
+    """A perfectly 24h-periodic series backtests to MAE = RMSE = 0."""
+    import datetime as dt
+
+    from mapreduce_rust_spark.plans import timeseries as ts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(96):  # 4 days
+        for _ in range(1 + h % 24 % 3):  # volume depends only on hour-of-day
+            rows.append((eid, base + dt.timedelta(hours=h), 1, "click", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    orig = ts.load_table
+    try:
+        ts.load_table = lambda spark_, sf_dir, name: ev
+        [r] = ts.ts_forecast_snaive_backtest(spark, "unused").collect()
+    finally:
+        ts.load_table = orig
+    assert r["mae"] == 0.0 and r["rmse"] == 0.0
+    assert r["n_hours_scored"] == 96 - 24
+
+
+def test_stl_components_reassemble(spark):
+    """trend + seasonal + residual must reassemble to n (within the
+    4-decimal truncation)."""
+    from mapreduce_rust_spark.plans import timeseries as ts
+
+    rows = ts.ts_stl_decompose(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:200]:
+        assert abs((r["trend"] + r["seasonal"] + r["residual"]) - r["n"]) < 5e-4
