@@ -1069,6 +1069,90 @@ WHERE floor(round(list_cosine_similarity(a.v, b.v), 8) * 10000) / 10000 >= 0.3
 ORACLE["dedup_embedding_lsh"] = _embedding_lsh_oracle()
 
 
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every source pair, the
+    number of distinct 3-shingles they share and the shingle-set
+    Jaccard — the which-crawls-mirror-each-other report that decides
+    whether two sources can both stay in the mix at full weight.
+    Plan is the POSTING-LIST form, linear in postings: distinct
+    (source, shingle) → per-shingle sorted source set (≤ |sources|,
+    tiny) → in-row pair expansion → one count per pair — never a
+    shingle-keyed self-join. Source set sizes broadcast for the
+    Jaccard denominators. At 100 TB the only big shuffle keys on the
+    shingle (high cardinality, even spread)."""
+    from mapreduce_rust_spark.functions.text import word_shingles
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "source", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    srcs = F.array_sort(F.collect_set("source"))
+    g = (
+        sh.groupBy("s")
+        .agg(srcs.alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "srcs",
+            lambda x, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size("srcs")),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
+    pairs = g.select(F.explode(pair_arr).alias("p")).select("p.src_a", "p.src_b")
+    shared = pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    a = sizes.select(F.col("source").alias("src_a"), F.col("n_shingles").alias("n_a"))
+    b = sizes.select(F.col("source").alias("src_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        shared.join(F.broadcast(a), "src_a")
+        .join(F.broadcast(b), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            fround(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+ORACLE["dedup_cross_source_matrix"] = rf"""
+WITH lists AS (
+  SELECT source,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS l
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+  FROM lists, unnest(generate_series(1, greatest(len(l) - 2, 0))) t(i)
+),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, s.n_shared,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       {fround_sql("s.n_shared::DOUBLE / (sa.n + sb.n - s.n_shared)", 6)} AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.source = s.src_a
+JOIN sizes sb ON sb.source = s.src_b
+ORDER BY s.src_a, s.src_b
+"""
+
+
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup after text canonicalization (lowercase, strip
     punctuation/whitespace runs) — catches the trivial near-dups
@@ -1402,6 +1486,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_cross_source_matrix": dedup_cross_source_matrix,
     "dedup_span_exact": dedup_span_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
 }

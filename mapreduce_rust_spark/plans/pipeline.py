@@ -22,6 +22,7 @@ from mapreduce_rust_spark.operators.dedup import exact_duplicate_groups
 from mapreduce_rust_spark.operators.text_analysis import (
     _language_id_sql,
     _quality_sql,
+    gopher_rules,
     language_id,
     quality_scores,
 )
@@ -272,8 +273,112 @@ ORDER BY table_name
 """
 
 
+QUALITY_GATE_MIN = 0.5
+
+
+def pipeline_gate_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate ATTRITION funnel: the per-gate survivor ledger a corpus
+    pipeline publishes with every run — how many documents (and
+    whitespace tokens) survive each SEQUENTIAL filter: Gopher rules →
+    quality score ≥ {QUALITY_GATE_MIN} → language-ID agrees with the
+    labeled lang. Each gate's flag is a per-doc projection of the
+    same scan (three doc_id joins, one aggregation), so the 100 TB
+    cost is one corpus pass + doc_id-keyed joins. The dedup side of
+    the funnel is ``pipeline_dedup_report``; this is the quality
+    side, with per-gate attribution instead of a single combined
+    keep."""
+    from mapreduce_rust_spark.functions.text import tokenize_whitespace
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokenize_whitespace("text")).cast("bigint").alias("n_toks"),
+    )
+    g1 = gopher_rules(docs, "doc_id", "text").select("doc_id", F.col("keep").alias("g1"))
+    g2 = quality_scores(docs, "doc_id", "text").select(
+        "doc_id",
+        (F.col("quality_score") >= QUALITY_GATE_MIN).cast("int").alias("g2"),
+    )
+    g3 = language_id(docs, "doc_id", "text").select(
+        "doc_id", F.col("pred_lang").alias("pl")
+    )
+    flags = (
+        base.join(g1, "doc_id")
+        .join(g2, "doc_id")
+        .join(g3, "doc_id")
+        .select(
+            "doc_id",
+            "n_toks",
+            "g1",
+            "g2",
+            (F.col("pl") == F.col("lang")).cast("int").alias("g3"),
+        )
+    )
+
+    def stage(name, cond):
+        return flags.filter(cond).agg(
+            F.struct(
+                F.lit(name).alias("stage"),
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_toks").alias("tokens"),
+            ).alias("r")
+        )
+
+    stages = [
+        stage("0_input", F.lit(True)),
+        stage("1_gopher", F.col("g1") == 1),
+        stage("2_quality", (F.col("g1") == 1) & (F.col("g2") == 1)),
+        stage(
+            "3_lang_agree",
+            (F.col("g1") == 1) & (F.col("g2") == 1) & (F.col("g3") == 1),
+        ),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionAll(s)
+    return out.select("r.stage", "r.docs", "r.tokens").orderBy("stage")
+
+
+def _gate_attrition_oracle() -> str:
+    from mapreduce_rust_spark.operators.text_analysis import ORACLE as TA_ORACLE
+
+    gopher = TA_ORACLE["text_gopher_quality"].strip()
+    return rf"""
+WITH gph AS ({gopher}),
+q AS ({_quality_sql()}),
+l AS ({_language_id_sql()}),
+flags AS (
+  SELECT d.doc_id,
+         CAST(len(list_filter(string_split_regex(d.text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_toks,
+         gph.keep AS g1,
+         CAST(q.quality_score >= {QUALITY_GATE_MIN} AS INT) AS g2,
+         CAST(l.pred_lang = d.lang AS INT) AS g3
+  FROM documents d
+  JOIN gph USING (doc_id) JOIN q USING (doc_id) JOIN l USING (doc_id)
+)
+SELECT '0_input' AS stage, count(*) AS docs,
+       CAST(sum(n_toks) AS BIGINT) AS tokens FROM flags
+UNION ALL
+SELECT '1_gopher', count(*), CAST(sum(n_toks) AS BIGINT)
+FROM flags WHERE g1 = 1
+UNION ALL
+SELECT '2_quality', count(*), CAST(sum(n_toks) AS BIGINT)
+FROM flags WHERE g1 = 1 AND g2 = 1
+UNION ALL
+SELECT '3_lang_agree', count(*), CAST(sum(n_toks) AS BIGINT)
+FROM flags WHERE g1 = 1 AND g2 = 1 AND g3 = 1
+ORDER BY stage
+"""
+
+
+ORACLE["pipeline_gate_attrition"] = _gate_attrition_oracle()
+
+
 QUERIES = {
     "pipeline_prepare_corpus": pipeline_prepare_corpus,
+    "pipeline_gate_attrition": pipeline_gate_attrition,
     "pipeline_dedup_report": pipeline_dedup_report,
     "pipeline_observed_metrics": pipeline_observed_metrics,
     "delete_propagation": delete_propagation,

@@ -134,6 +134,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_rake_keyphrases",
     "ts_forecast_snaive_backtest",
     "ab_welch_ttest",
+    "dedup_cross_source_matrix",
+    "pipeline_gate_attrition",
     # --- oldest-evidence backfill: latest driver row is round 1 ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -143,14 +145,14 @@ _PRIORITY: tuple[str, ...] = (
     "q8_market_share",
     "q10_returned_items",
     "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+):
 # remaining round-1-only-evidence backfill, first in line for the
 # round-6 rotation.
 _NEXT_WINDOW: tuple[str, ...] = (
+    "q14_promo_revenue",
+    "q15_top_supplier",
     "q17_small_qty_revenue",
     "q18_large_orders",
     "q22_dormant_customers",
