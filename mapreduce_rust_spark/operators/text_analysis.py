@@ -1024,6 +1024,227 @@ FROM fp
 """
 
 
+_PMI_MIN_COUNT = 5  # min bigram support before a lift score is trusted
+_PMI_TOPN = 50
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information, emitted in
+    its EXP form ("lift" = p(w1,w2) / (p(w1)·p(w2))) so the score is
+    one integer-ratio division instead of a log — bit-stable across
+    engines, and since log is monotone the collocation RANKING is
+    identical to textbook PMI. Three aggregations, all shuffling
+    sketch-sized keys (unigram + bigram vocab), never the corpus:
+    unigram counts and bigram counts come from the same tokenized
+    scan, and both model tables broadcast onto the scoring join.
+    Support-filtered (count >= {min}) exactly like NLTK/textbook
+    collocation finders so rare-pair noise doesn't top the list.
+
+    Numerator/denominator are int64 products (safe to ~sf10 corpus
+    sizes: N²·B < 2^63), cast to double only for the final division,
+    written in the same order in both engines."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = tokenize_whitespace("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    uni_stream = docs.select(F.explode(toks).alias("w"))
+    uni = uni_stream.groupBy("w").agg(F.count(F.lit(1)).alias("u_cnt"))
+    n1 = uni_stream.agg(F.count(F.lit(1)).alias("n_uni"))
+    bg_stream = docs.select(F.explode(bigrams).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    bg = (
+        bg_stream.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= _PMI_MIN_COUNT)
+    )
+    n2 = bg_stream.agg(F.count(F.lit(1)).alias("n_bg"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("u_cnt").alias("cnt1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("u_cnt").alias("cnt2"))
+    return (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            fround(
+                (F.col("pair_cnt").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                / (
+                    F.col("n_bg").cast("double")
+                    * F.col("cnt1")
+                    * F.col("cnt2")
+                ),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(_PMI_TOPN)
+    )
+
+
+ORACLE["text_pmi_collocations"] = rf"""
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(generate_series(1, len(l))) AS ord
+  FROM lists
+),
+uni AS (SELECT tok AS w, count(*) AS u_cnt FROM toks GROUP BY 1),
+n1 AS (SELECT count(*) AS n_uni FROM toks),
+bg0 AS (
+  SELECT tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+  FROM toks
+),
+bg_stream AS (SELECT w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+bg AS (
+  SELECT w1, w2, count(*) AS pair_cnt FROM bg_stream GROUP BY 1, 2
+  HAVING count(*) >= {_PMI_MIN_COUNT}
+),
+n2 AS (SELECT count(*) AS n_bg FROM bg_stream)
+SELECT w1, w2, pair_cnt,
+       {fround_sql("(CAST(pair_cnt AS DOUBLE) * n_uni * n_uni)"
+                   " / (CAST(n_bg AS DOUBLE) * u1.u_cnt * u2.u_cnt)", 6)}
+         AS lift
+FROM bg
+JOIN uni u1 ON bg.w1 = u1.w
+JOIN uni u2 ON bg.w2 = u2.w
+CROSS JOIN n1 CROSS JOIN n2
+ORDER BY lift DESC, w1, w2
+LIMIT {_PMI_TOPN}
+"""
+
+
+def text_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared term/label association — the classic feature-
+    selection statistic over the (word × lang) token contingency
+    table, including the ZERO cells (a word absent from one language
+    still contributes its expected count), which is why the grid is
+    built as vocab × langs with a left join rather than from observed
+    cells alone. Expected counts E = rowtotal·coltotal/N are exact
+    integer ratios; chi² sums (O−E)²/E over ≤|langs| cells per word.
+    Everything shuffles on vocabulary-sized keys; the marginals
+    broadcast. High chi² = the term is language-discriminative —
+    the exact computation a corpus-curation pipeline runs before
+    trusting a cheap lang-ID feature."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    stream = docs.select(
+        "lang", F.explode(tokenize_whitespace("text")).alias("w")
+    )
+    cells = stream.groupBy("w", "lang").agg(F.count(F.lit(1)).alias("o"))
+    wtot = stream.groupBy("w").agg(F.count(F.lit(1)).alias("w_cnt"))
+    ltot = stream.groupBy("lang").agg(F.count(F.lit(1)).alias("l_cnt"))
+    n = stream.agg(F.count(F.lit(1)).alias("n"))
+    grid = wtot.crossJoin(F.broadcast(ltot)).crossJoin(F.broadcast(n))
+    return (
+        grid.join(F.broadcast(cells), ["w", "lang"], "left")
+        .select(
+            "w",
+            "w_cnt",
+            (
+                F.pow(
+                    F.coalesce(F.col("o"), F.lit(0)).cast("double")
+                    - F.col("w_cnt").cast("double") * F.col("l_cnt") / F.col("n"),
+                    F.lit(2),
+                )
+                / (F.col("w_cnt").cast("double") * F.col("l_cnt") / F.col("n"))
+            ).alias("term"),
+        )
+        .groupBy(F.col("w").alias("word"), F.col("w_cnt").alias("n_tokens"))
+        .agg(fround(F.sum("term"), 6).alias("chi2"))
+        .orderBy(F.col("chi2").desc(), "word")
+    )
+
+
+ORACLE["text_chi2_terms"] = rf"""
+WITH stream AS (
+  SELECT lang, unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS w
+  FROM documents
+),
+cells AS (SELECT w, lang, count(*) AS o FROM stream GROUP BY 1, 2),
+wtot AS (SELECT w, count(*) AS w_cnt FROM stream GROUP BY 1),
+ltot AS (SELECT lang, count(*) AS l_cnt FROM stream GROUP BY 1),
+n AS (SELECT count(*) AS n FROM stream)
+SELECT wtot.w AS word, w_cnt AS n_tokens,
+       {fround_sql(
+           "sum(pow(coalesce(o, 0) - CAST(w_cnt AS DOUBLE) * l_cnt / n.n, 2)"
+           " / (CAST(w_cnt AS DOUBLE) * l_cnt / n.n))", 6)} AS chi2
+FROM wtot CROSS JOIN ltot CROSS JOIN n
+LEFT JOIN cells ON cells.w = wtot.w AND cells.lang = ltot.lang
+GROUP BY 1, 2
+ORDER BY chi2 DESC, word
+"""
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit for the corpus: rank words by frequency
+    (deterministic tie-break on the word), then least-squares
+    ln(freq) ~ ln(rank) via the engines' built-in REGR_SLOPE /
+    REGR_INTERCEPT / REGR_R2 aggregates — a natural corpus would
+    show slope ≈ −1; a flat slope is the signature of synthetic or
+    templated text (exactly what this corpus is), which makes the
+    statistic a cheap template-detection gate in a data pipeline.
+    One vocabulary-sized aggregation + one 31-row regression: no
+    corpus-sized shuffle anywhere."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(tokenize_whitespace("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = counts.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.col("cnt").desc(), "w")),
+    ).select(
+        F.log(F.col("cnt").cast("double")).alias("ln_f"),
+        F.log(F.col("rnk").cast("double")).alias("ln_r"),
+        "cnt",
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("cnt").alias("n_tokens"),
+        fround(F.expr("regr_slope(ln_f, ln_r)"), 6).alias("zipf_slope"),
+        fround(F.expr("regr_intercept(ln_f, ln_r)"), 6).alias("zipf_intercept"),
+        fround(F.expr("regr_r2(ln_f, ln_r)"), 6).alias("r2"),
+    )
+
+
+ORACLE["text_zipf_fit"] = rf"""
+WITH counts AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY 1
+),
+ranked AS (
+  SELECT ln(CAST(cnt AS DOUBLE)) AS ln_f,
+         ln(CAST(row_number() OVER (ORDER BY cnt DESC, w) AS DOUBLE)) AS ln_r,
+         cnt
+  FROM counts
+)
+SELECT count(*) AS vocab, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       {fround_sql("regr_slope(ln_f, ln_r)", 6)} AS zipf_slope,
+       {fround_sql("regr_intercept(ln_f, ln_r)", 6)} AS zipf_intercept,
+       {fround_sql("regr_r2(ln_f, ln_r)", 6)} AS r2
+FROM ranked
+"""
+
+
 QUERIES = {
     "text_lm_likelihood": text_lm_likelihood,
     "text_diversity": text_diversity,
@@ -1039,4 +1260,7 @@ QUERIES = {
     "corpus_tokenizer_coverage": corpus_tokenizer_coverage,
     "text_rake_keyphrases": text_rake_keyphrases,
     "lang_id_confusion": lang_id_confusion,
+    "text_pmi_collocations": text_pmi_collocations,
+    "text_chi2_terms": text_chi2_terms,
+    "text_zipf_fit": text_zipf_fit,
 }

@@ -691,6 +691,81 @@ ORDER BY true_cnt DESC, word
 """
 
 
+_HH_K = 48  # heavy-hitter threshold: words with count >= n_tokens / K
+
+
+def sketch_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed heavy hitters in two rounds — the
+    candidate-then-verify pattern that makes "find every word above
+    n/k frequency" shuffle-bounded at 100 TB. Round 1 counts words
+    per SPARK PARTITION (map-side combine; state bounded by
+    per-partition vocab) and keeps words with local count >= n_p/k:
+    by a pigeonhole argument any word with GLOBAL count >= n/k must
+    clear that bar in at least one partition, so the candidate set
+    has no false negatives. Round 2 re-aggregates only the
+    (already tiny) per-partition counts globally and applies the
+    exact n/k threshold — so the OUTPUT is exactly the true
+    heavy-hitter set, independent of partitioning, even though the
+    intermediate candidate set is partitioning-dependent. All
+    integer arithmetic (cnt*k >= n), no float thresholds. The naive
+    alternative — full global word count, then filter — shuffles the
+    entire vocabulary; this shuffles per-partition survivors only.
+    Oracle: plain GROUP BY + HAVING on the same threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    return heavy_hitters(words, _HH_K)
+
+
+def heavy_hitters(words: DataFrame, k: int) -> DataFrame:
+    """Core of ``sketch_heavy_hitters`` over a 1-column ``w`` frame:
+    exact {word : count >= n/k} via local-candidates + global-verify.
+    The output is partitioning-INVARIANT (see the slug docstring for
+    the pigeonhole argument); ``tests/test_advanced.py`` pins that by
+    re-running under adversarial repartitionings."""
+    local = words.groupBy(F.spark_partition_id().alias("pid"), "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pw = W.partitionBy("pid")
+    cand = (
+        local.withColumn("n_p", F.sum("cnt").over(pw))
+        .filter(F.col("cnt") * k >= F.col("n_p"))
+        .select("w")
+        .distinct()
+    )
+    tot = local.agg(F.sum("cnt").alias("n"))
+    return (
+        local.groupBy("w")
+        .agg(F.sum("cnt").alias("cnt"))
+        .join(F.broadcast(cand), "w")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * k >= F.col("n"))
+        .select(
+            F.col("w").alias("word"),
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), "word")
+    )
+
+
+ORACLE["sketch_heavy_hitters"] = f"""
+WITH words AS (
+  SELECT w FROM (
+    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
+  ) WHERE w != ''
+),
+tot AS (SELECT count(*) AS n FROM words)
+SELECT w AS word, count(*) AS cnt,
+       round(count(*) * 1.0 / any_value(n), 6) AS share
+FROM words, tot
+GROUP BY w
+HAVING count(*) * {_HH_K} >= any_value(n)
+ORDER BY cnt DESC, word
+"""
+
+
 UDTF_TOPK = 3
 
 
@@ -771,6 +846,7 @@ QUERIES = {
     "asof_join": asof_join_q,
     "udtf_dynamic_topwords": udtf_dynamic_topwords,
     "sketch_cms_counts": sketch_cms_counts_q,
+    "sketch_heavy_hitters": sketch_heavy_hitters_q,
     "asof_join_nearest": asof_join_nearest,
     "interval_overlap_join": interval_overlap_join,
     "range_join": range_join_q,

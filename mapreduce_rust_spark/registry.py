@@ -136,13 +136,14 @@ _PRIORITY: tuple[str, ...] = (
     "ab_welch_ttest",
     "dedup_cross_source_matrix",
     "pipeline_gate_attrition",
+    # --- late-round-5 additions (need first driver evidence) ---
+    "sql_udf_scalar",
+    "sql_execute_immediate",
+    "sketch_heavy_hitters",
+    "text_pmi_collocations",
+    "text_chi2_terms",
+    "text_zipf_fit",
     # --- oldest-evidence backfill: latest driver row is round 1 ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
     "q10_returned_items",
     "q13_customer_distribution",
 )
@@ -151,6 +152,12 @@ _PRIORITY: tuple[str, ...] = (
 # remaining round-1-only-evidence backfill, first in line for the
 # round-6 rotation.
 _NEXT_WINDOW: tuple[str, ...] = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_qty_revenue",

@@ -262,3 +262,56 @@ def test_stl_components_reassemble(spark):
     assert rows
     for r in rows[:200]:
         assert abs((r["trend"] + r["seasonal"] + r["residual"]) - r["n"]) < 5e-4
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    """The candidate set depends on partitioning; the OUTPUT must not.
+    Build a skewed stream where one word sits just above n/k and one
+    just below, and check the exact threshold semantics under three
+    adversarial layouts (1 partition, 13 shuffled, hash-clustered)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rust_spark.plans.advanced import heavy_hitters
+
+    # 200 'hot' + 150 'warm' + 50 singletons-ish cold tail = 400 tokens
+    words = (
+        ["hot"] * 200 + ["warm"] * 150 + [f"cold{i}" for i in range(50)]
+    )
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    k = 4  # threshold n/k = 100: hot & warm pass, cold fails
+    expected = {("hot", 200), ("warm", 150)}
+    for layout in (
+        df.coalesce(1),
+        df.repartition(13),
+        df.repartition(5, "w"),
+    ):
+        got = {
+            (r["word"], r["cnt"]) for r in heavy_hitters(layout, k).collect()
+        }
+        assert got == expected
+    # tight threshold: k such that warm is exactly at n/k boundary
+    # n=400, k=8 → threshold 50: cold words (count 1) fail, warm/hot pass
+    got = {r["word"] for r in heavy_hitters(df.repartition(7), 8).collect()}
+    assert got == {"hot", "warm"}
+
+
+def test_zipf_fit_slope_on_known_powerlaw(spark):
+    """An exact 1/rank frequency table must fit slope -1, r2 = 1."""
+    from mapreduce_rust_spark.plans import advanced  # noqa: F401  (import parity)
+    from mapreduce_rust_spark.operators import text_analysis as ta
+
+    rows = [(f"w{r}", " ".join([f"w{r}"] * (120 // r))) for r in range(1, 13)]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, (_, t) in enumerate(rows)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    orig = ta.load_table
+    try:
+        ta.load_table = lambda spark_, sf_dir, name: docs
+        [r] = ta.text_zipf_fit(spark, "unused").collect()
+    finally:
+        ta.load_table = orig
+    assert r["vocab"] == 12
+    # 120//r is not exactly 120/r for all r, so allow a loose band
+    assert -1.1 < r["zipf_slope"] < -0.9
+    assert r["r2"] > 0.99
