@@ -550,6 +550,71 @@ ORDER BY 1, 2
 """
 
 
+DP_EPSILON = 1.0  # privacy budget for the sensitivity-1 count release
+
+
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Dwork et al. 2006): the
+    per-event-type histogram with Laplace(Δ/ε) noise, Δ=1 (one user
+    event changes one count by one), ε={eps}. The noise is drawn by
+    INVERSE-CDF over a uniform DERIVED FROM md5 of the release key —
+    deterministic on purpose, so the DuckDB oracle reproduces the
+    released values bit-for-bit and the mechanism's plumbing
+    (sensitivity bookkeeping, per-key noise, post-processing rounding)
+    is value-checked end-to-end. A production release would substitute
+    a real RNG for the hash draw — one line — without touching the
+    aggregation shape, which is a single partial-aggregated shuffle on
+    |event types| keys at any scale. Released count = true + noise;
+    the true count is also emitted (this is the AUDIT view of the
+    mechanism, not the public artifact)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.col("event_type").alias("k")).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    # uniform in [0,1) from 60 hash bits; shift to (-0.5, 0.5]
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp:"), F.col("k"))), 1, 15), 16, 10
+    ).cast("double") / F.lit(float(2**60))
+    s = u - F.lit(0.5)
+    b = 1.0 / DP_EPSILON
+    noise = (
+        -F.lit(b)
+        * F.signum(s)
+        * F.log(F.greatest(F.lit(1e-15), F.lit(1.0) - F.lit(2.0) * F.abs(s)))
+    )
+    return counts.select(
+        F.col("k").alias("event_type"),
+        "true_cnt",
+        fround(noise, 4).alias("noise"),
+        fround(F.col("true_cnt") + noise, 4).alias("released_cnt"),
+    ).orderBy("event_type")
+
+
+privacy_dp_counts.__doc__ = privacy_dp_counts.__doc__.format(eps=DP_EPSILON)
+
+
+ORACLE["privacy_dp_counts"] = f"""
+WITH counts AS (
+  SELECT event_type AS k, count(*) AS true_cnt FROM events GROUP BY 1
+),
+noised AS (
+  SELECT k, true_cnt,
+         (('0x' || substr(md5('dp:' || k), 1, 15))::BIGINT
+            / CAST({float(2**60)} AS DOUBLE)) - 0.5 AS s
+  FROM counts
+)
+SELECT k AS event_type, true_cnt,
+       {fround_sql(
+           f"-(1.0 / {DP_EPSILON}) * sign(s)"
+           " * ln(greatest(1e-15, 1.0 - 2.0 * abs(s)))", 4)} AS noise,
+       {fround_sql(
+           f"true_cnt + (-(1.0 / {DP_EPSILON}) * sign(s)"
+           " * ln(greatest(1e-15, 1.0 - 2.0 * abs(s))))", 4)} AS released_cnt
+FROM noised
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "table_profile": table_profile,
     "table_histogram": table_histogram,
@@ -560,4 +625,5 @@ QUERIES = {
     "quality_constraint_audit": quality_constraint_audit,
     "privacy_k_anonymity": privacy_k_anonymity,
     "privacy_l_diversity": privacy_l_diversity,
+    "privacy_dp_counts": privacy_dp_counts,
 }

@@ -453,7 +453,100 @@ FROM j ORDER BY event_type
 """
 
 
+_ATTR_LOOKBACK_S = 24 * 3600  # attribution lookback window (seconds)
+
+
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: every ``purchase`` is a
+    conversion; the user's ``view``/``click`` touches in the 24 h
+    before it share the credit under three standard models at once —
+    first-touch (1.0 to the earliest touch), last-touch (1.0 to the
+    latest), and linear (1/n to each). One equi-join on user_id with
+    a bounded time-range predicate — the lookback cap is what keeps
+    the join linear at 100 TB (each conversion matches a bounded
+    window of touches, never the user's full history); credit
+    assignment is two row_number windows partitioned per conversion,
+    so nothing shuffles more than (user, conversion)-sized keys.
+    Ties on touch timestamp break on event_id: total order, identical
+    in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    joined = conv.join(touch, "user_id").filter(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (
+            F.unix_timestamp("touch_ts")
+            > F.unix_timestamp("conv_ts") - _ATTR_LOOKBACK_S
+        )
+    )
+    wc = W.partitionBy("conv_id")
+    asc = wc.orderBy("touch_ts", "touch_id")
+    desc = wc.orderBy(F.col("touch_ts").desc(), F.col("touch_id").desc())
+    credited = joined.select(
+        "conv_id",
+        "channel",
+        (F.row_number().over(asc) == 1).cast("int").alias("is_first"),
+        (F.row_number().over(desc) == 1).cast("int").alias("is_last"),
+        (F.lit(1.0) / F.count(F.lit(1)).over(wc)).alias("linear"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.sum("is_first").alias("first_touch"),
+            F.sum("is_last").alias("last_touch"),
+            fround(F.sum("linear"), 4).alias("linear_credit"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+        .orderBy("channel")
+    )
+
+
+ORACLE["event_attribution"] = f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT event_id AS touch_id, user_id, event_type AS channel, ts AS touch_ts
+  FROM events WHERE event_type IN ('view', 'click')
+),
+joined AS (
+  SELECT conv_id, channel, touch_ts, touch_id
+  FROM conv JOIN touch USING (user_id)
+  WHERE touch_ts <= conv_ts
+    AND epoch(touch_ts) > epoch(conv_ts) - {_ATTR_LOOKBACK_S}
+),
+credited AS (
+  SELECT conv_id, channel,
+         CAST(row_number() OVER (PARTITION BY conv_id
+              ORDER BY touch_ts, touch_id) = 1 AS INT) AS is_first,
+         CAST(row_number() OVER (PARTITION BY conv_id
+              ORDER BY touch_ts DESC, touch_id DESC) = 1 AS INT) AS is_last,
+         CAST(1.0 AS DOUBLE) / (count(*) OVER (PARTITION BY conv_id)) AS linear
+  FROM joined
+)
+SELECT channel,
+       CAST(sum(is_first) AS BIGINT) AS first_touch,
+       CAST(sum(is_last) AS BIGINT) AS last_touch,
+       {fround_sql("sum(linear)", 4)} AS linear_credit,
+       count(*) AS n_touches
+FROM credited
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "event_attribution": event_attribution,
     "time_in_state": time_in_state,
     "ab_welch_ttest": ab_welch_ttest,
     "cohort_retention": cohort_retention,

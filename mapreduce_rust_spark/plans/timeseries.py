@@ -1046,6 +1046,70 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+_ACF_MAX_LAG = 24
+
+
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series at
+    lags 1..{maxlag}: Pearson corr between the series and its
+    lag-shifted self, computed as one equi-join of the (tiny) hourly
+    aggregate against itself cross the lag spine — the series is
+    |hours| rows, so exploding ×{maxlag} lags costs nothing while the
+    single fact scan stays lag-free. The ACF spike at lag 24 is the
+    standard daily-seasonality detector feeding period choice for the
+    snaive/STL slugs. corr() is the engines' built-in two-pass-exact
+    Pearson aggregate; fround guards the float."""
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    shifted = series.crossJoin(F.broadcast(lags)).select(
+        (F.unix_timestamp("h") + F.col("lag") * 3600).alias("h_next"),
+        "lag",
+        F.col("n").alias("n_past"),
+    )
+    pairs = series.select(
+        F.unix_timestamp("h").alias("h_next"), F.col("n").alias("n_now")
+    ).join(shifted, "h_next")
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            fround(F.corr("n_now", "n_past"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+ts_autocorrelation.__doc__ = ts_autocorrelation.__doc__.format(maxlag=_ACF_MAX_LAG)
+
+
+ORACLE["ts_autocorrelation"] = f"""
+WITH series AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+shifted AS (
+  SELECT epoch(h) + lag * 3600 AS h_next, lag, n AS n_past
+  FROM series CROSS JOIN lags
+),
+pairs AS (
+  SELECT s.lag, cur.n AS n_now, s.n_past
+  FROM (SELECT epoch(h) AS h_next, n FROM series) cur
+  JOIN shifted s USING (h_next)
+)
+SELECT CAST(lag AS INT) AS lag, count(*) AS n_pairs,
+       {fround_sql("corr(n_now, n_past)", 6)} AS acf
+FROM pairs
+GROUP BY lag
+ORDER BY lag
+"""
+
+
 QUERIES = {
     "ts_rolling_median": ts_rolling_median,
     "ts_forecast_snaive_backtest": ts_forecast_snaive_backtest,
@@ -1066,4 +1130,5 @@ QUERIES = {
     "ts_multires_rollup": ts_multires_rollup,
     "ts_time_weighted_avg": ts_time_weighted_avg,
     "ts_anomaly_seasonal": ts_anomaly_seasonal,
+    "ts_autocorrelation": ts_autocorrelation,
 }

@@ -143,15 +143,17 @@ _PRIORITY: tuple[str, ...] = (
     "text_pmi_collocations",
     "text_chi2_terms",
     "text_zipf_fit",
-    # --- oldest-evidence backfill: latest driver row is round 1 ---
-    "q10_returned_items",
-    "q13_customer_distribution",
+    "event_attribution",
+    "privacy_dp_counts",
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+):
 # remaining round-1-only-evidence backfill, first in line for the
 # round-6 rotation.
 _NEXT_WINDOW: tuple[str, ...] = (
+    "ts_autocorrelation",
+    "q10_returned_items",
+    "q13_customer_distribution",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",

@@ -315,3 +315,79 @@ def test_zipf_fit_slope_on_known_powerlaw(spark):
     # 120//r is not exactly 120/r for all r, so allow a loose band
     assert -1.1 < r["zipf_slope"] < -0.9
     assert r["r2"] > 0.99
+
+
+def test_event_attribution_known_credits(spark):
+    """3 touches before one purchase: first/last go to the right
+    channels, linear splits 1/3 : 2/3, outside-window touch excluded."""
+    import datetime as dt
+
+    from mapreduce_rust_spark.plans import behavior as bh
+
+    t0 = dt.datetime(2024, 1, 2, 12, 0, 0)
+
+    def ev(i, typ, hours_before):
+        return (i, t0 - dt.timedelta(hours=hours_before), 7, typ, 1.0)
+
+    rows = [
+        ev(1, "view", 30),      # outside 24h lookback — no credit
+        ev(2, "view", 10),      # first touch
+        ev(3, "click", 5),
+        ev(4, "click", 1),      # last touch
+        ev(5, "purchase", 0),
+        ev(6, "error", 2),      # not a channel
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    orig = bh.load_table
+    try:
+        bh.load_table = lambda spark_, sf_dir, name: df
+        got = {r["channel"]: r for r in bh.event_attribution(spark, "x").collect()}
+    finally:
+        bh.load_table = orig
+    assert got["view"]["first_touch"] == 1 and got["view"]["last_touch"] == 0
+    assert got["click"]["first_touch"] == 0 and got["click"]["last_touch"] == 1
+    assert abs(got["view"]["linear_credit"] - 1 / 3) < 1e-3
+    assert abs(got["click"]["linear_credit"] - 2 / 3) < 1e-3
+    assert got["view"]["n_touches"] == 1 and got["click"]["n_touches"] == 2
+
+
+def test_dp_counts_noise_is_consistent(spark):
+    """released = true + noise exactly (post-rounding), noise is
+    deterministic across invocations, and no noise value is degenerate
+    (the 1e-15 clamp should never bind on real keys)."""
+    from mapreduce_rust_spark.operators.profiling import privacy_dp_counts
+
+    a = privacy_dp_counts(spark, "/root/testdata/sf0.001").collect()
+    b = privacy_dp_counts(spark, "/root/testdata/sf0.001").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    for r in a:
+        assert abs((r["true_cnt"] + r["noise"]) - r["released_cnt"]) < 2e-4
+        assert abs(r["noise"]) < 40  # ln(1e-15) * b ≈ 34.5 is the hard cap
+
+
+def test_acf_perfect_periodicity(spark):
+    """A strictly 24h-periodic hourly series must have acf(24) = 1."""
+    import datetime as dt
+
+    from mapreduce_rust_spark.plans import timeseries as ts
+
+    base = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h in range(24 * 4):
+        for _ in range(1 + (h % 24) % 5):  # volume is a pure function of hour-of-day
+            rows.append((eid, base + dt.timedelta(hours=h), 1, "click", 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    orig = ts.load_table
+    try:
+        ts.load_table = lambda spark_, sf_dir, name: df
+        got = {r["lag"]: r for r in ts.ts_autocorrelation(spark, "x").collect()}
+    finally:
+        ts.load_table = orig
+    assert got[24]["acf"] == 1.0
+    assert got[24]["n_pairs"] == 24 * 3
+    assert got[1]["acf"] < 1.0  # lag-1 must not be perfectly correlated
