@@ -910,8 +910,66 @@ LIMIT 100
 """
 
 
+RESERVOIR_K = 20  # docs kept per language
+
+
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-key sampling ("reservoir" semantics, made
+    deterministic): each language keeps its {k} docs with the SMALLEST
+    md5(doc_id) — bottom-k-by-hash, the mergeable form of reservoir
+    sampling (same principle as bottom-k distinct sketches), so the
+    sample is stable across reruns, partitionings, and incremental
+    ingests (a new doc displaces the largest kept hash iff it hashes
+    lower). Two-phase at scale: a LOCAL bottom-k per (Spark partition,
+    key) prunes the stream to ≤ k·|partitions|·|keys| rows BEFORE any
+    shuffle — a global window alone would funnel the full corpus
+    through |keys| hot reducers — then the global bottom-k runs on the
+    pruned survivors. Both phases are the same window expression;
+    correctness is partitioning-invariant because a global bottom-k
+    row is necessarily a local bottom-k row in its partition.
+    Tie-break on doc_id gives a total order in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    W = Window
+    h = F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string")))
+    base = docs.select("lang", "doc_id", h.alias("h"))
+    local_w = W.partitionBy(F.spark_partition_id(), "lang").orderBy(
+        "h", "doc_id"
+    )
+    pruned = base.withColumn("lrn", F.row_number().over(local_w)).filter(
+        F.col("lrn") <= RESERVOIR_K
+    )
+    global_w = W.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        pruned.withColumn("rnk", F.row_number().over(global_w))
+        .filter(F.col("rnk") <= RESERVOIR_K)
+        .select("lang", F.col("rnk").cast("int").alias("rnk"), "doc_id")
+        .orderBy("lang", "rnk")
+    )
+
+
+sample_reservoir_per_key.__doc__ = sample_reservoir_per_key.__doc__.format(
+    k=RESERVOIR_K
+)
+
+
+ORACLE["sample_reservoir_per_key"] = f"""
+SELECT lang, CAST(rnk AS INT) AS rnk, doc_id
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rnk
+  FROM documents
+)
+WHERE rnk <= {RESERVOIR_K}
+ORDER BY lang, rnk
+"""
+
+
 QUERIES = {
     "sample_hash_deterministic": sample_hash_deterministic,
+    "sample_reservoir_per_key": sample_reservoir_per_key,
     "sample_temperature": sample_temperature,
     "corpus_cdc_chunks": corpus_cdc_chunks,
     "tfidf_top_terms": tfidf_top_terms,

@@ -615,6 +615,96 @@ ORDER BY 1
 """
 
 
+# Name-heuristic FK candidates (child table/col → parent table/col):
+# the standard profiling shortcut — generate candidates from naming
+# conventions, then VERIFY each against the data. Verification, not
+# the heuristic, is what the output reports.
+_FK_CANDIDATES: list[tuple[str, str, str, str]] = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def table_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key/foreign-key discovery audit: for each name-heuristic FK
+    candidate, measure what the DATA says — distinct child values,
+    how many exist in the parent column (containment ratio; 1.0 =
+    the inclusion dependency holds), and whether the parent column is
+    unique (a real PK). This is the schema-inference pass a pipeline
+    runs before trusting joins on an undocumented lake: per candidate
+    it is two distinct-aggregations and one distinct-key semi-join —
+    each the size of the KEY SPACE, not the fact table, and each
+    independent (Spark runs the union's branches in parallel). No
+    driver loop over data: the candidate list is static config."""
+    out = None
+    for child_t, child_c, parent_t, parent_c in _FK_CANDIDATES:
+        child = load_table(spark, sf_dir, child_t).select(
+            F.col(child_c).cast("bigint").alias("k")
+        )
+        parent = load_table(spark, sf_dir, parent_t).select(
+            F.col(parent_c).cast("bigint").alias("k")
+        )
+        ckeys = child.distinct()
+        pstats = parent.agg(
+            F.count(F.lit(1)).alias("p_rows"),
+            F.countDistinct("k").alias("p_distinct"),
+        )
+        row = (
+            ckeys.join(parent.distinct(), "k", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_contained"))
+            .crossJoin(ckeys.agg(F.count(F.lit(1)).alias("n_child_distinct")))
+            .crossJoin(pstats)
+            .select(
+                F.lit(f"{child_t}.{child_c}").alias("child_col"),
+                F.lit(f"{parent_t}.{parent_c}").alias("parent_col"),
+                "n_child_distinct",
+                "n_contained",
+                fround(
+                    F.col("n_contained")
+                    / F.col("n_child_distinct").cast("double"),
+                    6,
+                ).alias("containment"),
+                (F.col("p_distinct") == F.col("p_rows"))
+                .cast("int")
+                .alias("parent_is_unique"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("child_col", "parent_col")
+
+
+def _key_discovery_oracle() -> str:
+    parts = []
+    for child_t, child_c, parent_t, parent_c in _FK_CANDIDATES:
+        parts.append(
+            f"""
+SELECT '{child_t}.{child_c}' AS child_col,
+       '{parent_t}.{parent_c}' AS parent_col,
+       (SELECT count(DISTINCT {child_c}) FROM {child_t}) AS n_child_distinct,
+       (SELECT count(*) FROM (
+          SELECT DISTINCT {child_c} FROM {child_t}
+        ) c WHERE c.{child_c} IN (SELECT {parent_c} FROM {parent_t})
+       ) AS n_contained,
+       {fround_sql(
+           f"(SELECT count(*) FROM (SELECT DISTINCT {child_c} FROM {child_t}) c"
+           f" WHERE c.{child_c} IN (SELECT {parent_c} FROM {parent_t}))"
+           f" / CAST((SELECT count(DISTINCT {child_c}) FROM {child_t}) AS DOUBLE)",
+           6)} AS containment,
+       CAST((SELECT count(DISTINCT {parent_c}) FROM {parent_t})
+            = (SELECT count(*) FROM {parent_t}) AS INT) AS parent_is_unique
+"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY child_col, parent_col"
+
+
+ORACLE["table_key_discovery"] = _key_discovery_oracle()
+
+
 QUERIES = {
     "table_profile": table_profile,
     "table_histogram": table_histogram,
@@ -626,4 +716,5 @@ QUERIES = {
     "privacy_k_anonymity": privacy_k_anonymity,
     "privacy_l_diversity": privacy_l_diversity,
     "privacy_dp_counts": privacy_dp_counts,
+    "table_key_discovery": table_key_discovery,
 }

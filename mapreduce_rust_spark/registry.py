@@ -152,6 +152,8 @@ _PRIORITY: tuple[str, ...] = (
 # round-6 rotation.
 _NEXT_WINDOW: tuple[str, ...] = (
     "ts_autocorrelation",
+    "sample_reservoir_per_key",
+    "table_key_discovery",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",

@@ -391,3 +391,37 @@ def test_acf_perfect_periodicity(spark):
     assert got[24]["acf"] == 1.0
     assert got[24]["n_pairs"] == 24 * 3
     assert got[1]["acf"] < 1.0  # lag-1 must not be perfectly correlated
+
+
+def test_reservoir_sample_partitioning_invariant(spark):
+    """Bottom-k-by-hash must return the identical sample under any
+    physical layout, and adding rows only displaces larger hashes."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rust_spark.operators import corpus as cp
+
+    def run(df):
+        orig = cp.load_table
+        try:
+            cp.load_table = lambda spark_, sf_dir, name: df
+            return [tuple(r) for r in cp.sample_reservoir_per_key(spark, "x").collect()]
+        finally:
+            cp.load_table = orig
+
+    rows = [(i, f"t{i}", ["en", "de"][i % 2], "s", 10) for i in range(200)]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    df = spark.createDataFrame(rows, schema)
+    a = run(df.coalesce(1))
+    b = run(df.repartition(17))
+    assert a == b and len(a) == 2 * cp.RESERVOIR_K
+    # monotone under ingest: the old sample is a superset filter of new
+    bigger = spark.createDataFrame(
+        rows + [(i, f"t{i}", ["en", "de"][i % 2], "s", 10) for i in range(200, 400)],
+        schema,
+    )
+    c = run(bigger.repartition(5))
+    old_ids = {(lang, d) for lang, _, d in a}
+    new_ids = {(lang, d) for lang, _, d in c}
+    # every doc dropped from the old sample was displaced by a
+    # smaller-hash newcomer, never resurrected: new sample ⊆ old ∪ added
+    assert all(d >= 200 or (lang, d) in old_ids for lang, d in new_ids)
