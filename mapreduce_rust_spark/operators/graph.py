@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql
+
 
 ORACLE: dict[str, str] = {}
 
@@ -432,8 +434,115 @@ GROUP BY cluster_size ORDER BY cluster_size
 ORACLE["dedup_cluster_sizes"] = _cluster_sizes_oracle()
 
 
+def graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural (link-prediction) similarity of each near-dup
+    candidate pair: Jaccard of the two docs' NEIGHBOR SETS in the dup
+    graph, excluding the pair itself — high overlap means the pair
+    sits inside a coherent duplicate cluster (safe to merge); zero
+    overlap flags a bridge edge that may be an LSH false positive
+    chaining two unrelated clusters. The triangle-closing signal
+    community detection and entity resolution both lean on. Reuses
+    the session-memoized LSH candidate pairs (same edge list as the
+    components loop — no re-banding); common-neighbor counting is one
+    self-join of the edge list KEYED ON THE PAIR, so cost is
+    Σ_pairs min(deg) — bounded by the LSH candidate set, never n².
+    Every candidate pair is itself an edge, so the excluded-other
+    degree is deg-1 exactly; all-integer arithmetic until the final
+    ratio."""
+    from mapreduce_rust_spark.operators.dedup import candidate_pairs_index
+
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3).select(
+        "d1", "d2"
+    )
+    und = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("n")).union(
+        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("n"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = und.select(F.col("a").alias("d1"), F.col("n").alias("n1"))
+    e2 = und.select(F.col("a").alias("d2"), F.col("n").alias("n2"))
+    common = (
+        pairs.join(e1, "d1")
+        .join(e2, "d2")
+        .filter(
+            (F.col("n1") == F.col("n2"))
+            & (F.col("n1") != F.col("d1"))
+            & (F.col("n1") != F.col("d2"))
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    da = deg.select(F.col("a").alias("d1"), (F.col("deg") - 1).alias("deg1"))
+    db = deg.select(F.col("a").alias("d2"), (F.col("deg") - 1).alias("deg2"))
+    out = (
+        pairs.join(common, ["d1", "d2"], "left")
+        .join(da, "d1")
+        .join(db, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.coalesce("cn", F.lit(0)).alias("common_neighbors"),
+            (F.col("deg1") + F.col("deg2") - F.coalesce("cn", F.lit(0))).alias(
+                "_union"
+            ),
+        )
+        .select(
+            "d1",
+            "d2",
+            "common_neighbors",
+            F.when(
+                F.col("_union") > 0,
+                fround(F.col("common_neighbors") / F.col("_union"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+    )
+    return out.orderBy(
+        F.col("jaccard").desc(), F.col("common_neighbors").desc(), "d1", "d2"
+    ).limit(100)
+
+
+def _node_jaccard_oracle() -> str:
+    from mapreduce_rust_spark.operators.dedup import _minhash_oracle
+
+    return f"""
+WITH pairs AS (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+),
+und AS (
+  SELECT d1 AS a, d2 AS n FROM pairs
+  UNION ALL
+  SELECT d2 AS a, d1 AS n FROM pairs
+),
+deg AS (SELECT a, count(*) AS deg FROM und GROUP BY 1),
+common AS (
+  SELECT p.d1, p.d2, count(*) AS cn
+  FROM pairs p
+  JOIN und e1 ON e1.a = p.d1
+  JOIN und e2 ON e2.a = p.d2 AND e2.n = e1.n
+  WHERE e1.n != p.d1 AND e1.n != p.d2
+  GROUP BY 1, 2
+)
+SELECT p.d1, p.d2,
+       CAST(coalesce(cn, 0) AS BIGINT) AS common_neighbors,
+       CASE WHEN (da.deg - 1) + (db.deg - 1) - coalesce(cn, 0) > 0
+            THEN floor(round((coalesce(cn, 0) / CAST((da.deg - 1) + (db.deg - 1) - coalesce(cn, 0) AS DOUBLE)), 10) * 1000000) / 1000000
+            ELSE 0.0 END AS jaccard
+FROM pairs p
+LEFT JOIN common c ON c.d1 = p.d1 AND c.d2 = p.d2
+JOIN deg da ON da.a = p.d1
+JOIN deg db ON db.a = p.d2
+ORDER BY jaccard DESC, common_neighbors DESC, p.d1, p.d2
+LIMIT 100
+"""
+
+
+ORACLE["graph_node_jaccard"] = _node_jaccard_oracle()
+
+
 QUERIES = {
     "dedup_components": dedup_components,
+    "graph_node_jaccard": graph_node_jaccard,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_keep_best": dedup_keep_best,
     "graph_pagerank": graph_pagerank,

@@ -939,6 +939,105 @@ ORDER BY k
 """
 
 
+_ABC_BAND = 100_000.0  # revenue band width for the distributed prefix-sum
+
+
+def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by revenue,
+    classified A (first 80% of cumulative revenue), B (next 15%), C
+    (tail 5%) — the 80/20 report behind stocking and curation
+    decisions. The cumulative sum over the revenue-DESC order is
+    DISTRIBUTED: parts bucket into fixed-width revenue bands (band
+    order ≡ revenue order, band count bounded by max part revenue /
+    width — independent of part count), per-band totals prefix-sum
+    over the tiny band list, and each part adds its within-band
+    running sum — no part-count-sized single-partition window, the
+    same two-phase shape as ``late_data_audit``'s prefix-max. Per-part
+    revenue is fround-snapped BEFORE ranking so both engines order
+    identically; ties break on partkey. Output is the 3-row class
+    census."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "rev"
+        )
+    )
+    banded = rev.withColumn(
+        "bkt", (-F.floor(F.col("rev") / _ABC_BAND)).cast("bigint")
+    )
+    bsum = banded.groupBy("bkt").agg(F.sum("rev").alias("bsum"))
+    w_prev = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    prev = bsum.select(
+        "bkt", F.coalesce(F.sum("bsum").over(w_prev), F.lit(0.0)).alias("prev")
+    )
+    total = rev.agg(F.sum("rev").alias("total"))
+    w_run = (
+        W.partitionBy("bkt")
+        .orderBy(F.col("rev").desc(), "partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        banded.join(F.broadcast(prev), "bkt")
+        .join(F.broadcast(total))
+        .select(
+            "partkey",
+            "rev",
+            fround(
+                (F.col("prev") + F.sum("rev").over(w_run)) / F.col("total"), 6
+            ).alias("cum_share"),
+        )
+    )
+    cls = F.when(F.col("cum_share") <= 0.80, "A").when(
+        F.col("cum_share") <= 0.95, "B"
+    ).otherwise("C")
+    return (
+        cum.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            fround(F.sum("rev"), 2).alias("revenue"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "abc_class",
+            "n_parts",
+            "revenue",
+            fround(F.col("revenue") / F.col("total"), 6).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ORACLE["abc_analysis"] = f"""
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         {fround_sql("sum(l_extendedprice * (1 - l_discount))", 4)} AS rev
+  FROM lineitem GROUP BY 1
+),
+total AS (SELECT sum(rev) AS total FROM rev),
+cum AS (
+  SELECT partkey, rev,
+         {fround_sql(
+             "sum(rev) OVER (ORDER BY rev DESC, partkey"
+             " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total", 6)}
+           AS cum_share
+  FROM rev CROSS JOIN total
+),
+classed AS (
+  SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
+              WHEN cum_share <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev
+  FROM cum
+)
+SELECT abc_class, count(*) AS n_parts,
+       {fround_sql("sum(rev)", 2)} AS revenue,
+       {fround_sql("sum(rev) / any_value(total)", 6)} AS revenue_share
+FROM classed CROSS JOIN total
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "json_key_census": json_key_census,
     "q1_pricing_summary": q1_pricing_summary,
@@ -963,6 +1062,7 @@ QUERIES = {
     "cdc_upsert_apply": cdc_upsert_apply,
     "complex_types_suite": complex_types_suite,
     "customer_rfm": customer_rfm,
+    "abc_analysis": abc_analysis,
     "basket_part_pairs": basket_part_pairs,
     "basket_association_rules": basket_association_rules,
 }

@@ -1110,6 +1110,73 @@ ORDER BY lag
 """
 
 
+_XCF_MAX_LAG = 6
+
+
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between every ORDERED pair of event types'
+    hourly series at lags 0..{maxlag}: corr(a at t, b at t-lag) — the
+    does-X-lead-Y diagnostic (errors spiking after clicks, purchases
+    trailing views) behind alert routing and causal-feature pruning.
+    Same architecture as ``ts_autocorrelation``: the fact collapses to
+    a |hours|×|types| aggregate first, so the pair×lag explosion runs
+    on the tiny series, and the single fact scan stays lag-free.
+    Key space |types|²·lags ≈ 175 rows of output."""
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    lags = spark.range(0, _XCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    past = series.crossJoin(F.broadcast(lags)).select(
+        F.col("t").alias("type_b"),
+        (F.unix_timestamp("h") + F.col("lag") * 3600).alias("h_next"),
+        "lag",
+        F.col("n").alias("n_past"),
+    )
+    now = series.select(
+        F.col("t").alias("type_a"),
+        F.unix_timestamp("h").alias("h_next"),
+        F.col("n").alias("n_now"),
+    )
+    return (
+        now.join(past, "h_next")
+        .groupBy("type_a", "type_b", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            fround(F.corr("n_now", "n_past"), 6).alias("xcf"),
+        )
+        .orderBy("type_a", "type_b", "lag")
+    )
+
+
+ts_cross_correlation.__doc__ = ts_cross_correlation.__doc__.format(
+    maxlag=_XCF_MAX_LAG
+)
+
+
+ORACLE["ts_cross_correlation"] = f"""
+WITH series AS (
+  SELECT event_type AS t, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT unnest(generate_series(0, {_XCF_MAX_LAG})) AS lag),
+past AS (
+  SELECT t AS type_b, epoch(h) + lag * 3600 AS h_next, lag, n AS n_past
+  FROM series CROSS JOIN lags
+),
+now_ AS (SELECT t AS type_a, epoch(h) AS h_next, n AS n_now FROM series)
+SELECT type_a, type_b, CAST(lag AS INT) AS lag, count(*) AS n_pairs,
+       {fround_sql("corr(n_now, n_past)", 6)} AS xcf
+FROM now_ JOIN past USING (h_next)
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "ts_rolling_median": ts_rolling_median,
     "ts_forecast_snaive_backtest": ts_forecast_snaive_backtest,
@@ -1131,4 +1198,5 @@ QUERIES = {
     "ts_time_weighted_avg": ts_time_weighted_avg,
     "ts_anomaly_seasonal": ts_anomaly_seasonal,
     "ts_autocorrelation": ts_autocorrelation,
+    "ts_cross_correlation": ts_cross_correlation,
 }

@@ -154,6 +154,9 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "ts_autocorrelation",
     "sample_reservoir_per_key",
     "table_key_discovery",
+    "graph_node_jaccard",
+    "ts_cross_correlation",
+    "abc_analysis",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",

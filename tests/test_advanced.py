@@ -425,3 +425,16 @@ def test_reservoir_sample_partitioning_invariant(spark):
     # every doc dropped from the old sample was displaced by a
     # smaller-hash newcomer, never resurrected: new sample ⊆ old ∪ added
     assert all(d >= 200 or (lang, d) in old_ids for lang, d in new_ids)
+
+
+def test_abc_analysis_partition_shares(spark):
+    """Classes partition parts and revenue; shares sum to 1 and
+    A-class revenue share is the largest."""
+    from mapreduce_rust_spark.plans.analytics import abc_analysis
+
+    rows = abc_analysis(spark, "/root/testdata/sf0.001").collect()
+    assert [r["abc_class"] for r in rows] == ["A", "B", "C"]
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
+    a, b, c = rows
+    assert a["revenue_share"] > b["revenue_share"] > c["revenue_share"]
+    assert a["revenue_share"] <= 0.80 + 0.01
