@@ -157,6 +157,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "graph_node_jaccard",
     "ts_cross_correlation",
     "abc_analysis",
+    "format_csv_malformed",
+    "udf_arrow_scalar",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",

@@ -338,8 +338,108 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+_BAD_CSV_LINES = [
+    "not-a-number,en",              # wrong arity (2 cols)
+    "xx,zz,also-not-a-number",      # doc_id and n_chars both unparseable
+    "1,en,7,one-column-too-many",   # wrong arity (4 cols)
+]
+
+
+def format_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input robustness — the operational half of a CSV
+    connector: documents written as clean CSV, a junk shard of
+    {n_bad} hand-corrupted lines dropped into the same directory,
+    then read back in PERMISSIVE mode with a
+    ``columnNameOfCorruptRecord`` column. Bad rows are QUARANTINED
+    (nulls + raw line captured), never dropped silently and never
+    failing the job — at 100 TB a FAILFAST read dies hours in on one
+    truncated upload, and DROPMALFORMED lies about coverage; the
+    corrupt-record census below is the report a pipeline alerts on.
+    Output: total/good/quarantined counts + a checksum over the
+    surviving rows proving the good data is byte-complete."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = os.path.join(scratch_dir(prefix="mrs_badcsv_"), "data")
+    docs.write.mode("overwrite").format("csv").save(out)
+    with open(os.path.join(out, "part-junk.csv"), "w") as f:
+        f.write("\n".join(_BAD_CSV_LINES) + "\n")
+    schema = "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt STRING"
+    back = (
+        spark.read.format("csv")
+        .schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .load(out)
+    )
+    # Spark refuses a query that references ONLY the corrupt-record
+    # column of an un-materialized CSV scan; caching the (tiny) parsed
+    # frame is the documented pattern
+    back = back.cache()
+    return back.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("_corrupt").isNull().cast("bigint")).alias("n_good"),
+        F.sum(F.col("_corrupt").isNotNull().cast("bigint")).alias("n_quarantined"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("n_chars"))).alias(
+            "good_chars_checksum"
+        ),
+    )
+
+
+ORACLE["format_csv_malformed"] = f"""
+SELECT count(*) + {len(_BAD_CSV_LINES)} AS n_total,
+       count(*) AS n_good,
+       CAST({len(_BAD_CSV_LINES)} AS BIGINT) AS n_quarantined,
+       CAST(sum(n_chars) AS BIGINT) AS good_chars_checksum
+FROM documents
+"""
+
+
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4 ``useArrow=True``):
+    completes the engine's Python-boundary matrix — row-pickled UDFs
+    (deliberately absent), THIS (Arrow-vectorized scalar), pandas
+    UDAF (``udaf_weighted_avg``), mapInArrow (``map_arrow_native``),
+    and UDTF (``map_udtf``). The function is exact integer arithmetic
+    ((n_chars*31 + len(lang)) % 97) so the oracle reproduces values
+    bit-for-bit; the point demonstrated is the boundary itself —
+    Arrow batch transfer amortizes serialization ~10-100× over
+    row-at-a-time pickling, and this is the ONLY sanctioned way to
+    run per-row Python in this engine."""
+    from pyspark.sql.functions import udf
+
+    @udf("bigint", useArrow=True)
+    def score(n_chars, lang):
+        return (n_chars * 31 + len(lang)) % 97
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", score("n_chars", "lang").alias("s"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("s").alias("score_sum"),
+            F.min("s").alias("score_min"),
+            F.max("s").alias("score_max"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["udf_arrow_scalar"] = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum((n_chars * 31 + length(lang)) % 97) AS BIGINT) AS score_sum,
+       CAST(min((n_chars * 31 + length(lang)) % 97) AS BIGINT) AS score_min,
+       CAST(max((n_chars * 31 + length(lang)) % 97) AS BIGINT) AS score_max
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "format_csv_roundtrip": format_csv_roundtrip,
+    "format_csv_malformed": format_csv_malformed,
+    "udf_arrow_scalar": udf_arrow_scalar,
     "format_json_roundtrip": format_json_roundtrip,
     "format_orc_roundtrip": format_orc_roundtrip,
     "format_xml_roundtrip": format_xml_roundtrip,

@@ -717,3 +717,49 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_heavy_hitters_candidates_broadcast_no_cartesian(spark, sf_dir):
+    """Round-2 verify must broadcast the (tiny) candidate set and the
+    1-row total; the fact-side vocabulary must never range-shuffle."""
+    from mapreduce_rust_spark.plans.advanced import sketch_heavy_hitters_q
+
+    p = plan_str(sketch_heavy_hitters_q(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row total crossJoin
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final, both rounds
+
+
+def test_reservoir_sample_local_prune_before_shuffle(spark, sf_dir):
+    """The per-partition bottom-k must run BEFORE the per-key global
+    window: two Window nodes, with the first keyed on
+    SPARK_PARTITION_ID (zero exchange below it)."""
+    from mapreduce_rust_spark.operators.corpus import sample_reservoir_per_key
+
+    p = plan_str(sample_reservoir_per_key(spark, sf_dir))
+    assert p.count("Window") >= 2
+    assert "SPARK_PARTITION_ID" in p.upper() or "spark_partition_id" in p
+
+
+def test_abc_prefix_sum_no_partwide_global_window(spark, sf_dir):
+    """The running sum must be banded: the only unpartitioned window
+    runs over the ~dozen band totals, and the per-part window is
+    partitioned by band. Assert the part-level window carries a
+    partition spec (no 'Window ... ORDER BY rev' over all parts)."""
+    from mapreduce_rust_spark.plans.analytics import abc_analysis
+
+    p = plan_str(abc_analysis(spark, sf_dir))
+    # every part-level Window node must be partitioned by the band key
+    win_lines = [l for l in p.splitlines() if "partitionBy" in l or "windowspecdefinition" in l.lower()]
+    assert any("bkt" in l for l in win_lines), win_lines
+
+
+def test_attribution_join_is_bounded_equi_join(spark, sf_dir):
+    """conv×touch must join on user_id (equi) with the lookback as a
+    post-filter — no cartesian, no broadcast of a fact side."""
+    from mapreduce_rust_spark.plans.behavior import event_attribution
+
+    p = plan_str(event_attribution(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "user_id" in p
