@@ -438,3 +438,37 @@ def test_abc_analysis_partition_shares(spark):
     a, b, c = rows
     assert a["revenue_share"] > b["revenue_share"] > c["revenue_share"]
     assert a["revenue_share"] <= 0.80 + 0.01
+
+
+def test_new_ops_empty_input_safe(spark):
+    """Empty frames must yield empty results, not errors: heavy
+    hitters, reservoir sampling, and attribution all hit the
+    degenerate case on a fresh ingest partition."""
+    import datetime as dt  # noqa: F401
+
+    from mapreduce_rust_spark.plans.advanced import heavy_hitters
+    from mapreduce_rust_spark.operators import corpus as cp
+    from mapreduce_rust_spark.plans import behavior as bh
+
+    empty_words = spark.createDataFrame([], "w string")
+    assert heavy_hitters(empty_words, 4).count() == 0
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    orig = cp.load_table
+    try:
+        cp.load_table = lambda s, d, n: empty_docs
+        assert cp.sample_reservoir_per_key(spark, "x").count() == 0
+    finally:
+        cp.load_table = orig
+
+    empty_events = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    orig = bh.load_table
+    try:
+        bh.load_table = lambda s, d, n: empty_events
+        assert bh.event_attribution(spark, "x").count() == 0
+    finally:
+        bh.load_table = orig
