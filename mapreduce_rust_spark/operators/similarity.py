@@ -222,8 +222,9 @@ def topk_ivf(
     id_col: str,
     vec_col: str,
     k: int = 3,
+    nprobe: int = NPROBE,
 ) -> DataFrame:
-    """IVF probe: rank centroids per query, search the top ``NPROBE``
+    """IVF probe: rank centroids per query, search the top ``nprobe``
     cells only. Approximate (a true neighbor in an unprobed cell is
     missed) — recall vs cost is tuned by NPROBE, cost drops
     ~|cells|/NPROBE vs brute force."""
@@ -241,7 +242,7 @@ def topk_ivf(
         .crossJoin(F.broadcast(cents_n))
         .withColumn("_csim", qsim)
         .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= NPROBE)
+        .filter(F.col("_rn") <= nprobe)
         .select("query_id", "qv", "qn", "cid")
     )
     sim = fround(cosine_from_norms("qv", "cv2", "qn", "cn2"), 6)
@@ -1159,8 +1160,187 @@ WHERE rank <= {PQ_TOPK}
 ORACLE["ann_topk_pq"] = _pq_topk_oracle()
 
 
+_MAHA_TOPN = 20
+
+
+def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-level embedding outliers by DIAGONAL Mahalanobis
+    distance: per-dimension mean/variance from one posexplode
+    aggregation (map-side partials on d keys — the shuffle is
+    d × partitions rows, corpus-size-independent), broadcast back,
+    each vector scored Σ_i (x_i−μ_i)²/σ_i² over its dims, top-{n}
+    reported with their labels. The screen that catches corrupted /
+    zeroed / off-manifold vectors BEFORE they poison ANN indexes and
+    k-means — full-covariance Mahalanobis needs the inverse of
+    ``embedding_covariance``'s matrix (a driver-side d×d solve in
+    production); the diagonal form needs no linear algebra and
+    catches axis-aligned corruption, which is what real ingest bugs
+    produce. Variance floored at 1e-12 against constant dims. Score
+    fround-snapped BEFORE the top-n rank so ordering is
+    engine-stable; ties break on vec_id."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    stats = ex.groupBy("pos").agg(
+        F.avg("x").alias("mu"),
+        F.greatest(F.var_pop("x"), F.lit(1e-12)).alias("var"),
+    )
+    scored = (
+        ex.join(F.broadcast(stats), "pos")
+        .groupBy("vec_id", "label")
+        .agg(
+            fround(
+                F.sum((F.col("x") - F.col("mu")) ** 2 / F.col("var")), 4
+            ).alias("maha2")
+        )
+    )
+    return scored.orderBy(F.col("maha2").desc(), "vec_id").limit(_MAHA_TOPN)
+
+
+embedding_outlier_mahalanobis.__doc__ = (
+    embedding_outlier_mahalanobis.__doc__.format(n=_MAHA_TOPN)
+)
+
+
+ORACLE["embedding_outlier_mahalanobis"] = f"""
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+stats AS (
+  SELECT pos, avg(x) AS mu, greatest(var_pop(x), 1e-12) AS var
+  FROM ex GROUP BY 1
+)
+SELECT vec_id, label,
+       {fround_sql("sum((x - mu) * (x - mu) / var)", 4)} AS maha2
+FROM ex JOIN stats USING (pos)
+GROUP BY vec_id, label
+ORDER BY maha2 DESC, vec_id
+LIMIT {_MAHA_TOPN}
+"""
+
+
+_NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF accuracy-vs-cost dial, measured: recall@3 against exact
+    brute-force truth at nprobe ∈ {sweep} (nprobe = IVF_K = exhaustive
+    probing anchors the curve at its ceiling). This is the ONE number
+    a 100 TB deployment tunes — each +1 nprobe adds ~1/|cells| of the
+    corpus to every query's candidate set — and committing the curve
+    as an oracle-checked artifact is what makes the approximate path
+    auditable rather than vibes-based (same discipline as
+    ``ann_recall_eval`` / ``dedup_lsh_eval``). The exact truth is
+    computed once and joined against each probe depth; per-query
+    recalls average into one row per nprobe."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qs = emb.filter(F.expr(_QUERY_PRED))
+    exact = topk_bruteforce(qs, emb, "vec_id", "embedding", k=3).select(
+        "query_id", "neighbor_id"
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    out = None
+    for np_ in _NPROBE_SWEEP:
+        approx = topk_ivf(qs, emb, "vec_id", "embedding", k=3, nprobe=np_).select(
+            "query_id", "neighbor_id"
+        )
+        hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+            "query_id"
+        ).agg(F.count(F.lit(1)).alias("n_hits"))
+        per_q = base.join(hits, "query_id", "left").select(
+            (F.coalesce("n_hits", F.lit(0)) / F.col("k")).alias("recall")
+        )
+        row = per_q.agg(
+            F.lit(np_).cast("int").alias("nprobe"),
+            F.count(F.lit(1)).alias("n_queries"),
+            fround(F.avg("recall"), 4).alias("mean_recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")
+
+
+ann_nprobe_curve.__doc__ = ann_nprobe_curve.__doc__.format(sweep=_NPROBE_SWEEP)
+
+
+def _nprobe_curve_oracle() -> str:
+    probes = []
+    for np_ in _NPROBE_SWEEP:
+        probes.append(f"""
+hits_{np_} AS (
+  SELECT x.query_id, count(*) AS n_hits
+  FROM exact3 x
+  JOIN (
+    SELECT query_id, neighbor_id FROM (
+      SELECT s.query_id, s.neighbor_id,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.sim DESC, s.neighbor_id) AS rank
+      FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_cos_sql('p.qv', 'a.v')} AS sim
+        FROM (
+          SELECT query_id, qv, cid FROM (
+            SELECT q.query_id, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC,
+                                               c.cid) AS rn
+            FROM q CROSS JOIN c
+          ) t WHERE rn <= {np_}
+        ) p JOIN asg a USING (cid)
+        WHERE p.query_id <> a.vec_id
+      ) s
+    ) r WHERE rank <= 3
+  ) ap ON ap.query_id = x.query_id AND ap.neighbor_id = x.neighbor_id
+  GROUP BY 1
+),
+row_{np_} AS (
+  SELECT {np_} AS nprobe, count(*) AS n_queries,
+         {fround_sql("avg(coalesce(n_hits, 0) / CAST(k AS DOUBLE))", 4)}
+           AS mean_recall
+  FROM (SELECT query_id, count(*) AS k FROM exact3 GROUP BY 1) b
+  LEFT JOIN hits_{np_} USING (query_id)
+)""")
+        # noqa: E501
+    union = "\nUNION ALL\n".join(f"SELECT * FROM row_{np_}" for np_ in _NPROBE_SWEEP)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_K}),
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM e CROSS JOIN c
+  ) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {_QUERY_PRED}),
+exact3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_sql('q.qv', 'e.v')} DESC,
+                                       e.vec_id) AS rank
+    FROM q JOIN e ON q.query_id <> e.vec_id
+  ) t WHERE rank <= 3
+),
+{",".join(probes)}
+{union}
+ORDER BY nprobe
+"""
+
+
+ORACLE["ann_nprobe_curve"] = _nprobe_curve_oracle()
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "embedding_outlier_mahalanobis": embedding_outlier_mahalanobis,
+    "ann_nprobe_curve": ann_nprobe_curve,
     "ann_maxsim_multivector": ann_maxsim_multivector,
     "ann_pq_encode": ann_pq_encode,
     "ann_topk_pq": ann_topk_pq,

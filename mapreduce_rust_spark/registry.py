@@ -159,6 +159,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "abc_analysis",
     "format_csv_malformed",
     "udf_arrow_scalar",
+    "embedding_outlier_mahalanobis",
+    "ann_nprobe_curve",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",

@@ -472,3 +472,19 @@ def test_new_ops_empty_input_safe(spark):
         assert bh.event_attribution(spark, "x").count() == 0
     finally:
         bh.load_table = orig
+
+
+def test_nprobe_curve_monotone_with_exhaustive_anchor(spark):
+    """Recall@3 must be nondecreasing in nprobe and exactly 1.0 when
+    every cell is probed (nprobe = IVF_K ⇒ IVF ≡ brute force)."""
+    from mapreduce_rust_spark.operators.similarity import (
+        IVF_K,
+        _NPROBE_SWEEP,
+        ann_nprobe_curve,
+    )
+
+    rows = ann_nprobe_curve(spark, "/root/testdata/sf0.001").collect()
+    assert [r["nprobe"] for r in rows] == sorted(_NPROBE_SWEEP)
+    recalls = [r["mean_recall"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert rows[-1]["nprobe"] == IVF_K and recalls[-1] == 1.0
