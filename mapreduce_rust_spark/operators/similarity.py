@@ -1238,17 +1238,69 @@ def ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     auditable rather than vibes-based (same discipline as
     ``ann_recall_eval`` / ``dedup_lsh_eval``). The exact truth is
     computed once and joined against each probe depth; per-query
-    recalls average into one row per nprobe."""
+    recalls average into one row per nprobe.
+
+    SCORE-ONCE architecture: because the sweep's deepest setting
+    probes every cell, scoring candidates once at full depth WITH the
+    cell's probe rank attached contains every shallower sweep point —
+    nprobe=N's candidate set is just ``cell_rank <= N`` — and the
+    exact truth too (all cells = the whole corpus). One scoring pass
+    + five cheap windows over the (query × corpus)-scored frame,
+    instead of four independent IVF probes plus a brute pass
+    (in-session A/B at sf0.1: 4.8-6.8 s → 2.4 s, identical output).
+    The scored frame is lazily localCheckpointed so the four branches
+    share one materialization."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.expr(_QUERY_PRED))
-    exact = topk_bruteforce(qs, emb, "vec_id", "embedding", k=3).select(
-        "query_id", "neighbor_id"
+    cents = ivf_centroids(emb, "vec_id", "embedding")
+    asg = ivf_assign(emb, cents, "vec_id", "embedding")
+    cents_n = cents.withColumn("_cn", l2_norm("cv"))
+    q = qs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("cid"))
+    probe = (
+        q.crossJoin(F.broadcast(cents_n))
+        .withColumn(
+            "_csim", fround(cosine_from_norms("qv", "cv", "qn", "_cn"), 6)
+        )
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .select("query_id", "qv", "qn", "cid", "cell_rank")
+    )
+    cand = asg.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv2"),
+        l2_norm(F.col("embedding")).alias("cn2"),
+        "cid",
+    )
+    scored = (
+        F.broadcast(probe)
+        .join(cand, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell_rank",
+            fround(cosine_from_norms("qv", "cv2", "qn", "cn2"), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
     )
     base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
     out = None
     for np_ in _NPROBE_SWEEP:
-        approx = topk_ivf(qs, emb, "vec_id", "embedding", k=3, nprobe=np_).select(
-            "query_id", "neighbor_id"
+        approx = (
+            scored.filter(F.col("cell_rank") <= np_)
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "neighbor_id")
         )
         hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
             "query_id"
