@@ -1471,8 +1471,76 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR-BIAS audit: over every LSH candidate pair,
+    compare the {n}-hash signature estimate against the exact Jaccard
+    it estimates — count, mean absolute error, signed bias, worst
+    case, and the est↔true correlation. ``dedup_lsh_eval`` audits the
+    BANDING (which pairs surface); this audits the ESTIMATE itself
+    (how wrong the similarity number is), which is what any
+    downstream threshold consumes — together they are the full trust
+    audit of the sketch. Theory says MAE ≈ sqrt(s(1-s)/{n}); the slug
+    turns that into a measured, regression-pinned artifact. Reuses
+    the session-memoized signature + shingle indexes: zero new
+    corpus scans, one candidate-sized aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    vp = lsh_verified_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.0,
+        sigs=signature_index(spark, sf_dir, k=3),
+        sh=shingle_index(spark, sf_dir, k=3),
+    )
+    err = F.col("est_sim") - F.col("jaccard")
+    return vp.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        fround(F.avg(F.abs(err)), 4).alias("mae"),
+        fround(F.avg(err), 4).alias("bias"),
+        fround(F.max(F.abs(err)), 4).alias("worst_abs_err"),
+        fround(F.corr("est_sim", "jaccard"), 4).alias("est_true_corr"),
+    )
+
+
+dedup_minhash_estimate_error.__doc__ = dedup_minhash_estimate_error.__doc__.format(
+    n=N_HASHES
+)
+
+
+def _minhash_error_oracle() -> str:
+    from mapreduce_rust_spark.functions.numeric import fround_sql
+
+    return f"""
+WITH cand AS (
+  SELECT d1, d2, est_sim FROM ({_minhash_oracle()})
+),
+ds AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+inter AS (
+  SELECT c.d1, c.d2, c.est_sim, count(*) AS i
+  FROM cand c
+  JOIN ds a ON a.doc_id = c.d1
+  JOIN ds b ON b.doc_id = c.d2 AND b.s = a.s
+  GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT est_sim, i / (s1.n + s2.n - i) AS jaccard
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+)
+SELECT count(*) AS n_pairs,
+       {fround_sql("avg(abs(est_sim - jaccard))", 4)} AS mae,
+       {fround_sql("avg(est_sim - jaccard)", 4)} AS bias,
+       {fround_sql("max(abs(est_sim - jaccard))", 4)} AS worst_abs_err,
+       {fround_sql("corr(est_sim, jaccard)", 4)} AS est_true_corr
+FROM pairs
+"""
+
+
+ORACLE["dedup_minhash_estimate_error"] = _minhash_error_oracle()
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_minhash_estimate_error": dedup_minhash_estimate_error,
     "dedup_threshold_curve": dedup_threshold_curve,
     "dedup_lsh_eval": dedup_lsh_eval,
     "dedup_incremental": dedup_incremental,

@@ -161,6 +161,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "udf_arrow_scalar",
     "embedding_outlier_mahalanobis",
     "ann_nprobe_curve",
+    "dedup_minhash_estimate_error",
+    "sql_pivot_clause",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
