@@ -540,9 +540,101 @@ LIMIT 100
 ORACLE["graph_node_jaccard"] = _node_jaccard_oracle()
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def kcore_peel(edges: DataFrame, src: str, dst: str, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly drop nodes with degree
+    < k and restrict edges to survivors. ``rounds`` is FIXED (not
+    run-to-convergence) so the DuckDB oracle can replay the identical
+    computation as unrolled CTEs — the same contract as the k-means
+    trace; `tests/test_advanced.py` pins that the peel has CONVERGED
+    by that depth on the real data (round r == round r+1), so the
+    fixed-round output equals the true k-core there. Each round is
+    one degree aggregation + one semi-join pair — all keyed on node
+    ids, no driver data."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        alive = (
+            e.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("a")
+        )
+        e = (
+            e.join(alive, "a", "left_semi")
+            .join(alive.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .orderBy("node")
+    )
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {k}-core of the near-dup graph: the maximal subgraph where
+    every doc keeps ≥ {k} duplicate-candidate neighbors — the dense
+    hearts of duplicate clusters (a chain of borderline pairs falls
+    out; a genuinely replicated document family survives). Standard
+    community-detection preprocessing; reuses the memoized LSH pair
+    list like the components loop."""
+    from mapreduce_rust_spark.operators.dedup import candidate_pairs_index
+
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3)
+    return kcore_peel(pairs, "d1", "d2", KCORE_K, KCORE_ROUNDS)
+
+
+graph_kcore.__doc__ = graph_kcore.__doc__.format(k=KCORE_K)
+
+
+def _kcore_oracle() -> str:
+    from mapreduce_rust_spark.operators.dedup import _minhash_oracle
+
+    rounds = []
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+n{r} AS (
+  SELECT a FROM {prev} GROUP BY a HAVING count(*) >= {KCORE_K}
+),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN n{r} x ON e.a = x.a
+  JOIN n{r} y ON e.b = y.a
+)""")
+        prev = f"e{r}"
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+),
+e0 AS MATERIALIZED (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+{",".join(rounds)}
+SELECT a AS node, count(*) AS core_deg
+FROM {prev}
+GROUP BY a
+ORDER BY node
+"""
+
+
+ORACLE["graph_kcore"] = _kcore_oracle()
+
+
 QUERIES = {
     "dedup_components": dedup_components,
     "graph_node_jaccard": graph_node_jaccard,
+    "graph_kcore": graph_kcore,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_keep_best": dedup_keep_best,
     "graph_pagerank": graph_pagerank,

@@ -163,6 +163,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "ann_nprobe_curve",
     "dedup_minhash_estimate_error",
     "sql_pivot_clause",
+    "streaming_batch_parity_audit",
+    "graph_kcore",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",

@@ -624,7 +624,77 @@ GROUP BY 1, 2
 """
 
 
+def streaming_batch_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture reconciliation AS AN ARTIFACT: the
+    streaming hourly rollup (real micro-batch execution, watermarked,
+    complete mode) full-outer-joined against the batch recompute of
+    the same aggregation, reporting window counts, value-equal
+    matches, and each side's orphans. Serving layers drift from
+    replays, late data, and state-store bugs — the audit that proves
+    stream ≡ batch on the same input is the first dashboard a
+    streaming platform stands up, and making it a registry slug pins
+    it to the oracle gate (expected: perfect parity, zero orphans).
+    Cost: one streamed pass + one batch pass over events, then a
+    |windows|-sized join."""
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("raw_sum"))
+    )
+    stream = run_available_now(agg, "complete").select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        F.col("cnt").alias("s_cnt"),
+        fround(F.col("raw_sum")).alias("s_sum"),
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("b_cnt"),
+            fround(F.sum("value")).alias("b_sum"),
+        )
+    )
+    j = stream.join(batch, ["hour", "event_type"], "full_outer")
+    matched = (
+        F.col("s_cnt").isNotNull()
+        & F.col("b_cnt").isNotNull()
+        & (F.col("s_cnt") == F.col("b_cnt"))
+        & (F.col("s_sum") == F.col("b_sum"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(matched.cast("bigint")).alias("n_matched"),
+        F.sum(
+            (F.col("b_cnt").isNull()).cast("bigint")
+        ).alias("n_stream_only"),
+        F.sum(
+            (F.col("s_cnt").isNull()).cast("bigint")
+        ).alias("n_batch_only"),
+    )
+
+
+ORACLE["streaming_batch_parity_audit"] = """
+SELECT count(*) AS n_windows,
+       count(*) AS n_matched,
+       CAST(0 AS BIGINT) AS n_stream_only,
+       CAST(0 AS BIGINT) AS n_batch_only
+FROM (
+  SELECT DISTINCT date_trunc('hour', ts), event_type FROM events
+)
+"""
+
+
 QUERIES = {
+    "streaming_batch_parity_audit": streaming_batch_parity_audit,
     "streaming_state_inspect": streaming_state_inspect,
     "streaming_foreachbatch_upsert": streaming_foreachbatch_upsert,
     "streaming_append_finalized": streaming_append_finalized,

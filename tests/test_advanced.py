@@ -488,3 +488,23 @@ def test_nprobe_curve_monotone_with_exhaustive_anchor(spark):
     recalls = [r["mean_recall"] for r in rows]
     assert recalls == sorted(recalls)
     assert rows[-1]["nprobe"] == IVF_K and recalls[-1] == 1.0
+
+
+def test_kcore_converged_at_fixed_rounds(spark):
+    """The fixed-round peel must have reached its fixpoint on the real
+    data: one extra round changes nothing (so the documented
+    fixed-round output IS the true k-core there)."""
+    from mapreduce_rust_spark.operators.dedup import candidate_pairs_index
+    from mapreduce_rust_spark.operators.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        kcore_peel,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        pairs = candidate_pairs_index(spark, sf, threshold=0.5, k=3)
+        a = {tuple(r) for r in kcore_peel(pairs, "d1", "d2", KCORE_K, KCORE_ROUNDS).collect()}
+        b = {tuple(r) for r in kcore_peel(pairs, "d1", "d2", KCORE_K, KCORE_ROUNDS + 1).collect()}
+        assert a == b
+        # every core member keeps >= k neighbors, by definition
+        assert all(deg >= KCORE_K for _, deg in a)
