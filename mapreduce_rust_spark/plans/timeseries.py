@@ -1177,8 +1177,133 @@ ORDER BY 1, 2, 3
 """
 
 
+_OUTAGE_MIN_S = 1800  # report silences longer than 30 minutes
+
+
+def ts_gap_outages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage/silence report: per event type, every gap between
+    consecutive events longer than {m} minutes — the
+    "did-the-pipeline-stop" monitor that pages before a consumer
+    notices missing data. One lag window partitioned by type (telemetry
+    streams partition naturally; a single global type would shard by
+    time range first), integer-microsecond arithmetic end-to-end.
+    Emits (type, silence_start, silence_end, gap_minutes) ordered for
+    report stability."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = F.unix_micros("ts") - F.unix_micros(prev)
+    return (
+        ev.select(
+            "event_type",
+            F.date_format(prev, "yyyy-MM-dd HH:mm:ss").alias("silence_start"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("silence_end"),
+            (gap_us / 60_000_000).cast("bigint").alias("gap_minutes"),
+            gap_us.alias("_gap_us"),
+        )
+        .filter(F.col("_gap_us") > _OUTAGE_MIN_S * 1_000_000)
+        .drop("_gap_us")
+        .orderBy("event_type", "silence_start", "silence_end")
+    )
+
+
+ts_gap_outages.__doc__ = ts_gap_outages.__doc__.format(m=_OUTAGE_MIN_S // 60)
+
+
+ORACLE["ts_gap_outages"] = f"""
+SELECT event_type,
+       strftime(prev_ts, '%Y-%m-%d %H:%M:%S') AS silence_start,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS silence_end,
+       CAST((epoch_us(ts) - epoch_us(prev_ts)) // 60000000 AS BIGINT)
+         AS gap_minutes
+FROM (
+  SELECT event_type, ts,
+         lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+)
+WHERE epoch_us(ts) - epoch_us(prev_ts) > {_OUTAGE_MIN_S * 1_000_000}
+ORDER BY event_type, silence_start, silence_end
+"""
+
+
+_CONC_HOLD_S = 1800  # each event holds a session open for 30 minutes
+
+
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day — the interval-stabbing/capacity
+    question ("how many sessions were open at once?"): each event
+    opens a {m}-minute hold; +1/−1 boundary deltas are summed by a
+    running window WITHIN each day (carry-in from the previous day is
+    added as a per-day base from one tiny per-day aggregate — the
+    same banded prefix-sum shape as ``abc_analysis``, so no
+    full-history single-partition window). Boundary ordering is total
+    (time, delta, event_id): closes sort before opens at the same
+    instant in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    opens = ev.select(
+        F.unix_micros("ts").alias("t"),
+        F.lit(1).alias("delta"),
+        F.col("event_id").alias("eid"),
+    )
+    closes = ev.select(
+        (F.unix_micros("ts") + _CONC_HOLD_S * 1_000_000).alias("t"),
+        F.lit(-1).alias("delta"),
+        F.col("event_id").alias("eid"),
+    )
+    bounds = opens.union(closes).withColumn(
+        "day", F.to_date((F.col("t") / 1_000_000).cast("timestamp"))
+    )
+    per_day = bounds.groupBy("day").agg(F.sum("delta").alias("day_net"))
+    w_prev = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    base = per_day.select(
+        "day", F.coalesce(F.sum("day_net").over(w_prev), F.lit(0)).alias("carry")
+    )
+    w_run = (
+        W.partitionBy("day")
+        .orderBy("t", "delta", "eid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    stamped = bounds.join(F.broadcast(base), "day").select(
+        "day", (F.col("carry") + F.sum("delta").over(w_run)).alias("conc")
+    )
+    return (
+        stamped.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+        .orderBy("day")
+    )
+
+
+events_peak_concurrency.__doc__ = events_peak_concurrency.__doc__.format(
+    m=_CONC_HOLD_S // 60
+)
+
+
+ORACLE["events_peak_concurrency"] = f"""
+WITH bounds AS (
+  SELECT epoch_us(ts) AS t, 1 AS delta, event_id AS eid FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + {_CONC_HOLD_S * 1_000_000}, -1, event_id FROM events
+),
+stamped AS (
+  SELECT CAST(to_timestamp(t / 1000000.0) AS DATE) AS day,
+         sum(delta) OVER (ORDER BY t, delta, eid
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM bounds
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency
+FROM stamped
+GROUP BY day
+ORDER BY day
+"""
+
+
 QUERIES = {
     "ts_rolling_median": ts_rolling_median,
+    "ts_gap_outages": ts_gap_outages,
+    "events_peak_concurrency": events_peak_concurrency,
     "ts_forecast_snaive_backtest": ts_forecast_snaive_backtest,
     "ts_changepoint_meanshift": ts_changepoint_meanshift,
     "ts_stl_decompose": ts_stl_decompose,

@@ -165,6 +165,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "sql_pivot_clause",
     "streaming_batch_parity_audit",
     "graph_kcore",
+    "ts_gap_outages",
+    "events_peak_concurrency",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
