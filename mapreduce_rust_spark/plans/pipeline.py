@@ -376,9 +376,150 @@ ORDER BY stage
 ORACLE["pipeline_gate_attrition"] = _gate_attrition_oracle()
 
 
+_GATE_NAMES = ("gopher", "quality", "lang_agree")
+
+
+def pipeline_gate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate REDUNDANCY matrix — the question after the attrition
+    funnel: do the filters reject the SAME documents (one gate could
+    be dropped) or different ones (each earns its keep)? Per gate
+    pair: each side's rejection count, the joint rejections, the
+    rejection-set Jaccard, and how many docs ONLY that pair's first
+    gate catches (its unique value against the whole battery). The
+    three per-doc flags are the identical projections
+    ``pipeline_gate_attrition`` computes; every pairwise statistic
+    folds into ONE aggregation over them (conditional sums — no
+    pair-wise joins, no second scan), so the report is corpus-pass +
+    one row of partial aggregates at any scale."""
+    from mapreduce_rust_spark.operators.text_analysis import (
+        gopher_rules,
+        language_id,
+        quality_scores,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    g1 = gopher_rules(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("g1")
+    )
+    g2 = quality_scores(docs, "doc_id", "text").select(
+        "doc_id",
+        (F.col("quality_score") >= QUALITY_GATE_MIN).cast("int").alias("g2"),
+    )
+    g3 = language_id(docs, "doc_id", "text").select(
+        "doc_id", F.col("pred_lang").alias("pl")
+    )
+    flags = (
+        docs.select("doc_id", "lang")
+        .join(g1, "doc_id")
+        .join(g2, "doc_id")
+        .join(g3, "doc_id")
+        .select(
+            (F.col("g1") == 0).cast("bigint").alias("r1"),
+            (F.col("g2") == 0).cast("bigint").alias("r2"),
+            (F.col("pl") != F.col("lang")).cast("bigint").alias("r3"),
+        )
+    )
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    aggs = [F.sum(f"r{i + 1}").alias(f"rej{i}") for i in range(3)]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(F.col(f"r{a + 1}") * F.col(f"r{b + 1}")).alias(f"both{a}{b}")
+        )
+    for i in range(3):
+        others = [j for j in range(3) if j != i]
+        aggs.append(
+            F.sum(
+                F.col(f"r{i + 1}")
+                * (1 - F.col(f"r{others[0] + 1}"))
+                * (1 - F.col(f"r{others[1] + 1}"))
+            ).alias(f"only{i}")
+        )
+    wide = flags.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(_GATE_NAMES[a]).alias("gate_a"),
+                F.lit(_GATE_NAMES[b]).alias("gate_b"),
+                F.col(f"rej{a}").alias("rej_a"),
+                F.col(f"rej{b}").alias("rej_b"),
+                F.col(f"both{a}{b}").alias("rej_both"),
+                fround(
+                    F.col(f"both{a}{b}")
+                    / F.greatest(
+                        F.col(f"rej{a}") + F.col(f"rej{b}") - F.col(f"both{a}{b}"),
+                        F.lit(1),
+                    ).cast("double"),
+                    6,
+                ).alias("overlap_jaccard"),
+                F.col(f"only{a}").alias("only_gate_a"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("gate_a", "gate_b")
+    )
+
+
+def _gate_overlap_oracle() -> str:
+    from mapreduce_rust_spark.operators.text_analysis import ORACLE as TA_ORACLE
+
+    gopher = TA_ORACLE["text_gopher_quality"].strip()
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    sel = []
+    for a, b in pairs:
+        others = [j for j in range(3) if j != a]
+        jac = fround_sql(
+            f"both{a}{b} / CAST(greatest(rej{a} + rej{b} - both{a}{b}, 1) AS DOUBLE)",
+            6,
+        )
+        sel.append(
+            f"SELECT '{_GATE_NAMES[a]}' AS gate_a, '{_GATE_NAMES[b]}' AS gate_b,"
+            f" rej{a} AS rej_a, rej{b} AS rej_b, both{a}{b} AS rej_both,"
+            f" {jac} AS overlap_jaccard, only{a} AS only_gate_a FROM wide"
+        )
+    both_exprs = ", ".join(
+        f"CAST(sum(r{a + 1} * r{b + 1}) AS BIGINT) AS both{a}{b}" for a, b in pairs
+    )
+    only_exprs = ", ".join(
+        "CAST(sum(r{0} * (1 - r{1}) * (1 - r{2})) AS BIGINT) AS only{3}".format(
+            i + 1, [j for j in range(3) if j != i][0] + 1,
+            [j for j in range(3) if j != i][1] + 1, i
+        )
+        for i in range(3)
+    )
+    return rf"""
+WITH gph AS ({gopher}),
+q AS ({_quality_sql()}),
+l AS ({_language_id_sql()}),
+flags AS (
+  SELECT CAST(gph.keep = 0 AS BIGINT) AS r1,
+         CAST((q.quality_score >= {QUALITY_GATE_MIN}) = false AS BIGINT) AS r2,
+         CAST(l.pred_lang != d.lang AS BIGINT) AS r3
+  FROM documents d
+  JOIN gph USING (doc_id) JOIN q USING (doc_id) JOIN l USING (doc_id)
+),
+wide AS (
+  SELECT CAST(sum(r1) AS BIGINT) AS rej0, CAST(sum(r2) AS BIGINT) AS rej1,
+         CAST(sum(r3) AS BIGINT) AS rej2,
+         {both_exprs},
+         {only_exprs}
+  FROM flags
+)
+{" UNION ALL ".join(sel)}
+ORDER BY gate_a, gate_b
+"""
+
+
+ORACLE["pipeline_gate_overlap"] = _gate_overlap_oracle()
+
+
 QUERIES = {
     "pipeline_prepare_corpus": pipeline_prepare_corpus,
     "pipeline_gate_attrition": pipeline_gate_attrition,
+    "pipeline_gate_overlap": pipeline_gate_overlap,
     "pipeline_dedup_report": pipeline_dedup_report,
     "pipeline_observed_metrics": pipeline_observed_metrics,
     "delete_propagation": delete_propagation,

@@ -167,6 +167,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "graph_kcore",
     "ts_gap_outages",
     "events_peak_concurrency",
+    "pipeline_gate_overlap",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
