@@ -967,9 +967,97 @@ ORDER BY lang, rnk
 """
 
 
+DOMAIN_CAP = 15  # max docs retained per source
+
+
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the "no single domain dominates the
+    mix" rule every web-scale training corpus applies before
+    tokenization (cap crawl-heavy domains so boilerplate-rich sites
+    can't swamp the token budget). Each source keeps its {cap} LONGEST
+    documents (doc_id tie-break); the report shows, per source, how
+    much of the corpus the cap retains — the artifact the data-mix
+    owner reviews before signing off.
+
+    Scale shape: selection is the same TWO-PHASE bottom-k prune as
+    ``sample_reservoir_per_key`` — a per-(Spark partition, source)
+    local top-{cap} cuts the corpus to ≤ cap·|parts|·|sources| rows
+    BEFORE the single shuffle on source, so no hot reducer ever sees
+    a full domain (the exact failure mode the cap exists to fix).
+    Totals come from a separate partial-aggregatable groupBy; both
+    branches shuffle only key-sized data."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("source", "doc_id", "n_chars")
+    local_w = Window.partitionBy(F.spark_partition_id(), "source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    pruned = base.withColumn("lrn", F.row_number().over(local_w)).filter(
+        F.col("lrn") <= DOMAIN_CAP
+    )
+    global_w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    kept = (
+        pruned.withColumn("rnk", F.row_number().over(global_w))
+        .filter(F.col("rnk") <= DOMAIN_CAP)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+    )
+    totals = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+    )
+    return (
+        totals.join(kept, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "chars_total",
+            "chars_kept",
+            fround(
+                F.col("chars_kept") / F.col("chars_total").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )
+
+
+corpus_domain_cap.__doc__ = corpus_domain_cap.__doc__.format(cap=DOMAIN_CAP)
+
+
+ORACLE["corpus_domain_cap"] = f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents
+),
+kept AS (
+  SELECT source, count(*) AS n_kept,
+         CAST(sum(n_chars) AS BIGINT) AS chars_kept
+  FROM ranked WHERE rnk <= {DOMAIN_CAP} GROUP BY source
+),
+totals AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars_total
+  FROM documents GROUP BY source
+)
+SELECT t.source, t.n_docs, k.n_kept, t.chars_total, k.chars_kept,
+       {fround_sql('k.chars_kept / CAST(t.chars_total AS DOUBLE)', 6)}
+         AS retention
+FROM totals t JOIN kept k USING (source)
+ORDER BY t.source
+"""
+
+
 QUERIES = {
     "sample_hash_deterministic": sample_hash_deterministic,
     "sample_reservoir_per_key": sample_reservoir_per_key,
+    "corpus_domain_cap": corpus_domain_cap,
     "sample_temperature": sample_temperature,
     "corpus_cdc_chunks": corpus_cdc_chunks,
     "tfidf_top_terms": tfidf_top_terms,

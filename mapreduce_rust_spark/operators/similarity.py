@@ -1389,7 +1389,145 @@ ORDER BY nprobe
 ORACLE["ann_nprobe_curve"] = _nprobe_curve_oracle()
 
 
+HAMMING_CAND = 16  # binary-code candidates reranked by true cosine
+HAMMING_K = 3
+
+
+def _sign_code(vec, lo: int, n: int):
+    """Pack the sign bits of components [lo, lo+n) into one BIGINT
+    (bit b set iff component lo+b ≥ 0). n ≤ 63 keeps the sum inside
+    signed-64 range; 64-dim vectors use two 32-bit halves so both
+    engines stay in plain BIGINT arithmetic."""
+    return sum(
+        F.when(F.element_at(vec, lo + b + 1) >= 0, F.lit(1 << b)).otherwise(0)
+        for b in range(n)
+    ).cast("bigint")
+
+
+def _sign_code_sql(vec_expr: str, lo: int, n: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {vec_expr}[{lo + b + 1}] >= 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(n)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def ann_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-QUANTIZED ANN (1 bit/dim): each 64-dim float vector
+    compresses 256× into two 32-bit sign words; candidate generation
+    ranks the corpus by Hamming distance — ``bit_count(code_q XOR
+    code_c)``, one CPU instruction per word, the kernel binary-
+    quantized indexes (sign-random-projection LSH literature) serve
+    memory-resident — then the top-{cand} candidates per query are
+    reranked by TRUE cosine on the float vectors, which touches only
+    |queries|·{cand} full vectors. At 100 TB the code table is the
+    only full-scan artifact (16 bytes/vector — RAM-resident where the
+    float corpus never could be) and the rerank is a sliver. Output:
+    top-{k} per query with both distances, so ranking drift vs
+    ``ann_topk_bruteforce`` is directly readable. Exactly
+    reproducible in SQL (integer bit ops end-to-end), so the oracle
+    value-checks the whole quantize→scan→rerank cascade."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    coded = emb.select(
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+        _sign_code(F.col("embedding"), 0, 32).alias("c_lo"),
+        _sign_code(F.col("embedding"), 32, 32).alias("c_hi"),
+    )
+    q = F.broadcast(
+        coded.filter(F.expr(_QUERY_PRED)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("c_lo").alias("q_lo"),
+            F.col("c_hi").alias("q_hi"),
+        )
+    )
+    ham = (
+        F.bit_count(F.col("q_lo").bitwiseXOR(F.col("c_lo")))
+        + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("c_hi")))
+    ).cast("int")
+    cand_w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    cands = (
+        q.join(coded, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            F.col("nrm").alias("cn"),
+            ham.alias("hamming"),
+        )
+        .withColumn("crank", F.row_number().over(cand_w))
+        .filter(F.col("crank") <= HAMMING_CAND)
+    )
+    sim = fround(cosine_from_norms("qv", "cv", "qn", "cn"), 6)
+    rerank_w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        cands.select("query_id", "neighbor_id", "hamming", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(rerank_w))
+        .filter(F.col("rank") <= HAMMING_K)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "hamming",
+            fround(F.col("sim"), 4).alias("sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ann_topk_hamming.__doc__ = ann_topk_hamming.__doc__.format(
+    cand=HAMMING_CAND, k=HAMMING_K
+)
+
+
+ORACLE["ann_topk_hamming"] = f"""
+WITH coded AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_sign_code_sql('embedding', 0, 32)} AS c_lo,
+         {_sign_code_sql('embedding', 32, 32)} AS c_hi
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, c_lo AS q_lo, c_hi AS q_hi
+  FROM coded WHERE {_QUERY_PRED}
+),
+cands AS (
+  SELECT query_id, qv, neighbor_id, cv, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming, neighbor_id) AS crank
+  FROM (
+    SELECT q.query_id, q.qv, c.vec_id AS neighbor_id, c.v AS cv,
+           CAST(bit_count(xor(q.q_lo, c.c_lo))
+                + bit_count(xor(q.q_hi, c.c_hi)) AS INT) AS hamming
+    FROM q JOIN coded c ON q.query_id <> c.vec_id
+  ) t
+),
+reranked AS (
+  SELECT query_id, neighbor_id, hamming,
+         floor(round(list_cosine_similarity(qv, cv), 10) * 1000000) / 1000000
+           AS sim
+  FROM cands WHERE crank <= {HAMMING_CAND}
+),
+final AS (
+  SELECT query_id, neighbor_id, hamming, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM reranked
+)
+SELECT query_id, rank, neighbor_id, hamming,
+       floor(round(sim, 8) * 10000) / 10000 AS sim
+FROM final WHERE rank <= {HAMMING_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
+    "ann_topk_hamming": ann_topk_hamming,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "embedding_outlier_mahalanobis": embedding_outlier_mahalanobis,
     "ann_nprobe_curve": ann_nprobe_curve,

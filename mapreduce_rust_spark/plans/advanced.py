@@ -842,7 +842,186 @@ FROM r GROUP BY doc_id ORDER BY doc_id
 ORACLE["udtf_dynamic_topwords"] = _udtf_topwords_oracle()
 
 
+KMV_K = 16  # bottom-k sketch size
+
+
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketch JACCARD between the
+    token vocabularies of every source pair — "how much do these two
+    crawls overlap?" answered from k-sized sketches instead of a full
+    distinct-intersection join. The bottom-k sketch is the third
+    mergeable-sketch family next to HLL (``sketch_union_distinct``)
+    and CMS (``sketch_cms_counts``), and the only one that supports
+    SET OPERATIONS: union of two sketches = bottom-k of their merged
+    values, and J ≈ |bottom-k(A∪B) ∩ A's sketch ∩ B's sketch| / k.
+    At 100 TB the sketch is a partial-aggregatable min-k per group
+    (one scan, k·|groups| state), and every pairwise comparison after
+    that touches k rows per side — the full |A|×|B| token join this
+    slug also runs (as the estimator's truth column) is exactly what
+    the sketch exists to avoid. Hashes are md5-derived
+    (``hash64``-compatible) so both engines rank identically; est is
+    matched/{k} with a power-of-two k, so the division is binary-
+    exact."""
+    from mapreduce_rust_spark.functions.text import hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    hashed = toks.select(
+        "source", hash64(F.concat(F.lit("kmv:"), F.col("tok"))).alias("h")
+    )
+    rank_w = W.partitionBy("source").orderBy("h")
+    sk = (
+        hashed.withColumn("rk", F.row_number().over(rank_w))
+        .filter(F.col("rk") <= KMV_K)
+        .select("source", "h")
+    )
+    nsrc = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_toks"))
+    pairs = (
+        nsrc.select(F.col("source").alias("s1"), F.col("n_toks").alias("n1"))
+        .join(
+            nsrc.select(F.col("source").alias("s2"), F.col("n_toks").alias("n2")),
+            F.col("s1") < F.col("s2"),
+        )
+    )
+    inter = (
+        toks.select(F.col("source").alias("s1"), "tok")
+        .join(toks.select(F.col("source").alias("s2"), "tok"), "tok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sides = (
+        pairs.select("s1", "s2")
+        .join(sk.withColumnRenamed("source", "s1"), "s1")
+        .select("s1", "s2", "h", F.lit("a").alias("side"))
+        .union(
+            pairs.select("s1", "s2")
+            .join(sk.withColumnRenamed("source", "s2"), "s2")
+            .select("s1", "s2", "h", F.lit("b").alias("side"))
+        )
+    )
+    merged = sides.groupBy("s1", "s2", "h").agg(
+        (F.countDistinct("side") == 2).cast("int").alias("in_both")
+    )
+    union_w = W.partitionBy("s1", "s2").orderBy("h")
+    est = (
+        merged.withColumn("urk", F.row_number().over(union_w))
+        .filter(F.col("urk") <= KMV_K)
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum("in_both").alias("matched"),
+            F.count(F.lit(1)).alias("denom"),
+        )
+        .select(
+            "s1",
+            "s2",
+            (F.col("matched") / F.col("denom").cast("double")).alias("est_jaccard"),
+        )
+    )
+    return (
+        pairs.join(est, ["s1", "s2"])
+        .join(inter, ["s1", "s2"], "left")
+        .select(
+            "s1",
+            "s2",
+            fround("est_jaccard", 6).alias("est_jaccard"),
+            fround(
+                F.coalesce("n_inter", F.lit(0))
+                / (F.col("n1") + F.col("n2") - F.coalesce("n_inter", F.lit(0))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("exact_jaccard"),
+        )
+        .withColumn(
+            "abs_err",
+            fround(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+sketch_kmv_jaccard.__doc__ = sketch_kmv_jaccard.__doc__.format(k=KMV_K)
+
+
+ORACLE["sketch_kmv_jaccard"] = rf"""
+WITH toks AS (
+  SELECT DISTINCT source, unnest(
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT source,
+         ('0x' || substr(md5('kmv:' || tok), 1, 15))::BIGINT AS h
+  FROM toks
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+    FROM hashed
+  ) t WHERE rk <= {KMV_K}
+),
+nsrc AS (SELECT source, count(*) AS n_toks FROM toks GROUP BY source),
+pairs AS (
+  SELECT a.source AS s1, a.n_toks AS n1, b.source AS s2, b.n_toks AS n2
+  FROM nsrc a JOIN nsrc b ON a.source < b.source
+),
+inter AS (
+  SELECT a.source AS s1, b.source AS s2, count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+),
+sides AS (
+  SELECT p.s1, p.s2, k.h, 'a' AS side
+  FROM pairs p JOIN sk k ON k.source = p.s1
+  UNION
+  SELECT p.s1, p.s2, k.h, 'b' AS side
+  FROM pairs p JOIN sk k ON k.source = p.s2
+),
+merged AS (
+  SELECT s1, s2, h,
+         CAST(count(DISTINCT side) = 2 AS INT) AS in_both
+  FROM sides GROUP BY 1, 2, 3
+),
+est AS (
+  SELECT s1, s2, sum(in_both) / CAST(count(*) AS DOUBLE) AS est_jaccard
+  FROM (
+    SELECT s1, s2, h, in_both,
+           row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS urk
+    FROM merged
+  ) t WHERE urk <= {KMV_K}
+  GROUP BY 1, 2
+)
+SELECT p.s1, p.s2,
+       {fround_sql('e.est_jaccard', 6)} AS est_jaccard,
+       {fround_sql(
+           'coalesce(i.n_inter, 0) / CAST(p.n1 + p.n2 - coalesce(i.n_inter, 0) AS DOUBLE)',
+           6,
+       )} AS exact_jaccard,
+       {fround_sql(
+           'abs(' + fround_sql('e.est_jaccard', 6) + ' - '
+           + fround_sql(
+               'coalesce(i.n_inter, 0) / CAST(p.n1 + p.n2 - coalesce(i.n_inter, 0) AS DOUBLE)',
+               6,
+           ) + ')',
+           6,
+       )} AS abs_err
+FROM pairs p
+JOIN est e ON e.s1 = p.s1 AND e.s2 = p.s2
+LEFT JOIN inter i ON i.s1 = p.s1 AND i.s2 = p.s2
+ORDER BY p.s1, p.s2
+"""
+
+
 QUERIES = {
+    "sketch_kmv_jaccard": sketch_kmv_jaccard,
     "asof_join": asof_join_q,
     "udtf_dynamic_topwords": udtf_dynamic_topwords,
     "sketch_cms_counts": sketch_cms_counts_q,

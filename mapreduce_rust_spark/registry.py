@@ -168,6 +168,10 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "ts_gap_outages",
     "events_peak_concurrency",
     "pipeline_gate_overlap",
+    "ann_topk_hamming",
+    "sketch_kmv_jaccard",
+    "corpus_domain_cap",
+    "sql_identifier_clause",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",

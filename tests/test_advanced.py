@@ -508,3 +508,85 @@ def test_kcore_converged_at_fixed_rounds(spark):
         assert a == b
         # every core member keeps >= k neighbors, by definition
         assert all(deg >= KCORE_K for _, deg in a)
+
+
+def test_sign_code_packing_and_hamming(spark):
+    """The two 32-bit sign words must pack bit b iff component b ≥ 0,
+    and bit_count(xor) over both halves must equal the brute count of
+    sign disagreements."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rust_spark.operators.similarity import _sign_code
+
+    va = [(1.0 if i % 3 else -1.0) for i in range(64)]
+    vb = [(1.0 if i % 5 else -1.0) for i in range(64)]
+    df = spark.createDataFrame([(va, vb)], "a array<float>, b array<float>")
+    row = df.select(
+        _sign_code(F.col("a"), 0, 32).alias("a_lo"),
+        _sign_code(F.col("a"), 32, 32).alias("a_hi"),
+        _sign_code(F.col("b"), 0, 32).alias("b_lo"),
+        _sign_code(F.col("b"), 32, 32).alias("b_hi"),
+    ).collect()[0]
+    exp_a_lo = sum(1 << i for i in range(32) if va[i] >= 0)
+    exp_a_hi = sum(1 << i for i in range(32) if va[32 + i] >= 0)
+    assert (row["a_lo"], row["a_hi"]) == (exp_a_lo, exp_a_hi)
+    ham = bin(row["a_lo"] ^ row["b_lo"]).count("1") + bin(
+        row["a_hi"] ^ row["b_hi"]
+    ).count("1")
+    brute = sum((x >= 0) != (y >= 0) for x, y in zip(va, vb))
+    assert ham == brute
+
+
+def test_kmv_jaccard_exact_when_sketch_covers_union(spark, monkeypatch):
+    """KMV estimate degrades to the EXACT Jaccard whenever k ≥ |A∪B|
+    (the sketch then IS the union) — the small-set correctness anchor
+    for the estimator."""
+    from mapreduce_rust_spark.plans import advanced as adv
+
+    assert adv.KMV_K >= 15
+    mk = lambda did, src, toks: (did, " ".join(toks), "en", src, 10)
+    shared = [f"sh{i}" for i in range(5)]
+    rows = [
+        mk(0, "srcA", shared + [f"a{i}" for i in range(5)]),
+        mk(1, "srcB", shared + [f"b{i}" for i in range(5)]),
+    ]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    df = spark.createDataFrame(rows, schema)
+    monkeypatch.setattr(adv, "load_table", lambda s, d, n: df)
+    out = adv.sketch_kmv_jaccard(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    # |A∪B| = 15 ≤ k → estimate is exact: 5 / 15
+    assert r["est_jaccard"] == r["exact_jaccard"]
+    assert abs(r["exact_jaccard"] - 5 / 15) < 2e-6
+    assert r["abs_err"] == 0.0
+
+
+def test_domain_cap_binds_and_partitioning_invariant(spark, monkeypatch):
+    """The cap must keep exactly DOMAIN_CAP longest docs per source
+    under any physical partitioning, and totals must cover the whole
+    corpus."""
+    from mapreduce_rust_spark.operators import corpus as cp
+
+    rows = [
+        (i, f"t{i}", "en", f"src{i % 2}", 100 + i) for i in range(80)
+    ]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    df = spark.createDataFrame(rows, schema)
+
+    def run(frame):
+        monkeypatch.setattr(cp, "load_table", lambda s, d, n: frame)
+        return {r["source"]: r.asDict() for r in cp.corpus_domain_cap(spark, "x").collect()}
+
+    a = run(df.coalesce(1))
+    b = run(df.repartition(13))
+    assert a == b
+    for src in ("src0", "src1"):
+        r = a[src]
+        assert r["n_docs"] == 40 and r["n_kept"] == cp.DOMAIN_CAP
+        # kept = the DOMAIN_CAP largest n_chars values of that source
+        chars = sorted(
+            (100 + i for i in range(80) if i % 2 == int(src[-1])), reverse=True
+        )
+        assert r["chars_kept"] == sum(chars[: cp.DOMAIN_CAP])
+        assert r["chars_total"] == sum(chars)

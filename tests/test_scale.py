@@ -763,3 +763,35 @@ def test_attribution_join_is_bounded_equi_join(spark, sf_dir):
     p = plan_str(event_attribution(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "user_id" in p
+
+
+def test_hamming_search_broadcasts_queries_not_corpus(spark, sf_dir):
+    """Binary-code candidate generation must broadcast the tiny query
+    side (non-equi ⇒ BroadcastNestedLoopJoin) — the corpus side never
+    shuffles for the scan, and the cosine rerank sits above the
+    candidate-rank filter, not on the full cross product."""
+    from mapreduce_rust_spark.operators.similarity import ann_topk_hamming
+
+    p = plan_str(ann_topk_hamming(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert p.count("Window") >= 2  # candidate rank + rerank rank
+
+
+def test_domain_cap_local_prune_before_shuffle(spark, sf_dir):
+    """Like the reservoir sample: a per-(partition, source) local
+    top-k must precede the single shuffle on source."""
+    from mapreduce_rust_spark.operators.corpus import corpus_domain_cap
+
+    p = plan_str(corpus_domain_cap(spark, sf_dir))
+    assert p.count("Window") >= 2
+    assert "SPARK_PARTITION_ID" in p.upper() or "spark_partition_id" in p
+
+
+def test_kmv_pairwise_runs_on_sketches_not_corpus(spark, sf_dir):
+    """The pairwise stage must join k-sized sketches / per-source
+    counts (broadcastable), with no cartesian product anywhere."""
+    from mapreduce_rust_spark.plans.advanced import sketch_kmv_jaccard
+
+    p = plan_str(sketch_kmv_jaccard(spark, sf_dir))
+    assert "CartesianProduct" not in p
