@@ -1428,18 +1428,22 @@ def ann_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible in SQL (integer bit ops end-to-end), so the oracle
     value-checks the whole quantize→scan→rerank cascade."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # the code table: ids + 16 bytes/vector, NO float payload — the
+    # Hamming scan and its candidate-rank shuffle move only this (at
+    # sf0.1 that's a 50× lighter exchange than dragging the vectors
+    # through the window; measured 5.2 s → ~1 s)
+    # lazy checkpoint: the 64-branch packing expression is costly to
+    # CODEGEN (not to run); truncating here keeps it out of the join /
+    # window stages so janino compiles it once, and the materialized
+    # code table is ids + 16 bytes/row
     coded = emb.select(
         "vec_id",
-        "embedding",
-        l2_norm(F.col("embedding")).alias("nrm"),
         _sign_code(F.col("embedding"), 0, 32).alias("c_lo"),
         _sign_code(F.col("embedding"), 32, 32).alias("c_hi"),
-    )
+    ).localCheckpoint(eager=False)
     q = F.broadcast(
         coded.filter(F.expr(_QUERY_PRED)).select(
             F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            F.col("nrm").alias("qn"),
             F.col("c_lo").alias("q_lo"),
             F.col("c_hi").alias("q_hi"),
         )
@@ -1453,20 +1457,34 @@ def ann_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.join(coded, F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
-            "qv",
-            "qn",
             F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("cv"),
-            F.col("nrm").alias("cn"),
             ham.alias("hamming"),
         )
         .withColumn("crank", F.row_number().over(cand_w))
         .filter(F.col("crank") <= HAMMING_CAND)
     )
+    # float vectors join back for ONLY the |queries|·CAND rerank rows
+    vecs = emb.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    qv = F.broadcast(
+        vecs.filter(F.expr(_QUERY_PRED)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
     sim = fround(cosine_from_norms("qv", "cv", "qn", "cn"), 6)
     rerank_w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
-        cands.select("query_id", "neighbor_id", "hamming", sim.alias("sim"))
+        cands.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", "hamming", sim.alias("sim"))
         .withColumn("rank", F.row_number().over(rerank_w))
         .filter(F.col("rank") <= HAMMING_K)
         .select(
