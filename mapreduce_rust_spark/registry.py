@@ -172,6 +172,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "sketch_kmv_jaccard",
     "corpus_domain_cap",
     "sql_identifier_clause",
+    "sql_scripting_loop",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
