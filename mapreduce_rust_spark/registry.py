@@ -173,6 +173,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "corpus_domain_cap",
     "sql_identifier_clause",
     "sql_scripting_loop",
+    "source_python_pushdown",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",

@@ -116,6 +116,129 @@ FROM src GROUP BY bucket ORDER BY bucket
 """
 
 
+PUSHDOWN_THRESH = 3000
+
+
+def _register_pushdown_source(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _Part(InputPartition):
+        def __init__(self, start: int, end: int) -> None:
+            self.start, self.end = start, end
+
+    class _PushdownReader(DataSourceReader):
+        """Filter-pushdown-capable reader (Spark 4.1 ``pushFilters``):
+        absorbs ``id >= v`` / ``id > v`` (and the planner's implicit
+        IsNotNull), PRUNES whole partitions below the bound at
+        planning time, and slices the survivor shard — the Python-
+        connector analogue of parquet row-group skipping. Absorbed
+        filters are the source's obligation (Spark does NOT re-apply
+        them), so the emitted ``scan_lo`` column — the effective
+        bound the reader actually honored — makes the contract
+        value-checkable: if the engine ever stopped offering the
+        filter, scan_lo would read 0 and extra rows would appear,
+        and the DuckDB oracle would hash-mismatch."""
+
+        def __init__(self) -> None:
+            self._lo = 0
+
+        def pushFilters(self, filters):
+            for f in filters:
+                name = type(f).__name__
+                col = getattr(f, "attribute", None)
+                if name == "IsNotNull" and col == ("id",):
+                    continue  # generator never emits nulls
+                if name == "GreaterThanOrEqual" and col == ("id",):
+                    self._lo = max(self._lo, f.value)
+                elif name == "GreaterThan" and col == ("id",):
+                    self._lo = max(self._lo, f.value + 1)
+                else:
+                    yield f  # unsupported → engine applies it
+
+        def partitions(self):
+            step = N_ROWS // N_PARTS
+            shards = [
+                _Part(i * step, (i + 1) * step if i < N_PARTS - 1 else N_ROWS)
+                for i in range(N_PARTS)
+            ]
+            # planning-time pruning: shards entirely below the bound
+            # never become tasks
+            return [s for s in shards if s.end > self._lo]
+
+        def read(self, partition):
+            import pyarrow as pa
+
+            lo = self._lo
+            ids = list(range(max(partition.start, lo), partition.end))
+            yield pa.record_batch(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array([i % 16 for i in ids], pa.int64()),
+                    pa.array([(i * i) % 9973 for i in ids], pa.int64()),
+                    pa.array([lo] * len(ids), pa.int64()),
+                ],
+                names=["id", "bucket", "val", "scan_lo"],
+            )
+
+    class PushdownRangeSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "mrs_range_pushdown"
+
+        def schema(self) -> str:
+            return "id bigint, bucket bigint, val bigint, scan_lo bigint"
+
+        def reader(self, schema):
+            return _PushdownReader()
+
+    spark.dataSource.register(PushdownRangeSource)
+
+
+def source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown through a PYTHON data source: the query's
+    ``id >= {thresh}`` reaches the connector's ``pushFilters``, which
+    prunes shards at planning time and slices the boundary shard —
+    scan cost tracks the selected range, not the table. ``scan_lo``
+    (min'd per group) certifies the absorbed bound end-to-end; see
+    ``_PushdownReader`` for why a silent pushdown regression cannot
+    pass the oracle."""
+    _register_pushdown_source(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("mrs_range_pushdown")
+        .load()
+        .filter(F.col("id") >= PUSHDOWN_THRESH)
+    )
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("sum_id"),
+            F.sum("val").alias("sum_val"),
+            F.min("scan_lo").alias("scan_lo"),
+        )
+        .orderBy("bucket")
+    )
+
+
+source_python_pushdown.__doc__ = source_python_pushdown.__doc__.format(
+    thresh=PUSHDOWN_THRESH
+)
+
+
+ORACLE["source_python_pushdown"] = f"""
+WITH src AS (
+  SELECT i AS id, i % 16 AS bucket, (i * i) % 9973 AS val
+  FROM generate_series({PUSHDOWN_THRESH}, {N_ROWS - 1}) AS g(i)
+)
+SELECT bucket, count(*) AS n,
+       CAST(sum(id) AS BIGINT) AS sum_id,
+       CAST(sum(val) AS BIGINT) AS sum_val,
+       {PUSHDOWN_THRESH}::BIGINT AS scan_lo
+FROM src GROUP BY bucket ORDER BY bucket
+"""
+
+
 def _register_sink(spark: SparkSession) -> None:
     from pyspark.sql.datasource import (
         DataSource,
@@ -446,6 +569,7 @@ ORACLE["source_python_stream"] = ORACLE["source_python_datasource"]
 
 QUERIES = {
     "source_python_datasource": source_python_datasource,
+    "source_python_pushdown": source_python_pushdown,
     "sink_python_datasource": sink_python_datasource,
     "source_python_stream": source_python_stream,
     "source_python_stream_partitioned": source_python_stream_partitioned,

@@ -244,3 +244,31 @@ def test_partitioned_stream_reader_resumes_exactly_once(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == N_ROWS
     assert df.select("id").distinct().count() == N_ROWS
+
+
+def test_pushdown_source_fallback_for_unsupported_filters(spark):
+    """pushFilters absorbs only id-range predicates; anything else it
+    must hand BACK so the engine applies it. A modulo predicate rides
+    along: the result must honor BOTH filters, with scan_lo proving
+    the range half was absorbed by the reader."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rust_spark.sources.pysource import (
+        N_ROWS,
+        PUSHDOWN_THRESH,
+        _register_pushdown_source,
+    )
+
+    _register_pushdown_source(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("mrs_range_pushdown")
+        .load()
+        .filter(
+            (F.col("id") >= PUSHDOWN_THRESH) & (F.pmod(F.col("id"), F.lit(2)) == 0)
+        )
+    )
+    rows = df.select("id", "scan_lo").collect()
+    ids = sorted(r["id"] for r in rows)
+    assert ids == [i for i in range(PUSHDOWN_THRESH, N_ROWS) if i % 2 == 0]
+    assert {r["scan_lo"] for r in rows} == {PUSHDOWN_THRESH}
