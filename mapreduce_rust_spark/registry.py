@@ -174,6 +174,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "sql_identifier_clause",
     "sql_scripting_loop",
     "source_python_pushdown",
+    "streaming_dedup_watermarked",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",

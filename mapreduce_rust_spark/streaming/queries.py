@@ -178,6 +178,37 @@ SELECT DISTINCT md5(text) AS content_hash FROM documents
 """
 
 
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` — unlike plain
+    ``dropDuplicates`` (whose key state grows forever and eventually
+    OOMs a 100 TB/day pipeline), this variant guarantees dedup only
+    for duplicates arriving within the watermark delay and EXPIRES
+    key state once the watermark passes, making it the only dedup
+    operator that can run indefinitely. Keyed on (user_id,
+    event_type); the delay exceeds the dataset's whole time span, so
+    no state expires during the bounded replay and the result equals
+    the global distinct — which is exactly what makes the
+    bounded-state API value-checkable against batch SQL. Output is
+    projected to the key columns (duplicate rows differ in ts, and
+    which physical row survives is arrival-order-dependent — the KEY
+    SET is the deterministic contract)."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    deduped = (
+        ev.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_available_now(deduped, "append").orderBy("user_id", "event_type")
+
+
+ORACLE["streaming_dedup_watermarked"] = """
+SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type
+"""
+
+
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization
     (30-min inactivity) with ``applyInPandasWithState`` — per-user
@@ -701,6 +732,7 @@ QUERIES = {
     "streaming_events_hourly": streaming_events_hourly,
     "streaming_wordcount": streaming_wordcount,
     "streaming_dedup_exact": streaming_dedup_exact,
+    "streaming_dedup_watermarked": streaming_dedup_watermarked,
     "streaming_sessionize": streaming_sessionize,
     "streaming_enrich_join": streaming_enrich_join,
     "streaming_cdc_latest": streaming_cdc_latest,
