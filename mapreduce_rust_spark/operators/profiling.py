@@ -705,8 +705,85 @@ SELECT '{child_t}.{child_c}' AS child_col,
 ORACLE["table_key_discovery"] = _key_discovery_oracle()
 
 
+_SKEW_SPECS: tuple[tuple[str, str], ...] = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def table_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key SKEW ADVISORY: for every candidate join/aggregation
+    key, the per-key row-count shape — key cardinality, hottest-key
+    rows, hot-key share of the table, and skew_factor =
+    max_per_key / mean_per_key (the multiple AQE's skew-join splitter
+    thresholds on). This is the report you read BEFORE shipping a
+    100 TB join: skew_factor near 1 → plain hash join; tens+ → salt
+    the key or rely on AQE splitting (`skew_salted_join`). Each key
+    costs one partial-aggregatable two-level count — no row ever
+    leaves its executor unaggregated — and the final union is
+    |keys| rows."""
+    from functools import reduce as _reduce
+
+    outs = []
+    for tbl, col in _SKEW_SPECS:
+        per = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(F.col(col))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        outs.append(
+            per.agg(
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.max("n").cast("bigint").alias("max_per_key"),
+            ).select(
+                F.lit(tbl).alias("table_name"),
+                F.lit(col).alias("key_col"),
+                "n_rows",
+                "n_keys",
+                "max_per_key",
+                fround(
+                    F.col("n_rows") / F.col("n_keys").cast("double"), 6
+                ).alias("mean_per_key"),
+                fround(
+                    F.col("max_per_key") / F.col("n_rows").cast("double"), 6
+                ).alias("hot_share"),
+                fround(
+                    (F.col("max_per_key") * F.col("n_keys"))
+                    / F.col("n_rows").cast("double"),
+                    6,
+                ).alias("skew_factor"),
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), outs).orderBy(
+        "table_name", "key_col"
+    )
+
+
+def _skew_report_oracle() -> str:
+    parts = []
+    for tbl, col in _SKEW_SPECS:
+        parts.append(f"""
+SELECT '{tbl}' AS table_name, '{col}' AS key_col,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(n) AS BIGINT) AS max_per_key,
+       {fround_sql('sum(n) / CAST(count(*) AS DOUBLE)', 6)} AS mean_per_key,
+       {fround_sql('max(n) / CAST(sum(n) AS DOUBLE)', 6)} AS hot_share,
+       {fround_sql('(max(n) * count(*)) / CAST(sum(n) AS DOUBLE)', 6)} AS skew_factor
+FROM (SELECT count(*) AS n FROM {tbl} GROUP BY {col})""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY table_name, key_col"
+
+
+ORACLE["table_skew_report"] = _skew_report_oracle()
+
+
 QUERIES = {
     "table_profile": table_profile,
+    "table_skew_report": table_skew_report,
     "table_histogram": table_histogram,
     "corr_matrix": corr_matrix,
     "quantile_bins": quantile_bins,

@@ -175,6 +175,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "sql_scripting_loop",
     "source_python_pushdown",
     "streaming_dedup_watermarked",
+    "table_skew_report",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
