@@ -1544,8 +1544,103 @@ ORDER BY query_id, rank
 """
 
 
+SEMANTIC_TAU = 0.40  # within-cluster cosine above which a doc is a semantic dup
+
+
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC deduplication, SemDeDup-style (cluster-then-dedup over
+    embeddings, after Abbas et al. 2023): assign every vector to its
+    nearest coarse centroid, then inside each cluster greedily drop
+    any vector whose cosine to a LOWER-ID clustermate reaches τ={tau}
+    — semantically redundant documents that exact/MinHash dedup can't
+    see (different words, same content). Clustering IS the blocking:
+    pair cost is Σ_c |c|², never N², and at production scale k grows
+    ∝ N (α·√N cells) to hold cluster sizes constant — the same
+    bounded-block shape as the banded-LSH family; the embedding-LSH
+    slug (`dedup_embedding_lsh`) is the alternative blocking for the
+    same problem. Greedy-by-id keeps exactly one representative per
+    near-dup chain without an iterative components pass, the
+    trade SemDeDup makes too. Per-cluster report: corpus size,
+    drops, survivors."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cents = ivf_centroids(emb, "vec_id", "embedding")
+    asg = ivf_assign(emb, cents, "vec_id", "embedding")
+    a = asg.select(
+        "cid",
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("va"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = asg.select(
+        "cid",
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("vb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    cs = fround(cosine_from_norms("va", "vb", "na", "nb"), 6)
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn("cs", cs)
+        .filter(F.col("cs") >= SEMANTIC_TAU)
+        .select("cid", "idb")
+        .distinct()
+    )
+    return (
+        asg.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(
+            dropped.groupBy("cid").agg(F.count(F.lit(1)).alias("nd")),
+            "cid",
+            "left",
+        )
+        .select(
+            "cid",
+            "n_vecs",
+            F.coalesce("nd", F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("nd", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("cid")
+    )
+
+
+dedup_semantic_cluster.__doc__ = dedup_semantic_cluster.__doc__.format(
+    tau=SEMANTIC_TAU
+)
+
+
+ORACLE["dedup_semantic_cluster"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_K}),
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid)
+             AS rn
+    FROM e CROSS JOIN c
+  ) t WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.cid, b.vec_id AS idb
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.v', 'b.v')} >= {SEMANTIC_TAU}
+),
+drops AS (SELECT cid, count(*) AS nd FROM dropped GROUP BY cid)
+SELECT g.cid, g.n_vecs,
+       CAST(coalesce(d.nd, 0) AS BIGINT) AS n_dropped,
+       CAST(g.n_vecs - coalesce(d.nd, 0) AS BIGINT) AS n_kept
+FROM (SELECT cid, count(*) AS n_vecs FROM asg GROUP BY cid) g
+LEFT JOIN drops d USING (cid)
+ORDER BY g.cid
+"""
+
+
 QUERIES = {
     "ann_topk_hamming": ann_topk_hamming,
+    "dedup_semantic_cluster": dedup_semantic_cluster,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "embedding_outlier_mahalanobis": embedding_outlier_mahalanobis,
     "ann_nprobe_curve": ann_nprobe_curve,

@@ -176,6 +176,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "source_python_pushdown",
     "streaming_dedup_watermarked",
     "table_skew_report",
+    "dedup_semantic_cluster",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
