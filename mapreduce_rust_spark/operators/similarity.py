@@ -1638,9 +1638,93 @@ ORDER BY g.cid
 """
 
 
+TRUNC_DIMS = 16  # Matryoshka prefix length evaluated against full-width truth
+
+
+def ann_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: recall@3 of a search that uses
+    only the FIRST {d} of 64 dimensions against full-width brute-force
+    truth — the decision metric for MRL-style embeddings, where a
+    prefix slice is served as a 4× cheaper first-stage index (the
+    storage/recall trade measured per query, the same
+    audit-before-trusting shape as ``ann_recall_eval`` and
+    ``ann_nprobe_curve``). Truncation is ``slice()`` — zero new
+    operators, the cost drop is pure arithmetic width. Low recall
+    here means these embeddings were NOT trained matryoshka-style and
+    the prefix is unsafe to serve — which is exactly what the audit
+    exists to catch."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qs = emb.filter(F.expr(_QUERY_PRED))
+    exact = topk_bruteforce(qs, emb, "vec_id", "embedding", k=3).select(
+        "query_id", "neighbor_id"
+    )
+    tr = emb.select(
+        "vec_id", F.slice("embedding", 1, TRUNC_DIMS).alias("tvec")
+    )
+    tq = tr.filter(F.expr(_QUERY_PRED))
+    approx = topk_bruteforce(tq, tr, "vec_id", "tvec", k=3).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            fround(F.coalesce("n_hits", F.lit(0)) / F.col("k"), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ann_truncate_recall.__doc__ = ann_truncate_recall.__doc__.format(d=TRUNC_DIMS)
+
+
+ORACLE["ann_truncate_recall"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         (embedding::DOUBLE[])[1:{TRUNC_DIMS}] AS tv
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, tv AS qt FROM e WHERE {_QUERY_PRED}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos_sql('q.qv', 'e.v')} DESC, e.vec_id) AS rank
+    FROM q JOIN e ON q.query_id <> e.vec_id
+  ) WHERE rank <= 3
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos_sql('q.qt', 'e.tv')} DESC, e.vec_id) AS rank
+    FROM q JOIN e ON q.query_id <> e.vec_id
+  ) WHERE rank <= 3
+),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+)
+SELECT b.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       {fround_sql('coalesce(h.n_hits, 0) / CAST(b.k AS DOUBLE)', 4)} AS recall
+FROM (SELECT query_id, count(*) AS k FROM exact GROUP BY 1) b
+LEFT JOIN hits h USING (query_id)
+ORDER BY b.query_id
+"""
+
+
 QUERIES = {
     "ann_topk_hamming": ann_topk_hamming,
     "dedup_semantic_cluster": dedup_semantic_cluster,
+    "ann_truncate_recall": ann_truncate_recall,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "embedding_outlier_mahalanobis": embedding_outlier_mahalanobis,
     "ann_nprobe_curve": ann_nprobe_curve,

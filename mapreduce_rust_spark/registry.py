@@ -177,6 +177,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "streaming_dedup_watermarked",
     "table_skew_report",
     "dedup_semantic_cluster",
+    "ann_truncate_recall",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
