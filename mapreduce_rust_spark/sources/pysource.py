@@ -406,9 +406,9 @@ def _register_partitioned_stream_source(spark: SparkSession) -> None:
     class _PartitionedRangeStreamReader(DataSourceStreamReader):
         """Full ``DataSourceStreamReader`` — the SCALE path a
         ``SimpleDataSourceStreamReader`` (driver-side, single-threaded
-        ``read``) cannot take: ``latestOffset`` advances one
-        micro-batch per poll, and ``partitions`` splits each
-        [start, end) offset range into 4 independent splits that
+        ``read``) cannot take: ``latestOffset`` reports what the
+        source actually has available, and ``partitions`` splits each
+        [start, end) offset range into 8 independent splits that
         Spark schedules as PARALLEL tasks on executors. Offsets are
         pure integer arithmetic, so any split replays identically —
         the same exactly-once recovery contract as the simple reader,
@@ -418,20 +418,26 @@ def _register_partitioned_stream_source(spark: SparkSession) -> None:
             return {"pos": 0}
 
         def latestOffset(self) -> dict:
-            # Monotonic w.r.t. the committed log: a fresh reader
-            # instance (checkpoint restart) starts with _pos = 0, but
-            # Spark calls commit(lastCommitted) during recovery before
-            # planning new batches, which fast-forwards _pos — so the
-            # offset can never regress behind a committed position and
-            # re-plan an already-committed range (duplicate rows).
-            self._pos = min(getattr(self, "_pos", 0) + N_ROWS // 2, N_ROWS)
-            return {"pos": self._pos}
+            # Report FULL availability. The earlier build paced this
+            # (+N_ROWS/2 per poll from a per-instance cursor) to force
+            # two micro-batches — unsound across checkpoint restarts:
+            # a fresh instance's cursor restarts at 0, and if every
+            # batch was already committed, Spark logs the REGRESSED
+            # end offset, then the next poll re-plans the committed
+            # range and the sink appends duplicates (observed: 6144
+            # rows of 4096). A reader has no API to learn the
+            # committed position before its first latestOffset, so
+            # any artificial pacing can regress; a real source is
+            # monotone by construction because it reports actual data
+            # availability — this one's data is all available at t=0.
+            return {"pos": N_ROWS}
 
         def partitions(self, start: dict, end: dict):
             # max(a, b) guard: even if a planner handed us a regressed
-            # end offset, never produce a backwards range.
+            # end offset (e.g. an old checkpoint's log), never produce
+            # a backwards range.
             a, b = start["pos"], max(start["pos"], end["pos"])
-            step = max(1, (b - a) // 4)
+            step = max(1, (b - a) // 8)
             edges = list(range(a, b, step)) + [b]
             return [_RangeSplit(x, y) for x, y in zip(edges, edges[1:])]
 
@@ -460,8 +466,8 @@ def _register_partitioned_stream_source(spark: SparkSession) -> None:
 
 def source_python_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same relation and drain protocol as ``source_python_stream``,
-    ingested through the PARTITIONED stream reader: 2 micro-batches ×
-    4 executor-parallel splits each. Hash-equality against the batch
+    ingested through the PARTITIONED stream reader: one micro-batch ×
+    8 executor-parallel splits. Hash-equality against the batch
     oracle proves no split was dropped, duplicated, or mis-ranged —
     the partition-planning contract, on top of exactly-once."""
     import time

@@ -196,12 +196,17 @@ def test_python_stream_source_matches_batch_source(spark):
 
 
 def test_partitioned_stream_reader_resumes_exactly_once(spark, tmp_path):
-    """Kill the partitioned custom reader mid-stream and restart on the
-    same checkpoint: the parquet sink's batch-id log plus the reader's
+    """Stop the partitioned custom reader and restart on the same
+    checkpoint: the parquet sink's batch-id log plus the reader's
     pure-arithmetic offset ranges must yield exactly N_ROWS distinct
-    rows — no drop, no replay-duplicate. (A fresh reader instance
-    re-paces latestOffset from zero; Spark's committed offset simply
-    waits for it to catch up, so restart needs no reader-side state.)"""
+    rows — no drop, no replay-duplicate. latestOffset reports full
+    availability (never an artificially paced cursor): a paced fresh
+    instance regressed below the committed offset after restart,
+    Spark logged the regressed end, and the next poll re-planned the
+    committed range into duplicate sink rows (observed 6144/4096).
+    The vulnerable window that remains — offset logged, sink commit
+    missing — re-executes the same deterministic range and the sink
+    log dedups it."""
     import time
 
     from mapreduce_rust_spark.sources.pysource import (
