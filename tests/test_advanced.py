@@ -590,3 +590,43 @@ def test_domain_cap_binds_and_partitioning_invariant(spark, monkeypatch):
         )
         assert r["chars_kept"] == sum(chars[: cp.DOMAIN_CAP])
         assert r["chars_total"] == sum(chars)
+
+
+def test_round5_late_ops_degenerate_inputs(spark, monkeypatch):
+    """Degenerate inputs must yield empty/benign results, not errors:
+    domain cap and KMV Jaccard on an empty corpus, a single-source
+    corpus (zero pairs), and semantic dedup where every cluster has
+    one member (zero drops)."""
+    from mapreduce_rust_spark.operators import corpus as cp
+    from mapreduce_rust_spark.operators import similarity as sim
+    from mapreduce_rust_spark.plans import advanced as adv
+
+    doc_schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    empty_docs = spark.createDataFrame([], doc_schema)
+    monkeypatch.setattr(cp, "load_table", lambda s, d, n: empty_docs)
+    assert cp.corpus_domain_cap(spark, "x").count() == 0
+
+    monkeypatch.setattr(adv, "load_table", lambda s, d, n: empty_docs)
+    assert adv.sketch_kmv_jaccard(spark, "x").count() == 0
+
+    one_source = spark.createDataFrame(
+        [(0, "a b c", "en", "solo", 5), (1, "c d e", "en", "solo", 5)],
+        doc_schema,
+    )
+    monkeypatch.setattr(adv, "load_table", lambda s, d, n: one_source)
+    assert adv.sketch_kmv_jaccard(spark, "x").count() == 0  # no pairs
+
+    # 8 orthogonal-ish vectors -> every vector is its own centroid's
+    # sole member; semantic dedup must report zero drops
+    vecs = [
+        (i, [1.0 if j == i else 0.0 for j in range(64)], 0) for i in range(8)
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(sim, "load_table", lambda s, d, n: emb)
+    rows = sim.dedup_semantic_cluster(spark, "x").collect()
+    assert sum(r["n_dropped"] for r in rows) == 0
+    assert sum(r["n_kept"] for r in rows) == 8
