@@ -1538,9 +1538,110 @@ FROM pairs
 ORACLE["dedup_minhash_estimate_error"] = _minhash_error_oracle()
 
 
+B_BITS = 4  # bits retained per minhash component (Li & König b-bit minwise)
+
+
+def dedup_minhash_bbit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-BIT minwise hashing audit (after Li & König): store only the
+    low {b} bits of each minhash component — a {w}× signature-storage
+    cut, the difference between an index that fits executor memory at
+    100 TB and one that doesn't — and correct the resulting collision
+    bias analytically: Ĵ_b = (match_rate − C)/(1 − C) with
+    C = 2^-{b} the random-collision floor. Per LSH candidate pair,
+    the full-width estimate, the corrected b-bit estimate, and their
+    gap — read next to ``dedup_minhash_estimate_error`` (full-width
+    vs exact) to see what the extra compression costs. Reuses the
+    memoized signature index + candidate pairs: one candidate-sized
+    join, 2·{n} integer comparisons per pair, no corpus scan."""
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3).select(
+        "d1", "d2"
+    )
+    sigs = signature_index(spark, sf_dir, k=3)
+    s1 = sigs.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_HASHES)],
+    )
+    s2 = sigs.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(N_HASHES)],
+    )
+    mod = 1 << B_BITS
+    m_full = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(N_HASHES)
+    )
+    m_b = sum(
+        F.when(F.col(f"a{j}") % mod == F.col(f"b{j}") % mod, 1).otherwise(0)
+        for j in range(N_HASHES)
+    )
+    c = 1.0 / mod
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            fround(m_full / F.lit(float(N_HASHES)), 6).alias("est_full"),
+            fround(
+                (m_b / F.lit(float(N_HASHES)) - F.lit(c)) / F.lit(1.0 - c), 6
+            ).alias("est_bbit"),
+        )
+        .withColumn(
+            "gap", fround(F.abs(F.col("est_bbit") - F.col("est_full")), 6)
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+dedup_minhash_bbit_eval.__doc__ = dedup_minhash_bbit_eval.__doc__.format(
+    b=B_BITS, w=64 // B_BITS, n=N_HASHES
+)
+
+
+def _bbit_oracle() -> str:
+    from mapreduce_rust_spark.functions.numeric import fround_sql
+
+    mod = 1 << B_BITS
+    c = 1.0 / mod
+    est_full = f"(sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) / CAST({N_HASHES} AS DOUBLE))"
+    est_bbit = (
+        f"((sum(CASE WHEN s1.mh % {mod} = s2.mh % {mod} THEN 1 ELSE 0 END)"
+        f" / CAST({N_HASHES} AS DOUBLE) - {c}) / {1.0 - c})"
+    )
+    return f"""
+WITH cand AS (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+),
+ds AS ({_SHINGLE_SQL}),
+h AS (SELECT doc_id, {_h64_sql('s')} AS h FROM ds),
+params(j, a, b) AS (VALUES {", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_minhash_params()))}),
+sig AS (
+  SELECT doc_id, j,
+         min((a * (h % {MINHASH_PRIME}) + b) % {MINHASH_PRIME}) AS mh
+  FROM h CROSS JOIN params GROUP BY doc_id, j
+),
+est AS (
+  SELECT c.d1, c.d2,
+         {fround_sql(est_full, 6)} AS est_full,
+         {fround_sql(est_bbit, 6)} AS est_bbit
+  FROM cand c
+  JOIN sig s1 ON s1.doc_id = c.d1
+  JOIN sig s2 ON s2.doc_id = c.d2 AND s2.j = s1.j
+  GROUP BY 1, 2
+)
+SELECT d1, d2, est_full, est_bbit,
+       {fround_sql("abs(est_bbit - est_full)", 6)} AS gap
+FROM est ORDER BY d1, d2
+"""
+
+
+ORACLE["dedup_minhash_bbit_eval"] = _bbit_oracle()
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_estimate_error": dedup_minhash_estimate_error,
+    "dedup_minhash_bbit_eval": dedup_minhash_bbit_eval,
     "dedup_threshold_curve": dedup_threshold_curve,
     "dedup_lsh_eval": dedup_lsh_eval,
     "dedup_incremental": dedup_incremental,

@@ -178,6 +178,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "table_skew_report",
     "dedup_semantic_cluster",
     "ann_truncate_recall",
+    "dedup_minhash_bbit_eval",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
