@@ -615,6 +615,83 @@ ORDER BY 1
 """
 
 
+DP_CLIP = 5.0  # per-record contribution bound for the sum release
+
+
+def privacy_dp_sum_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private SUM release with per-record CLIPPING —
+    the other half of the DP toolkit next to ``privacy_dp_counts``:
+    an unbounded value has unbounded sensitivity, so each record's
+    contribution is clamped to [0, {clip}] first, making Δ = {clip}
+    and the Laplace scale Δ/ε. The report shows the clipping cost
+    explicitly (n_clipped, true vs clipped sum) because budget owners
+    trade bias (clip low) against noise (clip high) — the decision
+    this artifact exists to inform. Same md5-seeded inverse-CDF draw
+    as the count release (deterministic so the oracle value-checks
+    the whole clamp→sum→noise→release pipeline); same scale shape:
+    one partial-aggregated shuffle on |event types| keys."""
+    ev = load_table(spark, sf_dir, "events")
+    clipped = F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(DP_CLIP))
+    agg = ev.groupBy(F.col("event_type").alias("k")).agg(
+        F.sum("value").alias("true_sum"),
+        F.sum(clipped).alias("clip_sum"),
+        F.sum((F.col("value") > DP_CLIP).cast("bigint")).alias("n_clipped"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dpsum:"), F.col("k"))), 1, 15), 16, 10
+    ).cast("double") / F.lit(float(2**60))
+    s = u - F.lit(0.5)
+    b = DP_CLIP / DP_EPSILON
+    noise = (
+        -F.lit(b)
+        * F.signum(s)
+        * F.log(F.greatest(F.lit(1e-15), F.lit(1.0) - F.lit(2.0) * F.abs(s)))
+    )
+    return agg.select(
+        F.col("k").alias("event_type"),
+        fround("true_sum", 2).alias("true_sum"),
+        fround("clip_sum", 2).alias("clipped_sum"),
+        "n_clipped",
+        fround(noise, 4).alias("noise"),
+        fround(F.col("clip_sum") + noise, 2).alias("released_sum"),
+    ).orderBy("event_type")
+
+
+privacy_dp_sum_clipped.__doc__ = privacy_dp_sum_clipped.__doc__.format(
+    clip=DP_CLIP
+)
+
+
+ORACLE["privacy_dp_sum_clipped"] = f"""
+WITH agg AS (
+  SELECT event_type AS k,
+         sum(value) AS true_sum,
+         sum(least(greatest(value, 0.0), {DP_CLIP})) AS clip_sum,
+         CAST(sum(CASE WHEN value > {DP_CLIP} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped
+  FROM events GROUP BY 1
+),
+noised AS (
+  SELECT k, true_sum, clip_sum, n_clipped,
+         (('0x' || substr(md5('dpsum:' || k), 1, 15))::BIGINT
+            / CAST({float(2**60)} AS DOUBLE)) - 0.5 AS s
+  FROM agg
+)
+SELECT k AS event_type,
+       {fround_sql('true_sum', 2)} AS true_sum,
+       {fround_sql('clip_sum', 2)} AS clipped_sum,
+       n_clipped,
+       {fround_sql(
+           f"-({DP_CLIP} / {DP_EPSILON}) * sign(s)"
+           " * ln(greatest(1e-15, 1.0 - 2.0 * abs(s)))", 4)} AS noise,
+       {fround_sql(
+           f"clip_sum + (-({DP_CLIP} / {DP_EPSILON}) * sign(s)"
+           " * ln(greatest(1e-15, 1.0 - 2.0 * abs(s))))", 2)} AS released_sum
+FROM noised
+ORDER BY 1
+"""
+
+
 # Name-heuristic FK candidates (child table/col → parent table/col):
 # the standard profiling shortcut — generate candidates from naming
 # conventions, then VERIFY each against the data. Verification, not
@@ -793,5 +870,6 @@ QUERIES = {
     "privacy_k_anonymity": privacy_k_anonymity,
     "privacy_l_diversity": privacy_l_diversity,
     "privacy_dp_counts": privacy_dp_counts,
+    "privacy_dp_sum_clipped": privacy_dp_sum_clipped,
     "table_key_discovery": table_key_discovery,
 }

@@ -179,6 +179,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "dedup_semantic_cluster",
     "ann_truncate_recall",
     "dedup_minhash_bbit_eval",
+    "privacy_dp_sum_clipped",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
