@@ -147,9 +147,13 @@ _PRIORITY: tuple[str, ...] = (
     "privacy_dp_counts",
 )
 
-# Slugs queued immediately after the 50-slot window (positions 51+):
-# remaining round-1-only-evidence backfill, first in line for the
-# round-6 rotation.
+# Slugs queued immediately after the 50-slot window (positions 51+).
+# ROUND-6 ROTATION ORDER: the first 29 entries below (through
+# privacy_dp_sum_clipped) have NO driver-side oracle evidence yet —
+# 17 late-round-5 additions plus the 12 end-of-round-5 additions
+# (ann_topk_hamming … privacy_dp_sum_clipped) — and must be promoted
+# into _PRIORITY first; the TPC-H/parity tail behind them is
+# round-1-only-evidence backfill for the remaining slots.
 _NEXT_WINDOW: tuple[str, ...] = (
     "ts_autocorrelation",
     "sample_reservoir_per_key",
