@@ -1735,10 +1735,182 @@ ORDER BY b.query_id
 """
 
 
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training: for each query
+    vector, the top-3 most-similar vectors with a DIFFERENT label —
+    near the anchor in embedding space yet semantically distinct, the
+    examples that actually move a retriever/encoder during training
+    (random negatives are too easy; same-label neighbors are false
+    negatives). One label-inequality predicate on top of the
+    broadcast-query brute scan; at corpus scale the same mining runs
+    over the ANN candidates instead of the full scan (swap
+    ``topk_bruteforce`` for the bucketed/IVF path — the predicate
+    composes unchanged)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    q = F.broadcast(
+        emb.filter(F.expr(_QUERY_PRED)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qv"),
+            l2_norm(F.col("embedding")).alias("qn"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("cv"),
+        l2_norm(F.col("embedding")).alias("cn"),
+    )
+    sim = fround(cosine_from_norms("qv", "cv", "qn", "cn"), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        q.join(c, F.col("qlabel") != F.col("nlabel"))
+        .select(
+            "query_id",
+            "qlabel",
+            "neighbor_id",
+            F.col("nlabel").alias("neg_label"),
+            sim.alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "qlabel",
+            "rank",
+            "neighbor_id",
+            "neg_label",
+            fround(F.col("sim"), 4).alias("sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE["embedding_hard_negatives"] = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, label AS qlabel, v AS qv
+  FROM e WHERE {_QUERY_PRED}
+),
+scored AS (
+  SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id,
+         e.label AS neg_label,
+         {_cos_sql('q.qv', 'e.v')} AS sim
+  FROM q JOIN e ON q.qlabel <> e.label
+),
+ranked AS (
+  SELECT query_id, qlabel, neighbor_id, neg_label, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, qlabel, rank, neighbor_id, neg_label,
+       floor(round(sim, 8) * 10000) / 10000 AS sim
+FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-version DRIFT check: per-label centroids computed on
+    two disjoint halves of the corpus (even vs odd vec_id — a proxy
+    for "last week's batch vs this week's"), compared by cosine and
+    L2 gap. A re-trained or silently-changed encoder moves the
+    centroids; this is the cheap canary a 100 TB embedding pipeline
+    runs before mixing vector versions in one index (mixed versions
+    silently wreck ANN recall). Two partial-aggregatable per-label
+    mean passes + a |labels|-sized join — nothing corpus-sized ever
+    shuffles."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+
+    def centroids(pred):
+        return (
+            emb.filter(pred)
+            .select("label", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("label", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("label")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+        )
+    a = centroids(F.col("vec_id") % 2 == 0).select(
+        "label", F.col("c").alias("ca")
+    )
+    b = centroids(F.col("vec_id") % 2 == 1).select(
+        "label", F.col("c").alias("cb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    l2g = F.sqrt(
+        F.aggregate(
+            F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        a.join(b, "label")
+        .select(
+            "label",
+            fround(dot / (l2_norm(F.col("ca")) * l2_norm(F.col("cb"))), 6).alias(
+                "centroid_cosine"
+            ),
+            fround(l2g, 6).alias("l2_gap"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE["embedding_centroid_drift"] = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+expl AS (
+  SELECT vec_id % 2 AS half, label, u.pos, u.x
+  FROM e, LATERAL (
+    SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos
+  ) u
+),
+cent AS (
+  SELECT half, label, pos, avg(x) AS m
+  FROM expl GROUP BY 1, 2, 3
+),
+vecs AS (
+  SELECT half, label, list(m ORDER BY pos) AS c
+  FROM cent GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.label, a.c AS ca, b.c AS cb
+  FROM vecs a JOIN vecs b ON a.label = b.label
+  WHERE a.half = 0 AND b.half = 1
+)
+SELECT label,
+       floor(round(
+         list_sum(list_transform(range(1, 1 + len(ca)),
+                                 i -> ca[i] * cb[i]))
+         / (sqrt(list_sum(list_transform(ca, x -> x * x)))
+            * sqrt(list_sum(list_transform(cb, x -> x * x)))), 10) * 1000000)
+         / 1000000 AS centroid_cosine,
+       floor(round(
+         sqrt(list_sum(list_transform(range(1, 1 + len(ca)),
+                                      i -> (ca[i] - cb[i]) * (ca[i] - cb[i])))),
+         10) * 1000000) / 1000000 AS l2_gap
+FROM pairs
+ORDER BY label
+"""
+
+
 QUERIES = {
     "ann_topk_hamming": ann_topk_hamming,
     "dedup_semantic_cluster": dedup_semantic_cluster,
     "ann_truncate_recall": ann_truncate_recall,
+    "embedding_hard_negatives": embedding_hard_negatives,
+    "embedding_centroid_drift": embedding_centroid_drift,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "embedding_outlier_mahalanobis": embedding_outlier_mahalanobis,
     "ann_nprobe_curve": ann_nprobe_curve,

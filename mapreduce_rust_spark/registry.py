@@ -148,10 +148,10 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+).
-# ROUND-6 ROTATION ORDER: the first 29 entries below (through
-# privacy_dp_sum_clipped) have NO driver-side oracle evidence yet —
-# 17 late-round-5 additions plus the 12 end-of-round-5 additions
-# (ann_topk_hamming … privacy_dp_sum_clipped) — and must be promoted
+# ROUND-6 ROTATION ORDER: the first 32 entries below (through
+# sql_group_by_all) have NO driver-side oracle evidence yet —
+# 17 late-round-5 additions plus the 15 end-of-round-5 additions
+# (ann_topk_hamming … sql_group_by_all) — and must be promoted
 # into _PRIORITY first; the TPC-H/parity tail behind them is
 # round-1-only-evidence backfill for the remaining slots.
 _NEXT_WINDOW: tuple[str, ...] = (
@@ -184,6 +184,9 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "ann_truncate_recall",
     "dedup_minhash_bbit_eval",
     "privacy_dp_sum_clipped",
+    "embedding_hard_negatives",
+    "embedding_centroid_drift",
+    "sql_group_by_all",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
