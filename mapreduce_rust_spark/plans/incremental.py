@@ -245,8 +245,92 @@ ORDER BY 1
 """
 
 
+def scd2_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE/APPLY — the nightly dimension-maintenance job every
+    warehouse runs: fold a new day's snapshot into slowly-changing
+    history. Unchanged keys carry their open row; changed keys close
+    the old version (valid_to = day 2) and open a new one; new keys
+    insert; vanished keys soft-delete (close without successor).
+    Uses the same deterministic orders-derived old/new snapshots as
+    ``snapshot_diff`` (day 1 = old, day 2 = new) and all-integer
+    cents arithmetic, so every branch is exactly checkable. One
+    full-outer join on the business key builds every branch —
+    at scale both sides shuffle once on that key (or read
+    pre-bucketed); history is never rewritten, only appended + the
+    closed rows' valid_to updated (the delta the MERGE emits).
+    Output: the resulting history's shape — row counts and price
+    checksums per (valid_from, open/closed) stratum."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    old = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", cents.alias("p_old")
+    )
+    new = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, (cents * 11 / 10).cast("bigint"))
+        .otherwise(cents)
+        .alias("p_new"),
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    carried = j.filter(
+        F.col("p_old").isNotNull()
+        & F.col("p_new").isNotNull()
+        & (F.col("p_old") == F.col("p_new"))
+    ).select(F.lit(1).alias("valid_from"), F.lit(None).cast("int").alias("valid_to"), F.col("p_old").alias("price"))
+    closed = j.filter(
+        F.col("p_old").isNotNull()
+        & (F.col("p_new").isNull() | (F.col("p_old") != F.col("p_new")))
+    ).select(F.lit(1).alias("valid_from"), F.lit(2).cast("int").alias("valid_to"), F.col("p_old").alias("price"))
+    opened = j.filter(
+        F.col("p_new").isNotNull()
+        & (F.col("p_old").isNull() | (F.col("p_old") != F.col("p_new")))
+    ).select(F.lit(2).alias("valid_from"), F.lit(None).cast("int").alias("valid_to"), F.col("p_new").alias("price"))
+    hist = carried.unionByName(closed).unionByName(opened)
+    return (
+        hist.groupBy("valid_from", "valid_to")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").alias("price_cents_sum"),
+        )
+        .orderBy("valid_from", "valid_to")
+    )
+
+
+ORACLE["scd2_apply_snapshot"] = """
+WITH cents AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+old AS (
+  SELECT o_orderkey, c AS p_old FROM cents WHERE o_orderkey % 10 != 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN (c * 11) // 10 ELSE c END AS p_new
+  FROM cents WHERE o_orderkey % 7 != 0
+),
+j AS (SELECT * FROM old FULL OUTER JOIN new USING (o_orderkey)),
+hist AS (
+  SELECT 1 AS valid_from, CAST(NULL AS INT) AS valid_to, p_old AS price
+  FROM j WHERE p_old IS NOT NULL AND p_new IS NOT NULL AND p_old = p_new
+  UNION ALL
+  SELECT 1, 2, p_old
+  FROM j WHERE p_old IS NOT NULL AND (p_new IS NULL OR p_old != p_new)
+  UNION ALL
+  SELECT 2, CAST(NULL AS INT), p_new
+  FROM j WHERE p_new IS NOT NULL AND (p_old IS NULL OR p_old != p_new)
+)
+SELECT valid_from, valid_to, count(*) AS n_rows,
+       CAST(sum(price) AS BIGINT) AS price_cents_sum
+FROM hist
+GROUP BY valid_from, valid_to
+ORDER BY valid_from, valid_to
+"""
+
+
 QUERIES = {
     "incremental_agg_merge": incremental_agg_merge,
     "snapshot_diff": snapshot_diff,
     "scd2_point_in_time": scd2_point_in_time,
+    "scd2_apply_snapshot": scd2_apply_snapshot,
 }
