@@ -1054,10 +1054,77 @@ ORDER BY t.source
 """
 
 
+AES_K = 20  # weighted sample size
+
+
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly {k} items, by
+    the Efraimidis–Spirakis A-ES scheme: each doc draws u ∈ (0,1)
+    and is ranked by u^(1/w) (computed as ln(u)/w — same order,
+    no pow) with w = n_chars, so longer documents win
+    proportionally more often yet every doc remains reachable —
+    the distributed-standard algorithm because the rank key is
+    computed row-locally and top-k is MERGEABLE (the same two-phase
+    local-prune-then-global-k as ``sample_reservoir_per_key``;
+    ``sample_quality_weighted`` is the Bernoulli expected-rate
+    cousin, this one guarantees the exact sample size). u is the
+    md5-derived fraction in (0,1) — deterministic, replayable,
+    engine-reproducible; strictly positive so ln() is total."""
+    from mapreduce_rust_spark.functions.text import hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        hash64(F.concat(F.lit("aes:"), F.col("doc_id").cast("string")))
+        % 1048576
+        + 1
+    ) / F.lit(1048577.0)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    base = docs.select("doc_id", "source", "n_chars", key.alias("k"))
+    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("k").desc(), "doc_id"
+    )
+    pruned = base.withColumn("lrn", F.row_number().over(local_w)).filter(
+        F.col("lrn") <= AES_K
+    )
+    global_w = Window.partitionBy().orderBy(F.col("k").desc(), "doc_id")
+    return (
+        pruned.withColumn("rnk", F.row_number().over(global_w))
+        .filter(F.col("rnk") <= AES_K)
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "doc_id",
+            "source",
+            "n_chars",
+        )
+        .orderBy("rnk")
+    )
+
+
+sample_weighted_topk.__doc__ = sample_weighted_topk.__doc__.format(k=AES_K)
+
+
+ORACLE["sample_weighted_topk"] = f"""
+SELECT CAST(rnk AS INT) AS rnk, doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           ORDER BY ln((('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 1048576 + 1) / CAST(1048577 AS DOUBLE))
+                    / CAST(n_chars AS DOUBLE) DESC,
+                    doc_id
+         ) AS rnk
+  FROM documents
+)
+WHERE rnk <= {AES_K}
+ORDER BY rnk
+"""
+
+
 QUERIES = {
     "sample_hash_deterministic": sample_hash_deterministic,
     "sample_reservoir_per_key": sample_reservoir_per_key,
     "corpus_domain_cap": corpus_domain_cap,
+    "sample_weighted_topk": sample_weighted_topk,
     "sample_temperature": sample_temperature,
     "corpus_cdc_chunks": corpus_cdc_chunks,
     "tfidf_top_terms": tfidf_top_terms,

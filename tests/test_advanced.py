@@ -630,3 +630,29 @@ def test_round5_late_ops_degenerate_inputs(spark, monkeypatch):
     rows = sim.dedup_semantic_cluster(spark, "x").collect()
     assert sum(r["n_dropped"] for r in rows) == 0
     assert sum(r["n_kept"] for r in rows) == 8
+
+
+def test_weighted_topk_partitioning_invariant_and_weight_tilted(spark, monkeypatch):
+    """A-ES weighted top-k must be identical under any physical
+    layout, and heavier docs must be overrepresented relative to a
+    uniform sample."""
+    from mapreduce_rust_spark.operators import corpus as cp
+
+    rows = [
+        (i, f"t{i}", "en", "s", 10 if i < 180 else 10_000)
+        for i in range(200)
+    ]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    df = spark.createDataFrame(rows, schema)
+
+    def run(frame):
+        monkeypatch.setattr(cp, "load_table", lambda s, d, n: frame)
+        return [tuple(r) for r in cp.sample_weighted_topk(spark, "x").collect()]
+
+    a = run(df.coalesce(1))
+    b = run(df.repartition(17))
+    assert a == b and len(a) == cp.AES_K
+    # 20 heavy docs (w=10000) vs 180 light (w=10): heavy docs should
+    # dominate the k=20 sample by a wide margin
+    heavy = sum(1 for _, doc_id, _, _ in a if doc_id >= 180)
+    assert heavy >= cp.AES_K // 2
