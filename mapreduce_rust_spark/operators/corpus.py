@@ -658,6 +658,67 @@ GROUP BY 1 ORDER BY 1
 ORACLE["sample_quality_weighted"] = _quality_weighted_oracle()
 
 
+def corpus_quality_calibrated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE quality calibration: keep each source's top half by
+    WITHIN-SOURCE percent-rank of the quality score, not by a global
+    threshold — the fix for score-scale drift across crawls/dumps (a
+    global cutoff silently drops entire sources whose scorer runs
+    cold and keeps all of an inflated one; rank-normalizing first
+    makes the gate mean the same thing everywhere — the per-dump
+    thresholding pattern of modern web-corpus pipelines). Census per
+    source: docs, kept, mean quality overall vs kept. At 100 TB the
+    window becomes a two-pass: per-source score HISTOGRAMS
+    (partial-aggregatable) pick each source's cut point, then one
+    fused-filter scan applies it — same semantics, no per-source
+    sort; at test scale the direct window states the contract."""
+    from mapreduce_rust_spark.operators.text_analysis import quality_scores
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    q = quality_scores(docs, "doc_id", "text").select("doc_id", "quality_score")
+    d = docs.select("doc_id", "source").join(q, "doc_id")
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    labeled = d.withColumn(
+        "kept", (F.percent_rank().over(w) >= 0.5).cast("bigint")
+    )
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            fround(F.avg("quality_score"), 4).alias("avg_quality_all"),
+            fround(
+                F.avg(F.when(F.col("kept") == 1, F.col("quality_score"))), 4
+            ).alias("avg_quality_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _quality_calibrated_oracle() -> str:
+    from mapreduce_rust_spark.operators.text_analysis import _quality_sql
+
+    return f"""
+WITH q AS ({_quality_sql()}),
+labeled AS (
+  SELECT d.source, q.quality_score,
+         CASE WHEN percent_rank() OVER (
+                PARTITION BY d.source
+                ORDER BY q.quality_score, d.doc_id) >= 0.5
+              THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN q USING (doc_id)
+)
+SELECT source, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
+       {fround_sql("avg(quality_score)", 4)} AS avg_quality_all,
+       {fround_sql("avg(CASE WHEN kept = 1 THEN quality_score END)", 4)}
+         AS avg_quality_kept
+FROM labeled
+GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE["corpus_quality_calibrated_filter"] = _quality_calibrated_oracle()
+
+
 def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-length distribution report — the input to every
     truncation / context-window / packing decision: docs and token
@@ -1125,6 +1186,7 @@ QUERIES = {
     "sample_reservoir_per_key": sample_reservoir_per_key,
     "corpus_domain_cap": corpus_domain_cap,
     "sample_weighted_topk": sample_weighted_topk,
+    "corpus_quality_calibrated_filter": corpus_quality_calibrated_filter,
     "sample_temperature": sample_temperature,
     "corpus_cdc_chunks": corpus_cdc_chunks,
     "tfidf_top_terms": tfidf_top_terms,
