@@ -692,6 +692,99 @@ ORDER BY 1
 """
 
 
+PSI_BINS = 10
+
+
+def table_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two data slices — the
+    tabular-feature drift metric (scorecard/feature-monitoring
+    standard): bin the metric, compare the two slices' bin shares p,q
+    with PSI = Σ (p−q)·ln(p/q); rule-of-thumb alerts at 0.1 (drift)
+    and 0.25 (major shift). Slices here are the deterministic
+    even/odd event split (the embedding twin is
+    ``embedding_centroid_drift``); bins are FIXED width (unit-wide on
+    ``value``) so edges are engine-independent, and shares are
+    +1-smoothed so ln() is total even for empty bins. Two
+    partial-aggregatable histogram passes over disjoint slices → a
+    |bins|-sized join; nothing row-sized survives the first
+    aggregation. Per-bin contributions are emitted (the 'which
+    feature range moved' diagnostic), not just the scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    half = (F.col("event_id") % 2).alias("half")
+    binc = F.least(
+        F.greatest(F.floor("value").cast("int"), F.lit(0)), F.lit(PSI_BINS - 1)
+    ).alias("bin")
+    counts = ev.select(half, binc).groupBy("half", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # explicit bin spine: +1 smoothing must cover bins EMPTY on one
+    # side (that is the whole point of smoothing), so every bin gets
+    # a row per half before shares are formed
+    spine = spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+
+    def side(h, n_name, s_name):
+        cnt = counts.filter(F.col("half") == h).select("bin", "n")
+        tot = cnt.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("tot"))
+        return (
+            spine.join(cnt, "bin", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "bin",
+                F.coalesce("n", F.lit(0)).alias(n_name),
+                (
+                    (F.coalesce("n", F.lit(0)) + 1)
+                    / (F.col("tot") + PSI_BINS).cast("double")
+                ).alias(s_name),
+            )
+        )
+
+    ref = side(0, "n_ref", "p")
+    cur = side(1, "n_cur", "q")
+    return (
+        ref.join(cur, "bin")
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            fround(
+                (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6
+            ).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE["table_drift_psi"] = f"""
+WITH counts AS (
+  SELECT event_id % 2 AS half,
+         least(greatest(CAST(floor(value) AS INT), 0), {PSI_BINS - 1}) AS bin,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+spine AS (SELECT CAST(u.b AS INT) AS bin FROM unnest(range(0, {PSI_BINS})) u(b)),
+ref AS (
+  SELECT s.bin, coalesce(c.n, 0) AS n_ref,
+         (coalesce(c.n, 0) + 1)
+           / CAST((SELECT coalesce(sum(n), 0) FROM counts WHERE half = 0)
+                  + {PSI_BINS} AS DOUBLE) AS p
+  FROM spine s LEFT JOIN (SELECT bin, n FROM counts WHERE half = 0) c USING (bin)
+),
+cur AS (
+  SELECT s.bin, coalesce(c.n, 0) AS n_cur,
+         (coalesce(c.n, 0) + 1)
+           / CAST((SELECT coalesce(sum(n), 0) FROM counts WHERE half = 1)
+                  + {PSI_BINS} AS DOUBLE) AS q
+  FROM spine s LEFT JOIN (SELECT bin, n FROM counts WHERE half = 1) c USING (bin)
+)
+SELECT bin,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       {fround_sql('(p - q) * ln(p / q)', 6)} AS psi_term
+FROM ref JOIN cur USING (bin)
+ORDER BY bin
+"""
+
+
 # Name-heuristic FK candidates (child table/col → parent table/col):
 # the standard profiling shortcut — generate candidates from naming
 # conventions, then VERIFY each against the data. Verification, not
@@ -861,6 +954,7 @@ ORACLE["table_skew_report"] = _skew_report_oracle()
 QUERIES = {
     "table_profile": table_profile,
     "table_skew_report": table_skew_report,
+    "table_drift_psi": table_drift_psi,
     "table_histogram": table_histogram,
     "corr_matrix": corr_matrix,
     "quantile_bins": quantile_bins,

@@ -148,10 +148,10 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+).
-# ROUND-6 ROTATION ORDER: the first 35 entries below (through
-# corpus_quality_calibrated_filter) have NO driver-side oracle evidence yet —
-# 17 late-round-5 additions plus the 18 end-of-round-5 additions
-# (ann_topk_hamming … corpus_quality_calibrated_filter) — and must be promoted
+# ROUND-6 ROTATION ORDER: the first 37 entries below (through
+# table_drift_psi) have NO driver-side oracle evidence yet —
+# 17 late-round-5 additions plus the 20 end-of-round-5 additions
+# (ann_topk_hamming … table_drift_psi) — and must be promoted
 # into _PRIORITY first; the TPC-H/parity tail behind them is
 # round-1-only-evidence backfill for the remaining slots.
 _NEXT_WINDOW: tuple[str, ...] = (
@@ -190,6 +190,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "scd2_apply_snapshot",
     "sample_weighted_topk",
     "corpus_quality_calibrated_filter",
+    "corpus_chunk_overlap",
+    "table_drift_psi",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
