@@ -272,20 +272,36 @@ def scd2_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p_new"),
     )
     j = old.join(new, "o_orderkey", "full_outer")
-    carried = j.filter(
+    # one joined row emits its 1-2 history rows as an array→explode,
+    # so the MERGE is ONE full-outer join and one scan pair — the
+    # three-branch union form re-planned the join per branch (6 joins
+    # / 12 scans in the physical plan)
+    row = lambda vf, vt, price: F.struct(
+        F.lit(vf).alias("valid_from"),
+        (F.lit(vt) if vt is not None else F.lit(None)).cast("int").alias("valid_to"),
+        price.alias("price"),
+    )
+    carried = F.when(
         F.col("p_old").isNotNull()
         & F.col("p_new").isNotNull()
-        & (F.col("p_old") == F.col("p_new"))
-    ).select(F.lit(1).alias("valid_from"), F.lit(None).cast("int").alias("valid_to"), F.col("p_old").alias("price"))
-    closed = j.filter(
+        & (F.col("p_old") == F.col("p_new")),
+        row(1, None, F.col("p_old")),
+    )
+    closed = F.when(
         F.col("p_old").isNotNull()
-        & (F.col("p_new").isNull() | (F.col("p_old") != F.col("p_new")))
-    ).select(F.lit(1).alias("valid_from"), F.lit(2).cast("int").alias("valid_to"), F.col("p_old").alias("price"))
-    opened = j.filter(
+        & (F.col("p_new").isNull() | (F.col("p_old") != F.col("p_new"))),
+        row(1, 2, F.col("p_old")),
+    )
+    opened = F.when(
         F.col("p_new").isNotNull()
-        & (F.col("p_old").isNull() | (F.col("p_old") != F.col("p_new")))
-    ).select(F.lit(2).alias("valid_from"), F.lit(None).cast("int").alias("valid_to"), F.col("p_new").alias("price"))
-    hist = carried.unionByName(closed).unionByName(opened)
+        & (F.col("p_old").isNull() | (F.col("p_old") != F.col("p_new"))),
+        row(2, None, F.col("p_new")),
+    )
+    hist = j.select(
+        F.explode(
+            F.filter(F.array(carried, closed, opened), lambda x: x.isNotNull())
+        ).alias("r")
+    ).select("r.*")
     return (
         hist.groupBy("valid_from", "valid_to")
         .agg(
