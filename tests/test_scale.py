@@ -795,3 +795,45 @@ def test_kmv_pairwise_runs_on_sketches_not_corpus(spark, sf_dir):
 
     p = plan_str(sketch_kmv_jaccard(spark, sf_dir))
     assert "CartesianProduct" not in p
+
+
+def test_weighted_topk_local_prune_before_global(spark, sf_dir):
+    """A-ES sampling must prune per partition before the single
+    global top-k window."""
+    from mapreduce_rust_spark.operators.corpus import sample_weighted_topk
+
+    p = plan_str(sample_weighted_topk(spark, sf_dir))
+    assert p.count("Window") >= 2
+    assert "SPARK_PARTITION_ID" in p.upper() or "spark_partition_id" in p
+
+
+def test_chunk_overlap_single_scan_no_join(spark, sf_dir):
+    """Chunking must be one scan feeding one aggregation — the chunk
+    count rides along before the explode, so no join-back and no
+    second evaluation of the slice chain."""
+    from mapreduce_rust_spark.operators.corpus import corpus_chunk_overlap
+
+    p = plan_str(corpus_chunk_overlap(spark, sf_dir))
+    assert "Join" not in p
+    # formatted plans print each scan node twice (tree + details)
+    assert p.count("Scan parquet") <= 2
+
+
+def test_drift_psi_broadcasts_totals_no_cartesian(spark, sf_dir):
+    """PSI joins a 10-row spine against per-half counts with
+    broadcast totals — nothing corpus-sized may reach the join."""
+    from mapreduce_rust_spark.operators.profiling import table_drift_psi
+
+    p = plan_str(table_drift_psi(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+
+
+def test_scd2_apply_single_join_pair(spark, sf_dir):
+    """The MERGE must not re-plan the snapshot join per action branch:
+    the engine's full-outer rewrite yields at most 2 join nodes / 4
+    scans (the 3-branch union form showed 6 joins / 12 scans)."""
+    from mapreduce_rust_spark.plans.incremental import scd2_apply_snapshot
+
+    p = plan_str(scd2_apply_snapshot(spark, sf_dir))
+    assert p.count("Scan parquet") <= 4
