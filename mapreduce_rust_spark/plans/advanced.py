@@ -1020,8 +1020,86 @@ ORDER BY p.s1, p.s2
 """
 
 
+SLIDING_HOURS = 6
+
+
+def sketch_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-WINDOW distinct users from PRE-AGGREGATED sketches —
+    the pattern that makes trailing-window cardinality affordable at
+    100 TB: build ONE HLL sketch per hour (a per-hour scan that never
+    re-reads history), then answer "distinct users over the trailing
+    {h} h" for every hour by MERGING ≤{h} sketches — versus the naive
+    form that re-scans the whole trailing window per evaluation
+    point. Merge is the DataSketches union (`hll_union_agg`) over a
+    spine×offset self-join of the tiny hourly-sketch table. Estimate
+    contract as in ``approx_distinct``/``sketch_union_distinct``:
+    the oracle-checkable surface is the exact trailing distinct plus
+    the within-tolerance boolean (engine sketches differ bit-wise;
+    their error CONTRACT is the invariant)."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+    hourly = ev.select(hr.alias("h"), "user_id").groupBy("h").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    offs = spark.range(SLIDING_HOURS).select(F.col("id").alias("off"))
+    merged = (
+        hourly.select(F.col("h").alias("h2"), "sk")
+        .join(F.broadcast(offs))
+        .select((F.col("h2") + F.col("off")).alias("h"), "sk", "h2")
+        .join(hourly.select(F.col("h").alias("h")), "h", "left_semi")
+        .groupBy("h")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    pairs = ev.select(hr.alias("h2"), "user_id").distinct()
+    exact = (
+        pairs.join(F.broadcast(offs))
+        .select((F.col("h2") + F.col("off")).alias("h"), "user_id")
+        .join(hourly.select("h"), "h", "left_semi")
+        .groupBy("h")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        exact.join(merged, "h")
+        .select(
+            "h",
+            "exact_users",
+            (
+                F.abs(F.col("est").cast("double") - F.col("exact_users").cast("double"))
+                <= F.lit(0.15) * F.col("exact_users").cast("double")
+            ).alias("within_tol"),
+        )
+        .orderBy("h")
+    )
+
+
+sketch_sliding_distinct.__doc__ = sketch_sliding_distinct.__doc__.format(
+    h=SLIDING_HOURS
+)
+
+
+ORACLE["sketch_sliding_distinct"] = f"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h2, user_id
+  FROM events
+),
+hours AS (SELECT DISTINCT h2 AS h FROM pairs),
+windowed AS (
+  SELECT p.h2 + o.off AS h, p.user_id
+  FROM pairs p
+  CROSS JOIN (SELECT unnest(range(0, {SLIDING_HOURS})) AS off) o
+  WHERE p.h2 + o.off IN (SELECT h FROM hours)
+)
+SELECT h, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS within_tol
+FROM windowed
+GROUP BY h
+ORDER BY h
+"""
+
+
 QUERIES = {
     "sketch_kmv_jaccard": sketch_kmv_jaccard,
+    "sketch_sliding_distinct": sketch_sliding_distinct,
     "asof_join": asof_join_q,
     "udtf_dynamic_topwords": udtf_dynamic_topwords,
     "sketch_cms_counts": sketch_cms_counts_q,

@@ -148,10 +148,10 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+).
-# ROUND-6 ROTATION ORDER: the first 37 entries below (through
-# table_drift_psi) have NO driver-side oracle evidence yet —
-# 17 late-round-5 additions plus the 20 end-of-round-5 additions
-# (ann_topk_hamming … table_drift_psi) — and must be promoted
+# ROUND-6 ROTATION ORDER: the first 38 entries below (through
+# sketch_sliding_distinct) have NO driver-side oracle evidence yet —
+# 17 late-round-5 additions plus the 21 end-of-round-5 additions
+# (ann_topk_hamming … sketch_sliding_distinct) — and must be promoted
 # into _PRIORITY first; the TPC-H/parity tail behind them is
 # round-1-only-evidence backfill for the remaining slots.
 _NEXT_WINDOW: tuple[str, ...] = (
@@ -192,6 +192,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "corpus_quality_calibrated_filter",
     "corpus_chunk_overlap",
     "table_drift_psi",
+    "sketch_sliding_distinct",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
