@@ -161,6 +161,52 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def sink_bloom_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet BLOOM FILTERS for point-lookup pruning — the layout
+    trick for the case min/max statistics can't help: a point
+    predicate on an UNSORTED high-cardinality key (every row group's
+    [min,max] spans the whole key space, so stats prune nothing,
+    while a per-row-group bloom filter rejects groups that
+    definitely lack the probed keys). Write lineitem with
+    ``parquet.bloom.filter.enabled#l_partkey`` and re-read with an
+    IN-list — the filter is pushed to the scan (plan-asserted in
+    tests/test_scale.py) and the reader consults the blooms before
+    decoding pages. The oracle proves the bloom layout drops nothing
+    (false positives cost IO, never rows). Complements
+    ``sink_sorted_stats_prune`` (range predicates / clustered
+    layout) and ``sink_zorder_prune`` (multi-column)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    out = os.path.join(scratch_dir(prefix="mrs_bloom_"), "lineitem")
+    (
+        li.repartition(8)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_partkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_partkey", "50000")
+        .parquet(out)
+    )
+    keys = [1, 7, 13, 19, 23]
+    back = spark.read.parquet(out).filter(F.col("l_partkey").isin(keys))
+    return (
+        back.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+ORACLE["sink_bloom_filter_prune"] = """
+SELECT l_partkey, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_partkey IN (1, 7, 13, 19, 23)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-table storage: orders and customer both bucketed on
     the customer key, then joined — the recurring-join layout that
@@ -447,5 +493,6 @@ QUERIES = {
     "sink_bucketed_join": sink_bucketed_join,
     "source_schema_evolution": source_schema_evolution,
     "sink_sorted_stats_prune": sink_sorted_stats_prune,
+    "sink_bloom_filter_prune": sink_bloom_filter_prune,
     "sink_zorder_prune": sink_zorder_prune,
 }

@@ -837,3 +837,12 @@ def test_scd2_apply_single_join_pair(spark, sf_dir):
 
     p = plan_str(scd2_apply_snapshot(spark, sf_dir))
     assert p.count("Scan parquet") <= 4
+
+
+def test_bloom_prune_pushes_in_list_to_scan(spark, sf_dir):
+    """The point IN-list must reach the written-parquet scan as a
+    pushed filter (the bloom filters act below that, per row group)."""
+    from mapreduce_rust_spark.sources.formats import sink_bloom_filter_prune
+
+    p = plan_str(sink_bloom_filter_prune(spark, sf_dir))
+    assert "PushedFilters: [In(l_partkey" in p
