@@ -491,7 +491,106 @@ ORDER BY n_media DESC, n_occurrences DESC, chunk_sha
 """
 
 
+WDS_SHARD_BYTES = 65536  # tar-shard byte budget
+_TAR_HDR = 512
+
+
+def multimodal_webdataset_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style TAR SHARD INDEX — the layout multimodal
+    training loaders stream: samples packed in-order into fixed-budget
+    tar shards, each sample costing a {hdr}-byte header plus its
+    payload padded to the {hdr}-byte tar block grid. The index (per
+    source × shard: item count, payload vs on-tar bytes, id range,
+    in-shard byte offsets derived) is what a 1000-worker data loader
+    uses to open shards independently — no central directory, no
+    scan. All layout math is window prefix sums over integer sizes
+    (the ``pack_shards`` shape): one shuffle keyed on source, exact
+    in every engine. The padding overhead column is the storage-
+    efficiency readout (tiny text samples → headers dominate — the
+    reason WebDataset recommends batching small samples)."""
+    docs = load_table(spark, sf_dir, "documents")
+    items = media_from_documents(docs).select("media_id", "src", "n_bytes")
+    entry = (
+        F.lit(_TAR_HDR)
+        + F.ceil(F.col("n_bytes") / _TAR_HDR).cast("bigint") * _TAR_HDR
+    )
+    from pyspark.sql import Window as W
+
+    prior = (
+        W.partitionBy("src")
+        .orderBy("media_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sized = items.select(
+        "media_id", "src", "n_bytes", entry.alias("entry_bytes")
+    ).withColumn(
+        "run", F.coalesce(F.sum("entry_bytes").over(prior), F.lit(0))
+    )
+    sharded = sized.withColumn(
+        "shard_id", F.floor(F.col("run") / WDS_SHARD_BYTES).cast("int")
+    )
+    return (
+        sharded.groupBy("src", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").cast("bigint").alias("payload_bytes"),
+            F.sum("entry_bytes").cast("bigint").alias("tar_bytes"),
+            F.min("media_id").alias("first_id"),
+            F.max("media_id").alias("last_id"),
+        )
+        .withColumn(
+            "overhead_pct",
+            F.floor(
+                (F.col("tar_bytes") - F.col("payload_bytes"))
+                * 10000
+                / F.col("tar_bytes")
+            ).cast("bigint"),
+        )
+        .orderBy("src", "shard_id")
+    )
+
+
+multimodal_webdataset_index.__doc__ = multimodal_webdataset_index.__doc__.format(
+    hdr=_TAR_HDR
+)
+
+
+ORACLE["multimodal_webdataset_index"] = f"""
+WITH items AS (
+  SELECT doc_id AS media_id, source AS src,
+         octet_length(encode(text)) AS n_bytes,
+         {_TAR_HDR} + CAST(ceil(octet_length(encode(text))
+                                / CAST({_TAR_HDR} AS DOUBLE))
+                           AS BIGINT) * {_TAR_HDR} AS entry_bytes
+  FROM documents
+),
+runs AS (
+  SELECT media_id, src, n_bytes, entry_bytes,
+         coalesce(sum(entry_bytes) OVER (
+           PARTITION BY src ORDER BY media_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+  FROM items
+),
+sharded AS (
+  SELECT *, CAST(floor(run / CAST({WDS_SHARD_BYTES} AS DOUBLE)) AS INT)
+           AS shard_id
+  FROM runs
+)
+SELECT src, shard_id, count(*) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS payload_bytes,
+       CAST(sum(entry_bytes) AS BIGINT) AS tar_bytes,
+       min(media_id) AS first_id, max(media_id) AS last_id,
+       CAST(floor((sum(entry_bytes) - sum(n_bytes)) * 10000
+                  / CAST(sum(entry_bytes) AS DOUBLE)) AS BIGINT)
+         AS overhead_pct
+FROM sharded
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "multimodal_webdataset_index": multimodal_webdataset_index,
     "multimodal_meta": multimodal_meta,
     "multimodal_decode_fake": multimodal_decode_fake,
     "multimodal_resize": multimodal_resize,

@@ -148,10 +148,10 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+).
-# ROUND-6 ROTATION ORDER: the first 39 entries below (through
-# sink_bloom_filter_prune) have NO driver-side oracle evidence yet —
-# 17 late-round-5 additions plus the 22 end-of-round-5 additions
-# (ann_topk_hamming … sink_bloom_filter_prune) — and must be promoted
+# ROUND-6 ROTATION ORDER: the first 40 entries below (through
+# multimodal_webdataset_index) have NO driver-side oracle evidence yet —
+# 17 late-round-5 additions plus the 23 end-of-round-5 additions
+# (ann_topk_hamming … multimodal_webdataset_index) — and must be promoted
 # into _PRIORITY first; the TPC-H/parity tail behind them is
 # round-1-only-evidence backfill for the remaining slots.
 _NEXT_WINDOW: tuple[str, ...] = (
@@ -194,6 +194,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "table_drift_psi",
     "sketch_sliding_distinct",
     "sink_bloom_filter_prune",
+    "multimodal_webdataset_index",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
