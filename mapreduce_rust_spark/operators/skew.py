@@ -184,7 +184,137 @@ LIMIT 10
 """
 
 
+RING_SHARDS = 8
+RING_VNODES = 8  # virtual nodes per shard
+
+
+def _ring(spark: SparkSession, n_shards: int) -> DataFrame:
+    """Hash-ring vnode table for ``n_shards`` shards: (shard, vh).
+    Tiny (shards × vnodes rows) — always broadcast."""
+    from mapreduce_rust_spark.functions.text import hash64
+
+    rows = [(s, v) for s in range(n_shards) for v in range(RING_VNODES)]
+    ring = spark.createDataFrame(rows, "shard int, v int")
+    return ring.select(
+        "shard",
+        hash64(
+            F.concat(
+                F.lit("ring:"),
+                F.col("shard").cast("string"),
+                F.lit(":"),
+                F.col("v").cast("string"),
+            )
+        ).alias("vh"),
+    )
+
+
+def _assign(docs: DataFrame, ring: DataFrame) -> DataFrame:
+    """(doc_id, shard): each key goes to the first vnode clockwise
+    from its hash (wraparound to the ring's global minimum)."""
+    from mapreduce_rust_spark.functions.text import hash64
+
+    keyed = docs.select(
+        "doc_id",
+        hash64(F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))).alias(
+            "hd"
+        ),
+    )
+    joined = keyed.crossJoin(F.broadcast(ring))
+    pick = F.min(
+        F.struct(
+            F.when(F.col("vh") >= F.col("hd"), 0).otherwise(1).alias("wrap"),
+            F.col("vh").alias("vh"),
+            F.col("shard").alias("shard"),
+        )
+    )
+    return joined.groupBy("doc_id").agg(pick.alias("p")).select(
+        "doc_id", F.col("p.shard").alias("shard")
+    )
+
+
+def skew_consistent_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSISTENT HASHING shard assignment, with the elasticity
+    property measured: keys map to the first vnode clockwise on an
+    md5 hash ring ({s}×{v} virtual nodes); growing the ring to
+    {s1} shards re-homes ONLY the keys whose successor vnode now
+    belongs to the new shard — ~1/{s1} of the corpus — while a plain
+    ``hash(key) % n`` reshuffles almost everything. This is the
+    partitioning scheme routers/caches/shard-maps use when shard
+    count must change without a full rebalance. Per shard: load
+    before, load after, keys lost to the new shard; the vnode tables
+    are broadcast (shards×vnodes rows), so cost is one scan + one
+    small aggregation per ring. The unit test pins the invariant
+    that every moved key lands on the NEW shard."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a8 = _assign(docs, _ring(spark, RING_SHARDS)).withColumnRenamed(
+        "shard", "shard_before"
+    )
+    a9 = _assign(docs, _ring(spark, RING_SHARDS + 1)).withColumnRenamed(
+        "shard", "shard_after"
+    )
+    both = a8.join(a9, "doc_id")
+    return (
+        both.groupBy("shard_before")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(
+                (F.col("shard_after") == F.col("shard_before")).cast("bigint")
+            ).alias("n_stayed"),
+            F.sum(
+                (F.col("shard_after") != F.col("shard_before")).cast("bigint")
+            ).alias("n_moved"),
+        )
+        .orderBy("shard_before")
+    )
+
+
+skew_consistent_shards.__doc__ = skew_consistent_shards.__doc__.format(
+    s=RING_SHARDS, v=RING_VNODES, s1=RING_SHARDS + 1
+)
+
+
+def _ring_sql(n_shards: int) -> str:
+    rows = ", ".join(
+        f"({s}, ('0x' || substr(md5('ring:{s}:{v}'), 1, 15))::BIGINT)"
+        for s in range(n_shards)
+        for v in range(RING_VNODES)
+    )
+    return f"(VALUES {rows}) AS ring(shard, vh)"
+
+
+def _assign_sql(n_shards: int) -> str:
+    return f"""
+  SELECT doc_id, shard FROM (
+    SELECT k.doc_id, ring.shard,
+           row_number() OVER (
+             PARTITION BY k.doc_id
+             ORDER BY CASE WHEN ring.vh >= k.hd THEN 0 ELSE 1 END, ring.vh)
+             AS rn
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS hd
+          FROM documents) k
+    CROSS JOIN {_ring_sql(n_shards)}
+  ) t WHERE rn = 1
+"""
+
+
+ORACLE["skew_consistent_shards"] = f"""
+WITH a8 AS ({_assign_sql(RING_SHARDS)}),
+a9 AS ({_assign_sql(RING_SHARDS + 1)})
+SELECT a8.shard AS shard_before,
+       count(*) AS n_before,
+       CAST(sum(CASE WHEN a9.shard = a8.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stayed,
+       CAST(sum(CASE WHEN a9.shard != a8.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved
+FROM a8 JOIN a9 USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "skew_consistent_shards": skew_consistent_shards,
     "skew_salted_agg": skew_salted_agg,
     "skew_salted_join": skew_salted_join,
     "skew_top_hot_keys": skew_top_hot_keys,

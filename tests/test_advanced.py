@@ -656,3 +656,32 @@ def test_weighted_topk_partitioning_invariant_and_weight_tilted(spark, monkeypat
     # dominate the k=20 sample by a wide margin
     heavy = sum(1 for _, doc_id, _, _ in a if doc_id >= 180)
     assert heavy >= cp.AES_K // 2
+
+
+def test_consistent_hashing_moves_only_to_new_shard(spark):
+    """The elasticity invariant: growing the ring from N to N+1
+    shards may move a key ONLY to the new shard (old-shard vnodes are
+    identical in both rings), and the moved fraction is in the
+    ~1/(N+1) ballpark."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rust_spark.operators.skew import (
+        RING_SHARDS,
+        _assign,
+        _ring,
+    )
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = _assign(docs, _ring(spark, RING_SHARDS)).withColumnRenamed(
+        "shard", "s_before"
+    )
+    b = _assign(docs, _ring(spark, RING_SHARDS + 1)).withColumnRenamed(
+        "shard", "s_after"
+    )
+    j = a.join(b, "doc_id")
+    moved = j.filter(F.col("s_before") != F.col("s_after"))
+    # every moved key must land on the NEW shard
+    bad = moved.filter(F.col("s_after") != RING_SHARDS).count()
+    assert bad == 0
+    frac = moved.count() / 2000
+    assert 0.02 < frac < 0.35, frac
