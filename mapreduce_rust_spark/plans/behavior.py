@@ -545,7 +545,57 @@ ORDER BY 1
 """
 
 
+def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily NEW vs CUMULATIVE distinct users — computed the O(n)
+    way: a running count-distinct window is quadratic (every day
+    re-deduplicates all history), but "cumulative uniques at day d =
+    Σ users first seen ≤ d" needs only each user's FIRST-SEEN day
+    (one partial-aggregatable min per user), a per-day count, and a
+    running sum over the tiny day spine. This first-occurrence
+    reduction is the standard rewrite for every
+    cumulative-cardinality metric (signups, first purchases,
+    vocabulary growth) at any scale. A left join back to the spine of
+    ACTIVE days keeps days with zero new users in the report (their
+    new_users = 0, cumulative flat)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    first_seen = (
+        ev.select("user_id", day.alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("first_d"))
+        .groupBy(F.col("first_d").alias("d"))
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    spine = ev.select(day.alias("d")).distinct()
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        spine.join(first_seen, "d", "left")
+        .select("d", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .withColumn(
+            "cumulative_users", F.sum("new_users").over(w).cast("bigint")
+        )
+        .orderBy("d")
+    )
+
+
+ORACLE["events_cumulative_uniques"] = """
+WITH fs AS (
+  SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS d
+  FROM events GROUP BY 1
+),
+new_by_day AS (SELECT d, count(*) AS new_users FROM fs GROUP BY 1),
+spine AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d FROM events)
+SELECT s.d, CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(n.new_users, 0))
+              OVER (ORDER BY s.d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users
+FROM spine s LEFT JOIN new_by_day n USING (d)
+ORDER BY s.d
+"""
+
+
 QUERIES = {
+    "events_cumulative_uniques": events_cumulative_uniques,
     "event_attribution": event_attribution,
     "time_in_state": time_in_state,
     "ab_welch_ttest": ab_welch_ttest,

@@ -148,10 +148,10 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+).
-# ROUND-6 ROTATION ORDER: the first 41 entries below (through
-# skew_consistent_shards) have NO driver-side oracle evidence yet —
-# 17 late-round-5 additions plus the 24 end-of-round-5 additions
-# (ann_topk_hamming … skew_consistent_shards) — and must be promoted
+# ROUND-6 ROTATION ORDER: the first 42 entries below (through
+# events_cumulative_uniques) have NO driver-side oracle evidence yet —
+# 17 late-round-5 additions plus the 25 end-of-round-5 additions
+# (ann_topk_hamming … events_cumulative_uniques) — and must be promoted
 # into _PRIORITY first; the TPC-H/parity tail behind them is
 # round-1-only-evidence backfill for the remaining slots.
 _NEXT_WINDOW: tuple[str, ...] = (
@@ -196,6 +196,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "sink_bloom_filter_prune",
     "multimodal_webdataset_index",
     "skew_consistent_shards",
+    "events_cumulative_uniques",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
