@@ -1905,12 +1905,115 @@ ORDER BY label
 """
 
 
+def embedding_label_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QUALITY readout per label: cohesion (mean
+    cosine of members to their own label centroid) vs separation
+    (cosine of that centroid to its NEAREST other centroid) — the
+    silhouette-style margin that tells you whether labels are
+    separable in this embedding space before you train a classifier
+    or trust label-based hard-negative mining on it. Centroids are
+    one partial-aggregatable per-(label, dim) mean; cohesion is one
+    join of members to their (broadcast) centroid; separation is a
+    |labels|² centroid cross — all tiny next to the corpus scan."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cents = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+        # three consumers (cohesion join + both sides of the
+        # separation cross) — truncate so the per-(label, dim) mean
+        # pass over the corpus runs once, not three times
+        .localCheckpoint(eager=False)
+    )
+    withc = emb.join(
+        F.broadcast(cents.select(F.col("label"), F.col("c"))), "label"
+    )
+    coh = (
+        withc.select(
+            "label", fround(cosine_similarity(F.col("embedding"), F.col("c")), 6).alias("cs")
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            fround(F.avg("cs"), 4).alias("cohesion"),
+        )
+    )
+    a = cents.select(F.col("label"), F.col("c").alias("ca"))
+    b = cents.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    sep_w = W.partitionBy("label").orderBy(F.col("sep").desc(), "label_b")
+    sep = (
+        a.join(b, F.col("label") != F.col("label_b"))
+        .select(
+            "label",
+            "label_b",
+            fround(cosine_similarity(F.col("ca"), F.col("cb")), 6).alias("sep"),
+        )
+        .withColumn("rn", F.row_number().over(sep_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "label",
+            F.col("label_b").alias("nearest_label"),
+            fround(F.col("sep"), 4).alias("nearest_centroid_cos"),
+        )
+    )
+    return coh.join(sep, "label").orderBy("label")
+
+
+ORACLE["embedding_label_compactness"] = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+expl AS (
+  SELECT label, u.pos, u.x
+  FROM e, LATERAL (
+    SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos
+  ) u
+),
+cent AS (
+  SELECT label, list(m ORDER BY pos) AS c
+  FROM (SELECT label, pos, avg(x) AS m FROM expl GROUP BY 1, 2)
+  GROUP BY label
+),
+coh AS (
+  SELECT e.label, count(*) AS n_vecs,
+         floor(round(avg(
+           floor(round(list_cosine_similarity(e.v, c.c), 10) * 1000000)
+             / 1000000), 8) * 10000) / 10000 AS cohesion
+  FROM e JOIN cent c USING (label)
+  GROUP BY 1
+),
+sep AS (
+  SELECT label, nearest_label, nearest_centroid_cos FROM (
+    SELECT a.label, b.label AS nearest_label,
+           floor(round(
+             floor(round(list_cosine_similarity(a.c, b.c), 10) * 1000000)
+               / 1000000, 8) * 10000) / 10000 AS nearest_centroid_cos,
+           row_number() OVER (
+             PARTITION BY a.label
+             ORDER BY floor(round(list_cosine_similarity(a.c, b.c), 10)
+                            * 1000000) / 1000000 DESC,
+                      b.label) AS rn
+    FROM cent a JOIN cent b ON a.label != b.label
+  ) t WHERE rn = 1
+)
+SELECT label, n_vecs, cohesion, nearest_label, nearest_centroid_cos
+FROM coh JOIN sep USING (label)
+ORDER BY label
+"""
+
+
 QUERIES = {
     "ann_topk_hamming": ann_topk_hamming,
     "dedup_semantic_cluster": dedup_semantic_cluster,
     "ann_truncate_recall": ann_truncate_recall,
     "embedding_hard_negatives": embedding_hard_negatives,
     "embedding_centroid_drift": embedding_centroid_drift,
+    "embedding_label_compactness": embedding_label_compactness,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "embedding_outlier_mahalanobis": embedding_outlier_mahalanobis,
     "ann_nprobe_curve": ann_nprobe_curve,
