@@ -594,8 +594,78 @@ ORDER BY s.d
 """
 
 
+def funnel_negative_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE-pattern funnel: view → purchase with NO error in
+    between — the "clean conversion" question positive-step funnels
+    can't ask (did the user get through WITHOUT hitting the failure
+    state?). Per user: anchor = first view, conversion = first
+    purchase after it, blocked iff the first post-anchor error
+    precedes that purchase. Census over the four outcomes (no view /
+    no purchase after view / blocked by error / converted clean).
+    Two partial-aggregatable per-user reductions (anchor pass, then
+    post-anchor min-per-type pass) and key-sized joins — no
+    sequence explode, no per-user sort; the MATCH_RECOGNIZE-style
+    pattern reduced to min/compare algebra."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    anchors = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ta"))
+    )
+    allu = ev.select("user_id").distinct()
+    after = ev.join(anchors, "user_id").filter(F.col("ts") > F.col("ta"))
+    outcomes = after.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tc"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias("te"),
+    )
+    status = (
+        F.when(F.col("ta").isNull(), "no_view")
+        .when(F.col("tc").isNull(), "no_purchase_after_view")
+        .when(
+            F.col("te").isNotNull() & (F.col("te") < F.col("tc")),
+            "blocked_by_error",
+        )
+        .otherwise("converted_clean")
+    )
+    return (
+        allu.join(anchors, "user_id", "left")
+        .join(outcomes, "user_id", "left")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("status")
+    )
+
+
+ORACLE["funnel_negative_pattern"] = """
+WITH anchors AS (
+  SELECT user_id, min(ts) AS ta FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+allu AS (SELECT DISTINCT user_id FROM events),
+outcomes AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'purchase' THEN e.ts END) AS tc,
+         min(CASE WHEN e.event_type = 'error' THEN e.ts END) AS te
+  FROM events e JOIN anchors a USING (user_id)
+  WHERE e.ts > a.ta
+  GROUP BY 1
+)
+SELECT CASE WHEN a.ta IS NULL THEN 'no_view'
+            WHEN o.tc IS NULL THEN 'no_purchase_after_view'
+            WHEN o.te IS NOT NULL AND o.te < o.tc THEN 'blocked_by_error'
+            ELSE 'converted_clean' END AS status,
+       count(*) AS n_users
+FROM allu u
+LEFT JOIN anchors a USING (user_id)
+LEFT JOIN outcomes o USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "events_cumulative_uniques": events_cumulative_uniques,
+    "funnel_negative_pattern": funnel_negative_pattern,
     "event_attribution": event_attribution,
     "time_in_state": time_in_state,
     "ab_welch_ttest": ab_welch_ttest,

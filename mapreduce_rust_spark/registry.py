@@ -148,10 +148,10 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+).
-# ROUND-6 ROTATION ORDER: the first 43 entries below (through
-# embedding_label_compactness) have NO driver-side oracle evidence yet —
-# 17 late-round-5 additions plus the 26 end-of-round-5 additions
-# (ann_topk_hamming … embedding_label_compactness) — and must be promoted
+# ROUND-6 ROTATION ORDER: the first 44 entries below (through
+# funnel_negative_pattern) have NO driver-side oracle evidence yet —
+# 17 late-round-5 additions plus the 27 end-of-round-5 additions
+# (ann_topk_hamming … funnel_negative_pattern) — and must be promoted
 # into _PRIORITY first; the TPC-H/parity tail behind them is
 # round-1-only-evidence backfill for the remaining slots.
 _NEXT_WINDOW: tuple[str, ...] = (
@@ -198,6 +198,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "skew_consistent_shards",
     "events_cumulative_uniques",
     "embedding_label_compactness",
+    "funnel_negative_pattern",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
