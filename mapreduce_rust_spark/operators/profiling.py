@@ -785,6 +785,74 @@ ORDER BY bin
 """
 
 
+_FD_CANDIDATES: tuple[tuple[str, str, str], ...] = (
+    ("nation", "n_nationkey", "n_name"),
+    ("nation", "n_regionkey", "n_name"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+)
+
+
+def table_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY audit (Metanome-style profiling): for
+    each candidate ``lhs → rhs``, does every lhs value map to exactly
+    one rhs value? The dependency census that finds denormalization
+    opportunities, validates assumed invariants (key → attribute),
+    and catches silent data corruption (a 'held' FD that starts
+    violating). Per candidate: lhs group count, groups with >1
+    distinct rhs, max rhs fan-out, and the verdict — so a violated
+    candidate shows HOW violated, not just a boolean. Each check is
+    one two-level aggregation keyed on lhs (partial-aggregatable;
+    the violating-group count is |lhs|-sized, never row-sized)."""
+    from functools import reduce as _reduce
+
+    outs = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        per = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(F.col(lhs))
+            .agg(F.countDistinct(rhs).alias("n_rhs"))
+        )
+        outs.append(
+            per.agg(
+                F.count(F.lit(1)).alias("n_lhs_groups"),
+                F.sum((F.col("n_rhs") > 1).cast("bigint")).alias(
+                    "n_violating"
+                ),
+                F.max("n_rhs").cast("bigint").alias("max_fanout"),
+            ).select(
+                F.lit(tbl).alias("table_name"),
+                F.lit(f"{lhs}->{rhs}").alias("candidate"),
+                "n_lhs_groups",
+                "n_violating",
+                "max_fanout",
+                (F.col("n_violating") == 0).alias("fd_holds"),
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), outs).orderBy(
+        "table_name", "candidate"
+    )
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{tbl}' AS table_name, '{lhs}->{rhs}' AS candidate,
+       CAST(count(*) AS BIGINT) AS n_lhs_groups,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(max(n_rhs) AS BIGINT) AS max_fanout,
+       sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs
+      FROM {tbl} GROUP BY {lhs})""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY table_name, candidate"
+
+
+ORACLE["table_fd_discovery"] = _fd_oracle()
+
+
 # Name-heuristic FK candidates (child table/col → parent table/col):
 # the standard profiling shortcut — generate candidates from naming
 # conventions, then VERIFY each against the data. Verification, not
@@ -955,6 +1023,7 @@ QUERIES = {
     "table_profile": table_profile,
     "table_skew_report": table_skew_report,
     "table_drift_psi": table_drift_psi,
+    "table_fd_discovery": table_fd_discovery,
     "table_histogram": table_histogram,
     "corr_matrix": corr_matrix,
     "quantile_bins": quantile_bins,

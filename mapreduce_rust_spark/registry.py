@@ -148,10 +148,10 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+).
-# ROUND-6 ROTATION ORDER: the first 44 entries below (through
-# funnel_negative_pattern) have NO driver-side oracle evidence yet —
-# 17 late-round-5 additions plus the 27 end-of-round-5 additions
-# (ann_topk_hamming … funnel_negative_pattern) — and must be promoted
+# ROUND-6 ROTATION ORDER: the first 45 entries below (through
+# table_fd_discovery) have NO driver-side oracle evidence yet —
+# 17 late-round-5 additions plus the 28 end-of-round-5 additions
+# (ann_topk_hamming … table_fd_discovery) — and must be promoted
 # into _PRIORITY first; the TPC-H/parity tail behind them is
 # round-1-only-evidence backfill for the remaining slots.
 _NEXT_WINDOW: tuple[str, ...] = (
@@ -199,6 +199,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "events_cumulative_uniques",
     "embedding_label_compactness",
     "funnel_negative_pattern",
+    "table_fd_discovery",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
