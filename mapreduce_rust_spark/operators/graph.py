@@ -631,7 +631,58 @@ ORDER BY node
 ORACLE["graph_kcore"] = _kcore_oracle()
 
 
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree ASSORTATIVITY of the near-duplicate graph: the Pearson
+    correlation of endpoint degrees over all (directed) edges — the
+    one-number structural fingerprint that separates hub-and-spoke
+    duplication (negative: boilerplate templates matched by many
+    singleton near-copies) from clique-like duplication (positive:
+    dense mutually-similar families). Reuses the memoized LSH pairs;
+    cost is one degree aggregation plus two joins keyed on node ids,
+    all edge-list-sized. corr is algebraic, so the final statistic is
+    one partial-aggregatable pass."""
+    from mapreduce_rust_spark.operators.dedup import candidate_pairs_index
+
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3)
+    und = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")).union(
+        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("deg_b"))
+    edges = und.join(da, "a").join(db, "b")
+    return edges.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        fround(F.corr("deg_a", "deg_b"), 4).alias("assortativity"),
+    )
+
+
+def _assortativity_oracle() -> str:
+    from mapreduce_rust_spark.operators.dedup import _minhash_oracle
+
+    return f"""
+WITH pairs AS (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+),
+und AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+deg AS (SELECT a, count(*) AS deg FROM und GROUP BY 1)
+SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+       {fround_sql('corr(da.deg, db.deg)', 4)} AS assortativity
+FROM und e
+JOIN deg da ON da.a = e.a
+JOIN deg db ON db.a = e.b
+"""
+
+
+ORACLE["graph_assortativity"] = _assortativity_oracle()
+
+
 QUERIES = {
+    "graph_assortativity": graph_assortativity,
     "dedup_components": dedup_components,
     "graph_node_jaccard": graph_node_jaccard,
     "graph_kcore": graph_kcore,

@@ -516,7 +516,113 @@ ORDER BY gate_a, gate_b
 ORACLE["pipeline_gate_overlap"] = _gate_overlap_oracle()
 
 
+def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RETRIEVAL-INDEX preparation: documents → overlapping
+    token chunks (the ``corpus_chunk_overlap`` geometry) → exact chunk
+    dedup by content hash (overlap windows repeat across templated
+    docs; the index must store each passage once) → per-source
+    manifest: docs in, chunks cut, unique chunks kept, dedup ratio,
+    and the surviving token volume the embedder will be billed for.
+    The chunker is per-row HOF work fused into the scan; dedup is one
+    content-hash aggregation; everything after is key-sized — the
+    whole pipeline is two shuffles regardless of corpus size."""
+    from mapreduce_rust_spark.operators.corpus import (
+        CHUNK_MIN_TAIL,
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CHUNK_STRIDE)),
+        lambda s: (s == 0) | (n - s >= CHUNK_MIN_TAIL),
+    )
+    chunks = (
+        docs.filter(n > 0)
+        .select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda s: F.concat_ws(" ", F.slice(toks, s + 1, CHUNK_SIZE)),
+                )
+            ).alias("chunk"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            F.md5("chunk").alias("chash"),
+            F.size(F.split("chunk", r"\s+")).cast("bigint").alias("chunk_toks"),
+        )
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chash").alias("n_unique_chunks"),
+            F.sum("chunk_toks").cast("bigint").alias("total_chunk_toks"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_chunks",
+            "n_unique_chunks",
+            fround(
+                F.col("n_unique_chunks") / F.col("n_chunks").cast("double"), 6
+            ).alias("unique_ratio"),
+            "total_chunk_toks",
+        )
+        .orderBy("source")
+    )
+
+
+def _rag_prep_oracle() -> str:
+    from mapreduce_rust_spark.operators.corpus import (
+        CHUNK_MIN_TAIL,
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    return rf"""
+WITH d AS (
+  SELECT source, doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+chunks AS (
+  SELECT source, doc_id,
+         array_to_string(l[s + 1: s + {CHUNK_SIZE}], ' ') AS chunk
+  FROM d,
+       unnest(list_filter(range(0, len(l), {CHUNK_STRIDE}),
+                          s -> s = 0 OR len(l) - s >= {CHUNK_MIN_TAIL})) AS u(s)
+  WHERE len(l) > 0
+),
+hashed AS (
+  SELECT source, doc_id, md5(chunk) AS chash,
+         len(string_split(chunk, ' ')) AS chunk_toks
+  FROM chunks
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_chunks,
+       CAST(count(DISTINCT chash) AS BIGINT) AS n_unique_chunks,
+       {fround_sql('count(DISTINCT chash) / CAST(count(*) AS DOUBLE)', 6)}
+         AS unique_ratio,
+       CAST(sum(chunk_toks) AS BIGINT) AS total_chunk_toks
+FROM hashed
+GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE["pipeline_rag_prep"] = _rag_prep_oracle()
+
+
 QUERIES = {
+    "pipeline_rag_prep": pipeline_rag_prep,
     "pipeline_prepare_corpus": pipeline_prepare_corpus,
     "pipeline_gate_attrition": pipeline_gate_attrition,
     "pipeline_gate_overlap": pipeline_gate_overlap,
