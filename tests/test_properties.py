@@ -568,3 +568,87 @@ def test_time_weighted_avg_equals_plain_avg_on_regular_grid(spark, values):
         .collect()[0]
     )
     assert abs(row["twa"] - row["plain"]) < 1e-9 * max(1.0, abs(row["plain"]))
+
+
+@given(
+    n_toks=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=6)
+)
+@_settings
+def test_chunker_covers_every_token_and_respects_geometry(spark, n_toks):
+    """Chunk-overlap geometry contract on arbitrary doc lengths:
+    every token index is covered by at least one chunk, the first
+    chunk always exists, and chunk starts follow the stride except
+    where the short-tail rule folds the tail."""
+    from mapreduce_rust_spark.operators.corpus import (
+        CHUNK_MIN_TAIL,
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    for n in n_toks:
+        starts = [
+            s
+            for s in range(0, n, CHUNK_STRIDE)
+            if s == 0 or n - s >= CHUNK_MIN_TAIL
+        ]
+        assert starts[0] == 0
+        covered = set()
+        for s in starts:
+            covered.update(range(s, min(n, s + CHUNK_SIZE)))
+        assert covered == set(range(n)), (n, starts)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                  max_size=60, unique=True)
+)
+@_settings
+def test_consistent_hashing_elasticity_property(spark, keys):
+    """For ARBITRARY key sets: growing the ring N→N+1 moves keys only
+    to the new shard (Python model of the same md5 ring — the Spark
+    twin is pinned by its own test; this sweeps the ring math)."""
+    import hashlib
+
+    from mapreduce_rust_spark.operators.skew import RING_SHARDS, RING_VNODES
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def ring(n):
+        return sorted(
+            (h64(f"ring:{s}:{v}"), s)
+            for s in range(n)
+            for v in range(RING_VNODES)
+        )
+
+    def assign(k, r):
+        hd = h64(f"doc:{k}")
+        for vh, s in r:
+            if vh >= hd:
+                return s
+        return r[0][1]
+
+    r8, r9 = ring(RING_SHARDS), ring(RING_SHARDS + 1)
+    for k in keys:
+        a, b = assign(k, r8), assign(k, r9)
+        if a != b:
+            assert b == RING_SHARDS, (k, a, b)
+
+
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=10**6), min_size=1,
+                     max_size=40)
+)
+@_settings
+def test_aes_rank_key_monotone_in_weight(spark, weights):
+    """A-ES invariant: for a FIXED uniform draw u, the rank key
+    ln(u)/w strictly increases with w (heavier items rank better,
+    all else equal) — the property that makes the scheme 'weighted'."""
+    import math
+
+    u = 0.37
+    keys = [math.log(u) / w for w in weights]
+    for w1, k1 in zip(weights, keys):
+        for w2, k2 in zip(weights, keys):
+            if w1 < w2:
+                assert k1 < k2
