@@ -878,3 +878,92 @@ def test_tokenizer_coverage_golden(spark):
     assert row["total_chars"] == 13
     assert row["total_symbols"] == 5
     assert row["chars_per_symbol"] == 2.6
+
+
+def test_hard_negatives_never_share_query_label(spark):
+    """Every mined negative must carry a different label than its
+    query — the false-negative guard the operator exists for."""
+    from mapreduce_rust_spark.operators.similarity import (
+        embedding_hard_negatives,
+    )
+
+    rows = embedding_hard_negatives(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    assert all(r["qlabel"] != r["neg_label"] for r in rows)
+
+
+def test_webdataset_tar_math(spark, monkeypatch):
+    """Tar-entry sizes must be header + 512-aligned payload, shard
+    totals must respect the budget except for the one boundary-
+    spilling entry, and byte totals must reconcile."""
+    from mapreduce_rust_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (100 + 37 * i), "en", "s0", 0) for i in range(40)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    monkeypatch.setattr(mm, "load_table", lambda s, d, n: docs)
+    rows = mm.multimodal_webdataset_index(spark, "x").collect()
+    assert sum(r["n_items"] for r in rows) == 40
+    for r in rows:
+        # every tar byte count is a whole number of 512-blocks
+        assert r["tar_bytes"] % 512 == 0
+        assert r["tar_bytes"] > r["payload_bytes"]
+        # a shard never exceeds budget by more than one max entry
+        assert r["tar_bytes"] <= mm.WDS_SHARD_BYTES + (512 + 512 * 40)
+    # shards are contiguous id ranges
+    ids = sorted(rows, key=lambda r: r["shard_id"])
+    for a, b in zip(ids, ids[1:]):
+        assert a["last_id"] < b["first_id"]
+
+
+def test_psi_zero_on_identical_halves(spark, monkeypatch):
+    """PSI contract: if both slices have identical bin distributions,
+    every contribution is exactly 0 (p == q after smoothing)."""
+    import datetime as dt
+
+    from mapreduce_rust_spark.operators import profiling as pf
+
+    base = dt.datetime(2024, 1, 1)
+    # even/odd event_ids carry the SAME value multiset
+    rows = [
+        (2 * i + h, base, i % 7, "view", float(i % 10), "{}")
+        for i in range(500)
+        for h in (0, 1)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(pf, "load_table", lambda s, d, n: ev)
+    out = pf.table_drift_psi(spark, "x").collect()
+    assert len(out) == pf.PSI_BINS
+    assert all(r["psi_term"] == 0.0 for r in out)
+    assert all(r["n_ref"] == r["n_cur"] for r in out)
+
+
+def test_fd_discovery_verdicts_on_synthetic(spark, monkeypatch):
+    """A held FD (key → attr) and a violated one (attr → key) must be
+    classified correctly with exact violation counts."""
+    from mapreduce_rust_spark.operators import profiling as pf
+
+    nation = spark.createDataFrame(
+        [(i, f"name{i}", i % 3) for i in range(30)],
+        "n_nationkey bigint, n_name string, n_regionkey bigint",
+    )
+    monkeypatch.setattr(pf, "load_table", lambda s, d, n: nation)
+    monkeypatch.setattr(
+        pf,
+        "_FD_CANDIDATES",
+        (
+            ("nation", "n_nationkey", "n_name"),
+            ("nation", "n_regionkey", "n_name"),
+        ),
+    )
+    rows = {r["candidate"]: r for r in pf.table_fd_discovery(spark, "x").collect()}
+    held = rows["n_nationkey->n_name"]
+    assert held["fd_holds"] and held["n_violating"] == 0
+    broken = rows["n_regionkey->n_name"]
+    assert not broken["fd_holds"]
+    assert broken["n_violating"] == 3 and broken["max_fanout"] == 10
