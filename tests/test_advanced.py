@@ -685,3 +685,46 @@ def test_consistent_hashing_moves_only_to_new_shard(spark):
     assert bad == 0
     frac = moved.count() / 2000
     assert 0.02 < frac < 0.35, frac
+
+
+def test_sliding_distinct_exact_matches_model(spark, monkeypatch):
+    """The trailing-window exact counts must equal a Python model on
+    a constructed stream (3 hours, overlapping users)."""
+    import datetime as dt
+
+    from mapreduce_rust_spark.plans import advanced as adv
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # hour 0: users 0-9; hour 1: users 5-14; hour 2: users 10-19
+    for h, lo in ((0, 0), (1, 5), (2, 10)):
+        for u in range(lo, lo + 10):
+            rows.append((len(rows), base + dt.timedelta(hours=h), u, "view", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(adv, "load_table", lambda s, d, n: ev)
+    out = {r["h"]: r for r in adv.sketch_sliding_distinct(spark, "x").collect()}
+    hours = sorted(out)
+    assert len(hours) == 3
+    # trailing-6h windows cover everything seen so far at each hour
+    assert out[hours[0]]["exact_users"] == 10
+    assert out[hours[1]]["exact_users"] == 15
+    assert out[hours[2]]["exact_users"] == 20
+    assert all(out[h]["within_tol"] for h in hours)
+
+
+def test_scripting_loop_trim_is_monotone(spark):
+    """Each WHILE round of the mean-trim keeps a (weakly) smaller,
+    cheaper set: n_kept and sum_kept must both be below the full
+    table's, and the loop reports exactly 3 rounds."""
+    from mapreduce_rust_spark.plans.sqlface import sql_scripting_loop
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    [r] = sql_scripting_loop(spark, "/root/testdata/sf0.001").collect()
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    n_all = orders.count()
+    assert r["n_rounds"] == 3
+    assert 0 < r["n_kept"] < n_all
