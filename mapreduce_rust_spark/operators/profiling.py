@@ -785,6 +785,97 @@ ORDER BY bin
 """
 
 
+def table_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH-based profile — what ``table_profile`` becomes when
+    the table is 100 TB: exact countDistinct plans an expand per
+    column (k× the scan) and exact percentile holds every value;
+    HLL++ distinct and a t-digest-style approx median are one
+    constant-memory pass. Contract surface as in ``approx_distinct``:
+    the oracle-checkable columns are the EXACT statistics plus
+    booleans asserting each sketch landed inside its error budget —
+    HLL within 3×rsd, and the approx median's exact rank straddling
+    0.5 within ±0.01 (accuracy 1000 → rank error 0.001; the band is
+    10× that so integer-tied columns stay stable). A sketch wiring
+    regression flips a boolean and fails the value hash. Two passes:
+    sketch pass, then one rank-audit aggregation against the
+    broadcast 1-row estimates."""
+    df = fan_out(load_table(spark, sf_dir, "lineitem"))
+    est = df.agg(
+        *[
+            F.approx_count_distinct(c, rsd=0.05).alias(f"{c}__ad")
+            for c in _PROFILE_COLS
+        ],
+        *[
+            F.expr(f"approx_percentile({c}, 0.5, 1000)").alias(f"{c}__p50")
+            for c in _PROFILE_COLS
+        ],
+    )
+    audit_aggs = []
+    for c in _PROFILE_COLS:
+        audit_aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.sum((F.col(c) < F.col(f"{c}__p50")).cast("bigint")).alias(
+                f"{c}__nlt"
+            ),
+            F.sum((F.col(c) <= F.col(f"{c}__p50")).cast("bigint")).alias(
+                f"{c}__nle"
+            ),
+        ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n").alias("n"),
+                F.col(f"{c}__nd").alias("exact_distinct"),
+                (
+                    F.abs(
+                        F.col(f"{c}__ad").cast("double")
+                        - F.col(f"{c}__nd").cast("double")
+                    )
+                    <= F.lit(0.15) * F.col(f"{c}__nd").cast("double")
+                ).alias("distinct_within_tol"),
+                (
+                    (
+                        F.col(f"{c}__nlt").cast("double")
+                        <= F.lit(0.51) * F.col(f"{c}__n").cast("double")
+                    )
+                    & (
+                        F.col(f"{c}__nle").cast("double")
+                        >= F.lit(0.49) * F.col(f"{c}__n").cast("double")
+                    )
+                ).alias("median_rank_ok"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    # the est row must survive into the struct projection
+    wide = df.crossJoin(F.broadcast(est)).agg(
+        *audit_aggs,
+        *[F.first(f"{c}__ad").alias(f"{c}__ad") for c in _PROFILE_COLS],
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("column")
+    )
+
+
+def _sketch_profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS column, count({c}) AS n,
+       count(DISTINCT {c}) AS exact_distinct,
+       true AS distinct_within_tol,
+       true AS median_rank_ok
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts) + '\nORDER BY "column"'
+
+
+ORACLE["table_sketch_profile"] = _sketch_profile_oracle()
+
+
 _FD_CANDIDATES: tuple[tuple[str, str, str], ...] = (
     ("nation", "n_nationkey", "n_name"),
     ("nation", "n_regionkey", "n_name"),
@@ -1024,6 +1115,7 @@ QUERIES = {
     "table_skew_report": table_skew_report,
     "table_drift_psi": table_drift_psi,
     "table_fd_discovery": table_fd_discovery,
+    "table_sketch_profile": table_sketch_profile,
     "table_histogram": table_histogram,
     "corr_matrix": corr_matrix,
     "quantile_bins": quantile_bins,

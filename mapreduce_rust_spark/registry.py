@@ -148,10 +148,10 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+).
-# ROUND-6 ROTATION ORDER: the first 47 entries below (through
-# pipeline_rag_prep) have NO driver-side oracle evidence yet —
-# 17 late-round-5 additions plus the 30 end-of-round-5 additions
-# (ann_topk_hamming … pipeline_rag_prep) — and must be promoted
+# ROUND-6 ROTATION ORDER: the first 48 entries below (through
+# table_sketch_profile) have NO driver-side oracle evidence yet —
+# 17 late-round-5 additions plus the 31 end-of-round-5 additions
+# (ann_topk_hamming … table_sketch_profile) — and must be promoted
 # into _PRIORITY first; the TPC-H/parity tail behind them is
 # round-1-only-evidence backfill for the remaining slots.
 _NEXT_WINDOW: tuple[str, ...] = (
@@ -202,6 +202,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "table_fd_discovery",
     "graph_assortativity",
     "pipeline_rag_prep",
+    "table_sketch_profile",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
