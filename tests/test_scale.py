@@ -846,3 +846,24 @@ def test_bloom_prune_pushes_in_list_to_scan(spark, sf_dir):
 
     p = plan_str(sink_bloom_filter_prune(spark, sf_dir))
     assert "PushedFilters: [In(l_partkey" in p
+
+
+def test_rag_prep_single_scan_two_shuffles(spark, sf_dir):
+    """The RAG prep pipeline must be chunker-fused-into-scan plus one
+    aggregation tree: one parquet scan, no join."""
+    from mapreduce_rust_spark.plans.pipeline import pipeline_rag_prep
+
+    p = plan_str(pipeline_rag_prep(spark, sf_dir))
+    assert "Join" not in p
+    assert p.count("Scan parquet") <= 2  # node printed in tree + details
+
+
+def test_sketch_profile_no_expand_no_join_shuffle(spark, sf_dir):
+    """The sketch pass must stay a plain aggregation: HLL/approx-
+    median add NO Expand node (the exact profile's countDistinct
+    does), and the audit joins only the broadcast 1-row estimate."""
+    from mapreduce_rust_spark.operators.profiling import table_sketch_profile
+
+    p = plan_str(table_sketch_profile(spark, sf_dir))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row estimates cross join
