@@ -2007,6 +2007,151 @@ ORDER BY label
 """
 
 
+POSTFILTER_K = 10  # unfiltered candidates fetched before the metadata filter
+
+
+def ann_filtered_vs_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search audit: pre-filtering (restrict the
+    corpus to the metadata predicate, THEN rank — exact but needs a
+    filter-aware index) versus post-filtering (fetch an unfiltered
+    top-{k}, then discard non-matching — what a naive ANN service
+    does, silently returning fewer or worse neighbors when the
+    predicate is selective). Per query (predicate: same label as the
+    query): the post-filter YIELD (matching rows inside the
+    unfiltered top-{k}) and the RECALL@3 of the post-filtered list
+    against pre-filter truth — the numbers that decide whether a
+    vector store needs filtered-index support or can get away with
+    over-fetching. Both sides reuse the broadcast-query brute scan;
+    at corpus scale the same audit runs over the IVF/bucketed
+    candidates unchanged."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    labels = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    ).filter(F.expr(_QUERY_PRED.replace("vec_id", "vec_id")))
+    qs = emb.filter(F.expr(_QUERY_PRED))
+    # unfiltered global top-k, then mark predicate matches
+    topk = topk_bruteforce(qs, emb, "vec_id", "embedding", k=POSTFILTER_K)
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    post = (
+        topk.join(F.broadcast(labels), "query_id")
+        .join(nlab, "neighbor_id")
+        .withColumn("match", (F.col("nlabel") == F.col("qlabel")).cast("int"))
+    )
+    post_w = W.partitionBy("query_id").orderBy("rank")
+    post3 = (
+        post.filter(F.col("match") == 1)
+        .withColumn("prank", F.row_number().over(post_w))
+        .filter(F.col("prank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    yield_ = post.groupBy("query_id").agg(
+        F.sum("match").cast("bigint").alias("post_yield")
+    )
+    # pre-filter truth: rank only same-label corpus rows
+    pre = (
+        qs.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qv"),
+            l2_norm(F.col("embedding")).alias("qn"),
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+                F.col("embedding").alias("cv"),
+                l2_norm(F.col("embedding")).alias("cn"),
+            ),
+            (F.col("qlabel") == F.col("nlabel"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn(
+            "sim", fround(cosine_from_norms("qv", "cv", "qn", "cn"), 6)
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), "neighbor_id"
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    hits = pre.join(post3, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    base = pre.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        base.join(yield_, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("post_yield", F.lit(0)).alias("post_yield"),
+            fround(
+                F.coalesce("n_hits", F.lit(0)) / F.col("k").cast("double"), 4
+            ).alias("postfilter_recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE["ann_filtered_vs_postfilter"] = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, label AS qlabel, v AS qv
+  FROM e WHERE {_QUERY_PRED}
+),
+topk AS (
+  SELECT query_id, qlabel, neighbor_id, nlabel, rank FROM (
+    SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id,
+           e.label AS nlabel,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos_sql('q.qv', 'e.v')} DESC, e.vec_id) AS rank
+    FROM q JOIN e ON q.query_id <> e.vec_id
+  ) t WHERE rank <= {POSTFILTER_K}
+),
+post3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY rank) AS prank
+    FROM topk WHERE nlabel = qlabel
+  ) t WHERE prank <= 3
+),
+yield_ AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+           AS post_yield
+  FROM topk GROUP BY 1
+),
+pre AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos_sql('q.qv', 'e.v')} DESC, e.vec_id) AS rank
+    FROM q JOIN e ON q.qlabel = e.label AND q.query_id <> e.vec_id
+  ) t WHERE rank <= 3
+),
+hits AS (
+  SELECT p.query_id, count(*) AS n_hits
+  FROM pre p JOIN post3 s
+    ON s.query_id = p.query_id AND s.neighbor_id = p.neighbor_id
+  GROUP BY 1
+)
+SELECT b.query_id,
+       coalesce(y.post_yield, 0) AS post_yield,
+       {fround_sql('coalesce(h.n_hits, 0) / CAST(b.k AS DOUBLE)', 4)}
+         AS postfilter_recall
+FROM (SELECT query_id, count(*) AS k FROM pre GROUP BY 1) b
+LEFT JOIN yield_ y USING (query_id)
+LEFT JOIN hits h USING (query_id)
+ORDER BY b.query_id
+"""
+
+
 QUERIES = {
     "ann_topk_hamming": ann_topk_hamming,
     "dedup_semantic_cluster": dedup_semantic_cluster,
@@ -2014,6 +2159,7 @@ QUERIES = {
     "embedding_hard_negatives": embedding_hard_negatives,
     "embedding_centroid_drift": embedding_centroid_drift,
     "embedding_label_compactness": embedding_label_compactness,
+    "ann_filtered_vs_postfilter": ann_filtered_vs_postfilter,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "embedding_outlier_mahalanobis": embedding_outlier_mahalanobis,
     "ann_nprobe_curve": ann_nprobe_curve,

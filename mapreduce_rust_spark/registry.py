@@ -148,10 +148,10 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 # Slugs queued immediately after the 50-slot window (positions 51+).
-# ROUND-6 ROTATION ORDER: the first 48 entries below (through
-# table_sketch_profile) have NO driver-side oracle evidence yet —
-# 17 late-round-5 additions plus the 31 end-of-round-5 additions
-# (ann_topk_hamming … table_sketch_profile) — and must be promoted
+# ROUND-6 ROTATION ORDER: the first 49 entries below (through
+# ann_filtered_vs_postfilter) have NO driver-side oracle evidence yet —
+# 17 late-round-5 additions plus the 32 end-of-round-5 additions
+# (ann_topk_hamming … ann_filtered_vs_postfilter) — and must be promoted
 # into _PRIORITY first; the TPC-H/parity tail behind them is
 # round-1-only-evidence backfill for the remaining slots.
 _NEXT_WINDOW: tuple[str, ...] = (
@@ -203,6 +203,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "graph_assortativity",
     "pipeline_rag_prep",
     "table_sketch_profile",
+    "ann_filtered_vs_postfilter",
     "q10_returned_items",
     "q13_customer_distribution",
     "q1_pricing_summary",
