@@ -967,3 +967,111 @@ def test_fd_discovery_verdicts_on_synthetic(spark, monkeypatch):
     broken = rows["n_regionkey->n_name"]
     assert not broken["fd_holds"]
     assert broken["n_violating"] == 3 and broken["max_fanout"] == 10
+
+
+def test_centroid_drift_zero_on_mirrored_halves(spark, monkeypatch):
+    """If even and odd vec_ids carry IDENTICAL vector sets, the
+    per-label centroids coincide: cosine 1, L2 gap 0 — the no-drift
+    anchor of the canary."""
+    from mapreduce_rust_spark.operators import similarity as sim
+
+    vecs = []
+    for i in range(20):
+        v = [float((i * 7 + j * 3) % 11 - 5) for j in range(64)]
+        vecs.append((2 * i, v, i % 4))      # even half
+        vecs.append((2 * i + 1, v, i % 4))  # odd half, same vector
+    emb = spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(sim, "load_table", lambda s, d, n: emb)
+    rows = sim.embedding_centroid_drift(spark, "x").collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["centroid_cosine"] == 1.0
+        assert r["l2_gap"] == 0.0
+
+
+def test_cumulative_uniques_matches_model(spark, monkeypatch):
+    """Daily new/cumulative uniques must match a Python model on a
+    constructed stream with returning users and a zero-new day."""
+    import datetime as dt
+
+    from mapreduce_rust_spark.plans import behavior as bh
+
+    base = dt.datetime(2024, 3, 1)
+    events = []
+    # day 0: users 1,2,3; day 1: users 2,3 (no new); day 2: users 3,4
+    for d, users in ((0, [1, 2, 3]), (1, [2, 3]), (2, [3, 4])):
+        for u in users:
+            events.append(
+                (len(events), base + dt.timedelta(days=d), u, "view", 1.0, "{}")
+            )
+    ev = spark.createDataFrame(
+        events,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(bh, "load_table", lambda s, d, n: ev)
+    rows = [
+        (r["new_users"], r["cumulative_users"])
+        for r in bh.events_cumulative_uniques(spark, "x").collect()
+    ]
+    assert rows == [(3, 3), (0, 3), (1, 4)]
+
+
+def test_negative_funnel_classifies_constructed_users(spark, monkeypatch):
+    """One user per outcome class, classified exactly."""
+    import datetime as dt
+
+    from mapreduce_rust_spark.plans import behavior as bh
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: clean conversion (view -> purchase, no error between)
+        (1, t(0), 1, "view", 0.0, "{}"),
+        (2, t(5), 1, "purchase", 0.0, "{}"),
+        # u2: blocked (view -> error -> purchase)
+        (3, t(0), 2, "view", 0.0, "{}"),
+        (4, t(2), 2, "error", 0.0, "{}"),
+        (5, t(5), 2, "purchase", 0.0, "{}"),
+        # u3: no purchase after view
+        (6, t(0), 3, "view", 0.0, "{}"),
+        (7, t(3), 3, "click", 0.0, "{}"),
+        # u4: never viewed
+        (8, t(1), 4, "purchase", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(bh, "load_table", lambda s, d, n: ev)
+    got = {
+        r["status"]: r["n_users"]
+        for r in bh.funnel_negative_pattern(spark, "x").collect()
+    }
+    assert got == {
+        "converted_clean": 1,
+        "blocked_by_error": 1,
+        "no_purchase_after_view": 1,
+        "no_view": 1,
+    }
+
+
+def test_bbit_estimate_bounded_and_exact_on_identical_sigs(spark):
+    """b-bit contract on the real corpus: est_bbit is a corrected
+    match rate, so it lives in [-C/(1-C), 1]; whenever the full
+    estimate is 1 (identical signatures), the b-bit one must be 1
+    too (low bits of equal values are equal)."""
+    from mapreduce_rust_spark.operators.dedup import (
+        B_BITS,
+        dedup_minhash_bbit_eval,
+    )
+
+    rows = dedup_minhash_bbit_eval(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    floor = -(1.0 / (1 << B_BITS)) / (1 - 1.0 / (1 << B_BITS)) - 1e-9
+    for r in rows:
+        assert floor <= r["est_bbit"] <= 1.0 + 1e-9
+        if r["est_full"] == 1.0:
+            assert r["est_bbit"] == 1.0
