@@ -828,22 +828,40 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("total_tokens"),
         )
     )
-    w = Window.orderBy(F.col("bin_lo").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # The cumulative-share pass runs over the ≤|max_len/25|-row bin
+    # table, so instead of two partitionless windows (which emit
+    # WindowExec "No Partition Defined" warnings and a single-partition
+    # sort exchange) we collapse the bins into ONE array row and
+    # compute the grand total + descending prefix sums as pure array
+    # expressions — no window, no extra shuffle, same values.
+    tok = lambda a, x: a + x["total_tokens"]  # noqa: E731
+    zero = F.lit(0).cast("bigint")
+    packed = hist.agg(
+        F.sort_array(
+            F.collect_list(F.struct("bin_lo", "n_docs", "total_tokens")),
+            asc=False,
+        ).alias("bins")
+    ).select("bins", F.aggregate("bins", zero, tok).alias("grand_total"))
+    return (
+        packed.select(
+            "bins",
+            "grand_total",
+            F.posexplode("bins").alias("pos", "b"),
+        )
+        .select(
+            F.col("b.bin_lo").alias("bin_lo"),
+            F.col("b.n_docs").alias("n_docs"),
+            F.col("b.total_tokens").alias("total_tokens"),
+            fround(
+                F.aggregate(
+                    F.slice("bins", F.lit(1), F.col("pos") + 1), zero, tok
+                ).cast("double")
+                / F.col("grand_total").cast("double"),
+                6,
+            ).alias("cum_token_share_ge"),
+        )
+        .orderBy("bin_lo")
     )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    return hist.select(
-        "bin_lo",
-        "n_docs",
-        "total_tokens",
-        fround(
-            F.sum("total_tokens").over(w)
-            / F.sum("total_tokens").over(w_all).cast("double"),
-            6,
-        ).alias("cum_token_share_ge"),
-    ).orderBy("bin_lo")
 
 
 ORACLE["corpus_length_histogram"] = f"""
