@@ -90,12 +90,16 @@ def decode_media(
     """Decode payloads to (width, height, n_frames, feature_norm) via
     ``mapInPandas`` — Arrow-batched, partition-parallel.
 
-    Real decoding requires imaging/audio libraries not present in
-    this container; pass ``fake_decoder=True`` for a deterministic
-    stand-in (dims derived from payload bytes) that exercises the
-    identical plumbing. STUB: replace ``_fake_decode`` with
-    PIL/ffmpeg/soundfile calls in a real deployment.
-    """
+    Real decoding requires imaging/audio libraries; pass
+    ``fake_decoder=True`` for a deterministic stand-in (dims derived
+    from payload bytes) that exercises the identical plumbing. With
+    ``fake_decoder=False`` the executor-side closure imports PIL *at
+    run time*: if the environment has it, payloads decode as real
+    images (width/height/n_frames from the codec, feature_norm = mean
+    pixel intensity) — the escape hatch means real-codec coverage
+    appears the day the container gains imaging libraries, with no
+    code change. If PIL is absent it raises ``NotImplementedError``
+    (the documented container limitation)."""
 
     def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
         # deterministic pseudo-dims from the payload — NOT a real codec
@@ -106,13 +110,33 @@ def decode_media(
         feature_norm = round((len(payload) % 1000) / 1000.0, 3)
         return width, height, n_frames, feature_norm
 
+    def _pil_decode(payload: bytes) -> tuple[int, int, int, float]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            n_frames = int(getattr(im, "n_frames", 1))
+            arr = np.asarray(im.convert("L"), dtype=np.float64)
+            return (
+                int(im.width),
+                int(im.height),
+                n_frames,
+                round(float(arr.mean()) / 255.0, 3),
+            )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake_decoder:
+        if not fake_decoder:
+            try:
+                import PIL  # noqa: F401
+            except ImportError as e:
                 raise NotImplementedError(
                     "real media decoding requires imaging/audio libraries; "
                     "pass fake_decoder=True for the deterministic test stub"
-                )
+                ) from e
+        decode = _fake_decode if fake_decoder else _pil_decode
+        for pdf in batches:
             out = {
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
@@ -122,7 +146,7 @@ def decode_media(
                 "feature_norm": [],
             }
             for payload in pdf["payload"]:
-                w, h, nf, fn = _fake_decode(bytes(payload) if payload is not None else b"")
+                w, h, nf, fn = decode(bytes(payload) if payload is not None else b"")
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_frames"].append(nf)
@@ -147,23 +171,38 @@ def resize_media(
     fake_resizer: bool = False,
 ) -> DataFrame:
     """Resize stage over decoded media — ``mapInPandas``, same Arrow
-    batch shape as ``decode_media``. STUB: the fake resizer emits a
+    batch shape as ``decode_media``. The fake resizer emits a
     deterministic payload (truncated/padded source bytes) with the
-    target dims; a real deployment drops PIL's ``Image.resize`` (or
-    ffmpeg scale) into ``_fake_resize`` without touching the plan,
-    schema, or partitioning."""
+    target dims; with ``fake_resizer=False`` the closure imports PIL
+    at run time and uses real ``Image.resize`` (PNG-re-encoded) when
+    the library exists — same escape hatch as ``decode_media`` — and
+    raises ``NotImplementedError`` otherwise."""
 
     def _fake_resize(payload: bytes) -> bytes:
         size = (target_w * target_h) // 8  # deterministic stand-in
         return (payload * (size // max(len(payload), 1) + 1))[:size]
 
+    def _pil_resize(payload: bytes) -> bytes:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            buf = io.BytesIO()
+            im.resize((target_w, target_h)).save(buf, format="PNG")
+            return buf.getvalue()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake_resizer:
+        if not fake_resizer:
+            try:
+                import PIL  # noqa: F401
+            except ImportError as e:
                 raise NotImplementedError(
                     "real resizing requires an imaging library; pass "
                     "fake_resizer=True for the deterministic test stub"
-                )
+                ) from e
+        resize = _fake_resize if fake_resizer else _pil_resize
+        for pdf in batches:
             out = {
                 "media_id": pdf["media_id"],
                 "width": pdf["width"],
@@ -171,7 +210,7 @@ def resize_media(
                 "target_w": [target_w] * len(pdf),
                 "target_h": [target_h] * len(pdf),
                 "resized_payload": [
-                    _fake_resize(bytes(p) if p is not None else b"")
+                    resize(bytes(p) if p is not None else b"")
                     for p in pdf["payload"]
                 ],
             }

@@ -180,19 +180,55 @@ def test_media_metadata_sniffs_magic_bytes(spark):
 
 
 def test_decode_media_stub_raises_without_fake(spark):
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("PIL present: real-codec escape hatch active instead")
     from mapreduce_rust_spark.operators.multimodal import decode_media
 
     df = spark.createDataFrame(
         [(1, "image/png", bytearray(b"\x89PNG"), "s", 4)],
         "media_id long, media_type string, payload binary, src string, n_bytes long",
     )
-    import py4j.protocol
-
     with pytest.raises(Exception) as exc:
         decode_media(df, fake_decoder=False).collect()
     assert "NotImplementedError" in str(exc.value) or "real media decoding" in str(
         exc.value
     )
+
+
+def test_decode_and_resize_real_codec_when_pil_present(spark):
+    """Escape-hatch coverage (VERDICT r05 ask #9): the day the
+    container gains PIL, decode_media/resize_media run real codecs
+    with NO code change — this test activates itself via find_spec."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        pytest.skip("PIL not installed in this container (documented limitation)")
+    import io
+
+    from PIL import Image
+
+    from mapreduce_rust_spark.operators.multimodal import decode_media, resize_media
+
+    def png(w, h, value):
+        buf = io.BytesIO()
+        Image.new("L", (w, h), value).save(buf, format="PNG")
+        return bytearray(buf.getvalue())
+
+    media = spark.createDataFrame(
+        [(1, "image/png", png(40, 20, 0), "s", 0), (2, "image/png", png(8, 8, 255), "s", 0)],
+        "media_id long, media_type string, payload binary, src string, n_bytes long",
+    )
+    decoded = {r["media_id"]: r for r in decode_media(media, fake_decoder=False).collect()}
+    assert (decoded[1]["width"], decoded[1]["height"]) == (40, 20)
+    assert decoded[1]["feature_norm"] == 0.0 and decoded[2]["feature_norm"] == 1.0
+    dims = decode_media(media, fake_decoder=False).select("media_id", "width", "height")
+    joined = media.select("media_id", "payload").join(dims, "media_id")
+    out = resize_media(joined, target_w=16, target_h=12, fake_resizer=False).collect()
+    for r in out:
+        with Image.open(io.BytesIO(bytes(r["resized_payload"]))) as im:
+            assert (im.width, im.height) == (16, 12)
 
 
 def test_decode_media_fake_is_deterministic(spark):
