@@ -1286,7 +1286,121 @@ ORDER BY rnk
 """
 
 
+DSIR_BUCKETS = 64  # hashed-feature buckets (DSIR §2.2 uses 10k; 64 keeps the oracle readable)
+DSIR_LAMBDA = 0.5  # add-λ smoothing on bucket counts
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-unigram distribution is,
+    ``log w(x) = Σ_tokens log p̂_target(bucket(t)) / p̂_raw(bucket(t))``
+    with add-λ smoothed bucket probabilities. Target = the ``src0``
+    slice (the "trusted domain" proxy); raw = the whole corpus.
+
+    Plan: one exploded-token aggregation to (doc, bucket) counts with
+    map-side partials (the only corpus-sized shuffle, keyed on
+    doc_id), two {DSIR_BUCKETS}-row bucket marginals + their totals
+    via crossJoin(broadcast(agg)), a broadcast join of the 64-row
+    log-ratio table back to the per-doc counts, and a 20-row
+    per-source report. At 100 TB the bucket table is still 64 rows —
+    the whole selection model broadcasts."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    )
+    dbc = (
+        toks.select("doc_id", "source", bucket.alias("bucket"))
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    raw = dbc.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    tgt = (
+        dbc.filter(F.col("source") == "src0")
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("ct"))
+    )
+    marginals = (
+        raw.join(tgt, "bucket", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(raw.agg(F.sum("cr").alias("tr"))))
+        .crossJoin(F.broadcast(tgt.agg(F.sum("ct").alias("tt"))))
+    )
+    smooth = DSIR_LAMBDA * DSIR_BUCKETS
+    log_ratio = F.log(
+        (F.col("ct") + DSIR_LAMBDA) / (F.col("tt") + smooth)
+    ) - F.log((F.col("cr") + DSIR_LAMBDA) / (F.col("tr") + smooth))
+    ratios = marginals.select("bucket", log_ratio.alias("lr"))
+    per_doc = (
+        dbc.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(fround(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fround(F.avg("logw"), 4).alias("avg_logw"),
+            fround(
+                F.avg((F.col("logw") > 0).cast("double")), 4
+            ).alias("share_target_like"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["corpus_dsir_weights"] = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+dbc AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {DSIR_BUCKETS} AS bucket,
+         count(*) AS c
+  FROM toks GROUP BY 1, 2, 3
+),
+raw AS (SELECT bucket, sum(c) AS cr FROM dbc GROUP BY 1),
+tgt AS (SELECT bucket, sum(c) AS ct FROM dbc WHERE source = 'src0' GROUP BY 1),
+ratios AS (
+  -- CASTs force DOUBLE arithmetic: DuckDB parses 0.5 as DECIMAL and
+  -- BIGINT+DECIMAL division rounds differently from Spark doubles
+  SELECT raw.bucket,
+         ln((coalesce(tgt.ct, 0) + CAST({DSIR_LAMBDA} AS DOUBLE))
+            / ((SELECT sum(ct) FROM tgt)
+               + CAST({DSIR_LAMBDA * DSIR_BUCKETS} AS DOUBLE)))
+         - ln((raw.cr + CAST({DSIR_LAMBDA} AS DOUBLE))
+              / ((SELECT sum(cr) FROM raw)
+                 + CAST({DSIR_LAMBDA * DSIR_BUCKETS} AS DOUBLE)))
+           AS lr
+  FROM raw LEFT JOIN tgt USING (bucket)
+),
+per_doc AS (
+  SELECT doc_id, source,
+         {fround_sql("sum(c * lr)", 6)} AS logw
+  FROM dbc JOIN ratios USING (bucket)
+  GROUP BY 1, 2
+)
+SELECT source, count(*) AS n_docs,
+       {fround_sql("avg(logw)", 4)} AS avg_logw,
+       {fround_sql("avg(CASE WHEN logw > 0 THEN 1.0 ELSE 0.0 END)", 4)}
+         AS share_target_like
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "corpus_dsir_weights": corpus_dsir_weights,
     "sample_hash_deterministic": sample_hash_deterministic,
     "sample_reservoir_per_key": sample_reservoir_per_key,
     "corpus_domain_cap": corpus_domain_cap,

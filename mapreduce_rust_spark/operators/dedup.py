@@ -1017,15 +1017,27 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions. Recall loss vs the baseline is measurable with the
     same audit pattern as ``ann_recall_eval``; precision is exact
     because candidates are re-scored with the true cosine. Pure JVM
-    expressions (zip_with dot) — no Python in the pair loop."""
+    expressions (zip_with dot) — no Python in the pair loop.
+
+    Bit count is ADAPTIVE (``sign_bits_for``): bucket count scales
+    with the corpus so expected occupancy stays ≤ SIGN_OCCUPANCY and
+    the within-bucket self-join stays LINEAR in corpus size — the
+    round-6 dual-scale sweep measured the fixed-4-bit form at scaling
+    exponent 1.91 (quadratic); occupancy-targeted bits are the fix."""
     from mapreduce_rust_spark.functions.vectors import cosine_from_norms, l2_norm
-    from mapreduce_rust_spark.operators.similarity import sign_bucket
+    from mapreduce_rust_spark.operators.similarity import (
+        sign_bits_for,
+        sign_bucket_adaptive,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
+    n = emb.agg(F.count(F.lit(1)).alias("n_corpus"))
+    v = emb.crossJoin(F.broadcast(n)).select(
         "vec_id",
         "embedding",
-        sign_bucket(F.col("embedding")).alias("bucket"),
+        sign_bucket_adaptive(
+            F.col("embedding"), sign_bits_for(F.col("n_corpus"))
+        ).alias("bucket"),
         l2_norm("embedding").alias("nrm"),
     )
     a = v.select(
@@ -1051,12 +1063,16 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_lsh_oracle() -> str:
-    from mapreduce_rust_spark.operators.similarity import _sign_bucket_sql
+    from mapreduce_rust_spark.operators.similarity import (
+        _sign_bits_sql,
+        _sign_bucket_adaptive_sql,
+    )
 
+    bits = _sign_bits_sql("(SELECT count(*) FROM embeddings)")
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
-         {_sign_bucket_sql("embedding")} AS bucket
+         {_sign_bucket_adaptive_sql("embedding", bits)} AS bucket
   FROM embeddings
 )
 SELECT a.vec_id AS d1, b.vec_id AS d2, a.bucket,

@@ -199,6 +199,104 @@ FROM ranked GROUP BY comp ORDER BY comp
 
 ORACLE["dedup_keep_best"] = _keep_best_oracle()
 
+LPA_ROUNDS = 2  # fixed, synchronous — keeps the oracle unrollable
+
+
+def label_propagation(
+    edges: DataFrame, src: str, dst: str, rounds: int = LPA_ROUNDS
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected edge list: every node starts labeled with itself; each
+    round it adopts the MODE of its neighbors' labels (count desc,
+    min label on ties). Unlike min-label components this finds
+    communities, not reachability classes — a bridge edge between two
+    dense dup clusters doesn't merge them.
+
+    A FIXED round count (not convergence) keeps the operator
+    deterministic AND value-oracle-able: the DuckDB twin unrolls the
+    same {LPA_ROUNDS} rounds as CTEs (the ``embedding_kmeans``
+    trick). Each round is one join + one (node, label) count + one
+    argmax window partitioned by node — all keyed shuffles on node
+    ids, no global ordering anywhere."""
+    from pyspark.sql import Window as W
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(rounds):
+        labels = (
+            und.join(labels.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"), "lbl")
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes after {LPA_ROUNDS} LPA rounds over the LSH
+    near-dup candidate graph — the community-detection view of the
+    dup graph (vs ``dedup_components``' reachability view). Output is
+    one row per surviving community label."""
+    from mapreduce_rust_spark.operators.dedup import candidate_pairs_index
+
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3)
+    final = label_propagation(pairs, "d1", "d2")
+    return (
+        final.groupBy(F.col("lbl").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("label")
+    )
+
+
+def _lpa_oracle() -> str:
+    from mapreduce_rust_spark.operators.dedup import _minhash_oracle
+
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT node, lbl FROM (
+    SELECT e.b AS node, l.lbl, count(*) AS c,
+           row_number() OVER (PARTITION BY e.b
+                              ORDER BY count(*) DESC, l.lbl) AS rn
+    FROM edges e JOIN {prev} l ON l.node = e.a
+    GROUP BY e.b, l.lbl
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH pairs AS (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges),
+{", ".join(rounds)}
+SELECT lbl AS label, count(*) AS n_nodes
+FROM {prev} GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE["graph_label_propagation"] = _lpa_oracle()
+
+
 def pagerank_fixed(
     edges: DataFrame, src: str, dst: str, iters: int = 3, d: float = 0.85
 ) -> DataFrame:
@@ -682,6 +780,7 @@ ORACLE["graph_assortativity"] = _assortativity_oracle()
 
 
 QUERIES = {
+    "graph_label_propagation": graph_label_propagation,
     "graph_assortativity": graph_assortativity,
     "dedup_components": dedup_components,
     "graph_node_jaccard": graph_node_jaccard,

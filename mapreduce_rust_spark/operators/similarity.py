@@ -53,6 +53,62 @@ def _sign_bucket_sql(vec_expr: str, n_bits: int = N_SIGN_BITS) -> str:
     return f"CAST({terms} AS INT)"
 
 
+# --- adaptive sign-LSH: bucket count scales with corpus size --------
+#
+# A FIXED bit count makes every bucket's occupancy grow linearly with
+# the corpus, so any within-bucket join grows QUADRATICALLY — the
+# round-6 sf0.1→sf1 sweep measured exactly that (dedup_embedding_lsh
+# exponent 1.91). The scale-correct policy is occupancy-targeted:
+#     B = clamp(ceil(log2(n / OCCUPANCY)), MIN_BITS, MAX_BITS)
+# which keeps expected bucket size ≤ OCCUPANCY, making bucketed
+# self-joins ~n·OCCUPANCY/2 — linear. Implemented as an INTEGER
+# threshold ladder (n ≤ OCCUPANCY·2^B), not float log2, so Spark and
+# DuckDB agree bit-for-bit at every boundary. At the sf0.01 oracle
+# gate n=200 ⇒ B=MIN_BITS=4, identical to the fixed-bit behavior.
+
+SIGN_OCCUPANCY = 128
+SIGN_BITS_MIN = N_SIGN_BITS
+SIGN_BITS_MAX = 16
+
+
+def sign_bits_for(n_col):
+    """Column-valued adaptive bit count from a corpus-count column."""
+    c = F.when(
+        n_col <= (SIGN_OCCUPANCY << SIGN_BITS_MIN), F.lit(SIGN_BITS_MIN)
+    )
+    for b in range(SIGN_BITS_MIN + 1, SIGN_BITS_MAX):
+        c = c.when(n_col <= (SIGN_OCCUPANCY << b), F.lit(b))
+    return c.otherwise(F.lit(SIGN_BITS_MAX))
+
+
+def sign_bucket_adaptive(vec, bits_col):
+    """Sign bucket over the first ``bits_col`` axis hyperplanes."""
+    return sum(
+        F.when(
+            (F.lit(b) < bits_col) & (F.element_at(vec, b + 1) >= 0),
+            F.lit(1 << b),
+        ).otherwise(0)
+        for b in range(SIGN_BITS_MAX)
+    ).cast("int")
+
+
+def _sign_bits_sql(n_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN ({n_expr}) <= {SIGN_OCCUPANCY << b} THEN {b}"
+        for b in range(SIGN_BITS_MIN, SIGN_BITS_MAX)
+    )
+    return f"(CASE {whens} ELSE {SIGN_BITS_MAX} END)"
+
+
+def _sign_bucket_adaptive_sql(vec_expr: str, bits_expr: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {b} < {bits_expr} AND {vec_expr}[{b + 1}] >= 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(SIGN_BITS_MAX)
+    )
+    return f"CAST({terms} AS INT)"
+
+
 def topk_bruteforce(
     queries_df: DataFrame,
     corpus_df: DataFrame,
@@ -94,20 +150,27 @@ def topk_bucketed(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign
     bucket. The bucket id becomes the join key, so the probe is a
-    hash join on a 2^B-ary partition — no full scan per query."""
+    hash join on a 2^B-ary partition — no full scan per query. B is
+    occupancy-adaptive (``sign_bits_for``) so per-query candidate
+    counts stay bounded as the corpus grows."""
+    n = corpus_df.agg(F.count(F.lit(1)).alias("n_corpus"))
     q = F.broadcast(
-        queries_df.select(
+        queries_df.crossJoin(F.broadcast(n)).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
             l2_norm(F.col(vec_col)).alias("qn"),
-            sign_bucket(F.col(vec_col)).alias("bucket"),
+            sign_bucket_adaptive(
+                F.col(vec_col), sign_bits_for(F.col("n_corpus"))
+            ).alias("bucket"),
         )
     )
-    c = corpus_df.select(
+    c = corpus_df.crossJoin(F.broadcast(n)).select(
         F.col(id_col).alias("vec_id_c"),
         F.col(vec_col).alias("cv"),
         l2_norm(F.col(vec_col)).alias("cn"),
-        sign_bucket(F.col(vec_col)).alias("bucket"),
+        sign_bucket_adaptive(
+            F.col(vec_col), sign_bits_for(F.col("n_corpus"))
+        ).alias("bucket"),
     )
     sim = fround(cosine_from_norms("qv", "cv", "qn", "cn"), 6)
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -363,7 +426,9 @@ def ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["ann_topk_bucketed"] = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
-         {_sign_bucket_sql('embedding')} AS bucket
+         {_sign_bucket_adaptive_sql(
+             'embedding', _sign_bits_sql('(SELECT count(*) FROM embeddings)')
+         )} AS bucket
   FROM embeddings
 ),
 q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE {_QUERY_PRED}),
@@ -1158,6 +1223,138 @@ WHERE rank <= {PQ_TOPK}
 
 
 ORACLE["ann_topk_pq"] = _pq_topk_oracle()
+
+
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite — the production billion-scale ANN layout
+    (FAISS ``IVFxPQy``): an IVF coarse quantizer prunes the corpus to
+    ``NPROBE`` cells, and within the probed cells distance is PQ's
+    asymmetric distance computation over the 8 code bytes — the scan
+    never touches a full-precision corpus vector. Plan shape: the
+    per-vector code list joins its cell id on vec_id (keyed shuffle),
+    then two broadcast joins (probed cells, per-query distance table)
+    restrict and score it, one partial-aggregated sum per
+    (query, vector), one window top-k. At cluster scale the code
+    table is written partitioned by cell, so the probe is partition
+    pruning + an 8-byte-per-vector scan — exactly the published
+    design (Jégou et al. 2011, §IV)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = ivf_assign(
+        emb, ivf_centroids(emb, "vec_id", "embedding"), "vec_id", "embedding"
+    ).select("vec_id", F.col("cid").alias("cell"))
+    codes = _pq_assignments(emb).select("vec_id", "j", "cid")
+
+    qs = emb.filter(F.expr(_QUERY_PRED))
+    cents_n = ivf_centroids(emb, "vec_id", "embedding").withColumn(
+        "_cn", l2_norm("cv")
+    )
+    qsim = fround(cosine_from_norms("qv", "cv", "qn", "_cn"), 6)
+    wq = W.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("cid"))
+    probe = (
+        qs.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            l2_norm(F.col("embedding")).alias("qn"),
+        )
+        .crossJoin(F.broadcast(cents_n))
+        .withColumn("_csim", qsim)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= NPROBE)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    q_subs = _pq_subvectors(qs).select(
+        F.col("vec_id").alias("query_id"), F.col("j").alias("qj"), "sv"
+    )
+    dt = q_subs.join(
+        _pq_codebook(_pq_subvectors(emb)), F.col("qj") == F.col("cj")
+    ).select(
+        "query_id",
+        F.col("qj").alias("j"),
+        "cid",
+        _pq_sqdist("sv", "cv_sub").alias("dt"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), "vec_id")
+    return (
+        codes.join(cells, "vec_id")
+        .join(F.broadcast(probe), "cell")
+        .join(F.broadcast(dt), ["query_id", "j", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(fround(F.sum("dt"), 4).alias("approx_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            "query_id", "rank", F.col("vec_id").alias("neighbor_id"), "approx_dist"
+        )
+    )
+
+
+def _ivfpq_oracle() -> str:
+    sub_d = PQ_DIM // PQ_M
+    subs = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, embedding[{j * sub_d + 1}:{(j + 1) * sub_d}] AS sv"
+        " FROM embeddings"
+        for j in range(PQ_M)
+    )
+    dist = (
+        "list_sum(list_transform(list_zip(s.sv, c.sv), "
+        "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id < {IVF_K}),
+cells AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT e.vec_id, cents.ccid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.v', 'cents.cv')} DESC,
+                                       cents.ccid) AS rn
+    FROM e CROSS JOIN cents
+  ) t WHERE rn = 1
+),
+probe AS (
+  SELECT query_id, ccid AS cell FROM (
+    SELECT q.vec_id AS query_id, cents.ccid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos_sql('q.v', 'cents.cv')} DESC,
+                                       cents.ccid) AS rn
+    FROM e q CROSS JOIN cents WHERE {_QUERY_PRED.replace('vec_id', 'q.vec_id')}
+  ) t WHERE rn <= {NPROBE}
+),
+subs AS ({subs}),
+cb AS (SELECT CAST(vec_id AS INT) AS cid, j, sv FROM subs WHERE vec_id < {PQ_K}),
+codes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT s.vec_id, s.j, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+                              ORDER BY {fround_sql(dist, 6)} ASC, c.cid) AS rn
+    FROM subs s JOIN cb c ON s.j = c.j
+  ) WHERE rn = 1
+),
+dt AS (
+  SELECT s.vec_id AS query_id, s.j, c.cid, {fround_sql(dist, 6)} AS dt
+  FROM subs s JOIN cb c ON s.j = c.j
+  WHERE {_QUERY_PRED.replace('vec_id', 's.vec_id')}
+),
+scores AS (
+  SELECT d.query_id, co.vec_id, {fround_sql("sum(d.dt)", 4)} AS approx_dist
+  FROM codes co
+  JOIN cells ce ON co.vec_id = ce.vec_id
+  JOIN probe p ON ce.cell = p.cell
+  JOIN dt d ON co.j = d.j AND co.cid = d.cid AND d.query_id = p.query_id
+  WHERE co.vec_id <> d.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbor_id, approx_dist FROM (
+  SELECT query_id, vec_id AS neighbor_id, approx_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_dist ASC, vec_id) AS rank
+  FROM scores)
+WHERE rank <= {PQ_TOPK}
+"""
+
+
+ORACLE["ann_topk_ivfpq"] = _ivfpq_oracle()
 
 
 _MAHA_TOPN = 20
@@ -2166,6 +2363,7 @@ QUERIES = {
     "ann_maxsim_multivector": ann_maxsim_multivector,
     "ann_pq_encode": ann_pq_encode,
     "ann_topk_pq": ann_topk_pq,
+    "ann_topk_ivfpq": ann_topk_ivfpq,
     "ann_topk_int8": ann_topk_int8,
     "ann_topk_bucketed": ann_topk_bucketed,
     "ann_recall_eval": ann_recall_eval,

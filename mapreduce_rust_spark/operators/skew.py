@@ -20,7 +20,7 @@ redistributes it. The engine handles skew at three levels:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.functions.numeric import fround, fround_sql
@@ -313,7 +313,107 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+RANGE_PARTS = 8  # target partition count for the planned ranges
+RANGE_BANDS = 256  # first-phase bands — fixed, independent of row count
+
+
+def skew_balanced_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT balanced range-partition boundaries — what Spark's
+    RangePartitioner estimates by sampling, computed exactly and
+    deterministically (sampling isn't oracle-able) with NO global
+    sort: the smallest key whose exact cumulative row count reaches
+    each i/{RANGE_PARTS} of the total, plus the achieved cumulative
+    fraction (the imbalance report). This is the planning step before
+    any range-partitioned write or sort-free merge join.
+
+    Distributed cumulative counts use the two-phase banded shape
+    (same as ``abc_analysis``): per-key counts band into
+    ≤{RANGE_BANDS} key-range buckets (band width from max key, so
+    band count never grows with row count), band totals prefix-sum
+    EXPRESSION-side over one collected array row (no partitionless
+    window, no single-partition sort), and each key adds its
+    within-band running count via a window PARTITIONED by band. The
+    boundary pick is an all-integer broadcast join against the
+    {RANGE_PARTS}-row target series — bit-identical in any engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = keyed.agg(
+        F.max("key").alias("mx"), F.sum("cnt").alias("t")
+    )
+    banded = (
+        keyed.crossJoin(F.broadcast(tot))
+        .withColumn("bw", F.expr(f"mx DIV {RANGE_BANDS} + 1"))
+        .withColumn("bkt", F.expr("key DIV bw"))
+    )
+    bsum = banded.groupBy("bkt").agg(F.sum("cnt").alias("bsum"))
+    packed = bsum.agg(
+        F.sort_array(F.collect_list(F.struct("bkt", "bsum"))).alias("bands")
+    )
+    prev = packed.select(
+        F.posexplode("bands").alias("pos", "b"),
+        F.col("bands").alias("bands"),
+    ).select(
+        F.col("b.bkt").alias("bkt"),
+        F.aggregate(
+            F.slice("bands", F.lit(1), F.col("pos")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x["bsum"],
+        ).alias("prev"),
+    )
+    w_run = (
+        Window.partitionBy("bkt")
+        .orderBy("key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = banded.join(F.broadcast(prev), "bkt").select(
+        "key",
+        "cnt",
+        "t",
+        (F.col("prev") + F.sum("cnt").over(w_run)).alias("cum"),
+    )
+    targets = spark.range(1, RANGE_PARTS + 1).select(F.col("id").alias("i"))
+    return (
+        cum.join(
+            F.broadcast(targets),
+            ((F.col("cum") - F.col("cnt")) * RANGE_PARTS < F.col("i") * F.col("t"))
+            & (F.col("i") * F.col("t") <= F.col("cum") * RANGE_PARTS),
+        )
+        .select(
+            F.col("i").alias("partition_id"),
+            F.col("key").alias("boundary_key"),
+            F.col("cum").alias("cum_rows"),
+            fround(F.col("cum").cast("double") / F.col("t"), 6).alias("cum_frac"),
+        )
+        .orderBy("partition_id")
+    )
+
+
+ORACLE["skew_balanced_ranges"] = f"""
+WITH keyed AS (
+  SELECT l_orderkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+),
+tot AS (SELECT max(key) AS mx, CAST(sum(cnt) AS BIGINT) AS t FROM keyed),
+cum AS (
+  SELECT key, cnt, t,
+         CAST(sum(cnt) OVER (ORDER BY key
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum
+  FROM keyed CROSS JOIN tot
+),
+series AS (SELECT unnest(range(1, {RANGE_PARTS + 1})) AS i)
+SELECT s.i AS partition_id, c.key AS boundary_key, c.cum AS cum_rows,
+       {fround_sql("c.cum / CAST(c.t AS DOUBLE)", 6)} AS cum_frac
+FROM cum c JOIN series s
+  ON (c.cum - c.cnt) * {RANGE_PARTS} < s.i * c.t
+ AND s.i * c.t <= c.cum * {RANGE_PARTS}
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "skew_balanced_ranges": skew_balanced_ranges,
     "skew_consistent_shards": skew_consistent_shards,
     "skew_salted_agg": skew_salted_agg,
     "skew_salted_join": skew_salted_join,

@@ -1245,7 +1245,163 @@ FROM ranked
 """
 
 
+def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (token) Shannon entropy — the classic
+    cheap gibberish/boilerplate filter: low entropy ⇒ repetitive
+    template text, maximal entropy ⇒ every token distinct. Computed
+    entirely as per-row array expressions (distinct tokens × counted
+    occurrences — O(types·len) per row over a ≤100-token doc), so the
+    full-corpus pass is whole-stage-codegen with ZERO shuffle before
+    the 20-row per-source report. The oracle computes the same value
+    by explode+GROUP BY — different dataflow, same numbers."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = tokenize_whitespace(F.col("text"))
+    n = F.size(toks).cast("double")
+    probs = F.transform(
+        F.array_distinct(toks),
+        lambda w: F.size(F.filter(toks, lambda t: t == w)).cast("double") / n,
+    )
+    entropy = -F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc + p * F.log2(p)
+    )
+    per_doc = docs.select(
+        "source", fround(entropy, 6).alias("h")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fround(F.avg("h"), 4).alias("avg_entropy"),
+            fround(F.min("h"), 4).alias("min_entropy"),
+            fround(F.max("h"), 4).alias("max_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["text_unigram_entropy"] = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+c AS (SELECT doc_id, source, tok, count(*) AS c FROM t GROUP BY 1, 2, 3),
+n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1),
+per_doc AS (
+  SELECT c.source,
+         {fround_sql(
+             "-sum((c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE)))", 6
+         )} AS h
+  FROM c JOIN n USING (doc_id)
+  GROUP BY c.doc_id, c.source
+)
+SELECT source, count(*) AS n_docs,
+       {fround_sql("avg(h)", 4)} AS avg_entropy,
+       {fround_sql("min(h)", 4)} AS min_entropy,
+       {fround_sql("max(h)", 4)} AS max_entropy
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+
+KN_DISCOUNT = 0.75  # absolute discount (Chen & Goodman 1999 default)
+KN_TOPN = 20
+
+
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — training a real
+    n-gram LM over the corpus (the smoothing used by KenLM and every
+    perplexity-filter pipeline):
+
+      P_kn(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+                    + D · N1+(w1,·)/c(w1·) · N1+(·,w2)/N1+(·,·)
+
+    Plan: bigrams come from one zip_with over each doc's token array
+    (no self-join), the count table aggregates to at most
+    |vocab|² rows — VOCAB-bounded, not corpus-bounded — so every
+    downstream marginal (follower/predecessor type counts) is a
+    broadcast-sized frame and the top-{KN_TOPN} is TakeOrdered, not a
+    global sort. The one corpus-sized stage is the map-side-combined
+    bigram count itself."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = tokenize_whitespace(F.col("text"))
+    n = F.size(toks)
+    bigrams = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, F.lit(1), n - 1),
+                F.slice(toks, F.lit(2), n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    left = bc.groupBy("w1").agg(
+        F.sum("c").alias("c_w1"),
+        F.count(F.lit(1)).alias("n1_fw"),
+    )
+    right = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_pre"))
+    types = bc.agg(F.count(F.lit(1)).alias("n_types"))
+    d = F.lit(KN_DISCOUNT)
+    pkn = (
+        F.greatest(F.col("c") - d, F.lit(0.0)) / F.col("c_w1")
+        + d
+        * F.col("n1_fw")
+        / F.col("c_w1")
+        * (F.col("n1_pre") / F.col("n_types").cast("double"))
+    )
+    return (
+        bc.join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(types))
+        .select("w1", "w2", "c", fround(pkn, 6).alias("pkn"))
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(KN_TOPN)
+    )
+
+
+# oracle note: every numeric literal is CAST to DOUBLE — DuckDB parses
+# 0.75 as DECIMAL and BIGINT−DECIMAL division rounds differently from
+# Spark's double arithmetic
+ORACLE["text_kneser_ney_bigram"] = rf"""
+WITH t AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS w
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+    FROM documents
+  )
+),
+bg AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM t
+),
+bc AS (
+  SELECT w1, w2, count(*) AS c FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2
+),
+lft AS (
+  SELECT w1, CAST(sum(c) AS BIGINT) AS c_w1, count(*) AS n1_fw
+  FROM bc GROUP BY 1
+),
+rgt AS (SELECT w2, count(*) AS n1_pre FROM bc GROUP BY 1),
+ty AS (SELECT count(*) AS n_types FROM bc)
+SELECT w1, w2, c,
+       {fround_sql(
+           f"greatest(c - CAST({KN_DISCOUNT} AS DOUBLE), 0.0)"
+           " / CAST(c_w1 AS DOUBLE)"
+           f" + CAST({KN_DISCOUNT} AS DOUBLE) * n1_fw"
+           " / CAST(c_w1 AS DOUBLE)"
+           " * (n1_pre / CAST(n_types AS DOUBLE))", 6
+       )} AS pkn
+FROM bc JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN ty
+ORDER BY c DESC, w1, w2 LIMIT {KN_TOPN}
+"""
+
+
 QUERIES = {
+    "text_unigram_entropy": text_unigram_entropy,
+    "text_kneser_ney_bigram": text_kneser_ney_bigram,
     "text_lm_likelihood": text_lm_likelihood,
     "text_diversity": text_diversity,
     "bpe_pair_counts": bpe_pair_counts,

@@ -152,6 +152,15 @@ _PRIORITY: tuple[str, ...] = (
 # this tuple (they will have no driver evidence until the r07 window);
 # the TPC-H/parity tail behind them is oldest-evidence backfill.
 _NEXT_WINDOW: tuple[str, ...] = (
+    # --- round-6 additions: first driver evidence due in r07 ---
+    "corpus_dsir_weights",
+    "text_kneser_ney_bigram",
+    "text_unigram_entropy",
+    "ann_topk_ivfpq",
+    "graph_label_propagation",
+    "skew_balanced_ranges",
+    "source_binaryfile_ingest",
+    # --- oldest-evidence (round-1) backfill ---
     "q13_customer_distribution",
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -482,7 +482,68 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+BINARYFILE_N = 200  # documents materialized as individual files
+
+
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the raw-media ingest path the
+    multimodal family assumes (one opaque payload per file, as
+    crawlers and WebDataset-style dumps deliver it): materialize the
+    first {BINARYFILE_N} documents as one text file each (a
+    partitionBy write — no driver-side loop), list + read them back
+    with ``spark.read.format("binaryFile")``, recover the doc id from
+    the directory name, and prove payload integrity by aggregating
+    file length and sha256 per doc_id%10 group against the
+    table-derived truth. At scale binaryFile distributes file splits
+    across executors like any other source and ``content`` stays
+    JVM-side; its known limit (no partial reads — a file must fit an
+    executor) is exactly why ``payload_metadata`` sniffs cheap fields
+    before any decode."""
+    out = os.path.join(scratch_dir(prefix="mrs_binfile_"), "docs")
+    (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINARYFILE_N)
+        .select("doc_id", "text")
+        .write.partitionBy("doc_id")
+        .mode("overwrite")
+        .text(out)
+    )
+    back = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.txt")
+        .load(out)
+    )
+    grp = (
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("bigint") % 10
+    ).alias("grp")
+    return (
+        back.select(grp, "length", F.sha2("content", 256).alias("sha"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("length").alias("total_bytes"),
+            F.countDistinct("sha").alias("n_distinct_sha"),
+        )
+        .orderBy("grp")
+    )
+
+
+# the text writer terminates every line with \n — the oracle hashes
+# text || chr(10) to match the on-disk bytes exactly
+ORACLE["source_binaryfile_ingest"] = f"""
+SELECT doc_id % 10 AS grp,
+       count(*) AS n_files,
+       CAST(sum(octet_length(encode(text)) + 1) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT sha256(text || chr(10))) AS BIGINT)
+         AS n_distinct_sha
+FROM documents WHERE doc_id < {BINARYFILE_N}
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "source_binaryfile_ingest": source_binaryfile_ingest,
     "format_csv_roundtrip": format_csv_roundtrip,
     "format_csv_malformed": format_csv_malformed,
     "udf_arrow_scalar": udf_arrow_scalar,

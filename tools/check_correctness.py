@@ -94,6 +94,31 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+def check_one(
+    spark, con, name: str, sf_dir: str
+) -> tuple[bool, str | None]:
+    """Run one slug on Spark and its DuckDB oracle over the same
+    sf_dir; returns (ok, problem). Importable for the dual-scale
+    sweep (tools/scale_sweep.py)."""
+    from mapreduce_rust_spark.registry import oracle_sql, queries
+
+    try:
+        spark_pdf = queries()[name](spark, sf_dir).toPandas()
+    except Exception as e:  # noqa: BLE001
+        return False, f"spark raised {type(e).__name__}: {e}"
+    finally:
+        spark.catalog.clearCache()
+    sql = oracle_sql().get(name)
+    if sql is None:
+        return (len(spark_pdf) > 0, "rows-only (no oracle)")
+    try:
+        duck_pdf = con.execute(sql).df()
+    except Exception as e:  # noqa: BLE001
+        return False, f"duckdb raised {type(e).__name__}: {e}"
+    problems = compare(name, spark_pdf, duck_pdf)
+    return (not problems, "; ".join(problems) or None)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
