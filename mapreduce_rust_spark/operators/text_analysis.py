@@ -1324,17 +1324,34 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort. The one corpus-sized stage is the map-side-combined
     bigram count itself."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        _kn_bigram_model(_doc_bigrams(docs).select("w1", "w2"))
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(KN_TOPN)
+    )
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, w1, w2): each document's adjacent token pairs
+    from one zip_with over the token array — no self-join."""
     toks = tokenize_whitespace(F.col("text"))
     n = F.size(toks)
-    bigrams = docs.select(
+    return docs.select(
+        "doc_id",
+        "source",
         F.explode(
             F.zip_with(
                 F.slice(toks, F.lit(1), n - 1),
                 F.slice(toks, F.lit(2), n - 1),
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
+        ).alias("bg"),
+    ).select("doc_id", "source", "bg.w1", "bg.w2")
+
+
+def _kn_bigram_model(bigrams: DataFrame) -> DataFrame:
+    """(w1, w2, c, pkn): the full interpolated-KN bigram table —
+    VOCAB²-bounded, so every marginal join below is broadcast-sized."""
     bc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     left = bc.groupBy("w1").agg(
         F.sum("c").alias("c_w1"),
@@ -1355,25 +1372,24 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(right), "w2")
         .crossJoin(F.broadcast(types))
         .select("w1", "w2", "c", fround(pkn, 6).alias("pkn"))
-        .orderBy(F.col("c").desc(), "w1", "w2")
-        .limit(KN_TOPN)
     )
 
 
 # oracle note: every numeric literal is CAST to DOUBLE — DuckDB parses
 # 0.75 as DECIMAL and BIGINT−DECIMAL division rounds differently from
-# Spark's double arithmetic
-ORACLE["text_kneser_ney_bigram"] = rf"""
-WITH t AS (
-  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS w
+# Spark's double arithmetic. _KN_CTES is shared by the top-N table and
+# the per-document perplexity scorer.
+_KN_CTES = rf"""t AS (
+  SELECT doc_id, source, generate_subscripts(toks, 1) AS pos,
+         unnest(toks) AS w
   FROM (
-    SELECT doc_id,
+    SELECT doc_id, source,
            list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
     FROM documents
   )
 ),
 bg AS (
-  SELECT doc_id, w AS w1,
+  SELECT doc_id, source, w AS w1,
          lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
   FROM t
 ),
@@ -1385,23 +1401,79 @@ lft AS (
   FROM bc GROUP BY 1
 ),
 rgt AS (SELECT w2, count(*) AS n1_pre FROM bc GROUP BY 1),
-ty AS (SELECT count(*) AS n_types FROM bc)
-SELECT w1, w2, c,
-       {fround_sql(
-           f"greatest(c - CAST({KN_DISCOUNT} AS DOUBLE), 0.0)"
-           " / CAST(c_w1 AS DOUBLE)"
-           f" + CAST({KN_DISCOUNT} AS DOUBLE) * n1_fw"
-           " / CAST(c_w1 AS DOUBLE)"
-           " * (n1_pre / CAST(n_types AS DOUBLE))", 6
-       )} AS pkn
-FROM bc JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN ty
+ty AS (SELECT count(*) AS n_types FROM bc),
+pkn_t AS (
+  SELECT w1, w2, c,
+         {fround_sql(
+             f"greatest(c - CAST({KN_DISCOUNT} AS DOUBLE), 0.0)"
+             " / CAST(c_w1 AS DOUBLE)"
+             f" + CAST({KN_DISCOUNT} AS DOUBLE) * n1_fw"
+             " / CAST(c_w1 AS DOUBLE)"
+             " * (n1_pre / CAST(n_types AS DOUBLE))", 6
+         )} AS pkn
+  FROM bc JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN ty
+)"""
+
+ORACLE["text_kneser_ney_bigram"] = f"""
+WITH {_KN_CTES}
+SELECT w1, w2, c, pkn FROM pkn_t
 ORDER BY c DESC, w1, w2 LIMIT {KN_TOPN}
+"""
+
+
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source perplexity under the corpus's own KN bigram LM — the
+    n-gram flavor of the perplexity filter (CCNet/KenLM style): score
+    every document's bigrams with ``_kn_bigram_model``, average
+    −log₂ P per document (bits/bigram; reported in log space so no
+    cross-engine pow()), and report the per-source distribution. Low
+    bits ⇒ stereotyped/templated text, high bits ⇒ atypical for the
+    corpus — both tails are filter candidates. The model table is
+    vocab²-bounded and BROADCAST to the per-doc bigram stream, so the
+    scoring pass is one map-side join + one doc-keyed aggregation —
+    the same shape at any corpus size; self-training means every
+    observed bigram has pkn > 0 by construction."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    bgs = _doc_bigrams(docs)
+    model = _kn_bigram_model(bgs.select("w1", "w2"))
+    per_doc = (
+        bgs.join(F.broadcast(model.select("w1", "w2", "pkn")), ["w1", "w2"])
+        .groupBy("doc_id", "source")
+        .agg(fround(F.avg(-F.log2("pkn")), 6).alias("nll_bits"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fround(F.avg("nll_bits"), 4).alias("avg_nll_bits"),
+            fround(F.min("nll_bits"), 4).alias("min_nll_bits"),
+            fround(F.max("nll_bits"), 4).alias("max_nll_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["text_bigram_perplexity"] = f"""
+WITH {_KN_CTES},
+per_doc AS (
+  SELECT bg.doc_id, bg.source,
+         {fround_sql("avg(-log2(pkn))", 6)} AS nll_bits
+  FROM bg JOIN pkn_t USING (w1, w2)
+  WHERE bg.w2 IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT source, count(*) AS n_docs,
+       {fround_sql("avg(nll_bits)", 4)} AS avg_nll_bits,
+       {fround_sql("min(nll_bits)", 4)} AS min_nll_bits,
+       {fround_sql("max(nll_bits)", 4)} AS max_nll_bits
+FROM per_doc GROUP BY 1 ORDER BY 1
 """
 
 
 QUERIES = {
     "text_unigram_entropy": text_unigram_entropy,
     "text_kneser_ney_bigram": text_kneser_ney_bigram,
+    "text_bigram_perplexity": text_bigram_perplexity,
     "text_lm_likelihood": text_lm_likelihood,
     "text_diversity": text_diversity,
     "bpe_pair_counts": bpe_pair_counts,

@@ -156,10 +156,14 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "corpus_dsir_weights",
     "text_kneser_ney_bigram",
     "text_unigram_entropy",
+    "text_bigram_perplexity",
     "ann_topk_ivfpq",
     "graph_label_propagation",
     "skew_balanced_ranges",
     "source_binaryfile_ingest",
+    "sql_recursive_tree_depth",
+    "sql_approx_top_k",
+    "sql_listagg_topn",
     # --- oldest-evidence (round-1) backfill ---
     "q13_customer_distribution",
     "q1_pricing_summary",

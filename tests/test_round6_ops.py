@@ -211,3 +211,47 @@ def test_binaryfile_ingest_integrity(spark, sf_dir):
     for r in rows:
         assert r["total_bytes"] > r["n_files"]  # every file ≥ 2 bytes
         assert 1 <= r["n_distinct_sha"] <= r["n_files"]
+
+
+def test_recursive_tree_depth_census(spark, sf_dir):
+    from mapreduce_rust_spark.plans.sqlface import sql_recursive_tree_depth
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    rows = sql_recursive_tree_depth(spark, sf_dir).collect()
+    n_supp = load_table(spark, sf_dir, "supplier").count()
+    assert sum(r["n_suppliers"] for r in rows) == n_supp
+    by_depth = {r["depth"]: r["n_suppliers"] for r in rows}
+    # binary heap: level d holds 2^d nodes until the last partial level
+    assert by_depth[0] == 1 and by_depth[1] == 2 and by_depth[2] == 4
+
+
+def test_approx_top_k_exact_when_tracked(spark, sf_dir):
+    from mapreduce_rust_spark.plans.sqlface import sql_approx_top_k
+    from mapreduce_rust_spark.operators.text_analysis import text_token_stats
+
+    rows = sql_approx_top_k(spark, sf_dir).collect()
+    assert len({r["token"] for r in rows}) == len(rows)
+    total_tokens = sum(
+        r["n_tokens"] for r in text_token_stats(spark, sf_dir).collect()
+    )
+    assert sum(r["cnt"] for r in rows) == total_tokens
+
+
+def test_listagg_topn_order(spark, sf_dir):
+    from mapreduce_rust_spark.plans.sqlface import sql_listagg_topn
+
+    rows = sql_listagg_topn(spark, sf_dir).collect()
+    assert len(rows) == 5  # market segments
+    for r in rows:
+        assert len(r["top3_names"].split(",")) == 3
+
+
+def test_bigram_perplexity_bounds(spark, sf_dir):
+    from mapreduce_rust_spark.operators.text_analysis import text_bigram_perplexity
+
+    rows = text_bigram_perplexity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # self-trained model: every bigram seen, pkn in (0,1] so
+        # bits are finite and non-negative
+        assert 0.0 <= r["min_nll_bits"] <= r["avg_nll_bits"] <= r["max_nll_bits"]
