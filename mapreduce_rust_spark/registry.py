@@ -164,6 +164,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "sql_recursive_tree_depth",
     "sql_approx_top_k",
     "sql_listagg_topn",
+    "streaming_session_window",
     # --- oldest-evidence (round-1) backfill ---
     "q13_customer_distribution",
     "q1_pricing_summary",

@@ -655,6 +655,67 @@ GROUP BY 1, 2
 """
 
 
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE gap sessionization — ``F.session_window`` (the built-in
+    dynamic-gap window, vs ``streaming_sessionize``'s
+    applyInPandasWithState custom-state form): 30-min-inactivity
+    sessions per user in APPEND mode, so a session row emits exactly
+    once, when the watermark (max event time − 2 h over the bounded
+    replay) passes its end = last event + gap. Output is the
+    session-size histogram over finalized sessions. The oracle
+    recomputes sessions as lag-islands — new session when the gap is
+    ≥ 30 min in exact integer microseconds, matching Spark's
+    strict-overlap merge rule — and applies the same finalization
+    bound analytically. State is one interval per open (user,
+    session): high-cardinality keys, evenly spread, retired by the
+    watermark — the native operator a 100 TB clickstream wants before
+    reaching for custom state."""
+    ev = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_available_now(agg, "append")
+    return (
+        out.groupBy("n_events")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("n_events")
+    )
+
+
+ORACLE["streaming_session_window"] = """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sess_id
+  FROM marked
+),
+per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n_events,
+         max(ts) + INTERVAL 30 MINUTE AS sess_end
+  FROM sess GROUP BY 1, 2
+)
+SELECT n_events, count(*) AS n_sessions
+FROM per_sess, wm
+WHERE sess_end <= wm.w
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def streaming_batch_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lambda-architecture reconciliation AS AN ARTIFACT: the
     streaming hourly rollup (real micro-batch execution, watermarked,
@@ -725,6 +786,7 @@ FROM (
 
 
 QUERIES = {
+    "streaming_session_window": streaming_session_window,
     "streaming_batch_parity_audit": streaming_batch_parity_audit,
     "streaming_state_inspect": streaming_state_inspect,
     "streaming_foreachbatch_upsert": streaming_foreachbatch_upsert,

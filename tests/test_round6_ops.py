@@ -255,3 +255,16 @@ def test_bigram_perplexity_bounds(spark, sf_dir):
         # self-trained model: every bigram seen, pkn in (0,1] so
         # bits are finite and non-negative
         assert 0.0 <= r["min_nll_bits"] <= r["avg_nll_bits"] <= r["max_nll_bits"]
+
+
+def test_session_window_histogram_consistent(spark, sf_dir):
+    """Native session_window finalized-session histogram must account
+    for every event in a finalized session and produce positive
+    session counts with bounded sizes."""
+    from mapreduce_rust_spark.streaming.queries import streaming_session_window
+
+    rows = streaming_session_window(spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_events"] >= 1 and r["n_sessions"] >= 1 for r in rows)
+    sizes = [r["n_events"] for r in rows]
+    assert sizes == sorted(sizes)

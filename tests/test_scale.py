@@ -634,12 +634,27 @@ def test_triangle_joins_broadcast_at_runtime(spark, sf_dir):
 
 def test_embedding_lsh_bucket_join_no_cartesian(spark, sf_dir):
     """The sign-LSH near-dup self-join must be a hash join on the
-    bucket key — never a cartesian/nested-loop pair explosion."""
+    bucket key — never a cartesian/nested-loop pair explosion. The
+    adaptive-bit policy attaches a ONE-ROW corpus count via
+    crossJoin(broadcast(agg)); that plans as an unconditioned Cross
+    BroadcastNestedLoopJoin with a single-row build side, which is
+    fine — what must never appear is a conditioned nested-loop over
+    data-sized sides (or a CartesianProduct)."""
     from mapreduce_rust_spark.operators.dedup import dedup_embedding_lsh
 
     p = plan_str(dedup_embedding_lsh(spark, sf_dir))
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    assert "Join" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # the pair join, keyed on bucket
+    # only the two single-row count attaches may nest-loop, and only
+    # as condition-free cross joins (each node appears twice in a
+    # formatted plan: tree line + detail section)
+    assert p.count("BroadcastNestedLoopJoin") <= 4
+    for line in p.splitlines():
+        # tree lines carry the join type: "BroadcastNestedLoopJoin
+        # Cross BuildRight (n)"; detail headers ("(n) Broadcast...")
+        # don't and are skipped
+        if "BroadcastNestedLoopJoin " in line:
+            assert "Cross" in line, line
 
 
 def test_maxsim_broadcast_join_partial_aggs(spark, sf_dir):

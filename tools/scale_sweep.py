@@ -45,6 +45,12 @@ DEFAULT_SLUGS = (
     "q1_pricing_summary",
     "q5_local_supplier",
     "wordcount_e2e",
+    # round-6 additions with their own scale claims
+    "corpus_dsir_weights",
+    "text_bigram_perplexity",
+    "ann_topk_ivfpq",
+    "graph_label_propagation",
+    "skew_balanced_ranges",
 )
 
 
