@@ -278,11 +278,14 @@ def _lpa_oracle() -> str:
 )"""
         )
         prev = f"r{i}"
+    # MATERIALIZED (kcore-oracle precedent): each round references
+    # edges again — without it DuckDB re-inlines the whole MinHash
+    # signature derivation per round and spills to disk at sf1
     return f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT d1 AS a, d2 AS b FROM pairs
   UNION
   SELECT d2 AS a, d1 AS b FROM pairs
