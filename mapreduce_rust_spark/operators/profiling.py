@@ -1110,7 +1110,67 @@ FROM (SELECT count(*) AS n FROM {tbl} GROUP BY {col})""")
 ORACLE["table_skew_report"] = _skew_report_oracle()
 
 
+def table_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers / broken-ETL screen: observed leading-digit
+    shares next to Benford's log10(1+1/d) expectation with per-digit
+    absolute deviation. The leading digit is taken from the INTEGER
+    cents (round(x·100) → bigint → string), never from double
+    formatting, so both engines bucket identically. One groupBy over
+    9 possible keys: map-side partials make the shuffle 9 rows per
+    partition at any order count. (Synthetic uniform prices won't
+    follow Benford — the AUDIT's numbers are what's value-checked;
+    the deviation column is the alarm a real ledger would read.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = (
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .cast("string")
+        .substr(1, 1)
+        .cast("int")
+    )
+    counts = orders.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    total = counts.agg(F.sum("n_orders").alias("t"))
+    benford = F.log10(1 + 1 / F.col("digit").cast("double"))
+    obs = F.col("n_orders") / F.col("t").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            fround(obs, 6).alias("obs_share"),
+            fround(benford, 6).alias("benford_share"),
+            fround(F.abs(obs - benford), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+ORACLE["table_benford_audit"] = f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+total AS (SELECT CAST(sum(n_orders) AS BIGINT) AS t FROM counts)
+SELECT digit, n_orders,
+       {fround_sql("n_orders / CAST(t AS DOUBLE)", 6)} AS obs_share,
+       {fround_sql("log10(1 + 1 / CAST(digit AS DOUBLE))", 6)}
+         AS benford_share,
+       {fround_sql(
+           "abs(n_orders / CAST(t AS DOUBLE)"
+           " - log10(1 + 1 / CAST(digit AS DOUBLE)))", 6
+       )} AS abs_dev
+FROM counts CROSS JOIN total
+ORDER BY digit
+"""
+
+
 QUERIES = {
+    "table_benford_audit": table_benford_audit,
     "table_profile": table_profile,
     "table_skew_report": table_skew_report,
     "table_drift_psi": table_drift_psi,

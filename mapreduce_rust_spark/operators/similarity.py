@@ -800,6 +800,12 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrices in mapInPandas and sums them — same single-pass shape).
     Population covariance E[xy] − E[x]E[y]: identical IEEE expression
     both engines, fround-guarded."""
+    return _cov_cells(spark, sf_dir)
+
+
+def _cov_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, cov) upper triangle of the leading-_COV_DIMS covariance
+    — shared by the covariance report and the power-iteration PCA."""
     emb = load_table(spark, sf_dir, "embeddings")
     d = _COV_DIMS
     el = lambda i: F.col("embedding").getItem(i).cast("double")  # noqa: E731
@@ -849,6 +855,104 @@ def _covariance_oracle() -> str:
 
 
 ORACLE["embedding_covariance"] = _covariance_oracle()
+
+
+PI_ROUNDS = 3  # fixed power-iteration rounds (oracle-unrollable)
+
+
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the leading-{_COV_DIMS} covariance by
+    {PI_ROUNDS} POWER-ITERATION rounds — the iterative linear algebra
+    beyond k-means (PCA/whitening/spectral methods all start here):
+    v ← normalize(C·v) from the e₀ basis vector, plus the Rayleigh
+    quotient vᵀCv (the dominant-eigenvalue estimate) on the result.
+
+    The corpus is touched ONCE (the single-pass covariance
+    aggregation, map-side partials); every iteration is a matvec as a
+    join over the d² = {_COV_DIMS}² cell frame — model-sized, never
+    data-sized, the same separation k-means uses. Components are
+    fround-snapped after each normalize so the DuckDB twin (the same
+    {PI_ROUNDS} rounds unrolled as CTEs) tracks bit-for-bit."""
+    tri = _cov_cells(spark, sf_dir)
+    cov = tri.unionAll(
+        tri.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint(eager=False)
+    v = spark.range(_COV_DIMS).select(
+        F.col("id").cast("int").alias("dim"),
+        F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("comp"),
+    )
+    for _ in range(PI_ROUNDS):
+        w = (
+            cov.join(v, cov["j"] == v["dim"])
+            .groupBy(F.col("i").alias("wdim"))
+            .agg(F.sum(F.col("cov") * F.col("comp")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("wdim").alias("dim"),
+            fround(F.col("w") / F.col("nrm"), 8).alias("comp"),
+        )
+    cv = (
+        cov.join(v, cov["j"] == v["dim"])
+        .groupBy(F.col("i").alias("dim2"))
+        .agg(F.sum(F.col("cov") * F.col("comp")).alias("cw"))
+    )
+    rayleigh = (
+        cv.join(v, cv["dim2"] == v["dim"])
+        .agg(fround(F.sum(F.col("cw") * F.col("comp")), 6).alias("rayleigh"))
+    )
+    return (
+        v.crossJoin(F.broadcast(rayleigh))
+        .select("dim", fround(F.col("comp"), 6).alias("component"), "rayleigh")
+        .orderBy("dim")
+    )
+
+
+def _power_iteration_oracle() -> str:
+    from mapreduce_rust_spark.functions.numeric import fround_sql
+
+    ctes = [
+        f"tri AS MATERIALIZED ({_covariance_oracle()})",
+        "cov AS (SELECT i, j, cov FROM tri"
+        " UNION ALL SELECT j AS i, i AS j, cov FROM tri WHERE i <> j)",
+        f"v0 AS (SELECT i AS dim,"
+        f" CASE WHEN i = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+        f" AS comp FROM (SELECT unnest(range(0, {_COV_DIMS})) AS i))",
+    ]
+    prev = "v0"
+    for t in range(1, PI_ROUNDS + 1):
+        ctes.append(
+            f"w{t} AS (SELECT cov.i AS dim, sum(cov.cov * {prev}.comp) AS w"
+            f" FROM cov JOIN {prev} ON cov.j = {prev}.dim GROUP BY 1)"
+        )
+        ctes.append(
+            f"n{t} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{t})"
+        )
+        ctes.append(
+            f"v{t} AS (SELECT dim, {fround_sql('w / nrm', 8)} AS comp"
+            f" FROM w{t} CROSS JOIN n{t})"
+        )
+        prev = f"v{t}"
+    ctes.append(
+        f"cw AS (SELECT cov.i AS dim, sum(cov.cov * {prev}.comp) AS cw"
+        f" FROM cov JOIN {prev} ON cov.j = {prev}.dim GROUP BY 1)"
+    )
+    ctes.append(
+        f"rq AS (SELECT {fround_sql('sum(cw.cw * v.comp)', 6)} AS rayleigh"
+        f" FROM cw JOIN {prev} v ON cw.dim = v.dim)"
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT v.dim, {fround_sql("v.comp", 6)} AS component, rq.rayleigh
+FROM {prev} v CROSS JOIN rq
+ORDER BY v.dim
+"""
+
+
+ORACLE["embedding_power_iteration"] = _power_iteration_oracle()
 
 
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2372,6 +2476,7 @@ QUERIES = {
     "knn_classify": knn_classify,
     "embedding_kmeans": embedding_kmeans,
     "embedding_covariance": embedding_covariance,
+    "embedding_power_iteration": embedding_power_iteration,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_text_align": embedding_text_align,
 }

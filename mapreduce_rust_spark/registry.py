@@ -165,6 +165,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "sql_approx_top_k",
     "sql_listagg_topn",
     "streaming_session_window",
+    "embedding_power_iteration",
+    "table_benford_audit",
     # --- oldest-evidence (round-1) backfill ---
     "q13_customer_distribution",
     "q1_pricing_summary",

@@ -268,3 +268,43 @@ def test_session_window_histogram_consistent(spark, sf_dir):
     assert all(r["n_events"] >= 1 and r["n_sessions"] >= 1 for r in rows)
     sizes = [r["n_events"] for r in rows]
     assert sizes == sorted(sizes)
+
+
+def test_power_iteration_unit_vector_and_rayleigh(spark, sf_dir):
+    """The returned direction must be unit-norm; the Rayleigh quotient
+    must dominate the average diagonal (it approaches the top
+    eigenvalue, which is >= mean of eigenvalues = mean variance)."""
+    from mapreduce_rust_spark.operators.similarity import (
+        _COV_DIMS,
+        embedding_covariance,
+        embedding_power_iteration,
+    )
+
+    rows = embedding_power_iteration(spark, sf_dir).collect()
+    assert len(rows) == _COV_DIMS
+    norm2 = sum(r["component"] ** 2 for r in rows)
+    assert abs(norm2 - 1.0) < 1e-4
+    rq = rows[0]["rayleigh"]
+    diag = [
+        r["cov"]
+        for r in embedding_covariance(spark, sf_dir).collect()
+        if r["i"] == r["j"]
+    ]
+    assert rq >= sum(diag) / len(diag) - 1e-9
+
+
+def test_benford_audit_shares(spark, sf_dir):
+    import math
+
+    from mapreduce_rust_spark.operators.profiling import table_benford_audit
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    rows = table_benford_audit(spark, sf_dir).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert sum(r["n_orders"] for r in rows) == load_table(
+        spark, sf_dir, "orders"
+    ).count()
+    for r in rows:
+        expect = math.log10(1 + 1 / r["digit"])
+        assert abs(r["benford_share"] - expect) < 1e-5
+        assert abs(r["abs_dev"] - abs(r["obs_share"] - expect)) < 1e-5
