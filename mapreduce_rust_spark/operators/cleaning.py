@@ -273,7 +273,76 @@ LIMIT 100
 """
 
 
+HASH_BUCKETS = 32  # feature-hashing dimensionality (2^5 — small enough that the collision census is exercised by the ~41-feature vocabulary)
+
+
+def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009 — Vowpal Wabbit's
+    feature space): categorical features hash straight into a fixed
+    {HASH_BUCKETS}-dim vector with a second hash choosing ±1 sign, so
+    the feature map needs NO vocabulary, no fit step, and no driver
+    state — the only schema a 100 TB categorical stream can afford.
+    Features here: customer nation, market segment, and account-
+    balance band. Output: per-bucket signed counts + collision census
+    (how many distinct raw features share the bucket — the price of
+    the trick). One explode + one groupBy on bucket ids; md5-derived
+    hashes make every cell value-checkable in DuckDB."""
+    cust = load_table(spark, sf_dir, "customer")
+    feats = cust.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("nation="), F.col("c_nationkey").cast("string")),
+                F.concat(F.lit("segment="), F.col("c_mktsegment")),
+                F.concat(
+                    F.lit("balband="),
+                    F.floor(F.col("c_acctbal") / 1000).cast("string"),
+                ),
+            )
+        ).alias("feat")
+    )
+    h = F.conv(F.substring(F.md5("feat"), 1, 15), 16, 10).cast("bigint")
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("s"), F.col("feat"))), 1, 1), 16, 10)
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        feats.select(
+            (h % HASH_BUCKETS).alias("bucket"),
+            sign.alias("sign"),
+            "feat",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("sign").alias("signed_count"),
+            F.count(F.lit(1)).alias("n_values"),
+            F.countDistinct("feat").alias("n_distinct_feats"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE["features_hashing_trick"] = f"""
+WITH feats AS (
+  SELECT unnest([
+    'nation=' || CAST(c_nationkey AS VARCHAR),
+    'segment=' || c_mktsegment,
+    'balband=' || CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR)
+  ]) AS feat
+  FROM customer
+)
+SELECT ('0x' || substr(md5(feat), 1, 15))::BIGINT % {HASH_BUCKETS} AS bucket,
+       CAST(sum(CASE WHEN ('0x' || substr(md5('s' || feat), 1, 1))::BIGINT % 2 = 0
+                     THEN 1 ELSE -1 END) AS BIGINT) AS signed_count,
+       count(*) AS n_values,
+       CAST(count(DISTINCT feat) AS BIGINT) AS n_distinct_feats
+FROM feats GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "features_hashing_trick": features_hashing_trick,
     "text_pii_redact": text_pii_redact,
     "text_repetition": text_repetition,
     "dedup_prefix": dedup_prefix,

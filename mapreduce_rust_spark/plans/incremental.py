@@ -344,7 +344,71 @@ ORDER BY valid_from, valid_to
 """
 
 
+def incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintained JOIN — the other half of incremental view
+    maintenance next to ``incremental_agg_merge``'s aggregates: with
+    yesterday's join already materialized, today's update is the
+    classic three delta terms
+
+        Δ(O ⋈ L) = ΔO ⋈ L_old  ∪  O_old ⋈ ΔL  ∪  ΔO ⋈ ΔL
+
+    — each term joins a (small) delta against a base or the other
+    delta, so daily cost is O(|Δ|·match-rate), never a full-fact
+    rescan. Bases/deltas are hash-split (md5 of the orderkey, the
+    same deterministic split the snapshot slugs use). The maintained
+    union is value-checked against the direct full join via a
+    per-priority census with an exact integer-cents revenue sum —
+    equality here IS the algebraic identity holding on real data."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o_new = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) < "4"
+    l_new = (
+        F.substring(F.md5(F.concat(F.lit("L"), F.col("l_orderkey").cast("string"))), 1, 1)
+        < "4"
+    )
+    o_old, o_delta = orders.filter(~o_new), orders.filter(o_new)
+    l_old, l_delta = li.filter(~l_new), li.filter(l_new)
+    maintained = (
+        o_delta.join(l_old, o_delta["o_orderkey"] == l_old["l_orderkey"])
+        .unionAll(
+            o_old.join(l_delta, o_old["o_orderkey"] == l_delta["l_orderkey"])
+        )
+        .unionAll(
+            o_delta.join(l_delta, o_delta["o_orderkey"] == l_delta["l_orderkey"])
+        )
+        .unionAll(o_old.join(l_old, o_old["o_orderkey"] == l_old["l_orderkey"]))
+    )
+    return (
+        maintained.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "revenue_cents"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# oracle = the DIRECT full join: the delta decomposition must be
+# indistinguishable from recomputing from scratch
+ORACLE["incremental_join_delta"] = """
+SELECT o_orderpriority, count(*) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+
+
 QUERIES = {
+    "incremental_join_delta": incremental_join_delta,
     "incremental_agg_merge": incremental_agg_merge,
     "snapshot_diff": snapshot_diff,
     "scd2_point_in_time": scd2_point_in_time,

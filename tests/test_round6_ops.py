@@ -308,3 +308,45 @@ def test_benford_audit_shares(spark, sf_dir):
         expect = math.log10(1 + 1 / r["digit"])
         assert abs(r["benford_share"] - expect) < 1e-5
         assert abs(r["abs_dev"] - abs(r["obs_share"] - expect)) < 1e-5
+
+
+def test_incremental_join_delta_equals_direct_join(spark, sf_dir):
+    """The three delta terms plus the old-old term must reproduce the
+    direct join exactly (algebraic identity on real data)."""
+    from mapreduce_rust_spark.plans.incremental import incremental_join_delta
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    got = {
+        r["o_orderpriority"]: (r["n_rows"], r["revenue_cents"])
+        for r in incremental_join_delta(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+        .collect()
+    )
+    assert got == {r["o_orderpriority"]: (r["n"], r["cents"]) for r in direct}
+
+
+def test_hashing_trick_collision_census(spark, sf_dir):
+    from mapreduce_rust_spark.operators.cleaning import (
+        HASH_BUCKETS,
+        features_hashing_trick,
+    )
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    rows = features_hashing_trick(spark, sf_dir).collect()
+    assert all(0 <= r["bucket"] < HASH_BUCKETS for r in rows)
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["n_values"] for r in rows) == 3 * n_cust
+    # with ~41 features in 32 buckets, pigeonhole guarantees collisions
+    assert any(r["n_distinct_feats"] > 1 for r in rows)
+    assert all(abs(r["signed_count"]) <= r["n_values"] for r in rows)
