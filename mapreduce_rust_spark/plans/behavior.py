@@ -663,7 +663,130 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU — the rolling-active-user triple every product
+    dashboard leads with, computed EXACTLY: deduplicate to (user, day)
+    once (the only event-volume-sized stage, one shuffle), then join
+    the tiny day spine against trailing 7- and 30-day windows of that
+    pair set. The trailing join fans each user-day into ≤7 (resp.
+    ≤30 capped by spine length) spine rows — bounded blowup of the
+    already-aggregated pair set, the standard exact form; the
+    approximate form at extreme scale is the hourly-HLL slide
+    (``sketch_sliding_distinct``), which this slug anchors."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = ud.select("day").distinct().select(F.col("day").alias("spine"))
+    j = ud.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("spine"))
+        & (F.col("day") > F.date_sub(F.col("spine"), 30)),
+    )
+    return (
+        j.groupBy("spine")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("spine"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(
+                    F.col("day") > F.date_sub(F.col("spine"), 7), F.col("user_id")
+                )
+            ).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+        .select(
+            F.date_format("spine", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE["events_dau_wau_mau"] = """
+WITH ud AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+spine AS (SELECT DISTINCT day AS s FROM ud)
+SELECT strftime(s, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT CASE WHEN ud.day = s THEN user_id END) AS BIGINT)
+         AS dau,
+       CAST(count(DISTINCT CASE WHEN ud.day > s - INTERVAL 7 DAY
+                                THEN user_id END) AS BIGINT) AS wau,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+FROM ud JOIN spine ON ud.day <= s AND ud.day > s - INTERVAL 30 DAY
+GROUP BY s ORDER BY 1
+"""
+
+
+def ab_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit — the guardrail that runs BEFORE
+    any A/B readout (``ab_welch_ttest``): if the observed arm split
+    deviates from the designed 50/50, the assignment pipeline is
+    broken and every downstream metric is invalid. Per event type:
+    per-arm user counts, the one-degree-of-freedom chi-square
+    statistic against 50/50, and the alarm flag at the conventional
+    χ² > 3.841 (p < 0.05) bar. Distinct users per (type, arm) is one
+    aggregation; the chi-square is closed-form row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select("event_type", (F.col("user_id") % 2).cast("int").alias("arm"), "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("arm") == 0, F.col("user_id"))
+            ).alias("n0"),
+            F.countDistinct(
+                F.when(F.col("arm") == 1, F.col("user_id"))
+            ).alias("n1"),
+        )
+    )
+    exp = (F.col("n0") + F.col("n1")).cast("double") / 2
+    chi2 = (
+        (F.col("n0") - exp) * (F.col("n0") - exp) / exp
+        + (F.col("n1") - exp) * (F.col("n1") - exp) / exp
+    )
+    return g.select(
+        "event_type",
+        "n0",
+        "n1",
+        fround(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_alarm"),
+    ).orderBy("event_type")
+
+
+ORACLE["ab_srm_audit"] = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END)
+              AS BIGINT) AS n0,
+         CAST(count(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END)
+              AS BIGINT) AS n1
+  FROM events GROUP BY 1
+)
+SELECT event_type, n0, n1,
+       {fround_sql(
+           "(n0 - (n0 + n1) / CAST(2 AS DOUBLE))"
+           " * (n0 - (n0 + n1) / CAST(2 AS DOUBLE))"
+           " / ((n0 + n1) / CAST(2 AS DOUBLE))"
+           " + (n1 - (n0 + n1) / CAST(2 AS DOUBLE))"
+           " * (n1 - (n0 + n1) / CAST(2 AS DOUBLE))"
+           " / ((n0 + n1) / CAST(2 AS DOUBLE))", 6
+       )} AS chi2,
+       ((n0 - (n0 + n1) / CAST(2 AS DOUBLE))
+        * (n0 - (n0 + n1) / CAST(2 AS DOUBLE))
+        / ((n0 + n1) / CAST(2 AS DOUBLE))
+        + (n1 - (n0 + n1) / CAST(2 AS DOUBLE))
+        * (n1 - (n0 + n1) / CAST(2 AS DOUBLE))
+        / ((n0 + n1) / CAST(2 AS DOUBLE))) > 3.841 AS srm_alarm
+FROM g ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "events_dau_wau_mau": events_dau_wau_mau,
+    "ab_srm_audit": ab_srm_audit,
     "events_cumulative_uniques": events_cumulative_uniques,
     "funnel_negative_pattern": funnel_negative_pattern,
     "event_attribution": event_attribution,

@@ -167,6 +167,10 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "streaming_session_window",
     "embedding_power_iteration",
     "table_benford_audit",
+    "incremental_join_delta",
+    "features_hashing_trick",
+    "events_dau_wau_mau",
+    "ab_srm_audit",
     # --- oldest-evidence (round-1) backfill ---
     "q13_customer_distribution",
     "q1_pricing_summary",

@@ -350,3 +350,31 @@ def test_hashing_trick_collision_census(spark, sf_dir):
     # with ~41 features in 32 buckets, pigeonhole guarantees collisions
     assert any(r["n_distinct_feats"] > 1 for r in rows)
     assert all(abs(r["signed_count"]) <= r["n_values"] for r in rows)
+
+
+def test_dau_wau_mau_monotone_and_bounded(spark, sf_dir):
+    from mapreduce_rust_spark.plans.behavior import events_dau_wau_mau
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    rows = events_dau_wau_mau(spark, sf_dir).collect()
+    assert len(rows) == 30  # 30-day event window
+    total_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    for r in rows:
+        assert 1 <= r["dau"] <= r["wau"] <= r["mau"] <= total_users
+    # by day 30 the trailing-30d window covers the whole corpus
+    assert rows[-1]["mau"] == total_users
+
+
+def test_ab_srm_no_alarm_on_parity_split(spark, sf_dir):
+    """user_id-parity assignment is a perfect hash split; the SRM
+    audit must stay quiet (chi2 small) for every event type."""
+    from mapreduce_rust_spark.plans.behavior import ab_srm_audit
+
+    rows = ab_srm_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n0"] > 0 and r["n1"] > 0
+        assert r["chi2"] >= 0.0
+        assert not r["srm_alarm"]
