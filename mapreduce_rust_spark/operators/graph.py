@@ -782,7 +782,206 @@ JOIN deg db ON db.a = e.b
 ORACLE["graph_assortativity"] = _assortativity_oracle()
 
 
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link-prediction score for each near-dup candidate
+    pair: AA(u,v) = Σ_{w ∈ CN(u,v)} 1/ln(deg(w)) — common neighbors
+    weighted by how *selective* they are (a shared neighbor that
+    touches everything carries almost no evidence; a rare one is a
+    strong merge signal). The standard refinement over raw
+    common-neighbor counts for entity-resolution edge scoring. Same
+    plan shape as graph_node_jaccard: one pair-keyed self-join of the
+    memoized LSH edge list plus a broadcast-size degree join on the
+    common neighbor — cost Σ_pairs min(deg), bounded by the banded
+    candidate set, never n². Every common neighbor has deg ≥ 2 (it
+    touches both endpoints), so ln(deg) > 0 always; excluded-endpoint
+    correction is unnecessary for the NEIGHBOR's own degree (the
+    weight is a property of w, not of the pair)."""
+    from mapreduce_rust_spark.operators.dedup import candidate_pairs_index
+
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3).select(
+        "d1", "d2"
+    )
+    und = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("n")).union(
+        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("n"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = und.select(F.col("a").alias("d1"), F.col("n").alias("n1"))
+    e2 = und.select(F.col("a").alias("d2"), F.col("n").alias("n2"))
+    scored = (
+        pairs.join(e1, "d1")
+        .join(e2, "d2")
+        .filter(
+            (F.col("n1") == F.col("n2"))
+            & (F.col("n1") != F.col("d1"))
+            & (F.col("n1") != F.col("d2"))
+        )
+        .join(deg.select(F.col("a").alias("n1"), "deg"), "n1")
+        .groupBy("d1", "d2")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(F.lit(1.0) / F.log("deg")).alias("aa"),
+        )
+    )
+    return (
+        pairs.join(scored, ["d1", "d2"], "left")
+        .select(
+            "d1",
+            "d2",
+            F.coalesce("common_neighbors", F.lit(0)).alias("common_neighbors"),
+            F.expr(
+                "floor(round(coalesce(aa, 0.0), 10) * 1000000) / 1000000"
+            ).alias("adamic_adar"),
+        )
+        .orderBy(F.col("adamic_adar").desc(), "d1", "d2")
+        .limit(100)
+    )
+
+
+def _adamic_adar_oracle() -> str:
+    from mapreduce_rust_spark.operators.dedup import _minhash_oracle
+
+    # MATERIALIZED: pairs is referenced four times below — without it
+    # DuckDB re-inlines the full MinHash pipeline per reference.
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+),
+und AS (
+  SELECT d1 AS a, d2 AS n FROM pairs
+  UNION ALL
+  SELECT d2 AS a, d1 AS n FROM pairs
+),
+deg AS (SELECT a, count(*) AS deg FROM und GROUP BY 1),
+scored AS (
+  SELECT p.d1, p.d2, count(*) AS cn, sum(1.0 / ln(dw.deg)) AS aa
+  FROM pairs p
+  JOIN und e1 ON e1.a = p.d1
+  JOIN und e2 ON e2.a = p.d2 AND e2.n = e1.n
+  JOIN deg dw ON dw.a = e1.n
+  WHERE e1.n != p.d1 AND e1.n != p.d2
+  GROUP BY 1, 2
+)
+SELECT p.d1, p.d2,
+       CAST(coalesce(s.cn, 0) AS BIGINT) AS common_neighbors,
+       floor(round(coalesce(s.aa, 0.0), 10) * 1000000) / 1000000 AS adamic_adar
+FROM pairs p
+LEFT JOIN scored s ON s.d1 = p.d1 AND s.d2 = p.d2
+ORDER BY adamic_adar DESC, p.d1, p.d2
+LIMIT 100
+"""
+
+
+ORACLE["graph_adamic_adar"] = _adamic_adar_oracle()
+
+
+EIGEN_ITERS = 3
+
+
+def eigenvector_centrality_fixed(
+    edges: DataFrame, src: str, dst: str, iters: int = EIGEN_ITERS
+) -> DataFrame:
+    """Eigenvector centrality by FIXED-iteration power method with L1
+    normalization: x ← A·x, x ← x/Σx, unrolled ``iters`` times from
+    the uniform vector. L1 (not the textbook L2) keeps every step a
+    plain sum — exactly SQL-expressible, so the oracle replays it
+    bit-for-bit; the induced ranking is identical (normalization is a
+    positive scalar). Distinct from PageRank: no damping and no
+    out-degree division, so high-degree neighbors transfer FULL
+    weight — the "popular friends make you popular" centrality.
+    Each iteration is one edge join + node aggregation + one scalar
+    broadcast of the L1 norm; the score frame stays node-sized."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("a")).distinct()
+    n = nodes.count()
+    x = nodes.select("a", F.lit(1.0 / n).alias("x"))
+    for _ in range(iters):
+        agg = (
+            e.join(x, "a")
+            .select(F.col("b").alias("a"), F.col("x"))
+            .groupBy("a")
+            .agg(F.sum("x").alias("s"))
+        )
+        # The raw frame feeds BOTH sides of the normalization (the
+        # scores and their L1 norm); an eager node-sized checkpoint
+        # pins it so each side reads the materialized result instead
+        # of replaying the whole lineage — without it the double
+        # reference doubles the recompute per iteration (2^iters
+        # blowup). Three node-sized checkpoints, each one edge join.
+        raw = (
+            nodes.join(agg, "a", "left")
+            .select("a", F.coalesce("s", F.lit(0.0)).alias("s"))
+            .localCheckpoint()
+        )
+        x = raw.crossJoin(
+            F.broadcast(raw.agg(F.sum("s").alias("tot")))
+        ).select("a", (F.col("s") / F.col("tot")).alias("x"))
+    return x.select(F.col("a").alias("node"), F.col("x"))
+
+
+def graph_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration L1 power method over the near-dup graph — surfaces
+    the documents sitting at the dense core of duplicate clusters."""
+    from mapreduce_rust_spark.operators.dedup import candidate_pairs_index
+
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3)
+    ec = eigenvector_centrality_fixed(pairs, "d1", "d2", iters=EIGEN_ITERS)
+    return ec.select(
+        "node",
+        F.expr("floor(round(x, 10) * 100000000) / 100000000").alias("centrality"),
+    ).orderBy(F.col("centrality").desc(), "node")
+
+
+def _eigenvector_oracle() -> str:
+    from mapreduce_rust_spark.operators.dedup import _minhash_oracle
+
+    step = """
+{cur} AS (
+  SELECT nd.a, coalesce(sum(x.x), 0) AS s
+  FROM (SELECT DISTINCT a FROM edges) nd
+  LEFT JOIN edges e ON e.b = nd.a
+  LEFT JOIN {prev} x ON x.a = e.a
+  GROUP BY nd.a
+),
+{cur}n AS (
+  SELECT a, s / (SELECT sum(s) FROM {cur}) AS x FROM {cur}
+)"""
+    chain = ",".join(
+        step.format(cur=f"x{i}", prev=f"x{i - 1}n" if i > 1 else "x0")
+        for i in range(1, EIGEN_ITERS + 1)
+    )
+    # MATERIALIZED on edges: the unrolled power-iteration references it
+    # 2 + 2·iters times — without it DuckDB re-runs MinHash per use.
+    return f"""
+WITH pairs AS (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+),
+edges AS MATERIALIZED (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+x0 AS (
+  SELECT a, 1.0 / (SELECT count(DISTINCT a) FROM edges) AS x
+  FROM (SELECT DISTINCT a FROM edges)
+),
+{chain}
+SELECT a AS node,
+       floor(round(x, 10) * 100000000) / 100000000 AS centrality
+FROM x{EIGEN_ITERS}n ORDER BY centrality DESC, node
+"""
+
+
+ORACLE["graph_eigenvector_centrality"] = _eigenvector_oracle()
+
+
 QUERIES = {
+    "graph_adamic_adar": graph_adamic_adar,
+    "graph_eigenvector_centrality": graph_eigenvector_centrality,
     "graph_label_propagation": graph_label_propagation,
     "graph_assortativity": graph_assortativity,
     "dedup_components": dedup_components,

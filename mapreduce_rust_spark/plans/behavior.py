@@ -784,7 +784,108 @@ FROM g ORDER BY event_type
 """
 
 
+def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data)
+    variance reduction — the standard trick that makes A/B tests
+    converge weeks faster: adjust each user's experiment-period
+    metric by their PRE-period metric, Y' = Y − θ(X − E[X]) with
+    θ = cov(X,Y)/var(X) pooled across arms, then report per-arm means
+    and the variance-reduction percentage. Pre/post split is the
+    midpoint of the observed time range (deterministic from data);
+    arm is the user-id parity hash as in ab_welch_ttest. Plan shape:
+    ONE events scan with conditional sums into a per-user (pre, post)
+    row — the only data-sized shuffle — then covariance/variance are
+    closed-form aggregates and θ/E[X] come back as a broadcast
+    one-row frame. At 100 TB this is a single user-keyed partial agg;
+    nothing iterates and nothing collects."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        ((F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))) / 2)
+        .cast("bigint")
+        .alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.unix_timestamp("ts") < F.col("mid"), F.col("value"))
+                .otherwise(F.lit(0.0))
+            ).alias("pre"),
+            F.sum(
+                F.when(F.unix_timestamp("ts") >= F.col("mid"), F.col("value"))
+                .otherwise(F.lit(0.0))
+            ).alias("post"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("arm"), "pre", "post"
+        )
+    )
+    theta = per_user.agg(
+        (F.covar_samp("pre", "post") / F.var_samp("pre")).alias("theta"),
+        F.avg("pre").alias("mean_pre"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "post",
+        (
+            F.col("post")
+            - F.col("theta") * (F.col("pre") - F.col("mean_pre"))
+        ).alias("adj"),
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            fround(F.avg("post"), 4).alias("mean_post"),
+            fround(F.avg("adj"), 4).alias("mean_cuped"),
+            fround(F.var_samp("post"), 4).alias("var_post"),
+            fround(F.var_samp("adj"), 4).alias("var_cuped"),
+            fround(
+                (F.lit(100.0))
+                * (F.lit(1.0) - F.var_samp("adj") / F.var_samp("post")),
+                2,
+            ).alias("var_reduction_pct"),
+        )
+        .orderBy("arm")
+    )
+
+
+ORACLE["ab_cuped"] = f"""
+WITH bounds AS (
+  SELECT CAST((epoch(min(ts)) + epoch(max(ts))) / 2 AS BIGINT) AS mid
+  FROM events
+),
+per_user AS (
+  SELECT CAST(user_id % 2 AS INT) AS arm,
+         sum(CASE WHEN epoch(ts) < b.mid THEN value ELSE 0.0 END) AS pre,
+         sum(CASE WHEN epoch(ts) >= b.mid THEN value ELSE 0.0 END) AS post
+  FROM events CROSS JOIN bounds b
+  GROUP BY user_id
+),
+theta AS (
+  SELECT covar_samp(pre, post) / var_samp(pre) AS theta,
+         avg(pre) AS mean_pre
+  FROM per_user
+),
+adj AS (
+  SELECT arm, post,
+         post - t.theta * (pre - t.mean_pre) AS adj
+  FROM per_user CROSS JOIN theta t
+)
+SELECT arm,
+       count(*) AS n_users,
+       {fround_sql("avg(post)", 4)} AS mean_post,
+       {fround_sql("avg(adj)", 4)} AS mean_cuped,
+       {fround_sql("var_samp(post)", 4)} AS var_post,
+       {fround_sql("var_samp(adj)", 4)} AS var_cuped,
+       {fround_sql("100.0 * (1.0 - var_samp(adj) / var_samp(post))", 2)} AS var_reduction_pct
+FROM adj GROUP BY arm ORDER BY arm
+"""
+
+
 QUERIES = {
+    "ab_cuped": ab_cuped,
     "events_dau_wau_mau": events_dau_wau_mau,
     "ab_srm_audit": ab_srm_audit,
     "events_cumulative_uniques": events_cumulative_uniques,

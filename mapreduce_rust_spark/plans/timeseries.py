@@ -1300,7 +1300,98 @@ ORDER BY day
 """
 
 
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: slope = MEDIAN of all
+    pairwise slopes (y_j − y_i)/(day_j − day_i) over the DAILY mean
+    series, intercept = median(y − slope·day). Breakdown point ~29 %
+    — a handful of outage days cannot drag the trend the way they
+    wreck an OLS fit, which is why monitoring pipelines prefer it.
+    Scale shape: the O(n²) pair enumeration runs on the DAILY
+    AGGREGATE (≤ a few hundred rows per type, bounded by the calendar
+    — never by event count), so the fact table is scanned and
+    shuffled exactly once into (type, day); the self-join and both
+    medians are arithmetic on a calendar-sized frame. Exact
+    ``median`` (not approx) on both engines keeps the oracle
+    bit-comparable."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.avg("value").alias("y"))
+    d = daily.select(
+        "event_type",
+        (F.unix_timestamp("day") / 86400).cast("bigint").alias("x"),
+        "y",
+    )
+    a = d.select("event_type", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = d.select("event_type", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("x2") > F.col("x1"))
+        .select(
+            "event_type",
+            ((F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1"))).alias(
+                "s"
+            ),
+        )
+    )
+    slope = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.median("s").alias("slope")
+    )
+    resid = (
+        d.join(slope, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.median(F.col("y") - F.col("slope") * F.col("x")).alias(
+                "intercept"
+            ),
+        )
+    )
+    return (
+        slope.join(resid, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            fround("slope", 6).alias("ts_slope"),
+            fround("intercept", 4).alias("ts_intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["ts_theil_sen_trend"] = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS x,
+         avg(value) AS y
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.x > a.x
+),
+sl AS (
+  SELECT event_type, count(*) AS n_pairs, median(s) AS slope
+  FROM slopes GROUP BY 1
+),
+res AS (
+  SELECT d.event_type, count(*) AS n_days,
+         median(d.y - sl.slope * d.x) AS intercept
+  FROM daily d JOIN sl ON sl.event_type = d.event_type
+  GROUP BY 1
+)
+SELECT sl.event_type, res.n_days, sl.n_pairs,
+       {fround_sql("sl.slope", 6)} AS ts_slope,
+       {fround_sql("res.intercept", 4)} AS ts_intercept
+FROM sl JOIN res ON res.event_type = sl.event_type
+ORDER BY sl.event_type
+"""
+
+
 QUERIES = {
+    "ts_theil_sen_trend": ts_theil_sen_trend,
     "ts_rolling_median": ts_rolling_median,
     "ts_gap_outages": ts_gap_outages,
     "events_peak_concurrency": events_peak_concurrency,

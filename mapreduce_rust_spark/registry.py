@@ -153,6 +153,10 @@ _PRIORITY: tuple[str, ...] = (
 # the TPC-H/parity tail behind them is oldest-evidence backfill.
 _NEXT_WINDOW: tuple[str, ...] = (
     # --- round-6 additions: first driver evidence due in r07 ---
+    "graph_adamic_adar",
+    "graph_eigenvector_centrality",
+    "ts_theil_sen_trend",
+    "ab_cuped",
     "corpus_dsir_weights",
     "text_kneser_ney_bigram",
     "text_unigram_entropy",
