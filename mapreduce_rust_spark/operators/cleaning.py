@@ -341,7 +341,141 @@ FROM feats GROUP BY 1 ORDER BY 1
 """
 
 
+TE_SMOOTHING = 20.0  # pseudo-observations pulled toward the global prior
+
+
+def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding — the leakage-safe way to turn
+    a high-cardinality categorical into one numeric feature: encode
+    category c as (n_c·rate_c + m·prior)/(n_c + m), shrinking rare
+    categories toward the global prior so a 3-row category can't
+    memorize its labels (micci-barreca 2001). Target here: customer
+    is "high-value" (acctbal above the global mean); category:
+    nation. Plan: one scan → one category-keyed partial agg, prior
+    joined back as a broadcast one-row frame — the fit step a 100 TB
+    feature pipeline can afford (no vocabulary on the driver, no
+    per-row Python)."""
+    cust = load_table(spark, sf_dir, "customer")
+    prior = cust.agg(
+        F.avg("c_acctbal").alias("bal_mean"),
+    )
+    labeled = cust.crossJoin(F.broadcast(prior)).select(
+        "c_nationkey",
+        (F.col("c_acctbal") > F.col("bal_mean")).cast("int").alias("y"),
+    )
+    g = labeled.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("rate"),
+    )
+    gp = g.crossJoin(
+        F.broadcast(labeled.agg(F.avg("y").alias("prior_rate")))
+    )
+    return (
+        gp.select(
+            "c_nationkey",
+            "n",
+            fround("rate", 6).alias("raw_rate"),
+            fround(
+                (F.col("n") * F.col("rate") + TE_SMOOTHING * F.col("prior_rate"))
+                / (F.col("n") + TE_SMOOTHING),
+                6,
+            ).alias("encoded"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE["features_target_encoding"] = f"""
+WITH labeled AS (
+  SELECT c_nationkey,
+         CASE WHEN c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+              THEN 1 ELSE 0 END AS y
+  FROM customer
+),
+g AS (
+  SELECT c_nationkey, count(*) AS n, avg(y) AS rate
+  FROM labeled GROUP BY 1
+)
+SELECT c_nationkey, n,
+       {fround_sql("rate", 6)} AS raw_rate,
+       {fround_sql(f"(n * rate + {TE_SMOOTHING} * (SELECT avg(y) FROM labeled)) / (n + {TE_SMOOTHING})", 6)} AS encoded
+FROM g ORDER BY c_nationkey
+"""
+
+
+def features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value — credit-scoring's
+    standard categorical screen: WoE_i = ln((good_i/G)/(bad_i/B))
+    measures how much segment i shifts the odds; IV_i =
+    (good_i/G − bad_i/B)·WoE_i sums to the variable's total
+    predictive power (rule of thumb: IV < 0.02 useless, > 0.5
+    suspicious). Same high-value target as the target encoder,
+    grouped by market segment; +0.5 Laplace smoothing keeps empty
+    cells finite. One scan, one tiny agg, two broadcast scalars —
+    nothing here grows with data size except the single partial
+    aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    prior = cust.agg(F.avg("c_acctbal").alias("bal_mean"))
+    g = (
+        cust.crossJoin(F.broadcast(prior))
+        .select(
+            "c_mktsegment",
+            (F.col("c_acctbal") > F.col("bal_mean")).cast("int").alias("y"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            (F.sum("y") + F.lit(0.5)).alias("good"),
+            (F.sum(F.lit(1) - F.col("y")) + F.lit(0.5)).alias("bad"),
+        )
+    )
+    tot = g.agg(F.sum("good").alias("gt"), F.sum("bad").alias("bt"))
+    woe = (
+        F.log((F.col("good") / F.col("gt")) / (F.col("bad") / F.col("bt")))
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            (F.col("good") - F.lit(0.5)).cast("bigint").alias("n_good"),
+            (F.col("bad") - F.lit(0.5)).cast("bigint").alias("n_bad"),
+            fround(woe, 6).alias("woe"),
+            fround(
+                (F.col("good") / F.col("gt") - F.col("bad") / F.col("bt"))
+                * woe,
+                6,
+            ).alias("iv_contrib"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE["features_woe_iv"] = f"""
+WITH labeled AS (
+  SELECT c_mktsegment,
+         CASE WHEN c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+              THEN 1 ELSE 0 END AS y
+  FROM customer
+),
+g AS (
+  SELECT c_mktsegment,
+         sum(y) + 0.5 AS good,
+         sum(1 - y) + 0.5 AS bad
+  FROM labeled GROUP BY 1
+),
+tot AS (SELECT sum(good) AS gt, sum(bad) AS bt FROM g)
+SELECT c_mktsegment,
+       CAST(good - 0.5 AS BIGINT) AS n_good,
+       CAST(bad - 0.5 AS BIGINT) AS n_bad,
+       {fround_sql("ln((good / gt) / (bad / bt))", 6)} AS woe,
+       {fround_sql("(good / gt - bad / bt) * ln((good / gt) / (bad / bt))", 6)} AS iv_contrib
+FROM g CROSS JOIN tot
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "features_target_encoding": features_target_encoding,
+    "features_woe_iv": features_woe_iv,
     "features_hashing_trick": features_hashing_trick,
     "text_pii_redact": text_pii_redact,
     "text_repetition": text_repetition,

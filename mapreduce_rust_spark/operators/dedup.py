@@ -1654,7 +1654,188 @@ FROM est ORDER BY d1, d2
 ORACLE["dedup_minhash_bbit_eval"] = _bbit_oracle()
 
 
+LEV_SIM_THRESHOLD = 0.6  # keep pairs with 1 − lev/maxlen ≥ this
+
+
+def dedup_levenshtein_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-dup pairs: the banded-LSH
+    candidates re-scored with CHARACTER-level Levenshtein similarity
+    (1 − lev/max_len) — the verify step that catches what shingle
+    Jaccard can't distinguish: token-order scrambles score high on
+    Jaccard but low on edit distance, so this is the stricter gate
+    used for title/short-text dedup. Levenshtein is O(len²) PER PAIR,
+    which is exactly why it only ever runs on the LSH candidate set
+    (bounded by banding, never n²) — the same verify-after-block
+    shape as dedup_lsh_verified; the distance itself is Spark's
+    built-in JVM `levenshtein`, no Python in the loop. DuckDB ships
+    the same classic definition, so scores compare exactly."""
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3).select(
+        "d1", "d2"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t1 = docs.select(F.col("doc_id").alias("d1"), F.col("text").alias("x1"))
+    t2 = docs.select(F.col("doc_id").alias("d2"), F.col("text").alias("x2"))
+    scored = (
+        pairs.join(t1, "d1")
+        .join(t2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.levenshtein("x1", "x2").alias("lev"),
+            F.greatest(F.length("x1"), F.length("x2")).alias("maxlen"),
+        )
+        .filter(
+            F.lit(1.0) - F.col("lev") / F.col("maxlen") >= LEV_SIM_THRESHOLD
+        )
+        .select(
+            "d1",
+            "d2",
+            F.col("lev").cast("bigint").alias("edit_distance"),
+            fround(
+                F.lit(1.0) - F.col("lev") / F.col("maxlen"), 6
+            ).alias("lev_sim"),
+        )
+    )
+    return scored.select("d1", "d2", "edit_distance", "lev_sim").orderBy(
+        "d1", "d2"
+    )
+
+
+def _lev_verified_oracle() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+),
+scored AS (
+  SELECT p.d1, p.d2,
+         levenshtein(a.text, b.text) AS lev,
+         greatest(length(a.text), length(b.text)) AS maxlen
+  FROM pairs p
+  JOIN documents a ON a.doc_id = p.d1
+  JOIN documents b ON b.doc_id = p.d2
+)
+SELECT d1, d2,
+       CAST(lev AS BIGINT) AS edit_distance,
+       {fround_sql("1.0 - lev / CAST(maxlen AS DOUBLE)", 6)} AS lev_sim
+FROM scored
+WHERE 1.0 - lev / CAST(maxlen AS DOUBLE) >= {LEV_SIM_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+ORACLE["dedup_levenshtein_verified"] = _lev_verified_oracle()
+
+
+SN_WINDOW = 5  # sorted-neighborhood sliding-window width
+SN_KEY_LEN = 24  # sort-key prefix length (normalized chars)
+SN_THRESHOLD = 0.5  # verify: shingle Jaccard
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    OTHER classic candidate generator next to LSH banding: sort
+    records by a normalized key prefix, pair each record with its
+    next {SN_WINDOW} neighbors, verify with shingle Jaccard. Catches
+    near-dups whose shared prefix survives normalization even when
+    banding happens to split them — production dedup runs BOTH and
+    unions the edges. Scale shape: the sort is a WINDOW PARTITIONED
+    BY SOURCE (each source sorts independently — no global range
+    exchange; at 100 TB the partition key generalizes to any
+    bounded-cardinality split), the window join is an EQUI-join on
+    (source, rn+offset) via a {SN_WINDOW}-element explode, and the
+    verify touches only the ≤ {SN_WINDOW}·n candidate pairs. Ref
+    parity anchor: reference shuffles on a modulo key
+    (worker.rs:151); this is the same partition-then-local-work shape
+    with an ordered neighborhood instead of a hash bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.substring(norm, 1, SN_KEY_LEN).alias("sk"),
+    )
+    w = Window.partitionBy("source").orderBy("sk", "doc_id")
+    ranked = base.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+    left = ranked.select(
+        F.col("source").alias("src1"),
+        F.col("doc_id").alias("d1"),
+        F.col("rn").alias("rn1"),
+    ).withColumn("off", F.explode(F.sequence(F.lit(1), F.lit(SN_WINDOW))))
+    right = ranked.select(
+        F.col("source").alias("src2"),
+        F.col("doc_id").alias("d2"),
+        F.col("rn").alias("rn2"),
+    )
+    cand = left.join(
+        right,
+        (F.col("src1") == F.col("src2"))
+        & (F.col("rn2") == F.col("rn1") + F.col("off")),
+    ).select("d1", "d2", F.col("off").cast("bigint").alias("window_dist"))
+    sh = shingle_index(spark, sf_dir, k=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("d1"), "s"), "d1")
+        .join(sh.select(F.col("doc_id").alias("d2"), F.col("s").alias("s2")), "d2")
+        .filter(F.col("s") == F.col("s2"))
+        .groupBy("d1", "d2", "window_dist")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .filter(jac >= SN_THRESHOLD)
+        .select(
+            "d1",
+            "d2",
+            "window_dist",
+            fround(jac, 6).alias("jaccard"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+def _sorted_neighborhood_oracle() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, {SN_KEY_LEN}), doc_id
+         ) AS rn
+  FROM documents
+),
+cand AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, b.rn - a.rn AS window_dist
+  FROM ranked a JOIN ranked b
+    ON b.source = a.source
+   AND b.rn > a.rn AND b.rn <= a.rn + {SN_WINDOW}
+),
+ds AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+inter AS (
+  SELECT c.d1, c.d2, c.window_dist, count(*) AS i
+  FROM cand c
+  JOIN ds a ON a.doc_id = c.d1
+  JOIN ds b ON b.doc_id = c.d2 AND b.s = a.s
+  GROUP BY 1, 2, 3
+)
+SELECT i.d1, i.d2, CAST(i.window_dist AS BIGINT) AS window_dist,
+       {fround_sql("i.i / CAST(s1.n + s2.n - i.i AS DOUBLE)", 6)} AS jaccard
+FROM inter i
+JOIN sizes s1 ON s1.doc_id = i.d1
+JOIN sizes s2 ON s2.doc_id = i.d2
+WHERE i.i / CAST(s1.n + s2.n - i.i AS DOUBLE) >= {SN_THRESHOLD}
+ORDER BY i.d1, i.d2
+"""
+
+
+ORACLE["dedup_sorted_neighborhood"] = _sorted_neighborhood_oracle()
+
+
 QUERIES = {
+    "dedup_levenshtein_verified": dedup_levenshtein_verified,
+    "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
     "dedup_exact": dedup_exact,
     "dedup_minhash_estimate_error": dedup_minhash_estimate_error,
     "dedup_minhash_bbit_eval": dedup_minhash_bbit_eval,

@@ -10,7 +10,7 @@ so downstream checks can join against expectation tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.functions.numeric import fround, fround_sql
@@ -1169,7 +1169,184 @@ ORDER BY digit
 """
 
 
+def table_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (market
+    segment × nation) — the model-free dependence screen profilers
+    run to find redundant or leaking columns (MI = 0 ⇔ independent;
+    NMI near 1 ⇔ one column determines the other). MI, both
+    entropies, and the normalized MI = MI/min(H_x, H_y) all derive
+    from the JOINT distribution alone, so the plan is ONE hash
+    aggregation into the |segments|×|nations| contingency table
+    (bounded by category cardinalities, never rows) and pure
+    arithmetic after: marginals re-aggregate the tiny joint frame.
+    All natural-log, all-double arithmetic, identical on both
+    engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    joint = cust.groupBy(
+        F.col("c_mktsegment").alias("x"), F.col("c_nationkey").alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n = joint.agg(F.sum("c").alias("n"))
+    jp = joint.crossJoin(F.broadcast(n)).select(
+        "x", "y", (F.col("c") / F.col("n")).alias("pxy")
+    )
+    px = jp.groupBy("x").agg(F.sum("pxy").alias("px"))
+    py = jp.groupBy("y").agg(F.sum("pxy").alias("py"))
+    mi = (
+        jp.join(F.broadcast(px), "x")
+        .join(F.broadcast(py), "y")
+        .agg(
+            F.sum(
+                F.col("pxy") * F.log(F.col("pxy") / (F.col("px") * F.col("py")))
+            ).alias("mi"),
+        )
+    )
+    hx = px.agg((-F.sum(F.col("px") * F.log("px"))).alias("hx"))
+    hy = py.agg((-F.sum(F.col("py") * F.log("py"))).alias("hy"))
+    return (
+        n.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n").alias("n_rows"),
+            fround("hx", 6).alias("h_segment"),
+            fround("hy", 6).alias("h_nation"),
+            fround("mi", 6).alias("mi_nats"),
+            fround(F.col("mi") / F.least("hx", "hy"), 6).alias("nmi"),
+        )
+    )
+
+
+ORACLE["table_mutual_information"] = f"""
+WITH joint AS (
+  SELECT c_mktsegment AS x, c_nationkey AS y, count(*) AS c
+  FROM customer GROUP BY 1, 2
+),
+n AS (SELECT sum(c) AS n FROM joint),
+jp AS (SELECT x, y, c / (SELECT n FROM n) AS pxy FROM joint),
+px AS (SELECT x, sum(pxy) AS px FROM jp GROUP BY 1),
+py AS (SELECT y, sum(pxy) AS py FROM jp GROUP BY 1),
+mi AS (
+  SELECT sum(jp.pxy * ln(jp.pxy / (px.px * py.py))) AS mi
+  FROM jp JOIN px USING (x) JOIN py USING (y)
+),
+hx AS (SELECT -sum(px * ln(px)) AS hx FROM px),
+hy AS (SELECT -sum(py * ln(py)) AS hy FROM py)
+SELECT CAST(n.n AS BIGINT) AS n_rows,
+       {fround_sql("hx.hx", 6)} AS h_segment,
+       {fround_sql("hy.hy", 6)} AS h_nation,
+       {fround_sql("mi.mi", 6)} AS mi_nats,
+       {fround_sql("mi.mi / least(hx.hx, hy.hy)", 6)} AS nmi
+FROM n CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+
+T_CLOSENESS_T = 0.2  # EMD threshold for the is_t_close flag
+
+
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — the refinement after
+    l-diversity: a QI class leaks if its SENSITIVE-value distribution
+    sits far from the global one, even when it is diverse. For the
+    ordered sensitive attribute (account-balance band) the standard
+    distance is the 1-D Earth Mover's Distance, which collapses to
+    mean |cumulative difference| over the ordered bands. Plan: one
+    scan → (class × band) counts; the dense class×band grid is a
+    broadcast cross join of two BOUNDED dimension frames; cumulative
+    sums are windows over ≤|bands| rows per class — nothing here
+    scales with row count after the first aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    banded = cust.select(
+        F.col("c_nationkey").alias("qi_class"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    )
+    cls_band = banded.groupBy("qi_class", "band").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cls_tot = cls_band.groupBy("qi_class").agg(F.sum("c").alias("class_size"))
+    glob = banded.groupBy("band").agg(F.count(F.lit(1)).alias("g"))
+    n = banded.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        cls_tot.select("qi_class", "class_size")
+        .crossJoin(F.broadcast(glob.crossJoin(F.broadcast(n))))
+        .join(cls_band, ["qi_class", "band"], "left")
+        .select(
+            "qi_class",
+            "class_size",
+            "band",
+            (F.coalesce("c", F.lit(0)) / F.col("class_size")).alias("p_cls"),
+            (F.col("g") / F.col("n")).alias("p_glob"),
+        )
+    )
+    w = W.partitionBy("qi_class").orderBy("band")
+    cum = grid.select(
+        "qi_class",
+        "class_size",
+        F.abs(
+            F.sum(F.col("p_cls") - F.col("p_glob")).over(w)
+        ).alias("cum_abs"),
+    )
+    nbands = glob.agg(F.count(F.lit(1)).alias("m"))
+    return (
+        cum.groupBy("qi_class", "class_size")
+        .agg(F.sum("cum_abs").alias("s"))
+        .crossJoin(F.broadcast(nbands))
+        .select(
+            "qi_class",
+            "class_size",
+            fround(F.col("s") / (F.col("m") - F.lit(1)), 6).alias("t_emd"),
+            (F.col("s") / (F.col("m") - F.lit(1)) <= T_CLOSENESS_T)
+            .cast("int")
+            .alias("is_t_close"),
+        )
+        .orderBy("qi_class")
+    )
+
+
+ORACLE["privacy_t_closeness"] = f"""
+WITH banded AS (
+  SELECT c_nationkey AS qi_class,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+  FROM customer
+),
+cls_band AS (
+  SELECT qi_class, band, count(*) AS c FROM banded GROUP BY 1, 2
+),
+cls_tot AS (
+  SELECT qi_class, sum(c) AS class_size FROM cls_band GROUP BY 1
+),
+gdist AS (SELECT band, count(*) AS g FROM banded GROUP BY 1),
+n AS (SELECT count(*) AS n FROM banded),
+grid AS (
+  SELECT ct.qi_class, ct.class_size, gl.band,
+         coalesce(cb.c, 0) / CAST(ct.class_size AS DOUBLE) AS p_cls,
+         gl.g / CAST(nn.n AS DOUBLE) AS p_glob
+  FROM cls_tot ct
+  CROSS JOIN gdist gl
+  CROSS JOIN n nn
+  LEFT JOIN cls_band cb ON cb.qi_class = ct.qi_class AND cb.band = gl.band
+),
+cum AS (
+  SELECT qi_class, class_size,
+         abs(sum(p_cls - p_glob) OVER (
+           PARTITION BY qi_class ORDER BY band
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cum_abs
+  FROM grid
+),
+m AS (SELECT count(*) AS m FROM gdist)
+SELECT qi_class,
+       CAST(class_size AS BIGINT) AS class_size,
+       {fround_sql("sum(cum_abs) / (any_value(m.m) - 1)", 6)} AS t_emd,
+       CAST(sum(cum_abs) / (any_value(m.m) - 1) <= {T_CLOSENESS_T} AS INT)
+         AS is_t_close
+FROM cum CROSS JOIN m
+GROUP BY qi_class, class_size
+ORDER BY qi_class
+"""
+
+
 QUERIES = {
+    "table_mutual_information": table_mutual_information,
+    "privacy_t_closeness": privacy_t_closeness,
     "table_benford_audit": table_benford_audit,
     "table_profile": table_profile,
     "table_skew_report": table_skew_report,

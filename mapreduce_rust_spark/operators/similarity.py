@@ -2453,7 +2453,92 @@ ORDER BY b.query_id
 """
 
 
+def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit of the embedding space — the health check for
+    representation collapse (Ethayarajh 2019: contextual embeddings
+    are shockingly anisotropic). Reports, over UNIT-normalized
+    vectors: the mean pairwise cosine and the norm of the mean
+    vector. The trick that makes this affordable at any scale: with
+    v̂·v̂ = 1, the exact mean pairwise cosine is
+    (‖Σv̂‖² − n) / (n(n−1)) — a CLOSED FORM over the per-dimension
+    component sums, so the all-pairs quantity costs one d-cell
+    aggregation, never n² pairs. Plan: one norm pass fused into the
+    posexplode (JVM arithmetic only), one shuffle on dim (d cells),
+    one scalar combine. Raw-norm mean/stddev ride along from the same
+    scan."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    withn = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("nrm"),
+    )
+    norm_stats = withn.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg("nrm").alias("mean_norm"),
+        F.stddev_samp("nrm").alias("sd_norm"),
+    )
+    dimsums = (
+        withn.select(
+            "nrm", F.posexplode("embedding").alias("dim", "v")
+        )
+        .groupBy("dim")
+        .agg(F.sum(F.col("v").cast("double") / F.col("nrm")).alias("s"))
+        .agg(F.sum(F.col("s") * F.col("s")).alias("sum_sq"))
+    )
+    return (
+        norm_stats.crossJoin(F.broadcast(dimsums))
+        .select(
+            "n_vecs",
+            fround("mean_norm", 6).alias("mean_norm"),
+            fround("sd_norm", 6).alias("sd_norm"),
+            fround(
+                (F.col("sum_sq") - F.col("n_vecs"))
+                / (F.col("n_vecs") * (F.col("n_vecs") - F.lit(1.0))),
+                6,
+            ).alias("mean_pairwise_cosine"),
+            fround(F.sqrt("sum_sq") / F.col("n_vecs"), 6).alias(
+                "anisotropy_norm"
+            ),
+        )
+    )
+
+
+ORACLE["embedding_isotropy_audit"] = f"""
+WITH withn AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+norm_stats AS (
+  SELECT count(*) AS n_vecs, avg(nrm) AS mean_norm,
+         stddev_samp(nrm) AS sd_norm
+  FROM withn
+),
+comps AS (
+  SELECT generate_subscripts(e, 1) AS dim, unnest(e) / nrm AS v
+  FROM withn
+),
+dimsums AS (
+  SELECT sum(s * s) AS sum_sq
+  FROM (SELECT dim, sum(v) AS s FROM comps GROUP BY dim)
+)
+SELECT n_vecs,
+       {fround_sql("mean_norm", 6)} AS mean_norm,
+       {fround_sql("sd_norm", 6)} AS sd_norm,
+       {fround_sql("(sum_sq - n_vecs) / (n_vecs * (n_vecs - 1.0))", 6)} AS mean_pairwise_cosine,
+       {fround_sql("sqrt(sum_sq) / n_vecs", 6)} AS anisotropy_norm
+FROM norm_stats CROSS JOIN dimsums
+"""
+
+
 QUERIES = {
+    "embedding_isotropy_audit": embedding_isotropy_audit,
     "ann_topk_hamming": ann_topk_hamming,
     "dedup_semantic_cluster": dedup_semantic_cluster,
     "ann_truncate_recall": ann_truncate_recall,

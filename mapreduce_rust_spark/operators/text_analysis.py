@@ -1470,7 +1470,223 @@ FROM per_doc GROUP BY 1 ORDER BY 1
 """
 
 
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K·T^β of vocabulary growth across sources —
+    the capacity-planning curve for tokenizer vocab and dedup index
+    sizing (β ≈ 0.5 for natural text; β near 1 flags boilerplate-free
+    or random-ish corpora, β near 0 flags template spam). Per source:
+    total tokens T and distinct tokens V (the ONE data-sized shuffle,
+    keyed on (source, token) with map-side partial dedup); the
+    log-log least-squares fit runs over the |sources|-row frame via
+    closed-form covariance — β = cov(lnT, lnV)/var(lnT) — and comes
+    back as a broadcast scalar, so each source row also reports its
+    fitted V̂ and residual. Lower-cased alnum tokens, same normalizer
+    both engines."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(
+                            F.lower("text"), "[^a-z0-9]+", " "
+                        )
+                    ),
+                    " ",
+                ),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )
+    logs = per_src.select(
+        "source",
+        "n_tokens",
+        "n_distinct",
+        F.log("n_tokens").alias("lt"),
+        F.log("n_distinct").alias("lv"),
+    )
+    fit = logs.agg(
+        (F.covar_samp("lt", "lv") / F.var_samp("lt")).alias("beta"),
+        F.avg("lt").alias("mlt"),
+        F.avg("lv").alias("mlv"),
+    )
+    return (
+        logs.crossJoin(F.broadcast(fit))
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct",
+            fround("beta", 6).alias("heaps_beta"),
+            fround(F.exp(F.col("mlv") - F.col("beta") * F.col("mlt")), 4).alias(
+                "heaps_k"
+            ),
+            fround(
+                F.exp(
+                    F.col("mlv")
+                    + F.col("beta") * (F.col("lt") - F.col("mlt"))
+                ),
+                2,
+            ).alias("fitted_vocab"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["text_heaps_law"] = rf"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(
+           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           x -> x <> '')) AS tok
+  FROM documents
+),
+per_src AS (
+  SELECT source, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+  FROM toks GROUP BY 1
+),
+logs AS (
+  SELECT source, n_tokens, n_distinct,
+         ln(n_tokens) AS lt, ln(n_distinct) AS lv
+  FROM per_src
+),
+fit AS (
+  SELECT covar_samp(lt, lv) / var_samp(lt) AS beta,
+         avg(lt) AS mlt, avg(lv) AS mlv
+  FROM logs
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       {fround_sql("beta", 6)} AS heaps_beta,
+       {fround_sql("exp(mlv - beta * mlt)", 4)} AS heaps_k,
+       {fround_sql("exp(mlv + beta * (lt - mlt))", 2)} AS fitted_vocab
+FROM logs CROSS JOIN fit
+ORDER BY source
+"""
+
+
+def text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between every pair of sources' term
+    distributions — the symmetric, bounded (≤ ln 2) drift metric for
+    comparing corpus snapshots or ingestion streams (PSI's analogue
+    for text; KL alone blows up on vocabulary mismatch, JSD doesn't).
+    JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q), summed over the
+    UNION vocabulary with absent terms contributing p·ln(2) exactly —
+    handled by the full-outer join's nulls, no smoothing constant to
+    disagree on. Plan: token counts per (source, term) are the one
+    data-sized shuffle; the per-pair join runs per TERM key (posting-
+    list sized); |sources|² stays tiny because sources are a bounded
+    dimension. Output ordered pairs s1 < s2."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
+                    ),
+                    " ",
+                ),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    probs = counts.join(F.broadcast(totals), "source").select(
+        "source", "tok", (F.col("c") / F.col("tot")).alias("p")
+    )
+    # union-vocab handling without an outer join on a composite key:
+    # cross each source's term probabilities with the (bounded)
+    # source list and LEFT-join the other side — terms present only
+    # in s2 are covered by the mirrored (s2, s1) direction below.
+    srcs = totals.select(F.col("source").alias("s2"))
+    grid = (
+        probs.select(F.col("source").alias("s1"), "tok", F.col("p").alias("pa"))
+        .crossJoin(F.broadcast(srcs))
+        .filter(F.col("s1") != F.col("s2"))
+        .join(
+            probs.select(
+                F.col("source").alias("s2"), "tok", F.col("p").alias("pb")
+            ),
+            ["s2", "tok"],
+            "left",
+        )
+    )
+    # each directed (s1, s2) row covers terms present in s1; terms in
+    # s2 only are covered by the mirrored (s2, s1) rows. KL terms:
+    # p·ln(2p/(p+q)) with q=0 when absent. Summing both directions and
+    # halving gives the symmetric JSD per unordered pair.
+    term = F.col("pa") * F.log(
+        F.lit(2.0) * F.col("pa") / (F.col("pa") + F.coalesce("pb", F.lit(0.0)))
+    )
+    directed = grid.groupBy("s1", "s2").agg(F.sum(term).alias("kl_half"))
+    m = directed.alias("x").join(
+        directed.select(
+            F.col("s1").alias("s2"), F.col("s2").alias("s1"),
+            F.col("kl_half").alias("kl_rev"),
+        ),
+        ["s1", "s2"],
+    )
+    return (
+        m.filter(F.col("s1") < F.col("s2"))
+        .select(
+            "s1",
+            "s2",
+            fround(
+                (F.col("kl_half") + F.col("kl_rev")) / 2.0, 6
+            ).alias("jsd_nats"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+ORACLE["text_jsd_drift"] = rf"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(
+           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           x -> x <> '')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2
+),
+probs AS (
+  SELECT source, tok,
+         c / CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE) AS p
+  FROM counts
+),
+grid AS (
+  SELECT a.source AS s1, s.source AS s2, a.tok, a.p AS pa, b.p AS pb
+  FROM probs a
+  CROSS JOIN (SELECT DISTINCT source FROM probs) s
+  LEFT JOIN probs b ON b.source = s.source AND b.tok = a.tok
+  WHERE a.source != s.source
+),
+directed AS (
+  SELECT s1, s2,
+         sum(pa * ln(2.0 * pa / (pa + coalesce(pb, 0.0)))) AS kl_half
+  FROM grid GROUP BY 1, 2
+)
+SELECT x.s1, x.s2,
+       {fround_sql("(x.kl_half + y.kl_half) / 2.0", 6)} AS jsd_nats
+FROM directed x
+JOIN directed y ON y.s1 = x.s2 AND y.s2 = x.s1
+WHERE x.s1 < x.s2
+ORDER BY x.s1, x.s2
+"""
+
+
 QUERIES = {
+    "text_jsd_drift": text_jsd_drift,
+    "text_heaps_law": text_heaps_law,
     "text_unigram_entropy": text_unigram_entropy,
     "text_kneser_ney_bigram": text_kneser_ney_bigram,
     "text_bigram_perplexity": text_bigram_perplexity,

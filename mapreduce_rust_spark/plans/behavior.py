@@ -884,7 +884,218 @@ FROM adj GROUP BY arm ORDER BY arm
 """
 
 
+BOOT_REPS = 32  # bootstrap replicas
+
+
+def _poisson1_from_u(u):
+    """Poisson(1) via inverse-CDF on a uniform draw — the cumulative
+    thresholds are exp(-1)·Σ 1/k!, spelled as the same double
+    expressions on both engines so the sampled weights agree bit-for-
+    bit. P(K > 8) < 1e-6; the tail clamps to 9."""
+    e = 2.718281828459045
+    cum, acc, fact = [], 0.0, 1.0
+    for k in range(9):
+        if k > 0:
+            fact *= k
+        acc += (1.0 / e) / fact
+        cum.append(acc)
+    expr = F.lit(9)
+    for k in reversed(range(9)):
+        expr = F.when(u < F.lit(cum[k]), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def _poisson1_sql(u: str) -> str:
+    e = 2.718281828459045
+    cum, acc, fact = [], 0.0, 1.0
+    for k in range(9):
+        if k > 0:
+            fact *= k
+        acc += (1.0 / e) / fact
+        cum.append(acc)
+    sql = "9"
+    for k in reversed(range(9)):
+        sql = f"CASE WHEN {u} < {cum[k]!r} THEN {k} ELSE {sql} END"
+    return sql
+
+
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012) — THE way to
+    bootstrap at terabyte scale: instead of resampling n rows B times
+    (impossible distributed), each unit gets an independent
+    Poisson(1) weight per replica, generated INLINE from a hash —
+    no stored resamples, no driver randomness, fully deterministic
+    and re-runnable. Metric: mean per-user total event value; output:
+    point estimate, bootstrap SE, and a 95 % percentile CI over
+    {BOOT_REPS} replicas. Plan: per-user totals are the one
+    data-sized shuffle; the ×{BOOT_REPS} explode happens on the
+    USER-level frame (not raw events); replica means are one bounded
+    agg. The md5-derived uniform and the inverse-CDF thresholds are
+    identical expressions on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("x"))
+    reps = per_user.select(
+        "user_id",
+        "x",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))
+        ).alias("rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("user_id"), F.col("rep"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**52))
+    )
+    weighted = reps.select(
+        "rep", "x", _poisson1_from_u(u).cast("double").alias("w")
+    )
+    rep_means = weighted.groupBy("rep").agg(
+        (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m")
+    )
+    point = per_user.agg(F.avg("x").alias("est"))
+    return (
+        rep_means.agg(
+            F.count(F.lit(1)).alias("n_reps"),
+            F.stddev_samp("m").alias("boot_se"),
+            F.expr("percentile(m, 0.025)").alias("lo"),
+            F.expr("percentile(m, 0.975)").alias("hi"),
+        )
+        .crossJoin(F.broadcast(point))
+        .select(
+            "n_reps",
+            fround("est", 4).alias("point_est"),
+            fround("boot_se", 4).alias("boot_se"),
+            fround("lo", 4).alias("ci_lo"),
+            fround("hi", 4).alias("ci_hi"),
+        )
+    )
+
+
+ORACLE["sample_poisson_bootstrap"] = f"""
+WITH per_user AS (
+  SELECT user_id, sum(value) AS x FROM events GROUP BY 1
+),
+reps AS (
+  SELECT user_id, x, unnest(range(0, {BOOT_REPS})) AS rep FROM per_user
+),
+weighted AS (
+  SELECT rep, x,
+         CAST({_poisson1_sql(
+             "(('0x' || substr(md5(user_id || ':' || rep), 1, 13))::BIGINT"
+             " / CAST(" + str(float(2**52)) + " AS DOUBLE))"
+         )} AS DOUBLE) AS w
+  FROM reps
+),
+rep_means AS (
+  SELECT rep, sum(w * x) / sum(w) AS m FROM weighted GROUP BY 1
+),
+point AS (SELECT avg(x) AS est FROM per_user)
+SELECT count(*) AS n_reps,
+       {fround_sql("avg(est)", 4)} AS point_est,
+       {fround_sql("stddev_samp(m)", 4)} AS boot_se,
+       {fround_sql("quantile_cont(m, 0.025)", 4)} AS ci_lo,
+       {fround_sql("quantile_cont(m, 0.975)", 4)} AS ci_hi
+FROM rep_means CROSS JOIN point
+"""
+
+
+MARKOV_POWER_ITERS = 4
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the behavioral Markov chain — where
+    user attention settles in the long run, the single most-quoted
+    summary of a transition matrix (feeds session simulators and
+    engagement forecasts). π ← πP unrolled {MARKOV_POWER_ITERS} times
+    from uniform; the chain here is irreducible (every type follows
+    every type on real traffic) so the fixed unroll is converging,
+    and — like pagerank/eigenvector — a FIXED depth is what keeps it
+    exactly SQL-replayable. Cost after the one lead()-window pass:
+    every iteration is a join+agg on the ≤|types|² matrix, literally
+    dimension-table sized regardless of corpus scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = W.partitionBy("from_type")
+    P = counts.select(
+        "from_type",
+        "to_type",
+        (F.col("n") / F.sum("n").over(wf)).alias("p"),
+    ).localCheckpoint()
+    states = P.select(F.col("from_type").alias("state")).distinct()
+    k = states.count()
+    pi = states.select("state", F.lit(1.0 / k).alias("pi"))
+    for _ in range(MARKOV_POWER_ITERS):
+        pi = (
+            P.join(pi, P["from_type"] == pi["state"])
+            .groupBy(F.col("to_type").alias("state"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+        )
+    return pi.select(
+        "state", fround("pi", 6).alias("stationary_p")
+    ).orderBy("state")
+
+
+def _markov_stationary_oracle() -> str:
+    step = """
+{cur} AS (
+  SELECT P.to_type AS state, sum({prev}.pi * P.p) AS pi
+  FROM P JOIN {prev} ON {prev}.state = P.from_type
+  GROUP BY 1
+)"""
+    chain = ",".join(
+        step.format(cur=f"pi{i}", prev=f"pi{i - 1}")
+        for i in range(1, MARKOV_POWER_ITERS + 1)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+P AS MATERIALIZED (
+  SELECT from_type, to_type,
+         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+  FROM counts
+),
+pi0 AS (
+  SELECT from_type AS state,
+         1.0 / (SELECT count(DISTINCT from_type) FROM P) AS pi
+  FROM (SELECT DISTINCT from_type FROM P)
+),
+{chain}
+SELECT state, {fround_sql("pi", 6)} AS stationary_p
+FROM pi{MARKOV_POWER_ITERS} ORDER BY state
+"""
+
+
+ORACLE["events_markov_stationary"] = _markov_stationary_oracle()
+
+
 QUERIES = {
+    "events_markov_stationary": events_markov_stationary,
+    "sample_poisson_bootstrap": sample_poisson_bootstrap,
     "ab_cuped": ab_cuped,
     "events_dau_wau_mau": events_dau_wau_mau,
     "ab_srm_audit": ab_srm_audit,

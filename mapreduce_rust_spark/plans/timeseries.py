@@ -1390,7 +1390,117 @@ ORDER BY sl.event_type
 """
 
 
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+HOLT_HORIZON = 7
+
+
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per event type —
+    the workhorse short-range forecaster: level l_t = αy_t +
+    (1−α)(l_{t−1}+b_{t−1}), trend b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1},
+    init l₁=y₁, b₁=y₂−y₁. Unlike EWMA there is NO closed form that a
+    window can express (level and trend are mutually recursive), so
+    this is the textbook case for Arrow-batched ``applyInPandas``:
+    the DAILY aggregate shrinks each key's series to calendar size
+    first (the one data-sized shuffle), then each bounded series runs
+    the recursion in one pandas batch per key — per-key sequential
+    state, never a driver loop, parallel across keys exactly like a
+    production hypertable. Output: final level/trend, an
+    h={HOLT_HORIZON}-day forecast, and in-sample one-step MAE. The
+    DuckDB oracle replays the identical recursion as a RECURSIVE CTE
+    — same doubles, same order of operations."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("y"))
+    )
+
+    schema = (
+        "event_type string, n_days bigint, level double, trend double,"
+        " forecast double, mae double"
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        y = pdf["y"].to_list()
+        cols = ["event_type", "n_days", "level", "trend", "forecast", "mae"]
+        if len(y) < 2:
+            # a 1-day series has no defined trend — dropped on both
+            # engines (the oracle's seed join requires t=2 to exist)
+            return pd.DataFrame([], columns=cols)
+        lvl, tr = y[0], y[1] - y[0]
+        abs_err = 0.0
+        for t in range(1, len(y)):
+            pred = lvl + tr
+            abs_err += abs(y[t] - pred)
+            new_lvl = HOLT_ALPHA * y[t] + (1.0 - HOLT_ALPHA) * (lvl + tr)
+            tr = HOLT_BETA * (new_lvl - lvl) + (1.0 - HOLT_BETA) * tr
+            lvl = new_lvl
+        return pd.DataFrame(
+            [[
+                pdf["event_type"].iloc[0],
+                len(y),
+                lvl,
+                tr,
+                lvl + HOLT_HORIZON * tr,
+                abs_err / (len(y) - 1),
+            ]],
+            columns=cols,
+        )
+
+    out = daily.groupBy("event_type").applyInPandas(holt, schema)
+    return out.select(
+        "event_type",
+        "n_days",
+        fround("level", 4).alias("level"),
+        fround("trend", 4).alias("trend"),
+        fround("forecast", 4).alias("forecast"),
+        fround("mae", 4).alias("mae"),
+    ).orderBy("event_type")
+
+
+ORACLE["ts_holt_linear"] = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS y
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+hw AS (
+  SELECT s1.event_type, 1 AS t, s1.n,
+         s1.y AS l, s2.y - s1.y AS b, CAST(0.0 AS DOUBLE) AS abs_err
+  FROM seq s1 JOIN seq s2
+    ON s2.event_type = s1.event_type AND s2.t = 2
+  WHERE s1.t = 1
+  UNION ALL
+  SELECT hw.event_type, hw.t + 1, hw.n,
+         {HOLT_ALPHA} * s.y + (1.0 - {HOLT_ALPHA}) * (hw.l + hw.b),
+         {HOLT_BETA} * (({HOLT_ALPHA} * s.y
+                         + (1.0 - {HOLT_ALPHA}) * (hw.l + hw.b)) - hw.l)
+           + (1.0 - {HOLT_BETA}) * hw.b,
+         hw.abs_err + abs(s.y - (hw.l + hw.b))
+  FROM hw JOIN seq s
+    ON s.event_type = hw.event_type AND s.t = hw.t + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       {fround_sql("l", 4)} AS level,
+       {fround_sql("b", 4)} AS trend,
+       {fround_sql("l + " + str(HOLT_HORIZON) + " * b", 4)} AS forecast,
+       {fround_sql("abs_err / (n - 1)", 4)} AS mae
+FROM hw WHERE t = n
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "ts_holt_linear": ts_holt_linear,
     "ts_theil_sen_trend": ts_theil_sen_trend,
     "ts_rolling_median": ts_rolling_median,
     "ts_gap_outages": ts_gap_outages,

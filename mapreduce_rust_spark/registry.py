@@ -157,6 +157,19 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "graph_eigenvector_centrality",
     "ts_theil_sen_trend",
     "ab_cuped",
+    "embedding_isotropy_audit",
+    "features_target_encoding",
+    "features_woe_iv",
+    "table_mutual_information",
+    "privacy_t_closeness",
+    "text_heaps_law",
+    "dedup_levenshtein_verified",
+    "sample_poisson_bootstrap",
+    "ts_holt_linear",
+    "dedup_sorted_neighborhood",
+    "text_jsd_drift",
+    "orders_rfm_segmentation",
+    "events_markov_stationary",
     "corpus_dsir_weights",
     "text_kneser_ney_bigram",
     "text_unigram_entropy",
