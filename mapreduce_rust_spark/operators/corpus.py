@@ -1399,7 +1399,129 @@ FROM per_doc GROUP BY 1 ORDER BY 1
 """
 
 
+SPAN_START_MOD = 20  # a span starts at ~1/20 of token positions
+SPAN_LEN = 3  # fixed span length (T5 mean span length)
+
+
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask audit — the pretraining-data op
+    that decides, per document, WHICH token spans get masked and
+    reports the realized corruption statistics (target noise density
+    ≈ {SPAN_LEN}/{SPAN_START_MOD} = 15 %). Span starts are drawn
+    DETERMINISTICALLY from an md5 hash of (doc, position) — the same
+    no-stored-randomness contract as the Poisson bootstrap: any
+    worker can recompute any doc's mask with no coordination, which
+    is what makes the op shardable at 100 TB. Fixed-length spans
+    (len {SPAN_LEN}) merge when they overlap; masked(i) is a window
+    max over the previous {SPAN_LEN} positions and span count is a
+    masked-run edge count — two narrow windows PARTITIONED PER DOC
+    (high-cardinality key, even spread), then one per-doc rollup."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
+                    ),
+                    " ",
+                ),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("pos", "tok"),
+    )
+    start = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", "doc_id", "pos")), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % SPAN_START_MOD
+        == 0
+    ).cast("int")
+    flagged = toks.select("doc_id", "pos", start.alias("st"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(SPAN_LEN - 1), 0)
+    )
+    masked = flagged.select(
+        "doc_id", "pos", F.max("st").over(w).alias("m")
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    runs = masked.select(
+        "doc_id",
+        "m",
+        (
+            (F.col("m") == 1)
+            & (F.coalesce(F.lag("m").over(wl), F.lit(0)) == 0)
+        ).cast("int").alias("run_start"),
+    )
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("m").cast("bigint").alias("n_masked"),
+            F.sum("run_start").cast("bigint").alias("n_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_masked",
+            "n_spans",
+            fround(F.col("n_masked") / F.col("n_tokens"), 6).alias(
+                "mask_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["corpus_span_corruption"] = rf"""
+WITH positions AS (
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+             x -> x <> '') AS l
+    FROM documents
+  ) x
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN ('0x' || substr(md5(doc_id || ':' || pos), 1, 15))::BIGINT
+                   % {SPAN_START_MOD} = 0
+              THEN 1 ELSE 0 END AS st
+  FROM positions
+),
+masked AS (
+  SELECT doc_id, pos,
+         max(st) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {SPAN_LEN - 1} PRECEDING AND CURRENT ROW)
+           AS m
+  FROM flagged
+),
+runs AS (
+  SELECT doc_id, m,
+         CASE WHEN m = 1 AND coalesce(
+                lag(m) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+              THEN 1 ELSE 0 END AS run_start
+  FROM masked
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(m) AS BIGINT) AS n_masked,
+       CAST(sum(run_start) AS BIGINT) AS n_spans,
+       {fround_sql("sum(m) / CAST(count(*) AS DOUBLE)", 6)} AS mask_ratio
+FROM runs GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "corpus_span_corruption": corpus_span_corruption,
     "corpus_dsir_weights": corpus_dsir_weights,
     "sample_hash_deterministic": sample_hash_deterministic,
     "sample_reservoir_per_key": sample_reservoir_per_key,

@@ -300,6 +300,122 @@ FROM {prev} GROUP BY 1 ORDER BY 1
 ORACLE["graph_label_propagation"] = _lpa_oracle()
 
 
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA communities — the number that
+    says whether the detected communities are REAL structure:
+    Q = Σ_c (e_c/m − (D_c/2m)²), e_c = intra-community edges, D_c =
+    total degree in c; Q ≈ 0 means no better than random, Q ≳ 0.3
+    means solid structure. The quality gate one runs before trusting
+    community-based dedup survivors. Plan: labels come from the same
+    fixed-round LPA (shared semantics with graph_label_propagation);
+    classifying every edge as intra/inter is two node-keyed label
+    joins; the Σ runs over the |communities|-row frame. One global Q
+    row plus the per-community decomposition, all bounded
+    aggregates."""
+    from mapreduce_rust_spark.operators.dedup import candidate_pairs_index
+
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3)
+    labels = label_propagation(pairs, "d1", "d2")
+    und = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .distinct()
+    )
+    m2 = und.count()  # 2m: each undirected edge counted both ways
+    la = labels.select(F.col("node").alias("a"), F.col("lbl").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("lbl").alias("cb"))
+    tagged = und.join(la, "a").join(lb, "b")
+    intra = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg((F.count(F.lit(1)) / 2).cast("bigint").alias("e_in"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    dtot = (
+        labels.join(deg.withColumnRenamed("a", "node"), "node")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.sum("deg").alias("d_tot"))
+    )
+    per_c = dtot.join(intra, "community", "left").select(
+        "community",
+        F.coalesce("e_in", F.lit(0)).alias("e_in"),
+        "d_tot",
+        (
+            F.coalesce("e_in", F.lit(0)) / F.lit(m2 / 2.0)
+            - (F.col("d_tot") / F.lit(float(m2)))
+            * (F.col("d_tot") / F.lit(float(m2)))
+        ).alias("q_c"),
+    )
+    return per_c.select(
+        "community",
+        "e_in",
+        "d_tot",
+        fround("q_c", 6).alias("q_contrib"),
+    ).orderBy("community")
+
+
+def _modularity_oracle() -> str:
+    from mapreduce_rust_spark.operators.dedup import _minhash_oracle
+
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT node, lbl FROM (
+    SELECT e.b AS node, l.lbl, count(*) AS c,
+           row_number() OVER (PARTITION BY e.b
+                              ORDER BY count(*) DESC, l.lbl) AS rn
+    FROM edges e JOIN {prev} l ON l.node = e.a
+    GROUP BY e.b, l.lbl
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+),
+edges AS MATERIALIZED (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges),
+{", ".join(rounds)},
+labels AS MATERIALIZED (SELECT node, lbl FROM {prev}),
+m2 AS (SELECT count(*) AS m2 FROM edges),
+tagged AS (
+  SELECT la.lbl AS ca, lb.lbl AS cb
+  FROM edges e
+  JOIN labels la ON la.node = e.a
+  JOIN labels lb ON lb.node = e.b
+),
+intra AS (
+  SELECT ca AS community, CAST(count(*) / 2 AS BIGINT) AS e_in
+  FROM tagged WHERE ca = cb GROUP BY 1
+),
+deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY 1),
+dtot AS (
+  SELECT l.lbl AS community, sum(d.deg) AS d_tot
+  FROM labels l JOIN deg d ON d.a = l.node
+  GROUP BY 1
+)
+SELECT d.community,
+       CAST(coalesce(i.e_in, 0) AS BIGINT) AS e_in,
+       CAST(d.d_tot AS BIGINT) AS d_tot,
+       {fround_sql("coalesce(i.e_in, 0) / (any_value(m2.m2) / 2.0) - (d.d_tot / CAST(any_value(m2.m2) AS DOUBLE)) * (d.d_tot / CAST(any_value(m2.m2) AS DOUBLE))", 6)} AS q_contrib
+FROM dtot d
+LEFT JOIN intra i ON i.community = d.community
+CROSS JOIN m2
+GROUP BY d.community, i.e_in, d.d_tot
+ORDER BY d.community
+"""
+
+
+ORACLE["graph_modularity"] = _modularity_oracle()
+
+
 def pagerank_fixed(
     edges: DataFrame, src: str, dst: str, iters: int = 3, d: float = 0.85
 ) -> DataFrame:
@@ -982,6 +1098,7 @@ ORACLE["graph_eigenvector_centrality"] = _eigenvector_oracle()
 QUERIES = {
     "graph_adamic_adar": graph_adamic_adar,
     "graph_eigenvector_centrality": graph_eigenvector_centrality,
+    "graph_modularity": graph_modularity,
     "graph_label_propagation": graph_label_propagation,
     "graph_assortativity": graph_assortativity,
     "dedup_components": dedup_components,

@@ -1344,7 +1344,88 @@ ORDER BY qi_class
 """
 
 
+_ENTROPY_COLS = [
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+    ("customer", "c_nationkey"),
+]
+
+
+def table_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy + normalized entropy (H/ln k) per categorical
+    column — the profiler's uniformity gauge: 1.0 means perfectly
+    balanced categories, near 0 means one value dominates (a column
+    that's 99 % one status is useless as a partition key and suspect
+    as a feature). Per column: one hash aggregation into its
+    |categories|-sized frequency table, entropy as arithmetic over
+    that bounded frame, long-form union output — same single-pass
+    shape as table_profile."""
+    outs = []
+    for tbl, col in _ENTROPY_COLS:
+        df = load_table(spark, sf_dir, tbl)
+        freq = df.groupBy(F.col(col).cast("string").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        tot = freq.agg(
+            F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
+        )
+        # H = ln n − (Σ c·ln c)/n — the algebraic form both engines
+        # evaluate identically (and the one SQL can express without
+        # nesting aggregates)
+        ent = (
+            freq.crossJoin(F.broadcast(tot))
+            .agg(
+                F.first("n").alias("n"),
+                F.first("k").alias("k"),
+                (
+                    F.log(F.first("n"))
+                    - F.sum(F.col("c") * F.log("c")) / F.first("n")
+                ).alias("h"),
+            )
+            .select(
+                F.lit(f"{tbl}.{col}").alias("column"),
+                F.col("n").alias("n_rows"),
+                F.col("k").alias("n_categories"),
+                fround("h", 6).alias("entropy_nats"),
+                fround(
+                    F.when(F.col("k") > 1, F.col("h") / F.log("k"))
+                    .otherwise(F.lit(0.0)),
+                    6,
+                ).alias("normalized_entropy"),
+            )
+        )
+        outs.append(ent)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("column")
+
+
+def _entropy_profile_oracle() -> str:
+    parts = []
+    for tbl, col in _ENTROPY_COLS:
+        parts.append(f"""
+SELECT '{tbl}.{col}' AS column,
+       CAST(any_value(n) AS BIGINT) AS n_rows,
+       CAST(any_value(k) AS BIGINT) AS n_categories,
+       {fround_sql("ln(any_value(n)) - sum(c * ln(c)) / any_value(n)", 6)} AS entropy_nats,
+       {fround_sql("CASE WHEN any_value(k) > 1 THEN (ln(any_value(n)) - sum(c * ln(c)) / any_value(n)) / ln(any_value(k)) ELSE 0.0 END", 6)} AS normalized_entropy
+FROM (
+  SELECT CAST(c AS DOUBLE) AS c, sum(c) OVER () AS n, count(*) OVER () AS k
+  FROM (SELECT CAST({col} AS VARCHAR) AS v, count(*) AS c FROM {tbl} GROUP BY 1)
+)""")
+    return (
+        "SELECT * FROM (\n" + "\nUNION ALL\n".join(parts)
+        + "\n) ORDER BY 1"
+    )
+
+
+ORACLE["table_entropy_profile"] = _entropy_profile_oracle()
+
+
 QUERIES = {
+    "table_entropy_profile": table_entropy_profile,
     "table_mutual_information": table_mutual_information,
     "privacy_t_closeness": privacy_t_closeness,
     "table_benford_audit": table_benford_audit,

@@ -1627,10 +1627,13 @@ def text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2.0) * F.col("pa") / (F.col("pa") + F.coalesce("pb", F.lit(0.0)))
     )
     directed = grid.groupBy("s1", "s2").agg(F.sum(term).alias("kl_half"))
+    # |sources|²-bounded frame — broadcast the mirrored direction
     m = directed.alias("x").join(
-        directed.select(
-            F.col("s1").alias("s2"), F.col("s2").alias("s1"),
-            F.col("kl_half").alias("kl_rev"),
+        F.broadcast(
+            directed.select(
+                F.col("s1").alias("s2"), F.col("s2").alias("s1"),
+                F.col("kl_half").alias("kl_rev"),
+            )
         ),
         ["s1", "s2"],
     )

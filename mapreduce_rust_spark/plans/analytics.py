@@ -1132,7 +1132,89 @@ FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 ORACLE["orders_rfm_segmentation"] = _rfm_oracle()
 
 
+def customer_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report per nation: exact Gini
+    coefficient and top-20 %-customer revenue share — the
+    "how 80/20 is this market" readout. Gini uses the rank closed
+    form G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over customers sorted by
+    spend WITHIN EACH NATION — a hash-partitioned window (local sort
+    per nation after one key shuffle), never a global range exchange;
+    tied spends are rank-order invariant in the formula (equal x make
+    Σ rank·x independent of intra-tie order). Per-customer rollup is
+    the one data-sized aggregation; the nation dimension join
+    broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+        .join(F.broadcast(cust), "o_custkey")
+    )
+    wa = W.partitionBy("nationkey").orderBy("x", "o_custkey")
+    wd = W.partitionBy("nationkey").orderBy(
+        F.col("x").desc(), F.col("o_custkey").desc()
+    )
+    ranked = spend.select(
+        "nationkey",
+        "x",
+        F.row_number().over(wa).alias("r_asc"),
+        F.row_number().over(wd).alias("r_desc"),
+        F.count(F.lit(1)).over(W.partitionBy("nationkey")).alias("n"),
+    )
+    return (
+        ranked.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            fround(
+                F.lit(2.0) * F.sum(F.col("r_asc") * F.col("x"))
+                / (F.count(F.lit(1)) * F.sum("x"))
+                - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+                6,
+            ).alias("gini"),
+            fround(
+                F.sum(
+                    F.when(
+                        F.col("r_desc") <= F.floor(F.col("n") * 0.2),
+                        F.col("x"),
+                    ).otherwise(F.lit(0.0))
+                )
+                / F.sum("x"),
+                6,
+            ).alias("top20_share"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+ORACLE["customer_gini_concentration"] = f"""
+WITH spend AS (
+  SELECT o.o_custkey, c.c_nationkey AS nationkey, sum(o.o_totalprice) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nationkey, x, o_custkey,
+         row_number() OVER (PARTITION BY nationkey
+                            ORDER BY x, o_custkey) AS r_asc,
+         row_number() OVER (PARTITION BY nationkey
+                            ORDER BY x DESC, o_custkey DESC) AS r_desc,
+         count(*) OVER (PARTITION BY nationkey) AS n
+  FROM spend
+)
+SELECT nationkey,
+       count(*) AS n_customers,
+       {fround_sql("2.0 * sum(r_asc * x) / (count(*) * sum(x)) - (count(*) + 1.0) / count(*)", 6)} AS gini,
+       {fround_sql("sum(CASE WHEN r_desc <= floor(n * 0.2) THEN x ELSE 0.0 END) / sum(x)", 6)} AS top20_share
+FROM ranked GROUP BY nationkey
+ORDER BY nationkey
+"""
+
+
 QUERIES = {
+    "customer_gini_concentration": customer_gini_concentration,
     "orders_rfm_segmentation": orders_rfm_segmentation,
     "json_key_census": json_key_census,
     "q1_pricing_summary": q1_pricing_summary,

@@ -1324,8 +1324,11 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = d.select("event_type", F.col("x").alias("x1"), F.col("y").alias("y1"))
     b = d.select("event_type", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    # the self-join runs on the CALENDAR-sized daily frame — broadcast
+    # one side explicitly (post-agg size stats are unknown to the
+    # planner, which would otherwise fall back to a sort-merge join)
     slopes = (
-        a.join(b, "event_type")
+        a.join(F.broadcast(b), "event_type")
         .filter(F.col("x2") > F.col("x1"))
         .select(
             "event_type",
@@ -1338,7 +1341,7 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"), F.median("s").alias("slope")
     )
     resid = (
-        d.join(slope, "event_type")
+        d.join(F.broadcast(slope), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
@@ -1348,7 +1351,7 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        slope.join(resid, "event_type")
+        slope.join(F.broadcast(resid), "event_type")
         .select(
             "event_type",
             "n_days",
@@ -1499,7 +1502,165 @@ ORDER BY event_type
 """
 
 
+CUSUM_SLACK = 0.5  # k: slack in σ units
+CUSUM_H = 4.0  # h: alarm threshold in σ units
+
+
+def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM control chart per event type over the daily
+    mean series — the classic sequential detector for small sustained
+    mean shifts (Page 1954): S_t = max(0, S_{t−1} + z_t − k), alarm
+    when S_t > h. The recursion LOOKS sequential but has the exact
+    closed form S_t = C_t − min_{j≤t} C_j with C_t = Σ(z−k) — a
+    running sum plus a running min, i.e. TWO window passes over the
+    calendar-sized daily frame, fully whole-stage-codegen, no UDF, no
+    iteration (same trick family as ts_ewma's closed form).
+    Standardization uses each type's own daily mean/σ so thresholds
+    are in σ units. Output: per-type summary (max CUSUM height, alarm
+    count, first alarm day) — always |types| rows, so the readout is
+    informative on stationary traffic too (max height ≪ h says "no
+    drift and how much headroom")."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.avg("value").alias("y"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("y").alias("mu"), F.stddev_samp("y").alias("sd")
+    )
+    z = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        ((F.col("y") - F.col("mu")) / F.col("sd") - CUSUM_SLACK).alias("zk"),
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = z.select(
+        "event_type", "day", F.sum("zk").over(wcum).alias("c")
+    )
+    # S_t = C_t − min(0, min_{j≤t} C_j): the implicit S_0 = 0 start
+    # means the reflecting floor includes the empty prefix
+    s = cum.select(
+        "event_type",
+        "day",
+        (
+            F.col("c")
+            - F.least(F.lit(0.0), F.min("c").over(wcum))
+        ).alias("s"),
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            fround(F.max("s"), 4).alias("max_cusum"),
+            F.sum((F.col("s") > CUSUM_H).cast("int")).cast("bigint").alias(
+                "n_alarm_days"
+            ),
+            F.date_format(
+                F.min(F.when(F.col("s") > CUSUM_H, F.col("day"))),
+                "yyyy-MM-dd",
+            ).alias("first_alarm_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["ts_cusum_alarm"] = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS y
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(y) AS mu, stddev_samp(y) AS sd
+  FROM daily GROUP BY 1
+),
+z AS (
+  SELECT d.event_type, d.day, (d.y - s.mu) / s.sd - {CUSUM_SLACK} AS zk
+  FROM daily d JOIN stats s USING (event_type)
+),
+cum AS (
+  SELECT event_type, day,
+         sum(zk) OVER w AS c
+  FROM z
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT event_type, day,
+         c - least(0.0, min(c) OVER w) AS s
+  FROM cum
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       count(*) AS n_days,
+       {fround_sql("max(s)", 4)} AS max_cusum,
+       CAST(sum(CASE WHEN s > {CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarm_days,
+       strftime(min(CASE WHEN s > {CUSUM_H} THEN day END), '%Y-%m-%d')
+         AS first_alarm_day
+FROM s GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness profile per event type over hourly counts: Fano
+    factor (var/mean — 1 for a Poisson process, ≫1 for bursty
+    arrivals) and the Goh–Barabási burstiness index B = (σ−μ)/(σ+μ)
+    ∈ (−1, 1). The single cheapest way to tell steady telemetry from
+    flash-crowd traffic, and a routine feature in event-stream
+    profiling. One scan → (type, hour) counts → per-type moments:
+    two bounded aggregations, map-side combinable, nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.avg("c").alias("mu"),
+            F.stddev_samp("c").alias("sd"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            fround("mu", 4).alias("mean_per_hour"),
+            fround(F.col("sd") * F.col("sd") / F.col("mu"), 4).alias(
+                "fano_factor"
+            ),
+            fround(
+                (F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu")), 6
+            ).alias("burstiness_b"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["events_burstiness"] = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, count(*) AS n_hours, avg(c) AS mu,
+         stddev_samp(c) AS sd
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, n_hours,
+       {fround_sql("mu", 4)} AS mean_per_hour,
+       {fround_sql("sd * sd / mu", 4)} AS fano_factor,
+       {fround_sql("(sd - mu) / (sd + mu)", 6)} AS burstiness_b
+FROM m ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "ts_cusum_alarm": ts_cusum_alarm,
+    "events_burstiness": events_burstiness,
     "ts_holt_linear": ts_holt_linear,
     "ts_theil_sen_trend": ts_theil_sen_trend,
     "ts_rolling_median": ts_rolling_median,

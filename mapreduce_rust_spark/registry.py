@@ -170,6 +170,12 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "text_jsd_drift",
     "orders_rfm_segmentation",
     "events_markov_stationary",
+    "ts_cusum_alarm",
+    "events_burstiness",
+    "table_entropy_profile",
+    "corpus_span_corruption",
+    "customer_gini_concentration",
+    "graph_modularity",
     "corpus_dsir_weights",
     "text_kneser_ney_bigram",
     "text_unigram_entropy",

@@ -299,3 +299,99 @@ def test_sorted_neighborhood_pairs_are_ordered_and_verified(spark, sf_dir):
     for r in dedup_sorted_neighborhood(spark, sf_dir).collect():
         assert 1 <= r["window_dist"] <= SN_WINDOW
         assert r["jaccard"] >= SN_THRESHOLD - 1e-9
+
+
+def test_cusum_closed_form_equals_recursion():
+    """S_t = C_t − min(0, min_{j≤t} C_j) must equal the textbook
+    recursion S_t = max(0, S_{t−1} + z_t − k) on an arbitrary series."""
+    zk = [0.4, -0.2, 1.1, 0.3, -2.0, 0.9, 0.9, -0.1]
+    s_rec, s = [], 0.0
+    for z in zk:
+        s = max(0.0, s + z)
+        s_rec.append(s)
+    cum, c = [], 0.0
+    for z in zk:
+        c += z
+        cum.append(c)
+    s_closed = [
+        c - min(0.0, min(cum[: i + 1])) for i, c in enumerate(cum)
+    ]
+    assert all(
+        a == pytest.approx(b, abs=1e-12) for a, b in zip(s_rec, s_closed)
+    )
+
+
+def test_burstiness_poisson_baseline(spark, sf_dir):
+    """Fano factor is var/mean — for the synthetic hourly counts it
+    must be positive; B index must stay in (−1, 1)."""
+    from mapreduce_rust_spark.plans.timeseries import events_burstiness
+
+    rows = events_burstiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["fano_factor"] > 0
+        assert -1.0 < r["burstiness_b"] < 1.0
+
+
+def test_entropy_profile_bounds(spark, sf_dir):
+    """0 ≤ normalized entropy ≤ 1, and H ≤ ln k exactly."""
+    from mapreduce_rust_spark.operators.profiling import table_entropy_profile
+
+    rows = table_entropy_profile(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert 0.0 <= r["normalized_entropy"] <= 1.0 + 1e-9
+        assert r["entropy_nats"] <= math.log(r["n_categories"]) + 1e-9
+
+
+def test_span_corruption_mask_ratio_near_target(spark, sf_dir):
+    """Realized corpus-wide mask ratio must sit near the design
+    target SPAN_LEN/SPAN_START_MOD = 15 % (merging overlaps pulls it
+    slightly below; hash variance moves it either way)."""
+    from mapreduce_rust_spark.operators.corpus import (
+        SPAN_LEN,
+        SPAN_START_MOD,
+        corpus_span_corruption,
+    )
+
+    rows = corpus_span_corruption(spark, sf_dir).collect()
+    tot = sum(r["n_tokens"] for r in rows)
+    masked = sum(r["n_masked"] for r in rows)
+    target = SPAN_LEN / SPAN_START_MOD
+    assert 0.5 * target <= masked / tot <= 1.2 * target
+    for r in rows:
+        # every maximal run contains ≥1 masked token; runs can exceed
+        # SPAN_LEN when overlapping starts merge, so no upper bound
+        # per span — only the global ratio above
+        assert r["n_spans"] <= r["n_masked"]
+        assert (r["n_spans"] == 0) == (r["n_masked"] == 0)
+
+
+def test_gini_known_distributions(spark):
+    """Gini of a perfectly equal 4-way split is 0; of [0,0,0,1] is
+    0.75 by the rank formula on n=4."""
+    def gini(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        s = sum(xs)
+        return 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s) - (
+            n + 1.0
+        ) / n
+
+    assert gini([5, 5, 5, 5]) == pytest.approx(0.0, abs=1e-12)
+    assert gini([0.0001, 0.0001, 0.0001, 1.0]) == pytest.approx(
+        0.75, abs=1e-3
+    )
+
+
+def test_modularity_sums_to_valid_q(spark, sf_dir):
+    """Σ q_contrib ∈ [−0.5, 1] (Newman bounds); intra-edge counts
+    can't exceed total edges."""
+    from mapreduce_rust_spark.operators.graph import graph_modularity
+
+    rows = graph_modularity(spark, sf_dir).collect()
+    assert rows
+    q = sum(r["q_contrib"] for r in rows)
+    assert -0.5 <= q <= 1.0
+    for r in rows:
+        assert r["e_in"] >= 0 and r["d_tot"] >= 1
