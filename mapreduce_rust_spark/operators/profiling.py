@@ -1424,7 +1424,170 @@ FROM (
 ORACLE["table_entropy_profile"] = _entropy_profile_oracle()
 
 
+RR_FLIP_MOD = 4  # respond truthfully with prob 1 − 1/MOD (ε = ln 3)
+
+
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized response (Warner 1965) — LOCAL differential privacy,
+    the mechanism behind RAPPOR-style telemetry: each unit flips its
+    sensitive bit (high account balance) with probability p = 1/{RR_FLIP_MOD}
+    (ε = ln((1−p)/p) = ln 3), the collector sees only noised bits and
+    DEBIASES the aggregate: π̂ = (observed_rate − p)/(1 − 2p). The flip
+    is a deterministic md5 draw per customer — same replayable-noise
+    contract as the DP-counts slug, so the oracle verifies the entire
+    mechanism end-to-end including the debiasing algebra. One scan,
+    one per-nation aggregation; the true rate rides along to report
+    the estimator's realized absolute error."""
+    cust = load_table(spark, sf_dir, "customer")
+    prior = cust.agg(F.avg("c_acctbal").alias("bal_mean"))
+    truth = cust.crossJoin(F.broadcast(prior)).select(
+        F.col("c_nationkey").alias("nationkey"),
+        (F.col("c_acctbal") > F.col("bal_mean")).cast("int").alias("y"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("rr:"), "c_custkey")), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % RR_FLIP_MOD
+            == 0
+        ).cast("int").alias("flip"),
+    )
+    noised = truth.select(
+        "nationkey",
+        "y",
+        F.when(F.col("flip") == 1, 1 - F.col("y")).otherwise(F.col("y")).alias(
+            "y_rr"
+        ),
+    )
+    p = 1.0 / RR_FLIP_MOD
+    return (
+        noised.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("y").alias("true_rate"),
+            F.avg("y_rr").alias("obs_rate"),
+        )
+        .select(
+            "nationkey",
+            "n",
+            fround("true_rate", 6).alias("true_rate"),
+            fround(
+                (F.col("obs_rate") - F.lit(p)) / F.lit(1.0 - 2.0 * p), 6
+            ).alias("debiased_rate"),
+            fround(
+                F.abs(
+                    (F.col("obs_rate") - F.lit(p)) / F.lit(1.0 - 2.0 * p)
+                    - F.col("true_rate")
+                ),
+                6,
+            ).alias("abs_error"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+ORACLE["privacy_randomized_response"] = f"""
+WITH truth AS (
+  SELECT c_nationkey AS nationkey,
+         CASE WHEN c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+              THEN 1 ELSE 0 END AS y,
+         CASE WHEN ('0x' || substr(md5('rr:' || c_custkey), 1, 15))::BIGINT
+                   % {RR_FLIP_MOD} = 0
+              THEN 1 ELSE 0 END AS flip
+  FROM customer
+),
+noised AS (
+  SELECT nationkey, y,
+         CASE WHEN flip = 1 THEN 1 - y ELSE y END AS y_rr
+  FROM truth
+),
+g AS (
+  SELECT nationkey, count(*) AS n,
+         avg(y) AS true_rate, avg(y_rr) AS obs_rate
+  FROM noised GROUP BY 1
+)
+SELECT nationkey, n,
+       {fround_sql("true_rate", 6)} AS true_rate,
+       {fround_sql(f"(obs_rate - {1.0 / RR_FLIP_MOD}) / {1.0 - 2.0 / RR_FLIP_MOD}", 6)} AS debiased_rate,
+       {fround_sql(f"abs((obs_rate - {1.0 / RR_FLIP_MOD}) / {1.0 - 2.0 / RR_FLIP_MOD} - true_rate)", 6)} AS abs_error
+FROM g ORDER BY nationkey
+"""
+
+
+WINSOR_Q = 0.05  # clip tails at p5/p95
+
+
+def robust_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed means of extended price per order
+    priority — the robust-location pair every metrics platform keeps
+    next to the raw mean (one fat-fingered price shouldn't move a
+    KPI). Boundaries are exact percentiles per group, grid-snapped to
+    4 dp (the quantile_bins recipe) and joined back as a broadcast
+    |groups|-row frame; winsorize = clamp to [lo, hi], trim = drop
+    outside — both then plain aggregations. Two scans of the fact
+    (one for boundaries, one for stats), no sort, no UDF."""
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    fact = li.join(ords, "l_orderkey").select(
+        "o_orderpriority", F.col("l_extendedprice").alias("x")
+    )
+    b = fact.groupBy("o_orderpriority").agg(
+        F.expr(f"{fround_sql(f'percentile(x, {WINSOR_Q})', 4)}").alias("lo"),
+        F.expr(f"{fround_sql(f'percentile(x, {1 - WINSOR_Q})', 4)}").alias(
+            "hi"
+        ),
+    )
+    j = fact.join(F.broadcast(b), "o_orderpriority")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fround(F.avg("x"), 4).alias("raw_mean"),
+            fround(
+                F.avg(F.least(F.greatest("x", F.col("lo")), F.col("hi"))), 4
+            ).alias("winsorized_mean"),
+            fround(
+                F.avg(
+                    F.when(
+                        (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")),
+                        F.col("x"),
+                    )
+                ),
+                4,
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE["robust_winsorized_stats"] = f"""
+WITH fact AS (
+  SELECT o.o_orderpriority, l.l_extendedprice AS x
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+b AS (
+  SELECT o_orderpriority,
+         {fround_sql(f"quantile_cont(x, {WINSOR_Q})", 4)} AS lo,
+         {fround_sql(f"quantile_cont(x, {1 - WINSOR_Q})", 4)} AS hi
+  FROM fact GROUP BY 1
+)
+SELECT f.o_orderpriority,
+       count(*) AS n,
+       {fround_sql("avg(f.x)", 4)} AS raw_mean,
+       {fround_sql("avg(least(greatest(f.x, b.lo), b.hi))", 4)} AS winsorized_mean,
+       {fround_sql("avg(CASE WHEN f.x >= b.lo AND f.x <= b.hi THEN f.x END)", 4)} AS trimmed_mean
+FROM fact f JOIN b USING (o_orderpriority)
+GROUP BY f.o_orderpriority
+ORDER BY f.o_orderpriority
+"""
+
+
 QUERIES = {
+    "privacy_randomized_response": privacy_randomized_response,
+    "robust_winsorized_stats": robust_winsorized_stats,
     "table_entropy_profile": table_entropy_profile,
     "table_mutual_information": table_mutual_information,
     "privacy_t_closeness": privacy_t_closeness,

@@ -1687,7 +1687,168 @@ ORDER BY x.s1, x.s2
 """
 
 
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection by symbol statistics — the cheap
+    pre-filter every pretraining pipeline runs before routing
+    documents to code- or text-specific cleaning: brace/bracket
+    density, semicolon density, underscore_identifier share, and
+    digit share, combined into a transparent linear score (no model,
+    no Python — four regexp_count expressions in whole-stage
+    codegen). Output per source: doc counts, share flagged as code,
+    and mean feature values — the calibration table for threshold
+    tuning. One scan, one bounded aggregation."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    L = F.length("text").cast("double")
+    nz = F.greatest(L, F.lit(1.0))
+    braces = F.regexp_count("text", F.lit(r"[{}\[\]()<>]")) / nz
+    semis = F.regexp_count("text", F.lit(r"[;=]")) / nz
+    unders = F.regexp_count("text", F.lit(r"[A-Za-z0-9]_[A-Za-z0-9]")) / nz
+    digits = F.regexp_count("text", F.lit(r"[0-9]")) / nz
+    score = (
+        F.lit(4.0) * braces
+        + F.lit(3.0) * semis
+        + F.lit(2.0) * unders
+        + digits
+    )
+    feat = docs.filter(L > 0).select(
+        "source",
+        braces.alias("braces"),
+        semis.alias("semis"),
+        unders.alias("unders"),
+        digits.alias("digits"),
+        (score > 0.05).cast("int").alias("is_code"),
+    )
+    return (
+        feat.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fround(F.avg("is_code"), 4).alias("code_share"),
+            fround(F.avg("braces"), 6).alias("brace_density"),
+            fround(F.avg("semis"), 6).alias("semi_density"),
+            fround(F.avg("unders"), 6).alias("underscore_density"),
+            fround(F.avg("digits"), 6).alias("digit_density"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["text_code_detect"] = rf"""
+WITH feat AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[{{}}\[\]()<>]'))
+           / greatest(length(text), 1.0) AS braces,
+         len(regexp_extract_all(text, '[;=]'))
+           / greatest(length(text), 1.0) AS semis,
+         len(regexp_extract_all(text, '[A-Za-z0-9]_[A-Za-z0-9]'))
+           / greatest(length(text), 1.0) AS unders,
+         len(regexp_extract_all(text, '[0-9]'))
+           / greatest(length(text), 1.0) AS digits
+  FROM documents WHERE length(text) > 0
+)
+SELECT source,
+       count(*) AS n_docs,
+       {fround_sql("avg(CASE WHEN 4.0 * braces + 3.0 * semis + 2.0 * unders + digits > 0.05 THEN 1 ELSE 0 END)", 4)} AS code_share,
+       {fround_sql("avg(braces)", 6)} AS brace_density,
+       {fround_sql("avg(semis)", 6)} AS semi_density,
+       {fround_sql("avg(unders)", 6)} AS underscore_density,
+       {fround_sql("avg(digits)", 6)} AS digit_density
+FROM feat GROUP BY source ORDER BY source
+"""
+
+
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid grade level per document, rolled up per source —
+    the oldest quality score still in every corpus pipeline:
+    0.39·(words/sentences) + 11.8·(syllables/words) − 15.59, with
+    syllables approximated as vowel-group counts (the standard
+    dictionary-free heuristic, identical regex both engines) and
+    sentences as [.!?]+ runs (min 1). All JVM regexp/array expressions
+    — no UDF; one scan plus a per-source rollup."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower("text"), r"[^a-z']+", " ")), " "),
+        lambda x: x != F.lit(""),
+    )
+    n_words = F.size(words).cast("double")
+    # syllables(word) ≈ # maximal vowel groups; aggregate over words
+    syl = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(
+                F.filter(
+                    F.split(w, "[^aeiouy]+"), lambda x: x != F.lit("")
+                )
+            ),
+            F.lit(1),
+        ).cast("bigint"),
+    ).cast("double")
+    sents = F.greatest(
+        F.size(
+            F.filter(
+                F.split("text", r"[.!?]+"),
+                lambda x: F.trim(x) != F.lit(""),
+            )
+        ),
+        F.lit(1),
+    ).cast("double")
+    per_doc = docs.filter(F.length("text") > 0).select(
+        "source",
+        n_words.alias("w"),
+        syl.alias("s"),
+        sents.alias("st"),
+    ).filter(F.col("w") > 0)
+    fk = (
+        F.lit(0.39) * (F.col("w") / F.col("st"))
+        + F.lit(11.8) * (F.col("s") / F.col("w"))
+        - F.lit(15.59)
+    )
+    return (
+        per_doc.select("source", fk.alias("fk"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fround(F.avg("fk"), 4).alias("mean_grade"),
+            fround(F.min("fk"), 4).alias("min_grade"),
+            fround(F.max("fk"), 4).alias("max_grade"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["text_readability_fk"] = rf"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(list_filter(
+           string_split(trim(regexp_replace(lower(text), '[^a-z'']+', ' ', 'g')), ' '),
+           x -> x <> '')) AS DOUBLE) AS w,
+         CAST(list_sum(list_transform(
+           list_filter(
+             string_split(trim(regexp_replace(lower(text), '[^a-z'']+', ' ', 'g')), ' '),
+             x -> x <> ''),
+           wd -> greatest(len(list_filter(string_split_regex(wd, '[^aeiouy]+'),
+                                          x -> x <> '')), 1))) AS DOUBLE) AS s,
+         CAST(greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                       x -> trim(x) <> '')), 1) AS DOUBLE) AS st
+  FROM documents WHERE length(text) > 0
+),
+fk AS (
+  SELECT source, 0.39 * (w / st) + 11.8 * (s / w) - 15.59 AS fk
+  FROM per_doc WHERE w > 0
+)
+SELECT source,
+       count(*) AS n_docs,
+       {fround_sql("avg(fk)", 4)} AS mean_grade,
+       {fround_sql("min(fk)", 4)} AS min_grade,
+       {fround_sql("max(fk)", 4)} AS max_grade
+FROM fk GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "text_code_detect": text_code_detect,
+    "text_readability_fk": text_readability_fk,
     "text_jsd_drift": text_jsd_drift,
     "text_heaps_law": text_heaps_law,
     "text_unigram_entropy": text_unigram_entropy,

@@ -1093,7 +1093,111 @@ FROM pi{MARKOV_POWER_ITERS} ORDER BY state
 ORACLE["events_markov_stationary"] = _markov_stationary_oracle()
 
 
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the behavioral Markov chain — how predictable
+    the NEXT action is given the current one: H = −Σ_i π_i Σ_j p_ij
+    ln p_ij (nats/step), with π from the same fixed power unroll as
+    events_markov_stationary. The single number that separates
+    habitual traffic (low rate: sessions are scripted) from
+    exploratory traffic, and the information-theoretic floor for any
+    next-event predictor's log-loss. Also reports the zeroth-order
+    entropy H₀ = −Σ π ln π for comparison — the gap H₀ − H is the
+    predictability GAIN from conditioning on state. Everything after
+    the one lead()-window scan is |types|²-frame arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = W.partitionBy("from_type")
+    P = counts.select(
+        "from_type",
+        "to_type",
+        (F.col("n") / F.sum("n").over(wf)).alias("p"),
+    ).localCheckpoint()
+    states = P.select(F.col("from_type").alias("state")).distinct()
+    k = states.count()
+    pi = states.select("state", F.lit(1.0 / k).alias("pi"))
+    for _ in range(MARKOV_POWER_ITERS):
+        pi = (
+            P.join(pi, P["from_type"] == pi["state"])
+            .groupBy(F.col("to_type").alias("state"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+        )
+    row_h = P.groupBy(F.col("from_type").alias("state")).agg(
+        (-F.sum(F.col("p") * F.log("p"))).alias("h_row")
+    )
+    return (
+        pi.join(F.broadcast(row_h), "state")
+        .agg(
+            F.count(F.lit(1)).alias("n_states"),
+            F.sum(F.col("pi") * F.col("h_row")).alias("hr"),
+            (-F.sum(F.col("pi") * F.log("pi"))).alias("h0"),
+        )
+        .select(
+            "n_states",
+            fround("hr", 6).alias("entropy_rate_nats"),
+            fround("h0", 6).alias("h0_nats"),
+            fround(F.col("h0") - F.col("hr"), 6).alias("predictability_gain"),
+        )
+    )
+
+
+def _entropy_rate_oracle() -> str:
+    step = """
+{cur} AS (
+  SELECT P.to_type AS state, sum({prev}.pi * P.p) AS pi
+  FROM P JOIN {prev} ON {prev}.state = P.from_type
+  GROUP BY 1
+)"""
+    chain = ",".join(
+        step.format(cur=f"pi{i}", prev=f"pi{i - 1}")
+        for i in range(1, MARKOV_POWER_ITERS + 1)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+P AS MATERIALIZED (
+  SELECT from_type, to_type,
+         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+  FROM counts
+),
+pi0 AS (
+  SELECT from_type AS state,
+         1.0 / (SELECT count(DISTINCT from_type) FROM P) AS pi
+  FROM (SELECT DISTINCT from_type FROM P)
+),
+{chain},
+row_h AS (
+  SELECT from_type AS state, -sum(p * ln(p)) AS h_row
+  FROM P GROUP BY 1
+)
+SELECT count(*) AS n_states,
+       {fround_sql("sum(pi.pi * row_h.h_row)", 6)} AS entropy_rate_nats,
+       {fround_sql("-sum(pi.pi * ln(pi.pi))", 6)} AS h0_nats,
+       {fround_sql("-sum(pi.pi * ln(pi.pi)) - sum(pi.pi * row_h.h_row)", 6)} AS predictability_gain
+FROM pi{MARKOV_POWER_ITERS} pi JOIN row_h ON row_h.state = pi.state
+"""
+
+
+ORACLE["events_entropy_rate"] = _entropy_rate_oracle()
+
+
 QUERIES = {
+    "events_entropy_rate": events_entropy_rate,
     "events_markov_stationary": events_markov_stationary,
     "sample_poisson_bootstrap": sample_poisson_bootstrap,
     "ab_cuped": ab_cuped,

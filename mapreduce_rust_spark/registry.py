@@ -176,6 +176,12 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "corpus_span_corruption",
     "customer_gini_concentration",
     "graph_modularity",
+    "text_code_detect",
+    "text_readability_fk",
+    "privacy_randomized_response",
+    "robust_winsorized_stats",
+    "events_entropy_rate",
+    "format_fixedwidth_roundtrip",
     "corpus_dsir_weights",
     "text_kneser_ney_bigram",
     "text_unigram_entropy",

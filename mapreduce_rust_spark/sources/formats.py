@@ -542,7 +542,84 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def format_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (mainframe/COBOL copybook) record round-trip —
+    the legacy-ingest pattern Spark has no native source for, done
+    the scale-correct way: RENDER each customer row to a 50-char
+    record (lpad/rpad column layout, sign-char + zero-padded cents
+    for the money field so no float formatting is involved), then
+    PARSE it back with substring/cast and aggregate the PARSED
+    values. Both directions are pure JVM string expressions in
+    whole-stage codegen — this is exactly how a production job maps
+    fixed-width exports without a row-at-a-time Python parser. The
+    aggregate proves the layout loses nothing: counts and sums come
+    from the parsed fields, and the oracle replays render+parse."""
+    from mapreduce_rust_spark.functions.numeric import fround
+
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    rec = F.concat(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0"),
+        F.rpad(F.col("c_name"), 22, " "),
+        F.when(cents >= 0, F.lit("+")).otherwise(F.lit("-")),
+        F.lpad(F.abs(cents).cast("string"), 13, "0"),
+        F.rpad(F.col("c_mktsegment"), 12, " "),
+    )
+    lines = cust.select(rec.alias("line"))
+    parsed = lines.select(
+        F.substring("line", 1, 10).cast("bigint").alias("custkey"),
+        F.trim(F.substring("line", 11, 22)).alias("name"),
+        (
+            F.when(F.substring("line", 33, 1) == "-", F.lit(-1)).otherwise(
+                F.lit(1)
+            )
+            * F.substring("line", 34, 13).cast("bigint")
+        ).alias("cents"),
+        F.trim(F.substring("line", 47, 12)).alias("mktsegment"),
+    )
+    return (
+        parsed.groupBy("mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("custkey").alias("sum_custkey"),
+            fround(F.sum("cents") / 100.0, 2).alias("sum_acctbal"),
+            F.sum(F.length("name")).alias("sum_name_len"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+from mapreduce_rust_spark.functions.numeric import fround_sql as _fws
+
+ORACLE["format_fixedwidth_roundtrip"] = f"""
+WITH rendered AS (
+  SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0')
+         || rpad(c_name, 22, ' ')
+         || CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) >= 0
+                 THEN '+' ELSE '-' END
+         || lpad(CAST(abs(CAST(round(c_acctbal * 100) AS BIGINT)) AS VARCHAR), 13, '0')
+         || rpad(c_mktsegment, 12, ' ') AS line
+  FROM customer
+),
+parsed AS (
+  SELECT CAST(substr(line, 1, 10) AS BIGINT) AS custkey,
+         trim(substr(line, 11, 22)) AS name,
+         (CASE WHEN substr(line, 33, 1) = '-' THEN -1 ELSE 1 END)
+           * CAST(substr(line, 34, 13) AS BIGINT) AS cents,
+         trim(substr(line, 47, 12)) AS mktsegment
+  FROM rendered
+)
+SELECT mktsegment,
+       count(*) AS n,
+       CAST(sum(custkey) AS BIGINT) AS sum_custkey,
+       {_fws("sum(cents) / 100.0", 2)} AS sum_acctbal,
+       CAST(sum(length(name)) AS BIGINT) AS sum_name_len
+FROM parsed GROUP BY mktsegment ORDER BY mktsegment
+"""
+
+
 QUERIES = {
+    "format_fixedwidth_roundtrip": format_fixedwidth_roundtrip,
     "source_binaryfile_ingest": source_binaryfile_ingest,
     "format_csv_roundtrip": format_csv_roundtrip,
     "format_csv_malformed": format_csv_malformed,

@@ -395,3 +395,89 @@ def test_modularity_sums_to_valid_q(spark, sf_dir):
     assert -0.5 <= q <= 1.0
     for r in rows:
         assert r["e_in"] >= 0 and r["d_tot"] >= 1
+
+
+def test_randomized_response_debias_exact_inversion():
+    """With a known flip set the debiasing formula must invert the
+    mechanism exactly: obs = (1−p)·π + p·(1−π) ⇒ (obs−p)/(1−2p) = π."""
+    p = 0.25
+    for pi in (0.0, 0.3, 0.5, 0.9, 1.0):
+        obs = (1 - p) * pi + p * (1 - pi)
+        assert (obs - p) / (1 - 2 * p) == pytest.approx(pi, abs=1e-12)
+
+
+def test_winsorized_mean_between_trimmed_and_raw(spark, sf_dir):
+    """Clamping keeps every row, trimming drops tails — all three
+    means exist and the winsorized/trimmed pair must be finite."""
+    from mapreduce_rust_spark.operators.profiling import (
+        robust_winsorized_stats,
+    )
+
+    rows = robust_winsorized_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n"] > 0
+        for c in ("raw_mean", "winsorized_mean", "trimmed_mean"):
+            assert r[c] is not None and r[c] > 0
+
+
+def test_entropy_rate_conditioning_never_hurts(spark, sf_dir):
+    """H(next|current) ≤ H0(next): conditioning can only reduce
+    entropy (Jensen) — the predictability gain must be ≥ 0."""
+    from mapreduce_rust_spark.plans.behavior import events_entropy_rate
+
+    r = events_entropy_rate(spark, sf_dir).collect()[0]
+    assert r["predictability_gain"] >= -1e-6
+    assert 0.0 <= r["entropy_rate_nats"] <= math.log(r["n_states"]) + 1e-9
+
+
+def test_fixedwidth_roundtrip_preserves_totals(spark, sf_dir):
+    """Parsed-side totals must equal source-side totals computed
+    directly from the table."""
+    from mapreduce_rust_spark.sources.formats import (
+        format_fixedwidth_roundtrip,
+    )
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    rows = format_fixedwidth_roundtrip(spark, sf_dir).collect()
+    direct = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    want = {r["c_mktsegment"]: r["count"] for r in direct}
+    got = {r["mktsegment"]: r["n"] for r in rows}
+    assert got == want
+
+
+def test_code_detect_separates_code_from_prose(spark):
+    """A snippet dense in braces/semicolons must score above the
+    threshold; plain prose must not."""
+    code = "def f(x): return {k: v for k, v in x.items()}; y = f(a_b);"
+    prose = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([(code,), (prose,)], "text string")
+    L = F.greatest(F.length("text").cast("double"), F.lit(1.0))
+    score = (
+        4.0 * F.regexp_count("text", F.lit(r"[{}\[\]()<>]")) / L
+        + 3.0 * F.regexp_count("text", F.lit(r"[;=]")) / L
+        + 2.0 * F.regexp_count("text", F.lit(r"[A-Za-z0-9]_[A-Za-z0-9]")) / L
+        + F.regexp_count("text", F.lit(r"[0-9]")) / L
+    )
+    got = [r[0] for r in df.select((score > 0.05).cast("int")).collect()]
+    assert got == [1, 0]
+
+
+def test_readability_syllable_heuristic(spark):
+    """Vowel-group syllable counts for known words."""
+    words = [("cat", 1), ("table", 2), ("beautiful", 3), ("rhythm", 1)]
+    df = spark.createDataFrame(words, "w string, want int")
+    syl = F.greatest(
+        F.size(
+            F.filter(F.split("w", "[^aeiouy]+"), lambda x: x != F.lit(""))
+        ),
+        F.lit(1),
+    )
+    rows = df.select("w", "want", syl.alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["want"], r["w"]
