@@ -51,6 +51,15 @@ DEFAULT_SLUGS = (
     "ann_topk_ivfpq",
     "graph_label_propagation",
     "skew_balanced_ranges",
+    # round-6 second wave: the data-sized new families (blocking #2,
+    # union-vocab JSD, per-position masking, candidate-verify, the
+    # Poisson-bootstrap explode, and the distinct-token Heaps pass)
+    "dedup_sorted_neighborhood",
+    "dedup_levenshtein_verified",
+    "text_jsd_drift",
+    "corpus_span_corruption",
+    "sample_poisson_bootstrap",
+    "text_heaps_law",
 )
 
 
