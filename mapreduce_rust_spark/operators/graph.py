@@ -416,6 +416,123 @@ ORDER BY d.community
 ORACLE["graph_modularity"] = _modularity_oracle()
 
 
+def graph_clustering_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the dup graph's TWO clusterings —
+    connected components (reachability) vs label propagation
+    (communities): the standard audit for "do our cheap and expensive
+    grouping strategies agree, and where". ARI = (Σ_ij C(n_ij,2) −
+    E)/(½(Σ_i C(a_i,2)+Σ_j C(b_j,2)) − E), E the chance-agreement
+    term — 1.0 means identical partitions, ≈0 means chance. Both
+    labelings come from fixed-depth unrolls (the oracle replays
+    them); the contingency table is one (comp, lbl) aggregation
+    bounded by cluster counts, and every C(n,2) is plain arithmetic.
+    When LPA splits a weakly-bridged component the ARI drops — the
+    signal to re-examine those bridge edges before merging
+    survivors."""
+    from mapreduce_rust_spark.operators.dedup import candidate_pairs_index
+
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3)
+    comp = connected_components(pairs, "d1", "d2").select(
+        "node", F.col("comp").alias("ca")
+    )
+    lpa = label_propagation(pairs, "d1", "d2").select(
+        "node", F.col("lbl").alias("cb")
+    )
+    j = comp.join(lpa, "node")
+
+    def c2(col):
+        return col * (col - F.lit(1)) / F.lit(2.0)
+
+    nij = j.groupBy("ca", "cb").agg(F.count(F.lit(1)).alias("n"))
+    sum_nij = nij.agg(F.sum(c2(F.col("n"))).alias("s"))
+    ai = j.groupBy("ca").agg(F.count(F.lit(1)).alias("n"))
+    sum_ai = ai.agg(F.sum(c2(F.col("n"))).alias("sa"))
+    bj = j.groupBy("cb").agg(F.count(F.lit(1)).alias("n"))
+    sum_bj = bj.agg(F.sum(c2(F.col("n"))).alias("sb"))
+    tot = j.agg(c2(F.count(F.lit(1))).alias("t"), F.count(F.lit(1)).alias("n_nodes"))
+    out = (
+        tot.crossJoin(F.broadcast(sum_nij))
+        .crossJoin(F.broadcast(sum_ai))
+        .crossJoin(F.broadcast(sum_bj))
+    )
+    expected = F.col("sa") * F.col("sb") / F.col("t")
+    return out.select(
+        "n_nodes",
+        fround("s", 2).alias("sum_pairs_joint"),
+        fround(
+            (F.col("s") - expected)
+            / ((F.col("sa") + F.col("sb")) / 2.0 - expected),
+            6,
+        ).alias("adjusted_rand_index"),
+    )
+
+
+def _ari_oracle() -> str:
+    from mapreduce_rust_spark.operators.dedup import _minhash_oracle
+
+    lpa_rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        lpa_rounds.append(
+            f"""r{i} AS (
+  SELECT node, lbl FROM (
+    SELECT e.b AS node, l.lbl, count(*) AS c,
+           row_number() OVER (PARTITION BY e.b
+                              ORDER BY count(*) DESC, l.lbl) AS rn
+    FROM edges e JOIN {prev} l ON l.node = e.a
+    GROUP BY e.b, l.lbl
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+),
+edges AS MATERIALIZED (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS lbl FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS MATERIALIZED (
+  SELECT node, min(lbl) AS ca FROM reach GROUP BY 1
+),
+l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges),
+{", ".join(lpa_rounds)},
+lpa AS MATERIALIZED (SELECT node, lbl AS cb FROM {prev}),
+j AS (SELECT c.node, c.ca, l.cb FROM comp c JOIN lpa l USING (node)),
+nij AS (
+  SELECT sum(n * (n - 1) / 2.0) AS s
+  FROM (SELECT ca, cb, count(*) AS n FROM j GROUP BY 1, 2)
+),
+sa_ AS (
+  SELECT sum(n * (n - 1) / 2.0) AS sa
+  FROM (SELECT ca, count(*) AS n FROM j GROUP BY 1)
+),
+sb_ AS (
+  SELECT sum(n * (n - 1) / 2.0) AS sb
+  FROM (SELECT cb, count(*) AS n FROM j GROUP BY 1)
+),
+tot AS (
+  SELECT count(*) AS n_nodes,
+         count(*) * (count(*) - 1) / 2.0 AS t
+  FROM j
+)
+SELECT CAST(tot.n_nodes AS BIGINT) AS n_nodes,
+       {fround_sql("nij.s", 2)} AS sum_pairs_joint,
+       {fround_sql("(nij.s - sa_.sa * sb_.sb / tot.t) / ((sa_.sa + sb_.sb) / 2.0 - sa_.sa * sb_.sb / tot.t)", 6)} AS adjusted_rand_index
+FROM tot CROSS JOIN nij CROSS JOIN sa_ CROSS JOIN sb_
+"""
+
+
+ORACLE["graph_clustering_agreement"] = _ari_oracle()
+
+
 def pagerank_fixed(
     edges: DataFrame, src: str, dst: str, iters: int = 3, d: float = 0.85
 ) -> DataFrame:
@@ -1099,6 +1216,7 @@ QUERIES = {
     "graph_adamic_adar": graph_adamic_adar,
     "graph_eigenvector_centrality": graph_eigenvector_centrality,
     "graph_modularity": graph_modularity,
+    "graph_clustering_agreement": graph_clustering_agreement,
     "graph_label_propagation": graph_label_propagation,
     "graph_assortativity": graph_assortativity,
     "dedup_components": dedup_components,

@@ -1196,7 +1196,86 @@ FROM pi{MARKOV_POWER_ITERS} pi JOIN row_h ON row_h.state = pi.state
 ORACLE["events_entropy_rate"] = _entropy_rate_oracle()
 
 
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue twin of cohort
+    retention: customers grouped by FIRST-order month, cumulative
+    revenue per customer tracked by months-since-acquisition. The
+    curve finance teams integrate for payback-period and CAC-ceiling
+    decisions. Plan: per-customer first-order month is one aggregate;
+    (cohort, month) revenue is a second; the cumulative sum runs over
+    the ≤|months| cells of each cohort (calendar-bounded window) and
+    division by FIXED cohort size makes rows comparable across
+    cohorts. Months-since uses exact month arithmetic (both engines
+    count month boundaries, no day rounding)."""
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.countDistinct("o_custkey").alias("cohort_size")
+    )
+    rev = (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                (F.year("o_orderdate") - F.year("cohort")) * 12
+                + (F.month("o_orderdate") - F.month("cohort"))
+            ).cast("bigint").alias("months_since"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    wcum = (
+        W.partitionBy("cohort")
+        .orderBy("months_since")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            "months_since",
+            "cohort_size",
+            fround(
+                F.sum("rev").over(wcum) / F.col("cohort_size"), 2
+            ).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+ORACLE["cohort_ltv_curve"] = f"""
+WITH first AS (
+  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+  FROM orders GROUP BY 1
+),
+sizes AS (
+  SELECT cohort, count(DISTINCT o_custkey) AS cohort_size
+  FROM first GROUP BY 1
+),
+rev AS (
+  SELECT f.cohort,
+         (year(o.o_orderdate) - year(f.cohort)) * 12
+           + (month(o.o_orderdate) - month(f.cohort)) AS months_since,
+         sum(o.o_totalprice) AS rev
+  FROM orders o JOIN first f USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT strftime(r.cohort, '%Y-%m') AS cohort_month,
+       CAST(r.months_since AS BIGINT) AS months_since,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       {fround_sql(
+           "sum(r.rev) OVER (PARTITION BY r.cohort ORDER BY r.months_since "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / s.cohort_size",
+           2,
+       )} AS cum_ltv_per_customer
+FROM rev r JOIN sizes s USING (cohort)
+ORDER BY cohort_month, months_since
+"""
+
+
 QUERIES = {
+    "cohort_ltv_curve": cohort_ltv_curve,
     "events_entropy_rate": events_entropy_rate,
     "events_markov_stationary": events_markov_stationary,
     "sample_poisson_bootstrap": sample_poisson_bootstrap,

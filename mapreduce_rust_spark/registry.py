@@ -182,6 +182,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "robust_winsorized_stats",
     "events_entropy_rate",
     "format_fixedwidth_roundtrip",
+    "graph_clustering_agreement",
+    "cohort_ltv_curve",
     "corpus_dsir_weights",
     "text_kneser_ney_bigram",
     "text_unigram_entropy",

@@ -481,3 +481,42 @@ def test_readability_syllable_heuristic(spark):
     rows = df.select("w", "want", syl.alias("got")).collect()
     for r in rows:
         assert r["got"] == r["want"], r["w"]
+
+
+def test_ari_identical_partitions_is_one():
+    """ARI of a partition with itself is exactly 1 (closed-form check
+    of the formula used by graph_clustering_agreement)."""
+    # two clusters {a,b,c} and {d,e}: nij diag = (3,2)
+    def c2(n):
+        return n * (n - 1) / 2.0
+
+    s = c2(3) + c2(2)
+    sa = sb = s
+    t = c2(5)
+    e = sa * sb / t
+    ari = (s - e) / ((sa + sb) / 2.0 - e)
+    assert ari == pytest.approx(1.0, abs=1e-12)
+
+
+def test_clustering_agreement_range(spark, sf_dir):
+    from mapreduce_rust_spark.operators.graph import (
+        graph_clustering_agreement,
+    )
+
+    r = graph_clustering_agreement(spark, sf_dir).collect()[0]
+    assert -1.0 <= r["adjusted_rand_index"] <= 1.0
+    assert r["n_nodes"] > 0
+
+
+def test_ltv_curve_monotone_within_cohort(spark, sf_dir):
+    """Cumulative LTV can only grow with months_since."""
+    from mapreduce_rust_spark.plans.behavior import cohort_ltv_curve
+
+    rows = cohort_ltv_curve(spark, sf_dir).collect()
+    assert rows
+    last = {}
+    for r in rows:  # already ordered by cohort, months_since
+        k = r["cohort_month"]
+        if k in last:
+            assert r["cum_ltv_per_customer"] >= last[k] - 1e-9
+        last[k] = r["cum_ltv_per_customer"]
