@@ -1585,7 +1585,96 @@ ORDER BY f.o_orderpriority
 """
 
 
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def table_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the star
+    schema — the data-contract check a warehouse runs on every load:
+    per edge, child row count, distinct FK values, orphan rows (no
+    parent), and null FKs. Each edge is ONE left-anti-shaped
+    aggregation: the child aggregates to its distinct key set first
+    (shrinking the join input to |keys|), then a broadcast/keyed join
+    against the parent's key column; orphan ROW counts recover by
+    joining the per-key verdict back to per-key child counts — so the
+    fact table is scanned once per edge and never joined row-by-row
+    against the parent. Long-form output, one row per FK edge."""
+    outs = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("_pk")
+        ).distinct()
+        keys = c.groupBy(F.col(fk).alias("_fk")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        verdict = keys.join(
+            p, keys["_fk"] == p["_pk"], "left"
+        ).select(
+            "_fk",
+            "_n",
+            F.col("_pk").isNull().cast("int").alias("_orphan"),
+        )
+        outs.append(
+            verdict.agg(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("fk_edge"),
+                F.sum("_n").alias("child_rows"),
+                F.count(F.lit(1)).alias("distinct_fks"),
+                F.sum(
+                    F.when(F.col("_orphan") == 1, F.col("_n")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("orphan_rows"),
+                F.sum(
+                    F.when(F.col("_fk").isNull(), F.col("_n")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("null_fk_rows"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("fk_edge")
+
+
+def _ref_integrity_oracle() -> str:
+    parts = []
+    for child, fk, parent, pk in _FK_EDGES:
+        parts.append(f"""
+SELECT '{child}.{fk}->{parent}.{pk}' AS fk_edge,
+       CAST(sum(_n) AS BIGINT) AS child_rows,
+       count(*) AS distinct_fks,
+       CAST(sum(CASE WHEN _orphan = 1 THEN _n ELSE 0 END) AS BIGINT)
+         AS orphan_rows,
+       CAST(sum(CASE WHEN _fk IS NULL THEN _n ELSE 0 END) AS BIGINT)
+         AS null_fk_rows
+FROM (
+  SELECT k._fk, k._n,
+         CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END AS _orphan
+  FROM (SELECT {fk} AS _fk, count(*) AS _n FROM {child} GROUP BY 1) k
+  LEFT JOIN (SELECT DISTINCT {pk} AS _pk FROM {parent}) p
+    ON k._fk = p._pk
+)""")
+    return (
+        "SELECT * FROM (\n" + "\nUNION ALL\n".join(parts)
+        + "\n) ORDER BY fk_edge"
+    )
+
+
+ORACLE["table_referential_integrity"] = _ref_integrity_oracle()
+
+
 QUERIES = {
+    "table_referential_integrity": table_referential_integrity,
     "privacy_randomized_response": privacy_randomized_response,
     "robust_winsorized_stats": robust_winsorized_stats,
     "table_entropy_profile": table_entropy_profile,

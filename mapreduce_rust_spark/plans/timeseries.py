@@ -1658,7 +1658,98 @@ FROM m ORDER BY event_type
 """
 
 
+SAX_SEGMENTS = 8
+# Gaussian breakpoints for a 4-symbol alphabet (Lin et al. 2003)
+SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+
+def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin et al. 2003) of
+    each event type's daily series — the discretization behind
+    motif/novelty mining and cheap time-series indexing: z-normalize,
+    Piecewise-Aggregate into {SAX_SEGMENTS} segments, map segment
+    means to letters a–d at the Gaussian breakpoints ±0.6745/0. Two
+    serial aggregations (daily means → per-type moments → segment
+    means) and a per-type ordered string_agg over ≤{SAX_SEGMENTS}
+    rows; segment ids come from the day's RANK (not timestamps), so
+    irregular calendars still split evenly. The SAX word is the
+    whole-series shape signature — identical words ⇒ similar shapes
+    under the PAA lower bound."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.avg("value").alias("y"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("y").alias("mu"),
+        F.stddev_samp("y").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    seg = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        ((F.col("y") - F.col("mu")) / F.col("sd")).alias("z"),
+        F.floor(
+            (F.row_number().over(w) - 1) * SAX_SEGMENTS / F.col("n")
+        ).cast("int").alias("seg"),
+    )
+    paa = seg.groupBy("event_type", "seg").agg(F.avg("z").alias("m"))
+    sym = (
+        F.when(F.col("m") < SAX_BREAKS[0], F.lit("a"))
+        .when(F.col("m") < SAX_BREAKS[1], F.lit("b"))
+        .when(F.col("m") < SAX_BREAKS[2], F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return (
+        paa.select("event_type", "seg", sym.alias("sym"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "sym"))),
+                    lambda s: s.getField("sym"),
+                ),
+                "",
+            ).alias("sax_word"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["ts_sax_symbolic"] = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS y
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(y) AS mu, stddev_samp(y) AS sd, count(*) AS n
+  FROM daily GROUP BY 1
+),
+seg AS (
+  SELECT d.event_type,
+         (d.y - s.mu) / s.sd AS z,
+         CAST(floor((row_number() OVER (PARTITION BY d.event_type
+                                        ORDER BY d.day) - 1)
+                    * {SAX_SEGMENTS} / s.n) AS INT) AS seg
+  FROM daily d JOIN stats s USING (event_type)
+),
+paa AS (
+  SELECT event_type, seg, avg(z) AS m
+  FROM seg GROUP BY 1, 2
+)
+SELECT event_type,
+       count(*) AS n_segments,
+       string_agg(CASE WHEN m < {SAX_BREAKS[0]} THEN 'a'
+                       WHEN m < {SAX_BREAKS[1]} THEN 'b'
+                       WHEN m < {SAX_BREAKS[2]} THEN 'c'
+                       ELSE 'd' END, '' ORDER BY seg) AS sax_word
+FROM paa GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "ts_sax_symbolic": ts_sax_symbolic,
     "ts_cusum_alarm": ts_cusum_alarm,
     "events_burstiness": events_burstiness,
     "ts_holt_linear": ts_holt_linear,

@@ -184,6 +184,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "format_fixedwidth_roundtrip",
     "graph_clustering_agreement",
     "cohort_ltv_curve",
+    "table_referential_integrity",
+    "ts_sax_symbolic",
     "corpus_dsir_weights",
     "text_kneser_ney_bigram",
     "text_unigram_entropy",

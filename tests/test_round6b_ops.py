@@ -520,3 +520,34 @@ def test_ltv_curve_monotone_within_cohort(spark, sf_dir):
         if k in last:
             assert r["cum_ltv_per_customer"] >= last[k] - 1e-9
         last[k] = r["cum_ltv_per_customer"]
+
+
+def test_referential_integrity_clean_star_schema(spark, sf_dir):
+    """The driver's synthetic star schema is referentially intact:
+    zero orphans, zero null FKs on every edge."""
+    from mapreduce_rust_spark.operators.profiling import (
+        table_referential_integrity,
+    )
+
+    rows = table_referential_integrity(spark, sf_dir).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r["orphan_rows"] == 0, r["fk_edge"]
+        assert r["null_fk_rows"] == 0, r["fk_edge"]
+        assert r["child_rows"] >= r["distinct_fks"] > 0
+
+
+def test_sax_word_shape(spark, sf_dir):
+    """SAX words use only the 4-letter alphabet and have one letter
+    per occupied segment."""
+    from mapreduce_rust_spark.plans.timeseries import (
+        SAX_SEGMENTS,
+        ts_sax_symbolic,
+    )
+
+    rows = ts_sax_symbolic(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_segments"] <= SAX_SEGMENTS
+        assert len(r["sax_word"]) == r["n_segments"]
+        assert set(r["sax_word"]) <= set("abcd")
