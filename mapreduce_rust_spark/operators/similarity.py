@@ -622,7 +622,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+def _kmeans_oracle(k: int = 8, iters: int = 3, tail: str | None = None) -> str:
     """DuckDB replay of the exact Lloyd trace ``embedding_kmeans``
     runs: deterministic init (first ``k`` vec_ids), then ``iters``
     unrolled assign→update rounds as chained CTEs (fixed iteration
@@ -657,15 +657,89 @@ def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
              ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
     FROM emb e CROSS JOIN c{iters} c) WHERE rn = 1)""")
     body = ",\n".join(ctes)
-    return f"""
-WITH {body}
+    if tail is None:
+        tail = f"""
 SELECT cid, count(*) AS n_assigned,
        {fround_sql("avg(sim)", 4)} AS mean_cos
 FROM fin GROUP BY cid ORDER BY cid
 """
+    return f"WITH {body}\n{tail}"
 
 
 ORACLE["embedding_kmeans"] = _kmeans_oracle(k=8, iters=3)
+
+
+def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster purity of the SAME deterministic Lloyd trace as
+    embedding_kmeans, scored against the supervised labels — the
+    evaluation that says whether unsupervised structure recovers the
+    labeling (purity = majority-label share per cluster; weighted
+    purity = the corpus-level number model cards quote). Reuses the
+    identical assign→update unroll (shared helper + shared oracle
+    prefix), so the two slugs are guaranteed to describe the same
+    clustering; the add-on cost is one |clusters|×|labels| aggregate
+    and an argmax window over it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, max_iter=3)
+    sim = fround(cosine_similarity(F.col("embedding"), F.col("cv")), 6)
+    w = W.partitionBy("vec_id").orderBy(F.col("_csim").desc(), F.col("cid"))
+    assigned = (
+        emb.select("vec_id", "embedding", "label")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_csim", sim)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cid", "label")
+    )
+    counts = assigned.groupBy("cid", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    warg = W.partitionBy("cid").orderBy(F.col("n").desc(), F.col("label"))
+    tot = counts.groupBy("cid").agg(F.sum("n").alias("n_assigned"))
+    top = (
+        counts.withColumn("_rn", F.row_number().over(warg))
+        .filter(F.col("_rn") == 1)
+        .select("cid", F.col("label").alias("majority_label"), F.col("n").alias("n_majority"))
+    )
+    return (
+        tot.join(F.broadcast(top), "cid")
+        .select(
+            "cid",
+            "n_assigned",
+            "majority_label",
+            fround(F.col("n_majority") / F.col("n_assigned"), 6).alias(
+                "purity"
+            ),
+        )
+        .orderBy("cid")
+    )
+
+
+ORACLE["embedding_cluster_purity"] = _kmeans_oracle(
+    k=8,
+    iters=3,
+    tail=f"""
+, lab AS (
+  SELECT f.cid, e2.label, count(*) AS n
+  FROM fin f JOIN embeddings e2 ON e2.vec_id = f.vec_id
+  GROUP BY 1, 2
+),
+tot AS (SELECT cid, sum(n) AS n_assigned FROM lab GROUP BY 1),
+top AS (
+  SELECT cid, label AS majority_label, n AS n_majority
+  FROM (
+    SELECT cid, label, n, row_number() OVER (
+             PARTITION BY cid ORDER BY n DESC, label) AS rn
+    FROM lab) WHERE rn = 1
+)
+SELECT t.cid,
+       CAST(t.n_assigned AS BIGINT) AS n_assigned,
+       p.majority_label,
+       {fround_sql("p.n_majority / CAST(t.n_assigned AS DOUBLE)", 6)} AS purity
+FROM tot t JOIN top p USING (cid)
+ORDER BY t.cid
+""",
+)
 
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2539,6 +2613,7 @@ FROM norm_stats CROSS JOIN dimsums
 
 QUERIES = {
     "embedding_isotropy_audit": embedding_isotropy_audit,
+    "embedding_cluster_purity": embedding_cluster_purity,
     "ann_topk_hamming": ann_topk_hamming,
     "dedup_semantic_cluster": dedup_semantic_cluster,
     "ann_truncate_recall": ann_truncate_recall,

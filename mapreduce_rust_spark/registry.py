@@ -186,6 +186,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "cohort_ltv_curve",
     "table_referential_integrity",
     "ts_sax_symbolic",
+    "embedding_cluster_purity",
+    "sql_named_parameters",
     "corpus_dsir_weights",
     "text_kneser_ney_bigram",
     "text_unigram_entropy",

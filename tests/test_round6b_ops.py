@@ -551,3 +551,18 @@ def test_sax_word_shape(spark, sf_dir):
         assert 1 <= r["n_segments"] <= SAX_SEGMENTS
         assert len(r["sax_word"]) == r["n_segments"]
         assert set(r["sax_word"]) <= set("abcd")
+
+
+def test_cluster_purity_consistent_with_kmeans(spark, sf_dir):
+    """Purity rows must describe the same clustering as
+    embedding_kmeans: identical cluster ids and sizes."""
+    from mapreduce_rust_spark.operators.similarity import (
+        embedding_cluster_purity,
+        embedding_kmeans,
+    )
+
+    km = {r["cid"]: r["n_assigned"] for r in embedding_kmeans(spark, sf_dir).collect()}
+    pu = {r["cid"]: r["n_assigned"] for r in embedding_cluster_purity(spark, sf_dir).collect()}
+    assert km == pu
+    for r in embedding_cluster_purity(spark, sf_dir).collect():
+        assert 0.0 < r["purity"] <= 1.0
