@@ -1655,6 +1655,7 @@ ORACLE["dedup_minhash_bbit_eval"] = _bbit_oracle()
 
 
 LEV_SIM_THRESHOLD = 0.6  # keep pairs with 1 − lev/maxlen ≥ this
+LEV_PREFIX = 256  # verify on a fixed prefix: bounds per-pair cost at O(PREFIX²)
 
 
 def dedup_levenshtein_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1664,15 +1665,21 @@ def dedup_levenshtein_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard can't distinguish: token-order scrambles score high on
     Jaccard but low on edit distance, so this is the stricter gate
     used for title/short-text dedup. Levenshtein is O(len²) PER PAIR,
-    which is exactly why it only ever runs on the LSH candidate set
-    (bounded by banding, never n²) — the same verify-after-block
-    shape as dedup_lsh_verified; the distance itself is Spark's
-    built-in JVM `levenshtein`, no Python in the loop. DuckDB ships
-    the same classic definition, so scores compare exactly."""
+    so the cost is bounded TWICE: it only runs on the LSH candidate
+    set (banding, never n²), and it compares a fixed {LEV_PREFIX}-char
+    prefix — the production clamp that makes per-pair work a CONSTANT
+    (the sf0.1→sf1 sweep is what forced the clamp: full-text
+    verification scaled with len² and dominated the sweep). Same
+    verify-after-block shape as dedup_lsh_verified; the distance
+    itself is Spark's built-in JVM `levenshtein`, no Python in the
+    loop. DuckDB ships the same classic definition, so scores compare
+    exactly."""
     pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3).select(
         "d1", "d2"
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, LEV_PREFIX).alias("text")
+    )
     t1 = docs.select(F.col("doc_id").alias("d1"), F.col("text").alias("x1"))
     t2 = docs.select(F.col("doc_id").alias("d2"), F.col("text").alias("x2"))
     scored = (
@@ -1708,8 +1715,10 @@ WITH pairs AS (
 ),
 scored AS (
   SELECT p.d1, p.d2,
-         levenshtein(a.text, b.text) AS lev,
-         greatest(length(a.text), length(b.text)) AS maxlen
+         levenshtein(substr(a.text, 1, {LEV_PREFIX}),
+                     substr(b.text, 1, {LEV_PREFIX})) AS lev,
+         greatest(length(substr(a.text, 1, {LEV_PREFIX})),
+                  length(substr(b.text, 1, {LEV_PREFIX}))) AS maxlen
   FROM pairs p
   JOIN documents a ON a.doc_id = p.d1
   JOIN documents b ON b.doc_id = p.d2

@@ -1038,100 +1038,6 @@ ORDER BY 1
 """
 
 
-RFM_QS = [0.25, 0.5, 0.75]
-
-
-def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation — the classic customer-value grid: per
-    customer compute Recency (days since last order, vs the corpus
-    max date), Frequency (order count), Monetary (total spend), score
-    each 1–4 by quartile, and report segment sizes + average spend.
-    Quartile boundaries come from ONE exact-percentile aggregation,
-    grid-snapped to 4 dp (same recipe as quantile_bins — Spark's
-    percentile() and DuckDB's quantile_cont() interpolate with
-    different ulps; snapping makes the bin edges engine-identical),
-    then broadcast — NO ntile, because ntile is a global sort funneling
-    every row through one partition. Per-customer rollup is the one
-    data-sized shuffle; scoring is arithmetic against a 1-row
-    broadcast."""
-    orders = load_table(spark, sf_dir, "orders")
-    maxd = orders.agg(F.max("o_orderdate").alias("mx"))
-    rfm = (
-        orders.crossJoin(F.broadcast(maxd))
-        .groupBy("o_custkey")
-        .agg(
-            F.min(
-                F.datediff(F.col("mx"), F.col("o_orderdate"))
-            ).cast("double").alias("recency"),
-            F.count(F.lit(1)).cast("double").alias("frequency"),
-            F.sum("o_totalprice").alias("monetary"),
-        )
-    )
-    qlist = ", ".join(map(str, RFM_QS))
-    bnds = rfm.agg(
-        *[
-            F.expr(
-                f"transform(percentile({c}, array({qlist})),"
-                f" x -> {fround_sql('x', 4)})"
-            ).alias(f"b_{c}")
-            for c in ("recency", "frequency", "monetary")
-        ]
-    )
-    def score(c):
-        return (
-            F.size(F.filter(f"b_{c}", lambda b: b <= F.col(c))) + 1
-        ).cast("int")
-    scored = rfm.crossJoin(F.broadcast(bnds)).select(
-        score("recency").alias("r_score"),
-        score("frequency").alias("f_score"),
-        score("monetary").alias("m_score"),
-        "monetary",
-    )
-    return (
-        scored.groupBy("r_score", "f_score", "m_score")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            fround(F.avg("monetary"), 2).alias("avg_monetary"),
-        )
-        .orderBy("r_score", "f_score", "m_score")
-    )
-
-
-def _rfm_oracle() -> str:
-    qlist = ", ".join(map(str, RFM_QS))
-    snap = fround_sql("x", 4)
-    return f"""
-WITH rfm AS (
-  SELECT o_custkey,
-         CAST(date_diff('day', max(o_orderdate),
-              (SELECT max(o_orderdate) FROM orders)) AS DOUBLE) AS recency,
-         CAST(count(*) AS DOUBLE) AS frequency,
-         sum(o_totalprice) AS monetary
-  FROM orders GROUP BY 1
-),
-b AS (
-  SELECT list_transform(quantile_cont(recency, [{qlist}]), x -> {snap}) AS br,
-         list_transform(quantile_cont(frequency, [{qlist}]), x -> {snap}) AS bf,
-         list_transform(quantile_cont(monetary, [{qlist}]), x -> {snap}) AS bm
-  FROM rfm
-),
-scored AS (
-  SELECT CAST(len(list_filter(br, x -> x <= recency)) + 1 AS INT) AS r_score,
-         CAST(len(list_filter(bf, x -> x <= frequency)) + 1 AS INT) AS f_score,
-         CAST(len(list_filter(bm, x -> x <= monetary)) + 1 AS INT) AS m_score,
-         monetary
-  FROM rfm CROSS JOIN b
-)
-SELECT r_score, f_score, m_score,
-       count(*) AS n_customers,
-       {fround_sql("avg(monetary)", 2)} AS avg_monetary
-FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
-"""
-
-
-ORACLE["orders_rfm_segmentation"] = _rfm_oracle()
-
-
 def customer_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration report per nation: exact Gini
     coefficient and top-20 %-customer revenue share — the
@@ -1215,7 +1121,6 @@ ORDER BY nationkey
 
 QUERIES = {
     "customer_gini_concentration": customer_gini_concentration,
-    "orders_rfm_segmentation": orders_rfm_segmentation,
     "json_key_census": json_key_census,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,

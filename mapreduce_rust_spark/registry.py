@@ -168,7 +168,6 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "ts_holt_linear",
     "dedup_sorted_neighborhood",
     "text_jsd_drift",
-    "orders_rfm_segmentation",
     "events_markov_stationary",
     "ts_cusum_alarm",
     "events_burstiness",

@@ -271,22 +271,6 @@ def test_jsd_bounds_and_symmetry(spark, sf_dir):
         assert r["s1"] < r["s2"]
 
 
-def test_rfm_scores_partition_customers(spark, sf_dir):
-    """Every customer lands in exactly one RFM cell; scores stay in
-    1..4."""
-    from mapreduce_rust_spark.plans.analytics import orders_rfm_segmentation
-    from mapreduce_rust_spark.sources.tables import load_table
-
-    rows = orders_rfm_segmentation(spark, sf_dir).collect()
-    n_cust = (
-        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
-    )
-    assert sum(r["n_customers"] for r in rows) == n_cust
-    for r in rows:
-        for c in ("r_score", "f_score", "m_score"):
-            assert 1 <= r[c] <= 4
-
-
 def test_sorted_neighborhood_pairs_are_ordered_and_verified(spark, sf_dir):
     """Every emitted pair respects the window bound and the verify
     threshold."""
