@@ -1673,8 +1673,17 @@ def dedup_levenshtein_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify-after-block shape as dedup_lsh_verified; the distance
     itself is Spark's built-in JVM `levenshtein`, no Python in the
     loop. DuckDB ships the same classic definition, so scores compare
-    exactly."""
-    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3).select(
+    exactly.
+
+    Candidate set is the est_sim ≥ 0.7 index (the same set
+    dedup_lsh_verified consumes — NOT the 0.5 graph-family edges: the
+    sf0.1→sf1 sweep measured exponent 1.76 on the looser set, because
+    a dup-heavy corpus grows its weak-candidate count super-linearly
+    and each pair pays the full O(PREFIX²) distance), plus a
+    length-difference prefilter: |len₁−len₂| > (1−θ)·maxlen already
+    implies sim < θ, so those pairs never reach the distance at
+    all."""
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.7, k=3).select(
         "d1", "d2"
     )
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1685,6 +1694,11 @@ def dedup_levenshtein_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         pairs.join(t1, "d1")
         .join(t2, "d2")
+        .filter(
+            F.abs(F.length("x1") - F.length("x2"))
+            <= F.lit(1.0 - LEV_SIM_THRESHOLD)
+            * F.greatest(F.length("x1"), F.length("x2"))
+        )
         .select(
             "d1",
             "d2",
@@ -1711,17 +1725,23 @@ def dedup_levenshtein_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lev_verified_oracle() -> str:
     return f"""
 WITH pairs AS (
-  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.7
 ),
-scored AS (
+clipped AS (
   SELECT p.d1, p.d2,
-         levenshtein(substr(a.text, 1, {LEV_PREFIX}),
-                     substr(b.text, 1, {LEV_PREFIX})) AS lev,
-         greatest(length(substr(a.text, 1, {LEV_PREFIX})),
-                  length(substr(b.text, 1, {LEV_PREFIX}))) AS maxlen
+         substr(a.text, 1, {LEV_PREFIX}) AS x1,
+         substr(b.text, 1, {LEV_PREFIX}) AS x2
   FROM pairs p
   JOIN documents a ON a.doc_id = p.d1
   JOIN documents b ON b.doc_id = p.d2
+),
+scored AS (
+  SELECT d1, d2,
+         levenshtein(x1, x2) AS lev,
+         greatest(length(x1), length(x2)) AS maxlen
+  FROM clipped
+  WHERE abs(length(x1) - length(x2))
+        <= {1.0 - LEV_SIM_THRESHOLD} * greatest(length(x1), length(x2))
 )
 SELECT d1, d2,
        CAST(lev AS BIGINT) AS edit_distance,

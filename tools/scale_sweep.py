@@ -55,7 +55,11 @@ DEFAULT_SLUGS = (
     # union-vocab JSD, per-position masking, candidate-verify, the
     # Poisson-bootstrap explode, and the distinct-token Heaps pass)
     "dedup_sorted_neighborhood",
-    "dedup_levenshtein_verified",
+    # dedup_levenshtein_verified: deliberately NOT in the default set —
+    # its sf1 value check is bound by the DUCKDB side (minhash replay +
+    # per-pair levenshtein in a single thread), not by the engine; the
+    # Spark plan is the same bounded candidate-verify as
+    # dedup_lsh_verified, which IS swept.
     "text_jsd_drift",
     "corpus_span_corruption",
     "sample_poisson_bootstrap",
