@@ -1520,7 +1520,147 @@ ORDER BY doc_id
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+# fixed literal queries — deterministic, engine-independent
+BM25_QUERIES = (
+    ("q1", "data quality model"),
+    ("q2", "stream window join"),
+    ("q3", "token sample index"),
+)
+
+
+def corpus_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOPK} retrieval for a fixed query set — the
+    ranking function every RAG index and search sidecar defaults to
+    (Lucene's formula: idf = ln(1 + (N−df+0.5)/(df+0.5)), tf
+    saturation k1={BM25_K1}, length normalization b={BM25_B}). Scale
+    shape: term frequencies are computed ONLY for the query terms
+    (the token stream is semi-joined against the broadcast query
+    vocabulary before any aggregation — the inverted-index access
+    pattern, never a full-vocab score), document lengths and idf are
+    bounded broadcast frames, and the final top-k is a per-query
+    window over the scored postings. Everything is JVM column
+    arithmetic; ties break on doc_id."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    qterms_rows = [
+        (qid, t) for qid, q in BM25_QUERIES for t in q.split()
+    ]
+    qterms = spark.createDataFrame(qterms_rows, "qid string, term string")
+    terms = _doc_terms(docs)
+    doclen = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        terms.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "avgdl",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(doclen, "doc_id")
+        .select(
+            "term",
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    per_q = (
+        F.broadcast(qterms)
+        .join(scored, "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("s").alias("score"), F.count(F.lit(1)).alias("n_terms_hit"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        per_q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            "qid",
+            "rank",
+            "doc_id",
+            "n_terms_hit",
+            fround("score", 6).alias("bm25"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+def _bm25_oracle() -> str:
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, q in BM25_QUERIES for t in q.split()
+    )
+    return f"""
+WITH qterms(qid, term) AS (VALUES {qvals}),
+terms AS ({_DOC_TERMS_SQL}),
+doclen AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM terms t
+  WHERE t.term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY 1, 2
+),
+df_ AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+idf AS (
+  SELECT term,
+         ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf,
+         s.avgdl
+  FROM df_ CROSS JOIN stats s
+),
+scored AS (
+  SELECT tf.term, tf.doc_id,
+         idf.idf * (tf.tf * ({BM25_K1} + 1))
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / idf.avgdl)) AS s
+  FROM tf
+  JOIN idf USING (term)
+  JOIN doclen dl USING (doc_id)
+),
+per_q AS (
+  SELECT q.qid, sc.doc_id, sum(sc.s) AS score, count(*) AS n_terms_hit
+  FROM qterms q JOIN scored sc USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id, score, n_terms_hit,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM per_q
+)
+SELECT qid, CAST(rank AS INT) AS rank, doc_id,
+       CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+       {fround_sql("score", 6)} AS bm25
+FROM ranked WHERE rank <= {BM25_TOPK}
+ORDER BY qid, rank
+"""
+
+
+ORACLE["corpus_bm25_retrieval"] = _bm25_oracle()
+
+
 QUERIES = {
+    "corpus_bm25_retrieval": corpus_bm25_retrieval,
     "corpus_span_corruption": corpus_span_corruption,
     "corpus_dsir_weights": corpus_dsir_weights,
     "sample_hash_deterministic": sample_hash_deterministic,

@@ -1097,6 +1097,95 @@ ORDER BY b.query_id
 """
 
 
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@3 of the sign-LSH ANN path against brute-force truth —
+    the GRADED companion to ann_recall_eval: recall treats every true
+    neighbor as equally valuable; nDCG credits the approximate
+    ranking by how much cosine relevance it actually surfaces and in
+    what order (rel_i/log₂(i+1), normalized by the ideal ranking's
+    DCG) — the metric retrieval evals quote when near-misses still
+    carry value. Relevance grade = the exact cosine the scorer
+    already computes (clipped at 0), so no second distance pass:
+    both top-k frames are existing registry plans and the eval adds
+    two query-sized rollups and a division."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qs = emb.filter(F.expr(_QUERY_PRED))
+    exact = topk_bruteforce(qs, emb, "vec_id", "embedding", k=3)
+    approx = topk_bucketed(qs, emb, "vec_id", "embedding", k=3)
+
+    def dcg(df):
+        return df.groupBy("query_id").agg(
+            F.sum(
+                F.greatest(F.col("sim"), F.lit(0.0))
+                / F.log2(F.col("rank") + 1)
+            ).alias("dcg"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    a = dcg(approx).select(
+        "query_id",
+        F.col("dcg").alias("dcg_approx"),
+        F.col("n").alias("n_retrieved"),
+    )
+    i = dcg(exact).select("query_id", F.col("dcg").alias("idcg"))
+    return (
+        i.join(a, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
+            fround(
+                F.coalesce("dcg_approx", F.lit(0.0)) / F.col("idcg"), 4
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE["ann_ndcg_eval"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_sign_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE {_QUERY_PRED}),
+exact AS (
+  SELECT query_id, rank, sim FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {fround_sql(_cos_sql('q.qv', 'e.v'), 4)} AS sim,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos_sql('q.qv', 'e.v')} DESC, e.vec_id) AS rank
+    FROM q JOIN e ON q.query_id <> e.vec_id
+  ) WHERE rank <= 3
+),
+approx AS (
+  SELECT query_id, rank, sim FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {fround_sql(_cos_sql('q.qv', 'e.v'), 4)} AS sim,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos_sql('q.qv', 'e.v')} DESC, e.vec_id) AS rank
+    FROM q JOIN e USING (bucket)
+    WHERE q.query_id <> e.vec_id
+  ) WHERE rank <= 3
+),
+a AS (
+  SELECT query_id,
+         sum(greatest(sim, 0.0) / log2(rank + 1)) AS dcg_approx,
+         count(*) AS n
+  FROM approx GROUP BY 1
+),
+i AS (
+  SELECT query_id,
+         sum(greatest(sim, 0.0) / log2(rank + 1)) AS idcg
+  FROM exact GROUP BY 1
+)
+SELECT i.query_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_retrieved,
+       {fround_sql("coalesce(a.dcg_approx, 0.0) / i.idcg", 4)} AS ndcg
+FROM i LEFT JOIN a USING (query_id)
+ORDER BY i.query_id
+"""
+
+
 MAXSIM_GROUP = 10  # token-vectors per pseudo-document
 MAXSIM_NQ = 3  # query documents
 MAXSIM_TOPK = 3
@@ -2614,6 +2703,7 @@ FROM norm_stats CROSS JOIN dimsums
 QUERIES = {
     "embedding_isotropy_audit": embedding_isotropy_audit,
     "embedding_cluster_purity": embedding_cluster_purity,
+    "ann_ndcg_eval": ann_ndcg_eval,
     "ann_topk_hamming": ann_topk_hamming,
     "dedup_semantic_cluster": dedup_semantic_cluster,
     "ann_truncate_recall": ann_truncate_recall,

@@ -187,6 +187,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "ts_sax_symbolic",
     "embedding_cluster_purity",
     "sql_named_parameters",
+    "corpus_bm25_retrieval",
+    "ann_ndcg_eval",
     "corpus_dsir_weights",
     "text_kneser_ney_bigram",
     "text_unigram_entropy",

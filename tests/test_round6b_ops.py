@@ -550,3 +550,38 @@ def test_cluster_purity_consistent_with_kmeans(spark, sf_dir):
     assert km == pu
     for r in embedding_cluster_purity(spark, sf_dir).collect():
         assert 0.0 < r["purity"] <= 1.0
+
+
+def test_bm25_idf_monotone_and_topk_shape(spark, sf_dir):
+    """Rarer terms must carry more weight: within a query, docs
+    hitting more query terms generally outrank 1-term hits; shape:
+    ranks are 1..k dense per query."""
+    from mapreduce_rust_spark.operators.corpus import (
+        BM25_TOPK,
+        corpus_bm25_retrieval,
+    )
+
+    rows = corpus_bm25_retrieval(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = [r["rank"] for r in rs]
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= BM25_TOPK
+        scores = [r["bm25"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_ndcg_bounds_and_exhaustive_is_one(spark, sf_dir):
+    """nDCG ∈ [0, 1]; a query whose bucket contains its true top-3
+    scores exactly 1.0 — at least the degenerate bound must hold for
+    every query."""
+    from mapreduce_rust_spark.operators.similarity import ann_ndcg_eval
+
+    rows = ann_ndcg_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
+        assert 0 <= r["n_retrieved"] <= 3
