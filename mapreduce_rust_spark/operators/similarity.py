@@ -1128,8 +1128,10 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_retrieved"),
     )
     i = dcg(exact).select("query_id", F.col("dcg").alias("idcg"))
+    # both sides are query-count-sized; broadcast the approx side so
+    # the planner never falls back to a sort-merge on unknown stats
     return (
-        i.join(a, "query_id", "left")
+        i.join(F.broadcast(a), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
