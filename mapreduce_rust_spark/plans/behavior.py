@@ -1274,7 +1274,52 @@ ORDER BY cohort_month, months_since
 """
 
 
+def events_user_activity_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law fit of user activity — the skew-planning number: if
+    per-user event counts follow P(count = k) ∝ k^−α, the fitted α
+    says how hot the hottest keys get (α ≤ 2 ⇒ unbounded mean —
+    salting is mandatory; α ≥ 3 ⇒ near-uniform — plain hash
+    partitioning is fine). Fitted on the COUNT-FREQUENCY histogram
+    (k vs number of users with exactly k events) via least squares on
+    the log-log pairs — the graph_degree_distribution shape: two hash
+    aggregations, a |distinct-counts|-row regression frame, and NO
+    rank/global sort anywhere (the naive Zipf rank-frequency plot
+    needs row_number over all users; the frequency histogram carries
+    the same exponent information without it). regr_slope/regr_r2 are
+    built-ins on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("k"))
+    hist = per_user.groupBy("k").agg(F.count(F.lit(1)).alias("n_users"))
+    fit = hist.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("n_users").alias("n_total_users"),
+        fround(
+            -F.expr("regr_slope(ln(n_users), ln(k))"), 4
+        ).alias("alpha"),
+        fround(F.expr("regr_r2(ln(n_users), ln(k))"), 4).alias("r2"),
+        F.max("k").alias("max_events_per_user"),
+    )
+    return fit
+
+
+ORACLE["events_user_activity_powerlaw"] = f"""
+WITH per_user AS (
+  SELECT user_id, count(*) AS k FROM events GROUP BY 1
+),
+hist AS (
+  SELECT k, count(*) AS n_users FROM per_user GROUP BY 1
+)
+SELECT count(*) AS n_points,
+       CAST(sum(n_users) AS BIGINT) AS n_total_users,
+       {fround_sql("-regr_slope(ln(n_users), ln(k))", 4)} AS alpha,
+       {fround_sql("regr_r2(ln(n_users), ln(k))", 4)} AS r2,
+       CAST(max(k) AS BIGINT) AS max_events_per_user
+FROM hist
+"""
+
+
 QUERIES = {
+    "events_user_activity_powerlaw": events_user_activity_powerlaw,
     "cohort_ltv_curve": cohort_ltv_curve,
     "events_entropy_rate": events_entropy_rate,
     "events_markov_stationary": events_markov_stationary,

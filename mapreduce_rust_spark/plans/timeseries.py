@@ -1748,7 +1748,88 @@ ORDER BY event_type
 """
 
 
+PERIOD_H = 24.0  # target period: daily cycle, hours
+
+
+def ts_periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-frequency periodogram at the daily harmonic — the
+    Fourier view of seasonality that complements ts_seasonal_profile
+    (the shape) and ts_autocorrelation (the lag structure): project
+    each type's hourly-count series onto cos/sin at period {PERIOD_H} h,
+    report amplitude, phase (the hour the cycle peaks), and the share
+    of variance the harmonic explains — the number that says whether
+    a daily-seasonal model is worth fitting at all. One scan → hourly
+    counts → per-type CLOSED-FORM sums (Σy·cos, Σy·sin are plain
+    aggregations; no FFT machinery needed for one frequency); every
+    trig argument is exact integer-hour arithmetic so both engines
+    compute identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    t = (F.unix_timestamp("h") / 3600).cast("bigint")
+    w = 2.0 * 3.141592653589793 / PERIOD_H
+    proj = hourly.select(
+        "event_type",
+        "y",
+        F.cos(t.cast("double") * w).alias("c"),
+        F.sin(t.cast("double") * w).alias("s"),
+    )
+    g = proj.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.avg("y").alias("mu"),
+        F.var_pop("y").alias("vy"),
+        F.sum(F.col("y") * F.col("c")).alias("yc"),
+        F.sum(F.col("y") * F.col("s")).alias("ys"),
+        F.sum("c").alias("sc"),
+        F.sum("s").alias("ss"),
+    )
+    # center y before projecting: Σ(y−μ)cos = Σy·cos − μ·Σcos
+    a = (F.col("yc") - F.col("mu") * F.col("sc")) * 2.0 / F.col("n_hours")
+    b = (F.col("ys") - F.col("mu") * F.col("ss")) * 2.0 / F.col("n_hours")
+    amp2 = a * a + b * b
+    return g.select(
+        "event_type",
+        "n_hours",
+        fround(F.sqrt(amp2), 4).alias("amplitude"),
+        fround(
+            (F.atan2(b, a) / F.lit(w)
+             + F.lit(PERIOD_H)) % F.lit(PERIOD_H),
+            4,
+        ).alias("peak_hour_utc"),
+        fround(amp2 / (2.0 * F.col("vy")), 4).alias("variance_share"),
+    ).orderBy("event_type")
+
+
+ORACLE["ts_periodogram_daily"] = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+proj AS (
+  SELECT event_type, y,
+         cos(CAST(CAST(epoch(h) / 3600 AS BIGINT) AS DOUBLE)
+             * {2.0 * 3.141592653589793 / PERIOD_H}) AS c,
+         sin(CAST(CAST(epoch(h) / 3600 AS BIGINT) AS DOUBLE)
+             * {2.0 * 3.141592653589793 / PERIOD_H}) AS s
+  FROM hourly
+),
+g AS (
+  SELECT event_type, count(*) AS n_hours, avg(y) AS mu, var_pop(y) AS vy,
+         sum(y * c) AS yc, sum(y * s) AS ys, sum(c) AS sc, sum(s) AS ss
+  FROM proj GROUP BY 1
+)
+SELECT event_type, n_hours,
+       {fround_sql("sqrt(pow((yc - mu * sc) * 2.0 / n_hours, 2) + pow((ys - mu * ss) * 2.0 / n_hours, 2))", 4)} AS amplitude,
+       {fround_sql(f"fmod(atan2((ys - mu * ss) * 2.0 / n_hours, (yc - mu * sc) * 2.0 / n_hours) / {2.0 * 3.141592653589793 / PERIOD_H} + {PERIOD_H}, {PERIOD_H})", 4)} AS peak_hour_utc,
+       {fround_sql("(pow((yc - mu * sc) * 2.0 / n_hours, 2) + pow((ys - mu * ss) * 2.0 / n_hours, 2)) / (2.0 * vy)", 4)} AS variance_share
+FROM g ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "ts_periodogram_daily": ts_periodogram_daily,
     "ts_sax_symbolic": ts_sax_symbolic,
     "ts_cusum_alarm": ts_cusum_alarm,
     "events_burstiness": events_burstiness,

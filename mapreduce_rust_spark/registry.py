@@ -189,6 +189,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "sql_named_parameters",
     "corpus_bm25_retrieval",
     "ann_ndcg_eval",
+    "events_user_activity_powerlaw",
+    "ts_periodogram_daily",
     "corpus_dsir_weights",
     "text_kneser_ney_bigram",
     "text_unigram_entropy",

@@ -585,3 +585,43 @@ def test_ndcg_bounds_and_exhaustive_is_one(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
         assert 0 <= r["n_retrieved"] <= 3
+
+
+def test_powerlaw_alpha_on_synthetic_zipf(spark):
+    """Exact power-law histogram n(k) = C·k^−2 must fit α = 2."""
+    import math as m
+
+    rows = [(k, int(round(1e6 / k**2))) for k in range(1, 30)]
+    df = spark.createDataFrame(rows, "k bigint, n_users bigint")
+    alpha = df.agg(
+        -F.expr("regr_slope(ln(n_users), ln(k))")
+    ).collect()[0][0]
+    assert alpha == pytest.approx(2.0, abs=0.01)
+
+
+def test_periodogram_pure_sinusoid(spark):
+    """A pure 24h cosine must yield amplitude ≈ its coefficient and
+    variance share ≈ 1."""
+    import math as m
+
+    w = 2 * m.pi / 24.0
+    rows = [(t, 10.0 + 3.0 * m.cos(w * t)) for t in range(240)]
+    df = spark.createDataFrame(rows, "t bigint, y double")
+    g = df.select(
+        "y",
+        F.cos(F.col("t").cast("double") * w).alias("c"),
+        F.sin(F.col("t").cast("double") * w).alias("s"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("mu"),
+        F.var_pop("y").alias("vy"),
+        F.sum(F.col("y") * F.col("c")).alias("yc"),
+        F.sum(F.col("y") * F.col("s")).alias("ys"),
+        F.sum("c").alias("sc"),
+        F.sum("s").alias("ss"),
+    ).collect()[0]
+    a = (g["yc"] - g["mu"] * g["sc"]) * 2.0 / g["n"]
+    b = (g["ys"] - g["mu"] * g["ss"]) * 2.0 / g["n"]
+    amp = m.hypot(a, b)
+    assert amp == pytest.approx(3.0, abs=1e-6)
+    assert amp * amp / (2 * g["vy"]) == pytest.approx(1.0, abs=1e-6)
