@@ -1846,7 +1846,83 @@ FROM fk GROUP BY source ORDER BY source
 """
 
 
+BURST_MIN_DF = 20  # support filter: ignore terms in < this many docs
+BURST_TOPK = 25
+
+
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): cf/df — mean occurrences
+    per CONTAINING document. Function words spread evenly (ratio ≈ 1);
+    content/topic words clump (ratio ≫ 1), which is why burstiness
+    outranks raw frequency for keyword extraction and why LM
+    perplexity filters mis-score bursty documents. Top-{BURST_TOPK}
+    bursty terms with df ≥ {BURST_MIN_DF}: one (doc, term) aggregation
+    (the same shuffle TF-IDF pays), then a term-keyed rollup — the
+    ranking runs on the support-filtered vocab frame, and the top-k is
+    TakeOrdered, no global sort materialization."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
+                    ),
+                    " ",
+                ),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    per_doc = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.sum("tf").alias("cf"),
+        F.count(F.lit(1)).alias("df"),
+        F.max("tf").alias("max_tf"),
+    )
+    return (
+        stats.filter(F.col("df") >= BURST_MIN_DF)
+        .select(
+            "term",
+            "cf",
+            "df",
+            "max_tf",
+            fround(F.col("cf") / F.col("df"), 6).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), "term")
+        .limit(BURST_TOPK)
+    )
+
+
+ORACLE["text_term_burstiness"] = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           x -> x <> '')) AS term
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+stats AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS cf, count(*) AS df,
+         CAST(max(tf) AS BIGINT) AS max_tf
+  FROM per_doc GROUP BY 1
+)
+SELECT term, cf, df, max_tf,
+       {fround_sql("cf / CAST(df AS DOUBLE)", 6)} AS burstiness
+FROM stats WHERE df >= {BURST_MIN_DF}
+ORDER BY burstiness DESC, term
+LIMIT {BURST_TOPK}
+"""
+
+
 QUERIES = {
+    "text_term_burstiness": text_term_burstiness,
     "text_code_detect": text_code_detect,
     "text_readability_fk": text_readability_fk,
     "text_jsd_drift": text_jsd_drift,

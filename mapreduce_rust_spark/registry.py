@@ -191,6 +191,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "ann_ndcg_eval",
     "events_user_activity_powerlaw",
     "ts_periodogram_daily",
+    "text_term_burstiness",
     "corpus_dsir_weights",
     "text_kneser_ney_bigram",
     "text_unigram_entropy",

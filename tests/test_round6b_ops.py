@@ -625,3 +625,18 @@ def test_periodogram_pure_sinusoid(spark):
     amp = m.hypot(a, b)
     assert amp == pytest.approx(3.0, abs=1e-6)
     assert amp * amp / (2 * g["vy"]) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_term_burstiness_bounds(spark, sf_dir):
+    """burstiness = cf/df ≥ 1 always (a containing doc contributes
+    ≥1); max_tf bounds the ratio from above."""
+    from mapreduce_rust_spark.operators.text_analysis import (
+        text_term_burstiness,
+    )
+
+    rows = text_term_burstiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["burstiness"] >= 1.0 - 1e-9
+        assert r["burstiness"] <= r["max_tf"] + 1e-9
+        assert r["cf"] >= r["df"]
