@@ -23,7 +23,7 @@ the pre-round itself is deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 
@@ -38,3 +38,25 @@ def fround_sql(expr: str, scale: int = 2) -> str:
     """The DuckDB-side twin of :func:`fround`."""
     factor = 10 ** scale
     return f"floor(round(({expr}), {scale + 4}) * {factor}) / {factor}"
+
+
+def single_partition(df, *, by=None):
+    """Prepare a PROVABLY-BOUNDED frame for a global window without the
+    ``WindowExec: No Partition Defined`` anti-pattern.
+
+    A partitionless window is Spark's signal that data-sized input may
+    collapse onto one task. When the frame is bounded by construction
+    (a band list, a decile histogram, a calendar-day spine), a single
+    partition IS the intended plan — but a literal partition key
+    (``partitionBy(lit(0))``) gets constant-folded away by Catalyst
+    and still trips the warn. The honest spelling: ``repartition(1)``
+    (explicit exchange, upstream stays parallel — NOT ``coalesce(1)``,
+    which would collapse upstream parallelism into the single task)
+    then partition the window by ``spark_partition_id()``, which is
+    non-foldable and constant (0) on the one partition. Returns
+    ``(df1, window_spec)``; pass ``by=[col, ...]`` for the ORDER BY.
+    """
+    w = Window.partitionBy(F.spark_partition_id())
+    if by is not None:
+        w = w.orderBy(*by)
+    return df.repartition(1), w

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.functions.numeric import fround, fround_sql
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql, single_partition
 from mapreduce_rust_spark.sources.tables import fan_out, load_table
 
 ORACLE: dict[str, str] = {}
@@ -1246,16 +1246,16 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(1048577.0)
     key = F.log(u) / F.col("n_chars").cast("double")
     base = docs.select("doc_id", "source", "n_chars", key.alias("k"))
-    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(
-        F.col("k").desc(), "doc_id"
+    # sort+limit compiles to TakeOrderedAndProject: per-partition
+    # partial top-K then a K-row merge — no global sort shuffle and
+    # no partitionless WindowExec. Ranking then runs over the K-row
+    # result via single_partition (frame bounded at K rows).
+    topk, const_w = single_partition(
+        base.orderBy(F.col("k").desc(), "doc_id").limit(AES_K),
+        by=[F.col("k").desc(), "doc_id"],
     )
-    pruned = base.withColumn("lrn", F.row_number().over(local_w)).filter(
-        F.col("lrn") <= AES_K
-    )
-    global_w = Window.partitionBy().orderBy(F.col("k").desc(), "doc_id")
     return (
-        pruned.withColumn("rnk", F.row_number().over(global_w))
-        .filter(F.col("rnk") <= AES_K)
+        topk.withColumn("rnk", F.row_number().over(const_w))
         .select(
             F.col("rnk").cast("int").alias("rnk"),
             "doc_id",

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.functions.numeric import fround, fround_sql
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql, single_partition
 from mapreduce_rust_spark.functions.text import (
     hash64,
     normalize_text,
@@ -1216,10 +1216,9 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("j_bucket")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
-    w = W.orderBy(F.col("j_bucket").desc()).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    return hist.select(
+    hist1, w0 = single_partition(hist, by=[F.col("j_bucket").desc()])
+    w = w0.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return hist1.select(
         "j_bucket", "n_pairs", F.sum("n_pairs").over(w).alias("n_pairs_ge")
     ).orderBy("j_bucket")
 
@@ -1802,10 +1801,13 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("d1", "d2", F.col("off").cast("bigint").alias("window_dist"))
     sh = shingle_index(spark, sf_dir, k=3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # second shingle side joins on BOTH (d2, s) explicitly — the
+    # shared-shingle equality is part of the hash-join key by
+    # construction, not a post-join filter Catalyst must pull up
+    # (matches the oracle's equi-join ON b.s = a.s)
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("d1"), "s"), "d1")
-        .join(sh.select(F.col("doc_id").alias("d2"), F.col("s").alias("s2")), "d2")
-        .filter(F.col("s") == F.col("s2"))
+        .join(sh.select(F.col("doc_id").alias("d2"), "s"), ["d2", "s"])
         .groupBy("d1", "d2", "window_dist")
         .agg(F.count(F.lit(1)).alias("i"))
     )

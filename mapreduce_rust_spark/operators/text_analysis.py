@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.functions.numeric import fround, fround_sql
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql, single_partition
 from mapreduce_rust_spark.functions.text import (
     normalize_text,
     tokenize_whitespace,
@@ -1197,7 +1197,11 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     templated text (exactly what this corpus is), which makes the
     statistic a cheap template-detection gate in a data pipeline.
     One vocabulary-sized aggregation + one 31-row regression: no
-    corpus-sized shuffle anywhere."""
+    corpus-sized shuffle anywhere. The global frequency rank is
+    TWO-PHASE (same shape as ``abc_analysis``): words rank within
+    their equal-frequency group (partitioned window), and the group's
+    starting offset prefix-sums over the distinct-frequency frame —
+    never a vocabulary-sized single-partition window."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     counts = (
         docs.select(F.explode(tokenize_whitespace("text")).alias("w"))
@@ -1206,9 +1210,17 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    ranked = counts.withColumn(
-        "rnk",
-        F.row_number().over(W.orderBy(F.col("cnt").desc(), "w")),
+    grp = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_words"))
+    grp, w0 = single_partition(grp, by=[F.col("cnt").desc()])
+    w_prev = w0.rowsBetween(W.unboundedPreceding, -1)
+    offsets = grp.select(
+        "cnt",
+        F.coalesce(F.sum("n_words").over(w_prev), F.lit(0)).alias("off"),
+    )
+    w_in = W.partitionBy("cnt").orderBy("w")
+    ranked = (
+        counts.join(F.broadcast(offsets), "cnt")
+        .withColumn("rnk", F.col("off") + F.row_number().over(w_in))
     ).select(
         F.log(F.col("cnt").cast("double")).alias("ln_f"),
         F.log(F.col("rnk").cast("double")).alias("ln_r"),
@@ -1691,29 +1703,35 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-vs-prose detection by symbol statistics — the cheap
     pre-filter every pretraining pipeline runs before routing
     documents to code- or text-specific cleaning: brace/bracket
-    density, semicolon density, underscore_identifier share, and
-    digit share, combined into a transparent linear score (no model,
-    no Python — four regexp_count expressions in whole-stage
-    codegen). Output per source: doc counts, share flagged as code,
+    density, semicolon density, assignment (=) density,
+    underscore_identifier share, and down-weighted digit share,
+    combined into a transparent linear score (no model, no Python —
+    five regexp_count expressions in whole-stage codegen). Output
+    per source: doc counts, share flagged as code,
     and mean feature values — the calibration table for threshold
     tuning. One scan, one bounded aggregation."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     L = F.length("text").cast("double")
     nz = F.greatest(L, F.lit(1.0))
     braces = F.regexp_count("text", F.lit(r"[{}\[\]()<>]")) / nz
-    semis = F.regexp_count("text", F.lit(r"[;=]")) / nz
+    semis = F.regexp_count("text", F.lit(r";")) / nz
+    assigns = F.regexp_count("text", F.lit(r"=")) / nz
     unders = F.regexp_count("text", F.lit(r"[A-Za-z0-9]_[A-Za-z0-9]")) / nz
     digits = F.regexp_count("text", F.lit(r"[0-9]")) / nz
+    # digits weighted 0.5 so number-heavy prose alone (share < 10%)
+    # cannot trip the flag; ';' and '=' are separate published features
     score = (
         F.lit(4.0) * braces
         + F.lit(3.0) * semis
+        + F.lit(3.0) * assigns
         + F.lit(2.0) * unders
-        + digits
+        + F.lit(0.5) * digits
     )
     feat = docs.filter(L > 0).select(
         "source",
         braces.alias("braces"),
         semis.alias("semis"),
+        assigns.alias("assigns"),
         unders.alias("unders"),
         digits.alias("digits"),
         (score > 0.05).cast("int").alias("is_code"),
@@ -1725,6 +1743,7 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.avg("is_code"), 4).alias("code_share"),
             fround(F.avg("braces"), 6).alias("brace_density"),
             fround(F.avg("semis"), 6).alias("semi_density"),
+            fround(F.avg("assigns"), 6).alias("assign_density"),
             fround(F.avg("unders"), 6).alias("underscore_density"),
             fround(F.avg("digits"), 6).alias("digit_density"),
         )
@@ -1737,8 +1756,10 @@ WITH feat AS (
   SELECT source,
          len(regexp_extract_all(text, '[{{}}\[\]()<>]'))
            / greatest(length(text), 1.0) AS braces,
-         len(regexp_extract_all(text, '[;=]'))
+         len(regexp_extract_all(text, ';'))
            / greatest(length(text), 1.0) AS semis,
+         len(regexp_extract_all(text, '='))
+           / greatest(length(text), 1.0) AS assigns,
          len(regexp_extract_all(text, '[A-Za-z0-9]_[A-Za-z0-9]'))
            / greatest(length(text), 1.0) AS unders,
          len(regexp_extract_all(text, '[0-9]'))
@@ -1747,9 +1768,10 @@ WITH feat AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       {fround_sql("avg(CASE WHEN 4.0 * braces + 3.0 * semis + 2.0 * unders + digits > 0.05 THEN 1 ELSE 0 END)", 4)} AS code_share,
+       {fround_sql("avg(CASE WHEN 4.0 * braces + 3.0 * semis + 3.0 * assigns + 2.0 * unders + 0.5 * digits > 0.05 THEN 1 ELSE 0 END)", 4)} AS code_share,
        {fround_sql("avg(braces)", 6)} AS brace_density,
        {fround_sql("avg(semis)", 6)} AS semi_density,
+       {fround_sql("avg(assigns)", 6)} AS assign_density,
        {fround_sql("avg(unders)", 6)} AS underscore_density,
        {fround_sql("avg(digits)", 6)} AS digit_density
 FROM feat GROUP BY source ORDER BY source

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.functions.numeric import fround, fround_sql
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql, single_partition
 from mapreduce_rust_spark.sources.tables import load_table
 
 ORACLE: dict[str, str] = {}
@@ -966,8 +966,9 @@ def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bkt", (-F.floor(F.col("rev") / _ABC_BAND)).cast("bigint")
     )
     bsum = banded.groupBy("bkt").agg(F.sum("rev").alias("bsum"))
-    w_prev = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
-    prev = bsum.select(
+    bsum1, w0 = single_partition(bsum, by=["bkt"])
+    w_prev = w0.rowsBetween(W.unboundedPreceding, -1)
+    prev = bsum1.select(
         "bkt", F.coalesce(F.sum("bsum").over(w_prev), F.lit(0.0)).alias("prev")
     )
     total = rev.agg(F.sum("rev").alias("total"))

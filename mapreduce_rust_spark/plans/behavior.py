@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.functions.numeric import fround, fround_sql
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql, single_partition
 from mapreduce_rust_spark.sources.tables import load_table
 
 ORACLE: dict[str, str] = {}
@@ -567,10 +567,16 @@ def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("new_users"))
     )
     spine = ev.select(day.alias("d")).distinct()
-    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    # single_partition: frame is the bounded calendar-day list
+    joined, w0 = single_partition(
+        spine.join(first_seen, "d", "left").select(
+            "d", F.coalesce("new_users", F.lit(0)).alias("new_users")
+        ),
+        by=["d"],
+    )
+    w = w0.rowsBetween(W.unboundedPreceding, 0)
     return (
-        spine.join(first_seen, "d", "left")
-        .select("d", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        joined
         .withColumn(
             "cumulative_users", F.sum("new_users").over(w).cast("bigint")
         )
@@ -799,8 +805,13 @@ def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row frame. At 100 TB this is a single user-keyed partial agg;
     nothing iterates and nothing collects."""
     ev = load_table(spark, sf_dir, "events")
+    # explicit floor on both engines: Spark's bigint cast truncates
+    # (7/2 -> 3) while DuckDB's CAST rounds (7/2 -> 4), so an odd
+    # epoch sum would split pre/post one second apart between engines
     bounds = ev.agg(
-        ((F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))) / 2)
+        F.floor(
+            (F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))) / 2
+        )
         .cast("bigint")
         .alias("mid")
     )
@@ -853,7 +864,7 @@ def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["ab_cuped"] = f"""
 WITH bounds AS (
-  SELECT CAST((epoch(min(ts)) + epoch(max(ts))) / 2 AS BIGINT) AS mid
+  SELECT CAST(floor((epoch(min(ts)) + epoch(max(ts))) / 2) AS BIGINT) AS mid
   FROM events
 ),
 per_user AS (

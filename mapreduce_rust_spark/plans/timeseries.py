@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.functions.numeric import fround, fround_sql
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql, single_partition
 from mapreduce_rust_spark.sources.tables import load_table
 
 ORACLE: dict[str, str] = {}
@@ -662,8 +662,9 @@ def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(arrival / 3600000000).cast("bigint").alias("_bkt"),
     )
     bmax = keyed.groupBy("_bkt").agg(F.max("tus").alias("_bmax"))
-    w_prev = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
-    prev = bmax.select("_bkt", F.max("_bmax").over(w_prev).alias("_prev"))
+    bmax1, w0 = single_partition(bmax, by=["_bkt"])
+    w_prev = w0.rowsBetween(W.unboundedPreceding, -1)
+    prev = bmax1.select("_bkt", F.max("_bmax").over(w_prev).alias("_prev"))
     w_run = W.partitionBy("_bkt").orderBy("arr", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
@@ -677,8 +678,11 @@ def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("late_min")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    w_cum = W.orderBy("late_min").rowsBetween(W.unboundedPreceding, W.currentRow)
-    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    hist, w0 = single_partition(hist, by=["late_min"])
+    w_cum = w0.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy(F.spark_partition_id()).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     return hist.select(
         "late_min",
         "n_events",
@@ -1255,7 +1259,8 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.to_date((F.col("t") / 1_000_000).cast("timestamp"))
     )
     per_day = bounds.groupBy("day").agg(F.sum("delta").alias("day_net"))
-    w_prev = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    per_day, w0 = single_partition(per_day, by=["day"])
+    w_prev = w0.rowsBetween(W.unboundedPreceding, -1)
     base = per_day.select(
         "day", F.coalesce(F.sum("day_net").over(w_prev), F.lit(0)).alias("carry")
     )
