@@ -56,6 +56,12 @@ def main() -> int:
     spark.createDataFrame([(0, 1.0)], "k long, v double").groupBy("k").applyInPandas(
         lambda pdf: pdf, "k long, v double"
     ).write.format("noop").mode("overwrite").save()
+    # ... the mapInPandas worker/Arrow-stream path is distinct from the
+    # grouped applyInPandas one above; warm both so the first
+    # multimodal/pipeline slug isn't charged the spawn
+    spark.createDataFrame([(0, 1.0)], "k long, v double").mapInPandas(
+        lambda it: it, "k long, v double"
+    ).write.format("noop").mode("overwrite").save()
     # ... and the Python Data Source worker path (separate from the
     # pandas-UDF workers; ~4 s of spawn+Arrow-channel setup measured
     # once per JVM, otherwise charged to the datasource slug)
@@ -65,6 +71,30 @@ def main() -> int:
     spark.read.format("mrs_range").load().limit(1).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ... the Python datasource WRITER protocol + JSON reader used by
+    # the sink slug's read-back (separate commit/abort classloading)
+    from mapreduce_rust_spark.session import scratch_dir as _scratch
+    from mapreduce_rust_spark.sources.pysource import _register_sink
+
+    _register_sink(spark)
+    _warm_sink = _scratch(prefix="mrs_warm_sink_")
+    spark.createDataFrame([(0,)], "bucket bigint").write.format(
+        "mrs_jsonsink"
+    ).option("path", _warm_sink).mode("append").save()
+    spark.read.schema("bucket bigint").json(_warm_sink).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    # ... and the foreachBatch sink machinery (driver-side Python
+    # callback server + per-batch planning — measured ~3-5 s once per
+    # JVM, otherwise charged to streaming_foreachbatch_upsert)
+    run_available_now_fb = (
+        read_stream_table(spark, sf_dir, "nation")
+        .writeStream.foreachBatch(lambda bdf, bid: bdf.count())
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch(prefix="mrs_warm_fb_"))
+        .start()
+    )
+    run_available_now_fb.awaitTermination()
     # Warm the OS page cache over the input tables: per-query timings
     # should measure the engine, not whether a prior process happened to
     # leave the parquet files resident. (~100 MB at sf0.1, one pass.)
