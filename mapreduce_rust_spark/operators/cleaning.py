@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.functions.numeric import fround, fround_sql
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql, single_partition
 from mapreduce_rust_spark.functions.text import tokenize_whitespace
 from mapreduce_rust_spark.sources.tables import fan_out, load_table
 
@@ -473,10 +473,157 @@ ORDER BY c_mktsegment
 """
 
 
+def features_scaler_fit_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe feature scaling — the fit/transform split every
+    training pipeline must get right: standard-scaler (mean/std) and
+    min-max parameters are fit on the TRAIN split ONLY (deterministic
+    80/20 content-hash split on c_custkey, same convention as
+    ``corpus_split_assign``), then applied to the held-out VAL split.
+    Fitting on the full table leaks val statistics into training —
+    the classic silent bug this operator's shape forbids by
+    construction. Output: per-nation VAL-split census of the scaled
+    feature (z-mean far from 0 on a slice = drift between that slice
+    and the train distribution). Plan: one train-side aggregation to
+    a broadcast 1-row parameter frame, one map-side transform of val
+    — at 100 TB the scaler "model" is still one row."""
+    cust = load_table(spark, sf_dir, "customer")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("c_custkey").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    tagged = cust.withColumn("is_train", (h % 1000 < 800).cast("int"))
+    params = tagged.filter(F.col("is_train") == 1).agg(
+        F.avg("c_acctbal").alias("mu"),
+        F.stddev_samp("c_acctbal").alias("sigma"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+    )
+    val = tagged.filter(F.col("is_train") == 0).crossJoin(F.broadcast(params))
+    z = (F.col("c_acctbal") - F.col("mu")) / F.col("sigma")
+    mm = (F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    return (
+        val.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_val"),
+            fround(F.avg(z), 6).alias("z_mean"),
+            fround(F.stddev_samp(z), 6).alias("z_std"),
+            fround(F.min(mm), 6).alias("mm_min"),
+            fround(F.max(mm), 6).alias("mm_max"),
+            fround(F.avg((mm < 0).cast("double") + (mm > 1).cast("double")), 6).alias(
+                "oob_share"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE["features_scaler_fit_apply"] = f"""
+WITH tagged AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CASE WHEN ('0x' || substr(md5('split:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000 < 800 THEN 1 ELSE 0 END AS is_train
+  FROM customer
+),
+params AS (
+  SELECT avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sigma,
+         min(c_acctbal) AS lo, max(c_acctbal) AS hi
+  FROM tagged WHERE is_train = 1
+),
+val AS (
+  SELECT c_nationkey,
+         (c_acctbal - p.mu) / p.sigma AS z,
+         (c_acctbal - p.lo) / (p.hi - p.lo) AS mm
+  FROM tagged CROSS JOIN params p
+  WHERE is_train = 0
+)
+SELECT c_nationkey,
+       count(*) AS n_val,
+       {fround_sql("avg(z)", 6)} AS z_mean,
+       {fround_sql("stddev_samp(z)", 6)} AS z_std,
+       {fround_sql("min(mm)", 6)} AS mm_min,
+       {fround_sql("max(mm)", 6)} AS mm_max,
+       {fround_sql("avg(CASE WHEN mm < 0 THEN 1.0 ELSE 0.0 END + CASE WHEN mm > 1 THEN 1.0 ELSE 0.0 END)", 6)} AS oob_share
+FROM val GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+OHE_TOP_K = 10  # explicit-vocabulary size; everything else -> OTHER
+
+
+def features_one_hot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k one-hot vocabulary with an OTHER bucket — the explicit-
+    vocabulary counterpart to ``features_hashing_trick``: the {k}
+    most frequent categories (ties broken lexically) each get an
+    indicator column index; the long tail collapses into OTHER, so
+    the encoded width is fixed no matter how many raw categories a
+    100 TB stream invents. Category: part brand. Output: the fitted
+    vocabulary (index, category, support) plus the OTHER row with its
+    collapsed-category census. Plan: one bounded-key aggregation;
+    the vocabulary selection is a TakeOrderedAndProject over the
+    |brands|-sized count frame (never a data-sized sort), and the
+    ranked vocab broadcasts back for the OTHER rollup."""
+    part = load_table(spark, sf_dir, "part")
+    counts = part.groupBy(F.col("p_brand").alias("cat")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    topk, w0 = single_partition(
+        counts.orderBy(F.col("n").desc(), "cat").limit(OHE_TOP_K),
+        by=[F.col("n").desc(), "cat"],
+    )
+    vocab = topk.withColumn("idx", F.row_number().over(w0).cast("int"))
+    other = (
+        counts.join(F.broadcast(vocab.select("cat")), "cat", "left_anti")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.count(F.lit(1)).alias("n_collapsed"),
+        )
+        .select(
+            F.lit(0).cast("int").alias("idx"),
+            F.lit("OTHER").alias("cat"),
+            "n",
+            "n_collapsed",
+        )
+    )
+    return (
+        vocab.select("idx", "cat", "n", F.lit(1).cast("bigint").alias("n_collapsed"))
+        .unionByName(other)
+        .orderBy("idx")
+    )
+
+
+features_one_hot_topk.__doc__ = features_one_hot_topk.__doc__.format(k=OHE_TOP_K)
+
+
+ORACLE["features_one_hot_topk"] = f"""
+WITH counts AS (
+  SELECT p_brand AS cat, count(*) AS n FROM part GROUP BY 1
+),
+vocab AS (
+  SELECT cat, n, CAST(row_number() OVER (ORDER BY n DESC, cat) AS INT) AS idx
+  FROM counts
+  ORDER BY n DESC, cat
+  LIMIT {OHE_TOP_K}
+),
+other AS (
+  SELECT CAST(0 AS INT) AS idx, 'OTHER' AS cat,
+         CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+         count(*) AS n_collapsed
+  FROM counts WHERE cat NOT IN (SELECT cat FROM vocab)
+)
+SELECT idx, cat, n, CAST(1 AS BIGINT) AS n_collapsed FROM vocab
+UNION ALL
+SELECT idx, cat, n, n_collapsed FROM other
+ORDER BY idx
+"""
+
+
 QUERIES = {
     "features_target_encoding": features_target_encoding,
     "features_woe_iv": features_woe_iv,
     "features_hashing_trick": features_hashing_trick,
+    "features_scaler_fit_apply": features_scaler_fit_apply,
+    "features_one_hot_topk": features_one_hot_topk,
     "text_pii_redact": text_pii_redact,
     "text_repetition": text_repetition,
     "dedup_prefix": dedup_prefix,

@@ -1120,7 +1120,97 @@ ORDER BY nationkey
 """
 
 
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-migration (flow) matrix — the report behind every
+    "are we upgrading or churning customers" review: classify each
+    customer's spend in the FIRST and SECOND half of the order
+    history (split at the floor'd midpoint date — integer floor on
+    both engines, the ab_cuped lesson) as high (above that period's
+    mean), low (active, below mean), or none (inactive), and count
+    every (from, to) transition. ``customer_rfm`` scores one period;
+    this is the between-period derivative. Plan shape: ONE orders
+    scan → per-customer conditional sums (the only data-sized
+    shuffle, keyed on custkey), period means via a broadcast 1-row
+    frame, then a ≤9-row census. At 100 TB: one partial agg, one
+    broadcast, nothing else."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.floor(
+            (
+                F.unix_timestamp(F.min("o_orderdate"))
+                + F.unix_timestamp(F.max("o_orderdate"))
+            )
+            / 2
+        )
+        .cast("bigint")
+        .alias("mid")
+    )
+    per_cust = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.unix_timestamp("o_orderdate") < F.col("mid"),
+                    F.col("o_totalprice"),
+                ).otherwise(F.lit(0.0))
+            ).alias("s1"),
+            F.sum(
+                F.when(
+                    F.unix_timestamp("o_orderdate") >= F.col("mid"),
+                    F.col("o_totalprice"),
+                ).otherwise(F.lit(0.0))
+            ).alias("s2"),
+        )
+    )
+    means = per_cust.agg(
+        F.avg(F.when(F.col("s1") > 0, F.col("s1"))).alias("m1"),
+        F.avg(F.when(F.col("s2") > 0, F.col("s2"))).alias("m2"),
+    )
+    seg = lambda s, m: (  # noqa: E731 — tiny column factory
+        F.when(F.col(s) == 0, "none")
+        .when(F.col(s) > F.col(m), "high")
+        .otherwise("low")
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(means))
+        .groupBy(
+            seg("s1", "m1").alias("seg_from"),
+            seg("s2", "m2").alias("seg_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("seg_from", "seg_to")
+    )
+
+
+ORACLE["customer_segment_migration"] = """
+WITH bounds AS (
+  SELECT CAST(floor((epoch(min(o_orderdate)) + epoch(max(o_orderdate))) / 2) AS BIGINT) AS mid
+  FROM orders
+),
+per_cust AS (
+  SELECT o_custkey,
+         sum(CASE WHEN epoch(o_orderdate) < b.mid THEN o_totalprice ELSE 0.0 END) AS s1,
+         sum(CASE WHEN epoch(o_orderdate) >= b.mid THEN o_totalprice ELSE 0.0 END) AS s2
+  FROM orders CROSS JOIN bounds b
+  GROUP BY 1
+),
+means AS (
+  SELECT avg(CASE WHEN s1 > 0 THEN s1 END) AS m1,
+         avg(CASE WHEN s2 > 0 THEN s2 END) AS m2
+  FROM per_cust
+)
+SELECT CASE WHEN s1 = 0 THEN 'none' WHEN s1 > m.m1 THEN 'high' ELSE 'low' END AS seg_from,
+       CASE WHEN s2 = 0 THEN 'none' WHEN s2 > m.m2 THEN 'high' ELSE 'low' END AS seg_to,
+       count(*) AS n_customers
+FROM per_cust CROSS JOIN means m
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "customer_segment_migration": customer_segment_migration,
     "customer_gini_concentration": customer_gini_concentration,
     "json_key_census": json_key_census,
     "q1_pricing_summary": q1_pricing_summary,

@@ -1329,7 +1329,78 @@ FROM hist
 """
 
 
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the user–event-type graph onto types:
+    the "which behaviors co-occur in the same users" similarity
+    matrix (co-visitation / market-basket at the type level).
+    weight(t1,t2) = |users doing both|; cosine normalizes by type
+    popularity (w/√(n1·n2)); Jaccard by the union. THE scale trap in
+    any bipartite projection is joining the fact table against
+    itself on the shared node — instead this dedups to (user, type)
+    once (the only data-sized shuffle) and expands pairs WITHIN each
+    user, whose degree is bounded by |types|, so the pair stream is
+    O(users·|types|²) with a |types|²-sized result. Hub users (the
+    reason projections explode on social graphs) cannot exist here
+    by construction; with an unbounded right vocabulary the same
+    plan takes a per-user top-degree cap first."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    deg = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("t1"))
+    b = ut.select("user_id", F.col("event_type").alias("t2"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(deg.select(F.col("event_type").alias("t1"), F.col("n").alias("n1"))),
+            "t1",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("event_type").alias("t2"), F.col("n").alias("n2"))),
+            "t2",
+        )
+        .select(
+            "t1",
+            "t2",
+            "w",
+            fround(F.col("w") / F.sqrt(F.col("n1") * F.col("n2")), 6).alias("cosine"),
+            fround(
+                F.col("w") / (F.col("n1") + F.col("n2") - F.col("w")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("t1", "t2")
+    )
+
+
+ORACLE["graph_bipartite_projection"] = f"""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+deg AS (
+  SELECT event_type, count(*) AS n FROM ut GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS w
+  FROM ut a JOIN ut b
+    ON b.user_id = a.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT t1, t2, w,
+       {fround_sql("w / sqrt(d1.n * d2.n)", 6)} AS cosine,
+       {fround_sql("w / (d1.n + d2.n - w)", 6)} AS jaccard
+FROM pairs
+JOIN deg d1 ON d1.event_type = t1
+JOIN deg d2 ON d2.event_type = t2
+ORDER BY t1, t2
+"""
+
+
 QUERIES = {
+    "graph_bipartite_projection": graph_bipartite_projection,
     "events_user_activity_powerlaw": events_user_activity_powerlaw,
     "cohort_ltv_curve": cohort_ltv_curve,
     "events_entropy_rate": events_entropy_rate,

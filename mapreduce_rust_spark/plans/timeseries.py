@@ -1833,7 +1833,224 @@ FROM g ORDER BY event_type
 """
 
 
+KALMAN_Q = 0.1  # process (level-drift) variance
+KALMAN_R = 1.0  # observation-noise variance
+KALMAN_P0 = 1.0  # prior variance on the initial level
+
+
+def ts_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level Kalman filter per event type over the daily mean
+    series — the probabilistic cousin of EWMA: the level is a random
+    walk (process variance Q={q}) observed under noise (R={r}), and
+    the filter's gain K_t = P_t/(P_t+R) ADAPTS per step instead of
+    being a fixed α, converging to the steady-state gain the data
+    implies. a_t and P_t are MUTUALLY recursive through K_t (unlike
+    EWMA/CUSUM there is no closed form), so this is the
+    ``applyInPandas`` case exactly like ``ts_holt_linear``: one
+    data-sized shuffle shrinks events to the calendar-bounded daily
+    frame, then each key's bounded series runs the recursion in one
+    Arrow batch. Output per type: final level, final variance,
+    steady-state gain, innovation MAE. The DuckDB oracle replays the
+    identical recursion as a RECURSIVE CTE — same doubles, same
+    order of operations."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.avg("value").alias("y")
+    )
+
+    schema = (
+        "event_type string, n_days bigint, level double, p_var double,"
+        " gain double, innov_mae double"
+    )
+
+    def kalman(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        y = pdf["y"].to_list()
+        a, p = y[0], KALMAN_P0
+        abs_err, k = 0.0, p / (p + KALMAN_R)
+        for t in range(1, len(y)):
+            p_pred = p + KALMAN_Q
+            k = p_pred / (p_pred + KALMAN_R)
+            abs_err += abs(y[t] - a)
+            a = a + k * (y[t] - a)
+            p = (1.0 - k) * p_pred
+        return pd.DataFrame(
+            [[
+                pdf["event_type"].iloc[0],
+                len(y),
+                a,
+                p,
+                k,
+                abs_err / max(len(y) - 1, 1),
+            ]],
+            columns=["event_type", "n_days", "level", "p_var", "gain", "innov_mae"],
+        )
+
+    out = daily.groupBy("event_type").applyInPandas(kalman, schema)
+    return out.select(
+        "event_type",
+        "n_days",
+        fround("level", 4).alias("level"),
+        fround("p_var", 6).alias("p_var"),
+        fround("gain", 6).alias("gain"),
+        fround("innov_mae", 4).alias("innov_mae"),
+    ).orderBy("event_type")
+
+
+ts_kalman_local_level.__doc__ = ts_kalman_local_level.__doc__.format(
+    q=KALMAN_Q, r=KALMAN_R
+)
+
+
+ORACLE["ts_kalman_local_level"] = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS y
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+kf AS (
+  SELECT event_type, 1 AS t, n,
+         y AS a, CAST({KALMAN_P0} AS DOUBLE) AS p,
+         CAST({KALMAN_P0} AS DOUBLE) / ({KALMAN_P0} + {KALMAN_R}) AS k,
+         CAST(0.0 AS DOUBLE) AS abs_err
+  FROM seq WHERE t = 1
+  UNION ALL
+  SELECT kf.event_type, kf.t + 1, kf.n,
+         kf.a + ((kf.p + {KALMAN_Q}) / (kf.p + {KALMAN_Q} + {KALMAN_R}))
+              * (s.y - kf.a),
+         (1.0 - (kf.p + {KALMAN_Q}) / (kf.p + {KALMAN_Q} + {KALMAN_R}))
+              * (kf.p + {KALMAN_Q}),
+         (kf.p + {KALMAN_Q}) / (kf.p + {KALMAN_Q} + {KALMAN_R}),
+         kf.abs_err + abs(s.y - kf.a)
+  FROM kf JOIN seq s
+    ON s.event_type = kf.event_type AND s.t = kf.t + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       {fround_sql("a", 4)} AS level,
+       {fround_sql("p", 6)} AS p_var,
+       {fround_sql("k", 6)} AS gain,
+       {fround_sql("abs_err / greatest(n - 1, 1)", 4)} AS innov_mae
+FROM kf WHERE t = n
+ORDER BY event_type
+"""
+
+
+CROSTON_ALPHA = 0.2  # smoothing for both demand size and interval
+CROSTON_PART_MOD = 97  # deterministic part sample: p_partkey % mod == 0
+
+
+def forecast_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) — THE forecaster for intermittent
+    demand (spare parts, slow movers), where most days have zero
+    demand and plain EWMA chases zeros: smooth demand SIZE z and
+    inter-demand INTERVAL q as two independent EWMAs updated only on
+    demand occurrences; forecast per period = z/q. Demand: daily
+    quantity per sampled part (p_partkey % {mod} == 0 — the sample
+    scales with the catalog). Because the two EWMAs don't interact,
+    the recursion has a CLOSED FORM — z_n = (1−α)^(n−1)d_1 +
+    Σ α(1−α)^(n−i)d_i — so the whole thing is two weighted window
+    sums over each part's bounded demand-day frame: no UDF, no
+    iteration, whole-stage codegen (same trick family as ts_ewma).
+    One lineitem scan → per-(part, day) partial agg; everything after
+    is calendar-bounded per key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % CROSTON_PART_MOD == 0
+    )
+    daily = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.to_date("l_shipdate").alias("day"),
+    ).agg(F.sum("l_quantity").alias("d"))
+    wk = W.partitionBy("part").orderBy("day")
+    seq = daily.select(
+        "part",
+        "d",
+        F.row_number().over(wk).alias("t"),
+        F.count(F.lit(1)).over(
+            W.partitionBy("part").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n"),
+        F.datediff("day", F.lag("day").over(wk)).cast("double").alias("q"),
+    )
+    a = CROSTON_ALPHA
+    # EWMA closed form: weight (1-a)^(n-1) on the first sample, else
+    # a(1-a)^(n-t); intervals start at t=2 with init q_2 (n-1 terms)
+    wz = F.when(
+        F.col("t") == 1, F.pow(F.lit(1.0 - a), F.col("n") - 1)
+    ).otherwise(F.lit(a) * F.pow(F.lit(1.0 - a), F.col("n") - F.col("t")))
+    wq = F.when(F.col("t") == 2, F.pow(F.lit(1.0 - a), F.col("n") - 2)).when(
+        F.col("t") > 2,
+        F.lit(a) * F.pow(F.lit(1.0 - a), F.col("n") - F.col("t")),
+    )
+    agg = (
+        seq.groupBy("part")
+        .agg(
+            F.max("n").cast("bigint").alias("n_demands"),
+            F.sum(wz * F.col("d")).alias("z"),
+            F.sum(wq * F.col("q")).alias("p"),
+            fround(F.avg("d"), 4).alias("mean_size"),
+        )
+        .filter(F.col("n_demands") >= 2)
+    )
+    return agg.select(
+        "part",
+        "n_demands",
+        fround("z", 4).alias("smoothed_size"),
+        fround("p", 4).alias("smoothed_interval"),
+        fround(F.col("z") / F.col("p"), 4).alias("demand_per_day"),
+        "mean_size",
+    ).orderBy("part")
+
+
+forecast_croston.__doc__ = forecast_croston.__doc__.format(mod=CROSTON_PART_MOD)
+
+
+ORACLE["forecast_croston"] = f"""
+WITH daily AS (
+  SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+         sum(l_quantity) AS d
+  FROM lineitem
+  WHERE l_partkey % {CROSTON_PART_MOD} = 0
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT part, d,
+         row_number() OVER (PARTITION BY part ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY part) AS n,
+         CAST(date_diff('day', lag(day) OVER (PARTITION BY part ORDER BY day), day) AS DOUBLE) AS q
+  FROM daily
+),
+agg AS (
+  SELECT part,
+         CAST(max(n) AS BIGINT) AS n_demands,
+         sum(CASE WHEN t = 1 THEN pow({1.0 - CROSTON_ALPHA}, n - 1)
+                  ELSE {CROSTON_ALPHA} * pow({1.0 - CROSTON_ALPHA}, n - t) END * d) AS z,
+         sum(CASE WHEN t = 2 THEN pow({1.0 - CROSTON_ALPHA}, n - 2) * q
+                  WHEN t > 2 THEN {CROSTON_ALPHA} * pow({1.0 - CROSTON_ALPHA}, n - t) * q
+             END) AS p,
+         {fround_sql("avg(d)", 4)} AS mean_size
+  FROM seq GROUP BY 1
+)
+SELECT part, n_demands,
+       {fround_sql("z", 4)} AS smoothed_size,
+       {fround_sql("p", 4)} AS smoothed_interval,
+       {fround_sql("z / p", 4)} AS demand_per_day,
+       mean_size
+FROM agg WHERE n_demands >= 2
+ORDER BY part
+"""
+
+
 QUERIES = {
+    "ts_kalman_local_level": ts_kalman_local_level,
+    "forecast_croston": forecast_croston,
     "ts_periodogram_daily": ts_periodogram_daily,
     "ts_sax_symbolic": ts_sax_symbolic,
     "ts_cusum_alarm": ts_cusum_alarm,
