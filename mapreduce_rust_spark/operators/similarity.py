@@ -2702,7 +2702,81 @@ FROM norm_stats CROSS JOIN dimsums
 """
 
 
+RANGE_TAU = 0.30  # cosine threshold (the corpus is near-isotropic: max pair ~0.45)
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE query — the other fundamental vector-search shape next to
+    top-k: return ALL neighbors with cosine ≥ τ={tau} (radius search:
+    "everything semantically this close", used for near-dup sweeps
+    and recall-complete retrieval where k is unknowable a priori).
+    Same sublinear access pattern as ``ann_topk_bucketed``: the
+    occupancy-adaptive sign-LSH bucket is the join key, so each query
+    scores only its bucket's candidates and the exact cosine filter
+    runs on that sliver — never query×corpus. No window at all (top-k
+    needs a rank; range search is a pure filter — cheaper by
+    construction). Per-query yield variance is the τ-tuning signal;
+    read with ``ann_recall_eval`` for the bucket-miss rate."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    n = emb.agg(F.count(F.lit(1)).alias("n_corpus"))
+    qs = emb.filter(F.expr(_QUERY_PRED))
+    q = F.broadcast(
+        qs.crossJoin(F.broadcast(n)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            l2_norm(F.col("embedding")).alias("qn"),
+            sign_bucket_adaptive(
+                F.col("embedding"), sign_bits_for(F.col("n_corpus"))
+            ).alias("bucket"),
+        )
+    )
+    c = emb.crossJoin(F.broadcast(n)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        l2_norm(F.col("embedding")).alias("cn"),
+        sign_bucket_adaptive(
+            F.col("embedding"), sign_bits_for(F.col("n_corpus"))
+        ).alias("bucket"),
+    )
+    sim = fround(cosine_from_norms("qv", "cv", "qn", "cn"), 6)
+    return (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .filter(F.col("sim") >= RANGE_TAU)
+        .select("query_id", "neighbor_id", fround(F.col("sim"), 4).alias("sim"))
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
+ann_range_search.__doc__ = ann_range_search.__doc__.format(tau=RANGE_TAU)
+
+
+ORACLE["ann_range_search"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {{bucket_sql}} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE {_QUERY_PRED}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         floor(round(list_cosine_similarity(q.qv, e.v), 10) * 1000000) / 1000000 AS sim
+  FROM q JOIN e USING (bucket)
+  WHERE q.query_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, floor(round(sim, 8) * 10000) / 10000 AS sim
+FROM scored WHERE sim >= {RANGE_TAU}
+ORDER BY query_id, neighbor_id
+""".format(
+    bucket_sql=_sign_bucket_adaptive_sql(
+        "embedding", _sign_bits_sql("(SELECT count(*) FROM embeddings)")
+    )
+)
+
+
 QUERIES = {
+    "ann_range_search": ann_range_search,
     "embedding_isotropy_audit": embedding_isotropy_audit,
     "embedding_cluster_purity": embedding_cluster_purity,
     "ann_ndcg_eval": ann_ndcg_eval,

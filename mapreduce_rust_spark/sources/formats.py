@@ -23,9 +23,10 @@ import os
 
 from mapreduce_rust_spark.session import scratch_dir
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from mapreduce_rust_spark.functions.numeric import single_partition
 from mapreduce_rust_spark.sources.tables import load_table
 
 ORACLE: dict[str, str] = {}
@@ -618,7 +619,148 @@ FROM parsed GROUP BY mktsegment ORDER BY mktsegment
 """
 
 
+COMPACT_TARGET_BYTES = 64 * 1024  # per-output-file byte budget (toy scale; 128-512 MB in production)
+
+
+def sink_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION planning — the OPTIMIZE/bin-pack step
+    every parquet lake runs when streaming ingest leaves thousands of
+    KB-sized files: given a manifest of (partition, bytes), assign
+    contiguous runs of files to output groups of ~{target} bytes and
+    report each group's fill. The manifest here is the logical
+    (event_type, day) partition ledger with exact encoded-byte
+    accounting derived from the table (in production it is the
+    filesystem listing — one metadata row per file; the planner is
+    identical). The cumulative-bytes prefix sum that drives bin
+    assignment is the BANDED two-phase pattern (``abc_analysis``):
+    per-type subtotals prefix over the |types|-sized frame, days
+    prefix within their type — never a manifest-sized single
+    partition, because at 100 TB the manifest itself is big data.
+    Output: per-bin file count, bytes, target-fill ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    manifest = ev.groupBy(
+        F.col("event_type").alias("pt"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("props") + F.lit(64)).cast("bigint").alias("bytes"),
+    )
+    tsum = manifest.groupBy("pt").agg(F.sum("bytes").alias("tbytes"))
+    tsum1, w0 = single_partition(tsum, by=["pt"])
+    w_prev = w0.rowsBetween(W.unboundedPreceding, -1)
+    offsets = tsum1.select(
+        "pt", F.coalesce(F.sum("tbytes").over(w_prev), F.lit(0)).alias("off")
+    )
+    w_in = (
+        W.partitionBy("pt").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = manifest.join(F.broadcast(offsets), "pt").select(
+        "pt",
+        "day",
+        "bytes",
+        (F.col("off") + F.sum("bytes").over(w_in) - F.col("bytes")).alias(
+            "cum_before"
+        ),
+    )
+    binned = cum.select(
+        F.floor(F.col("cum_before") / COMPACT_TARGET_BYTES)
+        .cast("bigint")
+        .alias("bin"),
+        "bytes",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("bytes"),
+            F.floor(
+                F.sum("bytes") * 10000 / F.lit(COMPACT_TARGET_BYTES)
+            ).cast("bigint").alias("fill_bp"),
+        )
+        .orderBy("bin")
+    )
+
+
+sink_compaction_plan.__doc__ = sink_compaction_plan.__doc__.format(
+    target=COMPACT_TARGET_BYTES
+)
+
+
+ORACLE["sink_compaction_plan"] = f"""
+WITH manifest AS (
+  SELECT event_type AS pt, strftime(ts, '%Y-%m-%d') AS day,
+         count(*) AS n_rows,
+         CAST(sum(length(props) + 64) AS BIGINT) AS bytes
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT pt, day, bytes,
+         sum(bytes) OVER (ORDER BY pt, day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+  FROM manifest
+),
+binned AS (
+  SELECT CAST(floor(coalesce(cum_before, 0) / {COMPACT_TARGET_BYTES}) AS BIGINT) AS bin,
+         bytes
+  FROM cum
+)
+SELECT bin, count(*) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bytes,
+       CAST(floor(sum(bytes) * 10000 / {COMPACT_TARGET_BYTES}) AS BIGINT) AS fill_bp
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+def table_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file audit — the VACUUM precursor every table format
+    runs: list what is PHYSICALLY on disk under the table root,
+    anti-join it against the catalog manifest, and report data that
+    exists but is referenced by nothing (failed-job leftovers,
+    half-deleted partitions — silent storage cost and a compliance
+    risk). Here the layout is REAL: events materialize
+    hive-partitioned by event_type, the manifest registers only the
+    even-md5 partitions (a deterministic function of the data, which
+    is what makes the audit value-checkable by an engine that never
+    sees the filesystem), and the directory listing comes back
+    through Spark's own partition discovery. Orphans are reported
+    with their row/byte exposure. Listing and anti-join both scale:
+    discovery is metadata-only, the census reads only orphan
+    partitions (partition pruning on the discovered column)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    root = os.path.join(scratch_dir(prefix="mrs_orphan_"), "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(root)
+    manifest_pred = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("man:"), F.col("event_type"))), 1, 15), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0
+    )
+    back = spark.read.parquet(root)
+    return (
+        back.filter(~manifest_pred)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.length("props")).cast("bigint").alias("bytes_exposed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["table_orphan_files"] = """
+SELECT event_type, count(*) AS n_rows,
+       CAST(sum(length(props)) AS BIGINT) AS bytes_exposed
+FROM events
+WHERE ('0x' || substr(md5('man:' || event_type), 1, 15))::BIGINT % 2 <> 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "sink_compaction_plan": sink_compaction_plan,
+    "table_orphan_files": table_orphan_files,
     "format_fixedwidth_roundtrip": format_fixedwidth_roundtrip,
     "source_binaryfile_ingest": source_binaryfile_ingest,
     "format_csv_roundtrip": format_csv_roundtrip,
