@@ -1673,7 +1673,81 @@ FROM (
 ORACLE["table_referential_integrity"] = _ref_integrity_oracle()
 
 
+def table_missingness_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness-PATTERN census (the first table of Little & Rubin):
+    not per-column null rates (``table_profile`` has those) but the
+    JOINT pattern — which column-combinations go missing together —
+    the diagnostic that separates MCAR from "the mobile client never
+    sends value AND props" systematic gaps, and decides impute vs
+    drop per pattern. The testdata ships no physical NULLs (re-probed
+    round 7), so missingness is injected deterministically
+    (md5-derived per-column coin flips at 10%/25%/5% — the same
+    hash-not-RNG convention as ``privacy_dp_counts``), which is
+    exactly what makes the joint census value-checkable in DuckDB.
+    Pattern key = the 3-bit flag vector as a string; output ≤ 2³ rows
+    with counts, share, and per-pattern co-missing column count. One
+    scan, one bounded aggregation — profile cost at 100 TB is the
+    scan."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def miss(tag: str, pct: int):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag + ":"), F.col("event_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (h % 100 < pct).cast("int")
+
+    flags = ev.select(
+        miss("mv", 10).alias("m_value"),
+        miss("mp", 25).alias("m_props"),
+        miss("mu", 5).alias("m_user"),
+    )
+    total = flags.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        flags.groupBy("m_value", "m_props", "m_user")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.concat_ws(
+                "", F.col("m_value"), F.col("m_props"), F.col("m_user")
+            ).alias("pattern"),
+            (F.col("m_value") + F.col("m_props") + F.col("m_user"))
+            .cast("int")
+            .alias("n_missing_cols"),
+            "n_rows",
+            fround(F.col("n_rows") / F.col("n_total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("pattern")
+    )
+
+
+ORACLE["table_missingness_patterns"] = f"""
+WITH flags AS (
+  SELECT
+    CASE WHEN ('0x' || substr(md5('mv:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10 THEN 1 ELSE 0 END AS m_value,
+    CASE WHEN ('0x' || substr(md5('mp:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 25 THEN 1 ELSE 0 END AS m_props,
+    CASE WHEN ('0x' || substr(md5('mu:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 5 THEN 1 ELSE 0 END AS m_user
+  FROM events
+)
+SELECT CAST(m_value AS VARCHAR) || CAST(m_props AS VARCHAR) || CAST(m_user AS VARCHAR) AS pattern,
+       CAST(m_value + m_props + m_user AS INT) AS n_missing_cols,
+       count(*) AS n_rows,
+       {fround_sql("count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM flags)", 6)} AS share
+FROM flags
+GROUP BY m_value, m_props, m_user
+ORDER BY pattern
+"""
+
+
 QUERIES = {
+    "table_missingness_patterns": table_missingness_patterns,
     "table_referential_integrity": table_referential_integrity,
     "privacy_randomized_response": privacy_randomized_response,
     "robust_winsorized_stats": robust_winsorized_stats,

@@ -2775,8 +2775,188 @@ ORDER BY query_id, neighbor_id
 )
 
 
+MMR_LAMBDA = 0.7  # relevance weight; 1-λ is the diversity penalty
+MMR_POOL = 8  # candidate pool per query (top-P by cosine)
+MMR_K = 3  # selections (unrolled rounds)
+
+
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity pass every RAG retriever runs after ANN:
+    greedily pick argmax_c λ·rel(q,c) − (1−λ)·max over selected s of
+    sim(c,s), so
+    the 2nd and 3rd results stop being near-copies of the 1st. The
+    greedy loop is inherently sequential but K={k} is tiny and FIXED,
+    so it unrolls into {k} declarative rounds (the ``bpe_train_merges``
+    pattern): each round is one window argmax per query over the
+    ≤{p}-candidate pool — every data-sized step is the initial top-P
+    retrieval; the re-rank itself touches P·K rows per query. Pool
+    relevances and candidate-candidate sims are fround-snapped BEFORE
+    the argmax so both engines break ties identically. The oracle
+    replays the identical unrolled greedy as chained CTEs."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qs = emb.filter(F.expr(_QUERY_PRED))
+    q = F.broadcast(
+        qs.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            l2_norm(F.col("embedding")).alias("qn"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        l2_norm(F.col("embedding")).alias("cn"),
+    )
+    rel = fround(cosine_from_norms("qv", "cv", "qn", "cn"), 6)
+    w_rel = W.partitionBy("query_id").orderBy(F.col("rel").desc(), "cid")
+    pool = (
+        q.join(c, F.col("query_id") != F.col("cid"))
+        .select("query_id", "cid", "cv", "cn", rel.alias("rel"))
+        .withColumn("prank", F.row_number().over(w_rel))
+        .filter(F.col("prank") <= MMR_POOL)
+    )
+    a = pool.select("query_id", F.col("cid").alias("c1"), F.col("cv").alias("v1"), F.col("cn").alias("n1"))
+    b = pool.select("query_id", F.col("cid").alias("c2"), F.col("cv").alias("v2"), F.col("cn").alias("n2"))
+    cc = a.join(b, "query_id").filter(F.col("c1") != F.col("c2")).select(
+        F.col("query_id").alias("qid_cc"),
+        "c1",
+        "c2",
+        fround(cosine_from_norms("v1", "v2", "n1", "n2"), 6).alias("sim_cc"),
+    )
+    lam = F.lit(MMR_LAMBDA)
+    sel = pool.filter(F.col("prank") == 1).select(
+        "query_id",
+        F.col("cid").alias("sel_id"),
+        F.lit(1).alias("mmr_rank"),
+        "rel",
+        fround(lam * F.col("rel"), 6).alias("mmr_score"),
+    )
+    chosen = sel.select("query_id", "sel_id")
+    for r in range(2, MMR_K + 1):
+        # penalty = max sim to any already-selected; one bounded join
+        pen = (
+            pool.join(chosen, "query_id")
+            .join(
+                cc,
+                (F.col("qid_cc") == F.col("query_id"))
+                & (F.col("c1") == F.col("cid"))
+                & (F.col("c2") == F.col("sel_id")),
+            )
+            .groupBy("query_id", "cid", "rel")
+            .agg(F.max("sim_cc").alias("pen"))
+        )
+        remaining = pen.join(
+            chosen.select("query_id", F.col("sel_id").alias("cid")),
+            ["query_id", "cid"],
+            "left_anti",
+        )
+        score = fround(lam * F.col("rel") - (F.lit(1.0) - lam) * F.col("pen"), 6)
+        w_s = W.partitionBy("query_id").orderBy(F.col("mmr_score").desc(), "cid")
+        pick = (
+            remaining.select("query_id", "cid", "rel", score.alias("mmr_score"))
+            .withColumn("srank", F.row_number().over(w_s))
+            .filter(F.col("srank") == 1)
+            .select(
+                "query_id",
+                F.col("cid").alias("sel_id"),
+                F.lit(r).alias("mmr_rank"),
+                "rel",
+                "mmr_score",
+            )
+        )
+        sel = sel.unionByName(pick)
+        chosen = sel.select("query_id", "sel_id")
+    return sel.select(
+        "query_id",
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        F.col("sel_id").alias("doc_id"),
+        fround("rel", 4).alias("rel"),
+        fround("mmr_score", 4).alias("mmr_score"),
+    ).orderBy("query_id", "mmr_rank")
+
+
+ann_mmr_rerank.__doc__ = ann_mmr_rerank.__doc__.format(k=MMR_K, p=MMR_POOL)
+
+
+ORACLE["ann_mmr_rerank"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {_QUERY_PRED}),
+pool AS MATERIALIZED (
+  SELECT query_id, cid, rel, cv FROM (
+    SELECT q.query_id, e.vec_id AS cid, e.v AS cv,
+           {_cos_sql('q.qv', 'e.v')} AS rel,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_cos_sql('q.qv', 'e.v')} DESC, e.vec_id
+           ) AS prank
+    FROM q JOIN e ON q.query_id <> e.vec_id
+  ) WHERE prank <= {MMR_POOL}
+),
+cc AS MATERIALIZED (
+  SELECT a.query_id, a.cid AS c1, b.cid AS c2,
+         {_cos_sql('a.cv', 'b.cv')} AS sim_cc
+  FROM pool a JOIN pool b
+    ON b.query_id = a.query_id AND a.cid <> b.cid
+),
+s1 AS (
+  SELECT query_id, cid AS sel_id, rel,
+         floor(round({MMR_LAMBDA} * rel, 10) * 1000000) / 1000000 AS mmr_score
+  FROM (
+    SELECT query_id, cid, rel,
+           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rn
+    FROM pool
+  ) WHERE rn = 1
+),
+r2 AS (
+  SELECT p.query_id, p.cid, p.rel,
+         floor(round({MMR_LAMBDA} * p.rel - {1.0 - MMR_LAMBDA} * cc.sim_cc, 10) * 1000000) / 1000000 AS mmr_score
+  FROM pool p
+  JOIN s1 ON s1.query_id = p.query_id
+  JOIN cc ON cc.query_id = p.query_id AND cc.c1 = p.cid AND cc.c2 = s1.sel_id
+  WHERE p.cid <> s1.sel_id
+),
+s2 AS (
+  SELECT query_id, cid AS sel_id, rel, mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr_score DESC, cid) AS rn
+    FROM r2
+  ) WHERE rn = 1
+),
+r3 AS (
+  SELECT p.query_id, p.cid, p.rel,
+         floor(round({MMR_LAMBDA} * p.rel - {1.0 - MMR_LAMBDA} * max(cc.sim_cc), 10) * 1000000) / 1000000 AS mmr_score
+  FROM pool p
+  JOIN s1 ON s1.query_id = p.query_id
+  JOIN s2 ON s2.query_id = p.query_id
+  JOIN cc ON cc.query_id = p.query_id AND cc.c1 = p.cid
+         AND cc.c2 IN (s1.sel_id, s2.sel_id)
+  WHERE p.cid <> s1.sel_id AND p.cid <> s2.sel_id
+  GROUP BY p.query_id, p.cid, p.rel, s1.sel_id, s2.sel_id
+),
+s3 AS (
+  SELECT query_id, cid AS sel_id, rel, mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr_score DESC, cid) AS rn
+    FROM r3
+  ) WHERE rn = 1
+),
+allsel AS (
+  SELECT query_id, 1 AS mmr_rank, sel_id, rel, mmr_score FROM s1
+  UNION ALL
+  SELECT query_id, 2, sel_id, rel, mmr_score FROM s2
+  UNION ALL
+  SELECT query_id, 3, sel_id, rel, mmr_score FROM s3
+)
+SELECT query_id, CAST(mmr_rank AS INT) AS mmr_rank, sel_id AS doc_id,
+       floor(round(rel, 8) * 10000) / 10000 AS rel,
+       floor(round(mmr_score, 8) * 10000) / 10000 AS mmr_score
+FROM allsel
+ORDER BY query_id, mmr_rank
+"""
+
+
 QUERIES = {
     "ann_range_search": ann_range_search,
+    "ann_mmr_rerank": ann_mmr_rerank,
     "embedding_isotropy_audit": embedding_isotropy_audit,
     "embedding_cluster_purity": embedding_cluster_purity,
     "ann_ndcg_eval": ann_ndcg_eval,

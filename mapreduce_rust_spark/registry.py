@@ -155,6 +155,19 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "features_hashing_trick",
     "events_dau_wau_mau",
     "ab_srm_audit",
+    # --- round-7 additions: first driver evidence due r08 ---
+    "features_scaler_fit_apply",
+    "features_one_hot_topk",
+    "ts_kalman_local_level",
+    "forecast_croston",
+    "customer_segment_migration",
+    "graph_bipartite_projection",
+    "ann_range_search",
+    "ann_mmr_rerank",
+    "sql_lateral_column_alias",
+    "sink_compaction_plan",
+    "table_orphan_files",
+    "table_missingness_patterns",
     # --- oldest-evidence (round-1) backfill ---
     "q13_customer_distribution",
     "q1_pricing_summary",
