@@ -1063,7 +1063,9 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["ann_recall_eval"] = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
-         {_sign_bucket_sql('embedding')} AS bucket
+         {_sign_bucket_adaptive_sql(
+             'embedding', _sign_bits_sql('(SELECT count(*) FROM embeddings)')
+         )} AS bucket
   FROM embeddings
 ),
 q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE {_QUERY_PRED}),
@@ -1146,7 +1148,9 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["ann_ndcg_eval"] = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
-         {_sign_bucket_sql('embedding')} AS bucket
+         {_sign_bucket_adaptive_sql(
+             'embedding', _sign_bits_sql('(SELECT count(*) FROM embeddings)')
+         )} AS bucket
   FROM embeddings
 ),
 q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE {_QUERY_PRED}),
