@@ -273,6 +273,98 @@ LIMIT 100
 """
 
 
+DECON_EMB_HOLDOUT = 20  # 1/20 of vectors held out as the "benchmark"
+DECON_EMB_THR_HI = 0.4  # flag threshold (calibrated to the synthetic corpus: its max-sim p99 ≈ 0.43; with real embeddings this is the usual 0.9-0.95 knob)
+DECON_EMB_THR_LO = 0.3
+
+
+def corpus_decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination — the semantic sibling of
+    ``decontaminate_ngram_overlap``: instead of exact 8-token span
+    collisions, each corpus vector is screened by its MAX COSINE
+    against a deterministic 1/{DECON_EMB_HOLDOUT} hash-held-out
+    "benchmark" slice (the technique behind paraphrase-robust eval
+    decontamination — n-gram screens miss reworded test questions;
+    cosine against the eval set's embeddings catches them). Plan
+    shape: the benchmark side is eval-set-sized → ``broadcast`` +
+    nested-loop scoring (the same corpus×bench asymmetry as the
+    n-gram screen), one zip_with dot per pair JVM-side, then a
+    per-vector max and a per-label census. At 100 TB the corpus side
+    streams map-only; only the |labels|-row report shuffles. Output:
+    per label, vectors screened, flagged counts at the
+    {DECON_EMB_THR_HI}/{DECON_EMB_THR_LO} thresholds, and the
+    max/avg max-sim — the calibration curve for choosing the knob."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    nrm = F.sqrt(
+        F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    emb = emb.withColumn("nrm", nrm)
+    bench = emb.filter(F.col("vec_id") % DECON_EMB_HOLDOUT == 0).select(
+        F.col("e").alias("be"), F.col("nrm").alias("bnrm")
+    )
+    corp = emb.filter(F.col("vec_id") % DECON_EMB_HOLDOUT != 0)
+    dot = F.aggregate(
+        F.zip_with("e", "be", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sims = (
+        corp.crossJoin(F.broadcast(bench))
+        .select(
+            "vec_id",
+            "label",
+            (dot / (F.col("nrm") * F.col("bnrm"))).alias("sim"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.max("sim").alias("maxsim"))
+    )
+    return (
+        sims.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                (F.col("maxsim") >= DECON_EMB_THR_HI).cast("bigint")
+            ).alias("n_flagged_hi"),
+            F.sum(
+                (F.col("maxsim") >= DECON_EMB_THR_LO).cast("bigint")
+            ).alias("n_flagged_lo"),
+            fround(F.max("maxsim"), 6).alias("max_maxsim"),
+            fround(F.avg("maxsim"), 6).alias("avg_maxsim"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE["corpus_decontaminate_embedding"] = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+bench AS (SELECT e AS be, nrm AS bnrm FROM e
+          WHERE vec_id % {DECON_EMB_HOLDOUT} = 0),
+sims AS (
+  SELECT c.vec_id, c.label,
+         max(list_sum(list_transform(range(1, len(c.e) + 1),
+             i -> c.e[i] * b.be[i])) / (c.nrm * b.bnrm)) AS maxsim
+  FROM (SELECT * FROM e WHERE vec_id % {DECON_EMB_HOLDOUT} <> 0) c, bench b
+  GROUP BY 1, 2
+)
+SELECT label, count(*) AS n_vecs,
+       CAST(sum(CASE WHEN maxsim >= {DECON_EMB_THR_HI} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged_hi,
+       CAST(sum(CASE WHEN maxsim >= {DECON_EMB_THR_LO} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged_lo,
+       {fround_sql("max(maxsim)", 6)} AS max_maxsim,
+       {fround_sql("avg(maxsim)", 6)} AS avg_maxsim
+FROM sims GROUP BY label ORDER BY label
+"""
+
+
 HASH_BUCKETS = 32  # feature-hashing dimensionality (2^5 — small enough that the collision census is exercised by the ~41-feature vocabulary)
 
 
@@ -628,4 +720,5 @@ QUERIES = {
     "text_repetition": text_repetition,
     "dedup_prefix": dedup_prefix,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
+    "corpus_decontaminate_embedding": corpus_decontaminate_embedding,
 }

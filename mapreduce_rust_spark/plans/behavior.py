@@ -453,6 +453,141 @@ FROM j ORDER BY event_type
 """
 
 
+# Abramowitz & Stegun 7.1.26 erf approximation — the classic rational
+# polynomial (|ε| < 1.5e-7, far below the 4-decimal output rounding),
+# spelled as identical explicit arithmetic on BOTH engines so the
+# value-hash contract holds without either engine needing an erf
+# builtin.
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _phi(z):
+    """Standard normal CDF Φ(z) for a Spark Column, via A&S erf."""
+    x = F.abs(z) / F.lit(2.0 ** 0.5)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERF_P) * x)
+    poly = (
+        F.lit(_ERF_A[0]) * t
+        + F.lit(_ERF_A[1]) * t * t
+        + F.lit(_ERF_A[2]) * t * t * t
+        + F.lit(_ERF_A[3]) * t * t * t * t
+        + F.lit(_ERF_A[4]) * t * t * t * t * t
+    )
+    erf_abs = F.lit(1.0) - poly * F.exp(-x * x)
+    erf = F.when(z < 0, -erf_abs).otherwise(erf_abs)
+    return F.lit(0.5) * (F.lit(1.0) + erf)
+
+
+def _phi_sql(z: str) -> str:
+    """DuckDB twin of :func:`_phi` — same constants, same ops."""
+    x = f"(abs({z}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + {_ERF_P} * {x}))"
+    poly = (
+        f"({_ERF_A[0]} * {t} + {_ERF_A[1]} * {t}*{t}"
+        f" + {_ERF_A[2]} * {t}*{t}*{t}"
+        f" + {_ERF_A[3]} * {t}*{t}*{t}*{t}"
+        f" + {_ERF_A[4]} * {t}*{t}*{t}*{t}*{t})"
+    )
+    erf_abs = f"(1.0 - {poly} * exp(-({x}) * ({x})))"
+    erf = f"(CASE WHEN ({z}) < 0 THEN -{erf_abs} ELSE {erf_abs} END)"
+    return f"(0.5 * (1.0 + {erf}))"
+
+
+def ab_bayesian_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout: users split 50/50 by content hash
+    (md5 — deterministic, re-run-stable, unlike user_id parity which
+    correlates with signup order), per-arm conversion = "user emitted
+    ≥1 event of this type", Beta(1,1) prior → Beta(1+c, 1+n−c)
+    posterior per arm, and P(p_B > p_A) under the normal
+    approximation of the posterior difference — the decision
+    probability dashboards actually show, vs the frequentist t of
+    ``ab_welch_ttest``. All closed-form: two hash aggregations
+    (distinct users per arm: 2 rows; distinct converted users per
+    (type, arm): 2×|types| rows) and row arithmetic — no resampling,
+    no per-user state; at 100 TB both aggs partial-combine and the
+    final math runs on a |types|-row frame. Φ via the A&S 7.1.26 erf
+    polynomial, identical arithmetic in the DuckDB oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.md5(F.col("user_id").cast("string")) < "8").cast("int")
+    users = (
+        ev.select("user_id").distinct()
+        .select(arm.alias("arm"))
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    conv = (
+        ev.select("event_type", "user_id").distinct()
+        .select("event_type", arm.alias("arm"))
+        .groupBy("event_type", "arm")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = conv.join(F.broadcast(users), "arm")
+    a = j.filter(F.col("arm") == 1).select(
+        "event_type", F.col("c").alias("ca"), F.col("n").alias("na")
+    )
+    b = j.filter(F.col("arm") == 0).select(
+        "event_type", F.col("c").alias("cb"), F.col("n").alias("nb")
+    )
+    # Beta(1+c, 1+n−c) posterior moments
+    ma = (F.col("ca") + 1.0) / (F.col("na") + 2.0)
+    mb = (F.col("cb") + 1.0) / (F.col("nb") + 2.0)
+    va = ma * (1.0 - ma) / (F.col("na") + 3.0)
+    vb = mb * (1.0 - mb) / (F.col("nb") + 3.0)
+    z = (mb - ma) / F.sqrt(va + vb)
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            "na",
+            "ca",
+            "nb",
+            "cb",
+            fround(ma, 4).alias("post_mean_a"),
+            fround(mb, 4).alias("post_mean_b"),
+            fround(mb - ma, 4).alias("lift"),
+            fround(_phi(z), 4).alias("p_b_beats_a"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_AB_MA = "((ca + 1.0) / (na + 2.0))"
+_AB_MB = "((cb + 1.0) / (nb + 2.0))"
+_AB_Z = (
+    f"(({_AB_MB} - {_AB_MA}) / sqrt("
+    f"{_AB_MA} * (1.0 - {_AB_MA}) / (na + 3.0)"
+    f" + {_AB_MB} * (1.0 - {_AB_MB}) / (nb + 3.0)))"
+)
+
+ORACLE["ab_bayesian_beta"] = f"""
+WITH u AS (
+  SELECT CAST(md5(CAST(user_id AS VARCHAR)) < '8' AS INT) AS arm,
+         count(*) AS n
+  FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1
+),
+conv AS (
+  SELECT event_type,
+         CAST(md5(CAST(user_id AS VARCHAR)) < '8' AS INT) AS arm,
+         count(*) AS c
+  FROM (SELECT DISTINCT event_type, user_id FROM events) GROUP BY 1, 2
+),
+j AS (SELECT conv.event_type, conv.arm, conv.c, u.n
+      FROM conv JOIN u ON u.arm = conv.arm),
+w AS (
+  SELECT a.event_type,
+         a.n AS na, a.c AS ca, b.n AS nb, b.c AS cb
+  FROM j a JOIN j b ON b.event_type = a.event_type
+  WHERE a.arm = 1 AND b.arm = 0
+)
+SELECT event_type, na, ca, nb, cb,
+       {fround_sql(_AB_MA, 4)} AS post_mean_a,
+       {fround_sql(_AB_MB, 4)} AS post_mean_b,
+       {fround_sql(f"{_AB_MB} - {_AB_MA}", 4)} AS lift,
+       {fround_sql(_phi_sql(_AB_Z), 4)} AS p_b_beats_a
+FROM w ORDER BY event_type
+"""
+
+
 _ATTR_LOOKBACK_S = 24 * 3600  # attribution lookback window (seconds)
 
 
@@ -1414,6 +1549,7 @@ QUERIES = {
     "event_attribution": event_attribution,
     "time_in_state": time_in_state,
     "ab_welch_ttest": ab_welch_ttest,
+    "ab_bayesian_beta": ab_bayesian_beta,
     "cohort_retention": cohort_retention,
     "funnel_conversion": funnel_conversion,
     "funnel_time_bounded": funnel_time_bounded,

@@ -1507,6 +1507,143 @@ ORDER BY event_type
 """
 
 
+HW_ALPHA = 0.3  # level smoothing
+HW_BETA = 0.1  # trend smoothing
+HW_GAMMA = 0.2  # seasonal smoothing
+HW_PERIOD = 7  # weekly seasonality on the daily grid
+
+
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple-exponential) smoothing per event
+    type — Holt's linear recursion (``ts_holt_linear``) extended with
+    a period-{HW_PERIOD} seasonal state: l_t = α(y_t − s_{{t−m}}) +
+    (1−α)(l_{{t−1}}+b_{{t−1}}), b_t = β(l_t−l_{{t−1}}) + (1−β)b_{{t−1}},
+    s_t = γ(y_t−l_t) + (1−γ)s_{{t−m}}; classic init l_m = mean(y_1..m),
+    b_m = (mean(y_{{m+1..2m}})−mean(y_1..m))/m, s_i = y_i−mean(y_1..m).
+    Level, trend AND the m-slot seasonal ring are mutually recursive —
+    no window closed form — so like Holt this is the
+    ``applyInPandas`` case: the daily aggregate shrinks each key to
+    calendar size (the one data-sized shuffle), then each bounded
+    series runs the recursion in one pandas batch per key. The DuckDB
+    oracle replays the identical recursion as a RECURSIVE CTE whose
+    state row carries the seasonal ring as a LIST column (shift-append
+    per step) — same doubles, same order of operations. Series
+    shorter than 2m are dropped on both engines (init undefined).
+    Output: final level/trend/newest seasonal, the one-step h=1
+    forecast (l + b + s_{{n+1−m}}), and in-sample one-step MAE over
+    t = m+1..n."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("y"))
+    )
+
+    schema = (
+        "event_type string, n_days bigint, level double, trend double,"
+        " s_last double, forecast double, mae double"
+    )
+    m = HW_PERIOD
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        y = pdf["y"].to_list()
+        cols = [
+            "event_type", "n_days", "level", "trend", "s_last",
+            "forecast", "mae",
+        ]
+        if len(y) < 2 * m:
+            return pd.DataFrame([], columns=cols)
+        a1 = sum(y[:m]) / m
+        lvl = a1
+        tr = (sum(y[m : 2 * m]) / m - a1) / m
+        ss = [v - a1 for v in y[:m]]  # seasonal ring, oldest first
+        abs_err = 0.0
+        for t in range(m, len(y)):
+            s_lag = ss[0]
+            abs_err += abs(y[t] - (lvl + tr + s_lag))
+            new_lvl = HW_ALPHA * (y[t] - s_lag) + (1.0 - HW_ALPHA) * (lvl + tr)
+            tr = HW_BETA * (new_lvl - lvl) + (1.0 - HW_BETA) * tr
+            new_s = HW_GAMMA * (y[t] - new_lvl) + (1.0 - HW_GAMMA) * s_lag
+            ss = ss[1:] + [new_s]
+            lvl = new_lvl
+        return pd.DataFrame(
+            [[
+                pdf["event_type"].iloc[0],
+                len(y),
+                lvl,
+                tr,
+                ss[-1],
+                lvl + tr + ss[0],
+                abs_err / (len(y) - m),
+            ]],
+            columns=cols,
+        )
+
+    out = daily.groupBy("event_type").applyInPandas(hw, schema)
+    return out.select(
+        "event_type",
+        "n_days",
+        fround("level", 4).alias("level"),
+        fround("trend", 4).alias("trend"),
+        fround("s_last", 4).alias("s_last"),
+        fround("forecast", 4).alias("forecast"),
+        fround("mae", 4).alias("mae"),
+    ).orderBy("event_type")
+
+
+ORACLE["ts_holt_winters"] = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS y
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+init AS (
+  SELECT event_type, max(n) AS n,
+         avg(y) FILTER (WHERE t <= {HW_PERIOD}) AS a1,
+         avg(y) FILTER (WHERE t BETWEEN {HW_PERIOD + 1}
+                          AND {2 * HW_PERIOD}) AS a2,
+         list(y ORDER BY t) FILTER (WHERE t <= {HW_PERIOD}) AS y_first
+  FROM seq GROUP BY 1 HAVING max(n) >= {2 * HW_PERIOD}
+),
+hw AS (
+  SELECT event_type, {HW_PERIOD} AS t, n,
+         a1 AS l, (a2 - a1) / {HW_PERIOD}.0 AS b,
+         list_transform(y_first, v -> v - a1) AS ss,
+         CAST(0.0 AS DOUBLE) AS abs_err
+  FROM init
+  UNION ALL
+  SELECT hw.event_type, hw.t + 1, hw.n,
+         {HW_ALPHA} * (s.y - hw.ss[1])
+           + (1.0 - {HW_ALPHA}) * (hw.l + hw.b),
+         {HW_BETA} * (({HW_ALPHA} * (s.y - hw.ss[1])
+                       + (1.0 - {HW_ALPHA}) * (hw.l + hw.b)) - hw.l)
+           + (1.0 - {HW_BETA}) * hw.b,
+         list_append(hw.ss[2:{HW_PERIOD}],
+                     {HW_GAMMA} * (s.y - ({HW_ALPHA} * (s.y - hw.ss[1])
+                       + (1.0 - {HW_ALPHA}) * (hw.l + hw.b)))
+                       + (1.0 - {HW_GAMMA}) * hw.ss[1]),
+         hw.abs_err + abs(s.y - (hw.l + hw.b + hw.ss[1]))
+  FROM hw JOIN seq s
+    ON s.event_type = hw.event_type AND s.t = hw.t + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       {fround_sql("l", 4)} AS level,
+       {fround_sql("b", 4)} AS trend,
+       {fround_sql("ss[" + str(HW_PERIOD) + "]", 4)} AS s_last,
+       {fround_sql("l + b + ss[1]", 4)} AS forecast,
+       {fround_sql("abs_err / (n - " + str(HW_PERIOD) + ")", 4)} AS mae
+FROM hw WHERE t = n
+ORDER BY event_type
+"""
+
+
 CUSUM_SLACK = 0.5  # k: slack in σ units
 CUSUM_H = 4.0  # h: alarm threshold in σ units
 
@@ -2056,6 +2193,7 @@ QUERIES = {
     "ts_cusum_alarm": ts_cusum_alarm,
     "events_burstiness": events_burstiness,
     "ts_holt_linear": ts_holt_linear,
+    "ts_holt_winters": ts_holt_winters,
     "ts_theil_sen_trend": ts_theil_sen_trend,
     "ts_rolling_median": ts_rolling_median,
     "ts_gap_outages": ts_gap_outages,
