@@ -365,6 +365,104 @@ FROM sims GROUP BY label ORDER BY label
 """
 
 
+KFOLDS = 5  # cross-validation fold count
+
+
+def features_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUPED k-fold assignment + balance audit: folds
+    are a pure content-hash of the GROUP key (customer), never of the
+    row — so every order of a customer lands in one fold and the
+    "same user in train and validation" leak is impossible by
+    construction, reproducible across runs/engines/retries (the same
+    property ``stratified_hash_sample`` exploits; rand() splits have
+    neither). The audit makes the guarantees measurable per fold:
+    customer/order/revenue balance (hash folds should be ~1/k each),
+    the BUILDING-segment share (hash assignment preserves stratum
+    proportions without explicit stratification — this column is the
+    evidence), and n_leaked, the count of customers observed in >1
+    fold on the ORDER side (provably 0; the audit exists so a future
+    refactor to row-level hashing fails loudly). Fold assignment is a
+    map-side column at 100 TB — zero shuffle; the audit is two
+    partial-agg shuffles on a k-row key plus a 1-row broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def fold(key):
+        return (
+            F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+            .cast("bigint")
+            % KFOLDS
+        ).alias("fold")
+
+    cf = cust.select(
+        fold(F.col("c_custkey")),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("bld"),
+    ).groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        fround(F.avg("bld"), 4).alias("pct_building"),
+    )
+    of = orders.select(
+        fold(F.col("o_custkey")), "o_custkey", "o_totalprice"
+    )
+    ofa = of.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        fround(F.sum("o_totalprice"), 2).alias("total_revenue"),
+    )
+    leaked = (
+        of.select("o_custkey", "fold")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .agg(
+            F.sum((F.col("nf") > 1).cast("bigint")).alias("n_leaked")
+        )
+    )
+    return (
+        cf.join(ofa, "fold")
+        .crossJoin(F.broadcast(leaked))
+        .select(
+            "fold",
+            "n_customers",
+            "n_orders",
+            "total_revenue",
+            "pct_building",
+            "n_leaked",
+        )
+        .orderBy("fold")
+    )
+
+
+ORACLE["features_kfold_assign"] = f"""
+WITH cf AS (
+  SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % {KFOLDS} AS fold,
+         count(*) AS n_customers,
+         {fround_sql("avg(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)", 4)}
+           AS pct_building
+  FROM customer GROUP BY 1
+),
+o AS (
+  SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % {KFOLDS} AS fold,
+         o_custkey, o_totalprice
+  FROM orders
+),
+ofa AS (
+  SELECT fold, count(*) AS n_orders,
+         {fround_sql("sum(o_totalprice)", 2)} AS total_revenue
+  FROM o GROUP BY 1
+),
+leaked AS (
+  SELECT CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+  FROM (SELECT o_custkey, count(DISTINCT fold) AS nf FROM o GROUP BY 1)
+)
+SELECT cf.fold, cf.n_customers, ofa.n_orders, ofa.total_revenue,
+       cf.pct_building, leaked.n_leaked
+FROM cf JOIN ofa ON ofa.fold = cf.fold CROSS JOIN leaked
+ORDER BY cf.fold
+"""
+
+
 HASH_BUCKETS = 32  # feature-hashing dimensionality (2^5 — small enough that the collision census is exercised by the ~41-feature vocabulary)
 
 
@@ -721,4 +819,5 @@ QUERIES = {
     "dedup_prefix": dedup_prefix,
     "decontaminate_ngram_overlap": decontaminate_ngram_overlap,
     "corpus_decontaminate_embedding": corpus_decontaminate_embedding,
+    "features_kfold_assign": features_kfold_assign,
 }

@@ -178,6 +178,110 @@ LIMIT 100
 """
 
 
+PREFIX_MIN = 2  # shortest indexed prefix
+PREFIX_MAX = 5  # longest indexed prefix
+PREFIX_TOPK = 3  # completions kept per prefix
+
+
+def search_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete (prefix → top-k completion) index over the corpus
+    vocabulary — the OTHER search-index access pattern next to
+    ``inverted_index_postings``' term → docs: for every
+    {PREFIX_MIN}..{PREFIX_MAX}-char prefix, the {PREFIX_TOPK} most
+    frequent completing terms with their corpus frequencies. Built
+    the scalable way round: term frequencies FIRST (one corpus
+    shuffle collapses the token stream to vocabulary size), THEN the
+    ≤{PREFIX_MAX}-way prefix explode runs on the VOCABULARY — at
+    100 TB the explode factor applies to |vocab| rows, never to the
+    trillion-token stream; the per-prefix top-k is a bounded
+    row_number window on (prefix)-partitioned vocab. Ties rank by
+    (freq DESC, term ASC): total order, identical in both engines.
+    Output: the 100 highest-volume prefixes with their completion
+    lists — the index slice a serving layer would ship."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        _doc_terms(docs)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.length("term") >= PREFIX_MIN)
+    )
+    pref = vocab.select(
+        "term",
+        "tf",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(PREFIX_MIN),
+                    F.least(F.length("term"), F.lit(PREFIX_MAX)),
+                ),
+                lambda n: F.substring(F.col("term"), 1, n),
+            )
+        ).alias("prefix"),
+    )
+    wp = Window.partitionBy("prefix").orderBy(F.desc("tf"), "term")
+    topk = (
+        pref.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= PREFIX_TOPK)
+        .groupBy("prefix")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "term"))
+                    ),
+                    lambda s: s["term"],
+                ),
+            ).alias("completions"),
+        )
+    )
+    vol = pref.groupBy("prefix").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("tf").alias("total_freq"),
+    )
+    return (
+        vol.join(topk, "prefix")
+        .select("prefix", "n_terms", "total_freq", "completions")
+        .orderBy(F.desc("total_freq"), "prefix")
+        .limit(100)
+    )
+
+
+ORACLE["search_prefix_topk"] = f"""
+WITH tok AS ({_DOC_TERMS_SQL}),
+vocab AS (
+  SELECT term, count(*) AS tf FROM tok
+  GROUP BY 1 HAVING length(term) >= {PREFIX_MIN}
+),
+pref AS (
+  SELECT term, tf, substr(term, 1, n) AS prefix
+  FROM vocab,
+       unnest(range({PREFIX_MIN},
+                    least(length(term), {PREFIX_MAX}) + 1)) AS u(n)
+),
+ranked AS (
+  SELECT prefix, term, tf,
+         row_number() OVER (PARTITION BY prefix
+                            ORDER BY tf DESC, term) AS rn
+  FROM pref
+),
+topk AS (
+  SELECT prefix,
+         array_to_string(list(term ORDER BY rn), ',') AS completions
+  FROM ranked WHERE rn <= {PREFIX_TOPK} GROUP BY prefix
+),
+vol AS (
+  SELECT prefix, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(tf) AS BIGINT) AS total_freq
+  FROM pref GROUP BY prefix
+)
+SELECT vol.prefix, vol.n_terms, vol.total_freq, topk.completions
+FROM vol JOIN topk ON topk.prefix = vol.prefix
+ORDER BY vol.total_freq DESC, vol.prefix
+LIMIT 100
+"""
+
+
 def pack_shards(
     df: DataFrame, part_col: str, order_col: str, size_col: str, budget: int
 ) -> DataFrame:
@@ -1673,6 +1777,7 @@ QUERIES = {
     "corpus_cdc_chunks": corpus_cdc_chunks,
     "tfidf_top_terms": tfidf_top_terms,
     "inverted_index_postings": inverted_index_postings,
+    "search_prefix_topk": search_prefix_topk,
     "corpus_shard_pack": corpus_shard_pack,
     "sample_stratified": sample_stratified,
     "source_mix_weights": source_mix_weights,

@@ -1209,8 +1209,118 @@ ORDER BY 1, 2
 """
 
 
+SKYLINE_BUCKETS = 32  # local-skyline pruning fan-out
+
+
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator over part — minimize
+    p_retailprice, maximize p_size: the points no other part beats on
+    both axes (Börzsönyi et al., ICDE 2001). Spark has no SKYLINE
+    clause; the scalable composition is the classic two-phase
+    distributed skyline: (1) collapse to distinct (price, size)
+    points with counts (one hash aggregation), (2) LOCAL skyline per
+    hash bucket — any partition of the point set preserves every true
+    skyline point, so bucket-local pruning is safe — via the
+    two-level trick that avoids fragile range frames on doubles: max
+    size per (bucket, price), then a rows-frame running max over the
+    per-price maxima gives "best size among strictly cheaper points";
+    a point survives iff it is its price's max AND beats that running
+    max, (3) the tiny candidate union (≤ one survivor per distinct
+    price per bucket; on this corpus ~dozens) gets the exact same
+    filter once more on a ``single_partition`` frame — provably
+    bounded, so the global pass is legitimate. At 100 TB phases 1-2
+    are partial-aggregated shuffles on point keys; only candidates
+    ever see a single task. Oracle: the textbook NOT EXISTS dominance
+    predicate."""
+    part = load_table(spark, sf_dir, "part")
+    pts = (
+        part.groupBy(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("psize"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("bkt", F.pmod(F.hash("price", "psize"), SKYLINE_BUCKETS))
+    )
+
+    def skyline_pass(points: DataFrame, w_price, w_run) -> DataFrame:
+        """One dominance-filter pass; windows supplied by the caller
+        (bucket-partitioned locally, single-partition globally)."""
+        return (
+            points.withColumn("pmax", F.max("psize").over(w_price))
+            .withColumn("m1", F.max("pmax").over(w_run))
+            .filter(
+                (F.col("psize") == F.col("pmax"))
+                & (F.col("m1").isNull() | (F.col("psize") > F.col("m1")))
+            )
+            .drop("pmax", "m1")
+        )
+
+    w_price_local = W.partitionBy("bkt", "price")
+    w_run_local = (
+        W.partitionBy("bkt")
+        .orderBy("price")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # rows-frame is exact here ONLY because m1 runs over per-price
+    # maxima: dedupe to one row per (bkt, price) first
+    local = skyline_pass(
+        pts.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("bkt", "price").orderBy(F.desc("psize"))
+            ),
+        ).filter(F.col("rn") == 1).drop("rn"),
+        w_price_local,
+        w_run_local,
+    )
+    # each surviving row keeps its OWN n_parts (the per-price dedupe
+    # only drops dominated same-price points), so candidates carry
+    # counts without a join-back
+    cand1, w_global = single_partition(
+        local.select("price", "psize", "n_parts"), by=["price"]
+    )
+    w_price_g = w_global.partitionBy(F.spark_partition_id(), "price")
+    w_run_g = (
+        w_global.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    )
+    sky = skyline_pass(
+        cand1.withColumn(
+            "rn",
+            F.row_number().over(
+                w_global.partitionBy(
+                    F.spark_partition_id(), "price"
+                ).orderBy(F.desc("psize"))
+            ),
+        ).filter(F.col("rn") == 1).drop("rn"),
+        w_price_g,
+        w_run_g,
+    )
+    return sky.select(
+        fround("price", 2).alias("price"), "psize", "n_parts"
+    ).orderBy("price")
+
+
+ORACLE["skyline_pareto"] = f"""
+WITH pts AS (
+  SELECT p_retailprice AS price, p_size AS psize, count(*) AS n_parts
+  FROM part GROUP BY 1, 2
+),
+sky AS (
+  SELECT * FROM pts a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts b
+    WHERE b.price <= a.price AND b.psize >= a.psize
+      AND (b.price < a.price OR b.psize > a.psize)
+  )
+)
+SELECT {fround_sql("price", 2)} AS price, psize, n_parts
+FROM sky ORDER BY price
+"""
+
+
 QUERIES = {
     "customer_segment_migration": customer_segment_migration,
+    "skyline_pareto": skyline_pareto,
     "customer_gini_concentration": customer_gini_concentration,
     "json_key_census": json_key_census,
     "q1_pricing_summary": q1_pricing_summary,
