@@ -168,6 +168,13 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "sink_compaction_plan",
     "table_orphan_files",
     "table_missingness_patterns",
+    "ts_holt_winters",
+    "ab_bayesian_beta",
+    "corpus_decontaminate_embedding",
+    "sql_try_arithmetic",
+    "skyline_pareto",
+    "features_kfold_assign",
+    "search_prefix_topk",
     # --- oldest-evidence (round-1) backfill ---
     "q13_customer_distribution",
     "q1_pricing_summary",

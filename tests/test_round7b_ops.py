@@ -1,0 +1,206 @@
+"""Round-7 second-wave operators: Holt-Winters seasonal smoothing,
+Bayesian beta A/B readout, embedding-space decontamination, try_*
+error-safe arithmetic, distributed Pareto skyline, grouped k-fold
+assignment, and the prefix autocomplete index. Each test pins the
+SEMANTICS (analytic invariants / hand-checkable properties); the
+registry oracle sweep pins exact values on real data."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_holt_winters_converges_on_periodic_series():
+    """On a noiseless level+trend+period-7 series the one-step errors
+    must shrink as the seasonal ring is learned: the last-cycle mean
+    error < first-cycle mean error, and both finite. Pure-python
+    replica of the recursion with the module's own constants — pins
+    the update equations independently of Spark."""
+    from mapreduce_rust_spark.plans.timeseries import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_PERIOD,
+    )
+
+    m = HW_PERIOD
+    pattern = [3.0, -1.0, 2.0, 0.0, -2.0, 1.0, -3.0]
+    y = [10.0 + 0.5 * t + pattern[t % m] for t in range(12 * m)]
+    a1 = sum(y[:m]) / m
+    lvl = a1
+    tr = (sum(y[m : 2 * m]) / m - a1) / m
+    ss = [v - a1 for v in y[:m]]
+    errs = []
+    for t in range(m, len(y)):
+        s_lag = ss[0]
+        errs.append(abs(y[t] - (lvl + tr + s_lag)))
+        new_lvl = HW_ALPHA * (y[t] - s_lag) + (1 - HW_ALPHA) * (lvl + tr)
+        tr = HW_BETA * (new_lvl - lvl) + (1 - HW_BETA) * tr
+        ss = ss[1:] + [HW_GAMMA * (y[t] - new_lvl) + (1 - HW_GAMMA) * s_lag]
+        lvl = new_lvl
+    first, last = sum(errs[:m]) / m, sum(errs[-m:]) / m
+    assert last < 0.5 * first  # seasonal ring learned, error halved+
+
+
+def test_holt_winters_output_shape(spark, sf_dir):
+    from mapreduce_rust_spark.plans.timeseries import ts_holt_winters
+
+    rows = ts_holt_winters(spark, sf_dir).collect()
+    assert rows, "every event type has a 30-day daily series"
+    for r in rows:
+        assert r["n_days"] >= 14  # 2m floor enforced on both engines
+        for c in ("level", "trend", "s_last", "forecast", "mae"):
+            assert math.isfinite(r[c])
+        assert r["mae"] >= 0.0
+
+
+def test_phi_is_a_cdf(spark):
+    """The A&S erf polynomial must reproduce the standard normal CDF
+    to its documented 1.5e-7: Φ(0)=0.5, Φ(1.96)≈0.975, symmetry."""
+    from mapreduce_rust_spark.plans.behavior import _phi
+
+    df = spark.range(1).select(
+        _phi(F.lit(0.0)).alias("p0"),
+        _phi(F.lit(1.959964)).alias("p975"),
+        _phi(F.lit(-1.959964)).alias("p025"),
+        _phi(F.lit(6.0)).alias("p_hi"),
+    )
+    r = df.collect()[0]
+    assert r["p0"] == pytest.approx(0.5, abs=1e-7)
+    assert r["p975"] == pytest.approx(0.975, abs=1e-5)
+    assert r["p025"] == pytest.approx(0.025, abs=1e-5)
+    assert r["p025"] == pytest.approx(1.0 - r["p975"], abs=1e-7)
+    assert r["p_hi"] > 0.999999
+
+
+def test_bayesian_beta_probabilities_consistent(spark, sf_dir):
+    from mapreduce_rust_spark.plans.behavior import ab_bayesian_beta
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    rows = ab_bayesian_beta(spark, sf_dir).collect()
+    assert rows
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    for r in rows:
+        assert r["na"] + r["nb"] == n_users
+        assert 0 <= r["ca"] <= r["na"] and 0 <= r["cb"] <= r["nb"]
+        assert 0.0 <= r["p_b_beats_a"] <= 1.0
+        # probability and lift must point the same way
+        if r["lift"] > 0:
+            assert r["p_b_beats_a"] > 0.5
+        elif r["lift"] < 0:
+            assert r["p_b_beats_a"] < 0.5
+
+
+def test_embedding_decontamination_census_nested(spark, sf_dir):
+    from mapreduce_rust_spark.operators.cleaning import (
+        DECON_EMB_HOLDOUT,
+        corpus_decontaminate_embedding,
+    )
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    rows = corpus_decontaminate_embedding(spark, sf_dir).collect()
+    assert rows
+    n_corpus = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % DECON_EMB_HOLDOUT != 0)
+        .count()
+    )
+    assert sum(r["n_vecs"] for r in rows) == n_corpus
+    for r in rows:
+        assert 0 <= r["n_flagged_hi"] <= r["n_flagged_lo"] <= r["n_vecs"]
+        assert r["max_maxsim"] <= 1.000001
+        assert r["avg_maxsim"] <= r["max_maxsim"]
+
+
+def test_try_arithmetic_census_matches_direct_counts(spark, sf_dir):
+    from mapreduce_rust_spark.plans.sqlface import sql_try_arithmetic
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    rows = {r["l_returnflag"]: r for r in sql_try_arithmetic(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("l_quantity") == 25.0).cast("bigint")).alias("dz"),
+            F.sum((F.col("l_linenumber") % 2 != 0).cast("bigint")).alias("pf"),
+            F.sum((F.col("l_orderkey") >= 1).cast("bigint")).alias("ov"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(direct)
+    for flag, r in rows.items():
+        d = direct[flag]
+        assert r["n_rows"] == d["n"]
+        assert r["n_div_zero"] == d["dz"]
+        assert r["n_parse_fail"] == d["pf"]
+        assert r["n_overflow"] == d["ov"]
+
+
+def test_skyline_is_mutually_non_dominated(spark, sf_dir):
+    from mapreduce_rust_spark.plans.analytics import skyline_pareto
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    rows = skyline_pareto(spark, sf_dir).collect()
+    assert rows
+    pts = [(r["price"], r["psize"]) for r in rows]
+    for i, (p1, s1) in enumerate(pts):
+        for j, (p2, s2) in enumerate(pts):
+            if i != j:
+                dominated = p2 <= p1 and s2 >= s1 and (p2 < p1 or s2 > s1)
+                assert not dominated, f"{pts[j]} dominates {pts[i]}"
+    # along the frontier (min price, max size): price up => size strictly up
+    ordered = sorted(pts)
+    sizes = [s for _, s in ordered]
+    assert sizes == sorted(sizes) and len(set(sizes)) == len(sizes)
+    # every skyline point must actually exist in part, with its count
+    part = load_table(spark, sf_dir, "part")
+    for r in rows:
+        n = part.filter(
+            (F.floor(F.round(F.col("p_retailprice"), 6) * 100) / 100 == r["price"])
+            & (F.col("p_size") == r["psize"])
+        ).count()
+        assert n == r["n_parts"] > 0
+
+
+def test_kfold_grouped_assignment_balanced_and_pure(spark, sf_dir):
+    from mapreduce_rust_spark.operators.cleaning import KFOLDS, features_kfold_assign
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    rows = features_kfold_assign(spark, sf_dir).collect()
+    assert len(rows) == KFOLDS
+    assert {r["fold"] for r in rows} == set(range(KFOLDS))
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    n_ord = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert sum(r["n_orders"] for r in rows) == n_ord
+    for r in rows:
+        assert r["n_leaked"] == 0, "group purity is the contract"
+        # hash folds should be roughly balanced (±50% of 1/k is lax)
+        assert abs(r["n_customers"] - n_cust / KFOLDS) < 0.5 * n_cust / KFOLDS
+
+
+def test_prefix_index_completions_complete_their_prefix(spark, sf_dir):
+    from mapreduce_rust_spark.operators.corpus import (
+        PREFIX_MAX,
+        PREFIX_MIN,
+        PREFIX_TOPK,
+        search_prefix_topk,
+    )
+
+    rows = search_prefix_topk(spark, sf_dir).collect()
+    assert rows
+    vols = [r["total_freq"] for r in rows]
+    assert vols == sorted(vols, reverse=True)
+    for r in rows:
+        assert PREFIX_MIN <= len(r["prefix"]) <= PREFIX_MAX
+        comps = r["completions"].split(",")
+        assert len(comps) == min(PREFIX_TOPK, r["n_terms"])
+        for c in comps:
+            assert c.startswith(r["prefix"]) or c == r["prefix"]
