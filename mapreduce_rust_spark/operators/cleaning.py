@@ -273,7 +273,8 @@ LIMIT 100
 """
 
 
-DECON_EMB_HOLDOUT = 20  # 1/20 of vectors held out as the "benchmark"
+DECON_EMB_HOLDOUT = 20  # hash spacing of the held-out "benchmark" ids
+DECON_EMB_CAP = 1000  # bench ids drawn from [0, CAP) ONLY — an eval set is FIXED-SIZE; a fraction-of-corpus bench made the screen quadratic (sf1 sweep measured exponent 1.89 before this cap, 50 bench vecs after)
 DECON_EMB_THR_HI = 0.4  # flag threshold (calibrated to the synthetic corpus: its max-sim p99 ≈ 0.43; with real embeddings this is the usual 0.9-0.95 knob)
 DECON_EMB_THR_LO = 0.3
 
@@ -282,11 +283,14 @@ def corpus_decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFram
     """Embedding-space decontamination — the semantic sibling of
     ``decontaminate_ngram_overlap``: instead of exact 8-token span
     collisions, each corpus vector is screened by its MAX COSINE
-    against a deterministic 1/{DECON_EMB_HOLDOUT} hash-held-out
-    "benchmark" slice (the technique behind paraphrase-robust eval
-    decontamination — n-gram screens miss reworded test questions;
-    cosine against the eval set's embeddings catches them). Plan
-    shape: the benchmark side is eval-set-sized → ``broadcast`` +
+    against a deterministic FIXED-SIZE held-out "benchmark" slice
+    (ids ≡ 0 mod {DECON_EMB_HOLDOUT} below {DECON_EMB_CAP} — an eval
+    set does not grow with the corpus; the id cap is what keeps the
+    screen LINEAR, see DECON_EMB_CAP). The technique behind
+    paraphrase-robust eval decontamination — n-gram screens miss
+    reworded test questions; cosine against the eval set's embeddings
+    catches them. Plan shape: the benchmark side is eval-set-sized →
+    ``broadcast`` +
     nested-loop scoring (the same corpus×bench asymmetry as the
     n-gram screen), one zip_with dot per pair JVM-side, then a
     per-vector max and a per-label census. At 100 TB the corpus side
@@ -303,10 +307,13 @@ def corpus_decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFram
         F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)
     )
     emb = emb.withColumn("nrm", nrm)
-    bench = emb.filter(F.col("vec_id") % DECON_EMB_HOLDOUT == 0).select(
+    is_bench = (F.col("vec_id") % DECON_EMB_HOLDOUT == 0) & (
+        F.col("vec_id") < DECON_EMB_CAP
+    )
+    bench = emb.filter(is_bench).select(
         F.col("e").alias("be"), F.col("nrm").alias("bnrm")
     )
-    corp = emb.filter(F.col("vec_id") % DECON_EMB_HOLDOUT != 0)
+    corp = emb.filter(~is_bench)
     dot = F.aggregate(
         F.zip_with("e", "be", lambda x, y: x * y),
         F.lit(0.0),
@@ -346,12 +353,15 @@ WITH e AS (
   FROM embeddings
 ),
 bench AS (SELECT e AS be, nrm AS bnrm FROM e
-          WHERE vec_id % {DECON_EMB_HOLDOUT} = 0),
+          WHERE vec_id % {DECON_EMB_HOLDOUT} = 0
+            AND vec_id < {DECON_EMB_CAP}),
 sims AS (
   SELECT c.vec_id, c.label,
          max(list_sum(list_transform(range(1, len(c.e) + 1),
              i -> c.e[i] * b.be[i])) / (c.nrm * b.bnrm)) AS maxsim
-  FROM (SELECT * FROM e WHERE vec_id % {DECON_EMB_HOLDOUT} <> 0) c, bench b
+  FROM (SELECT * FROM e
+        WHERE NOT (vec_id % {DECON_EMB_HOLDOUT} = 0
+                   AND vec_id < {DECON_EMB_CAP})) c, bench b
   GROUP BY 1, 2
 )
 SELECT label, count(*) AS n_vecs,

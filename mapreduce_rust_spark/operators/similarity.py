@@ -417,6 +417,156 @@ FROM ranked WHERE rank <= 5
 """
 
 
+RERANK_COARSE_C = 20  # stage-1 candidate pool per query
+RERANK_K = 5  # final exact top-k
+
+
+def ann_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage retrieval pattern: a CHEAP coarse scan
+    selects {RERANK_COARSE_C} candidates per query, an EXACT rescore
+    ranks only those — stage 1 runs over int8-reconstructed vectors
+    (¼ the bytes of float32: the memory-bound scan every
+    billion-vector serving tier actually affords, reusing
+    ``ann_topk_int8``'s affine arithmetic bit-for-bit), stage 2
+    touches full-precision vectors for just |Q|×{RERANK_COARSE_C}
+    rows. At 100 TB the full-precision corpus is read via a join
+    against the BROADCAST candidate list — the expensive vectors
+    stream through exactly once and only candidate rows surface; no
+    per-query corpus scan ever happens at double width. Output keeps
+    ``coarse_rank`` next to the exact rank so the reorder the cheap
+    stage would have gotten wrong is visible per row — the built-in
+    audit of what quantization costs AFTER reranking (compare
+    ``ann_topk_int8``, which serves the quantized ranking as-is)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    v = F.col("embedding")
+    mn = F.array_min(v).cast("double")
+    scale = (F.array_max(v).cast("double") - mn) / F.lit(255.0)
+    recon = F.when(
+        scale > 0,
+        F.transform(
+            v,
+            lambda x: mn
+            + F.floor((x.cast("double") - mn) / scale + F.lit(0.5)) * scale,
+        ),
+    ).otherwise(F.transform(v, lambda x: mn))
+    rec = emb.select("vec_id", recon.alias("rv"))
+    qc = F.broadcast(
+        rec.filter(F.expr(_QUERY_PRED)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("rv").alias("qrv"),
+            l2_norm(F.col("rv")).alias("qrn"),
+        )
+    )
+    cc = rec.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("rv").alias("crv"),
+        l2_norm(F.col("rv")).alias("crn"),
+    )
+    wc = W.partitionBy("query_id").orderBy(F.col("csim").desc(), "neighbor_id")
+    cand = (
+        qc.join(cc, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(cosine_from_norms("qrv", "crv", "qrn", "crn"), 6).alias(
+                "csim"
+            ),
+        )
+        .withColumn("coarse_rank", F.row_number().over(wc))
+        .filter(F.col("coarse_rank") <= RERANK_COARSE_C)
+        .select("query_id", "neighbor_id", "coarse_rank")
+    )
+    full = emb.select(
+        "vec_id",
+        F.col("embedding").alias("fv"),
+        l2_norm(F.col("embedding")).alias("fn"),
+    )
+    qf = F.broadcast(
+        full.filter(F.expr(_QUERY_PRED)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("fv").alias("qfv"),
+            F.col("fn").alias("qfn"),
+        )
+    )
+    rescored = (
+        full.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(qf, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "coarse_rank",
+            fround(cosine_from_norms("qfv", "fv", "qfn", "fn"), 6).alias(
+                "esim"
+            ),
+        )
+    )
+    we = W.partitionBy("query_id").orderBy(F.col("esim").desc(), "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= RERANK_K)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            fround(F.col("esim"), 4).alias("sim"),
+            "coarse_rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE["ann_rerank_two_stage"] = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve,
+         list_min(embedding)::DOUBLE AS mn,
+         (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE) / 255.0
+           AS scale
+  FROM embeddings
+),
+rec AS (
+  SELECT vec_id, ve,
+         CASE WHEN scale > 0
+              THEN list_transform(ve, x -> mn + floor((x - mn) / scale + 0.5) * scale)
+              ELSE list_transform(ve, x -> mn)
+         END AS rv
+  FROM base
+),
+qc AS (SELECT vec_id AS query_id, rv AS qrv FROM rec WHERE {_QUERY_PRED}),
+coarse AS (
+  SELECT qc.query_id, rec.vec_id AS neighbor_id,
+         floor(round(list_cosine_similarity(qc.qrv, rec.rv), 10) * 1000000)
+           / 1000000 AS csim
+  FROM qc JOIN rec ON qc.query_id <> rec.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY csim DESC, neighbor_id) AS coarse_rank
+  FROM coarse QUALIFY coarse_rank <= {RERANK_COARSE_C}
+),
+qf AS (SELECT vec_id AS query_id, ve AS qve FROM rec WHERE {_QUERY_PRED}),
+rescored AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.coarse_rank,
+         floor(round(list_cosine_similarity(qf.qve, rec.ve), 10) * 1000000)
+           / 1000000 AS esim
+  FROM cand
+  JOIN rec ON rec.vec_id = cand.neighbor_id
+  JOIN qf ON qf.query_id = cand.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, coarse_rank, esim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY esim DESC, neighbor_id) AS rank
+  FROM rescored
+)
+SELECT query_id, rank, neighbor_id,
+       floor(round(esim, 8) * 10000) / 10000 AS sim, coarse_rank
+FROM ranked WHERE rank <= {RERANK_K}
+ORDER BY query_id, rank
+"""
+
+
 def ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.expr(_QUERY_PRED))
@@ -2989,4 +3139,5 @@ QUERIES = {
     "embedding_power_iteration": embedding_power_iteration,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_text_align": embedding_text_align,
+    "ann_rerank_two_stage": ann_rerank_two_stage,
 }

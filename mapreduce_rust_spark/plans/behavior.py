@@ -1534,6 +1534,161 @@ ORDER BY t1, t2
 """
 
 
+KM_HORIZONS = (30, 60, 90, 180, 365)  # survival readout days
+
+
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator over time-to-reorder —
+    the censoring-correct answer to "how long until a customer buys
+    again?" that a naive avg(gap) gets wrong (customers who never
+    reordered are CENSORED at the observation edge, not ignored):
+    every consecutive order pair is an observed reorder duration, the
+    last order of each customer is censored at the corpus max date,
+    and S(t) = Π_{{u≤t}} (1 − d_u/n_u) over the grouped duration grid.
+    Scale shape: one customer-keyed window pass builds durations
+    map-side-combinable into the DAY-GRANULAR grid (bounded by the
+    calendar span, NOT by row count), the risk-set/product recursion
+    runs on that provably-bounded grid via ``single_partition``, and
+    the {len(KM_HORIZONS)}-row horizon readout joins the grid
+    broadcast. The product becomes exp(Σ ln(1−d/n)) so one running
+    sum replaces the sequential product. Output per horizon: at-risk
+    count, cumulative events/censored, S(horizon)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wmax = orders.agg(F.max("o_orderdate").alias("obs_end"))
+    wcust = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    durs = (
+        orders.crossJoin(F.broadcast(wmax))
+        .withColumn("nxt", F.lead("o_orderdate").over(wcust))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.datediff("nxt", "o_orderdate"),
+            )
+            .otherwise(F.datediff("obs_end", "o_orderdate"))
+            .alias("dur"),
+            F.col("nxt").isNotNull().cast("bigint").alias("event"),
+        )
+    )
+    # the curve only needs durations ≤ the last horizon; durations
+    # beyond it enter ONLY through the total (risk-set mass), which
+    # also guarantees 1 − d/n stays strictly positive on every
+    # retained row (the observation window outlives every horizon,
+    # so censored mass beyond the cut always exists — no ln(0))
+    total_df = durs.agg(F.count(F.lit(1)).alias("total"))
+    grid = (
+        durs.filter(F.col("dur") <= max(KM_HORIZONS))
+        .groupBy("dur")
+        .agg(
+            F.sum("event").alias("d"),
+            F.sum(F.lit(1) - F.col("event")).alias("c"),
+        )
+        .crossJoin(F.broadcast(total_df))
+    )
+    g1, wg = single_partition(grid, by=["dur"])
+    w_prev = wg.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    w_upto = wg.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    curve = (
+        g1.withColumn(
+            "n_risk",
+            F.col("total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "logterm",
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                F.log(F.lit(1.0) - F.col("d") / F.col("n_risk")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("logs", F.sum("logterm").over(w_upto))
+        .withColumn("cum_d", F.sum("d").over(w_upto))
+        .withColumn("cum_c", F.sum("c").over(w_upto))
+    )
+    horizons = spark.range(len(KM_HORIZONS)).select(
+        F.element_at(
+            F.array(*[F.lit(h) for h in KM_HORIZONS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("horizon_days")
+    )
+    return (
+        curve.join(
+            F.broadcast(horizons),
+            F.col("dur") <= F.col("horizon_days"),
+        )
+        .groupBy("horizon_days")
+        .agg(
+            F.max(F.struct("dur", "logs", "cum_d", "cum_c")).alias("last"),
+            F.first("total").alias("total"),
+        )
+        .select(
+            "horizon_days",
+            (F.col("total") - F.col("last.cum_d") - F.col("last.cum_c")).alias(
+                "n_at_risk"
+            ),
+            F.col("last.cum_d").alias("events_so_far"),
+            F.col("last.cum_c").alias("censored_so_far"),
+            fround(F.exp("last.logs"), 6).alias("survival"),
+        )
+        .orderBy("horizon_days")
+    )
+
+
+ORACLE["survival_kaplan_meier"] = f"""
+WITH durs AS (
+  SELECT CASE WHEN nxt IS NOT NULL
+              THEN date_diff('day', o_orderdate, nxt)
+              ELSE date_diff('day', o_orderdate,
+                             (SELECT max(o_orderdate) FROM orders))
+         END AS dur,
+         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM (
+    SELECT o_orderdate,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS nxt
+    FROM orders
+  )
+),
+grid AS (
+  SELECT dur, CAST(sum(event) AS BIGINT) AS d,
+         CAST(sum(1 - event) AS BIGINT) AS c,
+         (SELECT count(*) FROM durs) AS total
+  FROM durs WHERE dur <= {max(KM_HORIZONS)} GROUP BY dur
+),
+curve AS (
+  SELECT dur, d, c, total,
+         total - coalesce(sum(d + c) OVER (
+             ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS n_risk,
+         sum(d) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum_d,
+         sum(c) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum_c
+  FROM grid
+),
+curve2 AS (
+  SELECT dur, total, cum_d, cum_c,
+         sum(CASE WHEN d > 0 AND d < n_risk
+                  THEN ln(1.0 - d / n_risk) ELSE 0.0 END)
+           OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS logs
+  FROM curve
+),
+h AS (SELECT unnest([{", ".join(str(h) for h in KM_HORIZONS)}]) AS horizon_days),
+j AS (
+  SELECT h.horizon_days, max_by(curve2, curve2.dur) AS last,
+         any_value(curve2.total) AS total
+  FROM curve2 JOIN h ON curve2.dur <= h.horizon_days
+  GROUP BY h.horizon_days
+)
+SELECT horizon_days,
+       CAST(total - last.cum_d - last.cum_c AS BIGINT) AS n_at_risk,
+       CAST(last.cum_d AS BIGINT) AS events_so_far,
+       CAST(last.cum_c AS BIGINT) AS censored_so_far,
+       {fround_sql("exp(last.logs)", 6)} AS survival
+FROM j ORDER BY horizon_days
+"""
+
+
 QUERIES = {
     "graph_bipartite_projection": graph_bipartite_projection,
     "events_user_activity_powerlaw": events_user_activity_powerlaw,
@@ -1551,6 +1706,7 @@ QUERIES = {
     "ab_welch_ttest": ab_welch_ttest,
     "ab_bayesian_beta": ab_bayesian_beta,
     "cohort_retention": cohort_retention,
+    "survival_kaplan_meier": survival_kaplan_meier,
     "funnel_conversion": funnel_conversion,
     "funnel_time_bounded": funnel_time_bounded,
     "event_path_analysis": event_path_analysis,

@@ -1644,6 +1644,173 @@ ORDER BY event_type
 """
 
 
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between every pair of event-type
+    daily series — the alignment-tolerant series similarity (a lagged
+    but same-shaped pair scores close where Euclidean/correlation
+    punish the shift; complements ``ts_cross_correlation``, which
+    only tests FIXED lags). Series are z-normalized, then the classic
+    O(n·m) DP: dp(i,j) = |a_i−b_j| + min(diag, up, left). Scale
+    shape: the data-sized work is ONE daily aggregation; the DP runs
+    per TYPE-PAIR on calendar-bounded series (30×30 here — bounded by
+    days, never by event rows) inside one Arrow batch per pair via
+    ``applyInPandas``. The DuckDB oracle replays the identical DP as
+    a RECURSIVE CTE in row-major cell order carrying a ring buffer of
+    the last m+1 cells as a LIST column (diag/up/left live at ring
+    positions 1/2/m+1 — the textbook O(m)-memory DP layout), over an
+    AS MATERIALIZED cost matrix. Output: per pair, the DTW distance
+    and the per-step normalized distance."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("y"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("y").alias("m"), F.stddev_samp("y").alias("sd")
+    )
+    series = (
+        daily.join(stats, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "day",
+                            F.when(
+                                F.col("sd") > 0,
+                                (F.col("y") - F.col("m")) / F.col("sd"),
+                            )
+                            .otherwise(F.lit(0.0))
+                            .alias("z"),
+                        )
+                    )
+                ),
+                lambda s: s["z"],
+            ).alias("zs")
+        )
+    )
+    a = series.select(
+        F.col("event_type").alias("t1"), F.col("zs").alias("za")
+    )
+    b = series.select(
+        F.col("event_type").alias("t2"), F.col("zs").alias("zb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("t1") < F.col("t2"))
+
+    schema = (
+        "t1 string, t2 string, n1 bigint, n2 bigint, dtw double,"
+        " dtw_per_step double"
+    )
+
+    def dtw(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            xs, ys = list(row["za"]), list(row["zb"])
+            n, m = len(xs), len(ys)
+            prev = [0.0] * m
+            for j in range(m):
+                prev[j] = abs(xs[0] - ys[j]) + (prev[j - 1] if j else 0.0)
+            for i in range(1, n):
+                cur = [0.0] * m
+                for j in range(m):
+                    cost = abs(xs[i] - ys[j])
+                    diag = prev[j - 1] if j else float("inf")
+                    up = prev[j]
+                    left = cur[j - 1] if j else float("inf")
+                    cur[j] = cost + min(diag, up, left)
+                prev = cur
+            d = prev[-1]
+            out.append([row["t1"], row["t2"], n, m, d, d / (n + m)])
+        return pd.DataFrame(
+            out, columns=["t1", "t2", "n1", "n2", "dtw", "dtw_per_step"]
+        )
+
+    res = pairs.groupBy("t1", "t2").applyInPandas(dtw, schema)
+    return res.select(
+        "t1",
+        "t2",
+        "n1",
+        "n2",
+        fround("dtw", 4).alias("dtw"),
+        fround("dtw_per_step", 4).alias("dtw_per_step"),
+    ).orderBy("t1", "t2")
+
+
+ORACLE["ts_dtw_distance"] = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS y
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(y) AS m, stddev_samp(y) AS sd
+  FROM daily GROUP BY 1
+),
+z AS (
+  SELECT d.event_type,
+         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS i,
+         CASE WHEN s.sd > 0 THEN (d.y - s.m) / s.sd ELSE 0.0 END AS v
+  FROM daily d JOIN stats s ON s.event_type = d.event_type
+),
+pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2
+  FROM stats a JOIN stats b ON a.event_type < b.event_type
+),
+cost AS MATERIALIZED (
+  SELECT p.t1, p.t2, za.i AS i, zb.i AS j, abs(za.v - zb.v) AS cst
+  FROM pairs p
+  JOIN z za ON za.event_type = p.t1
+  JOIN z zb ON zb.event_type = p.t2
+),
+dims AS MATERIALIZED (
+  SELECT t1, t2, max(i) AS n, max(j) AS m FROM cost GROUP BY 1, 2
+),
+row1 AS (
+  SELECT c.t1, c.t2, c.j,
+         sum(c.cst) OVER (PARTITION BY c.t1, c.t2
+                          ORDER BY c.j ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS dp
+  FROM cost c WHERE c.i = 1
+),
+seed AS (
+  SELECT d.t1, d.t2, d.n, d.m, d.m AS c,
+         [CAST(1e18 AS DOUBLE)] || list(r.dp ORDER BY r.j) AS ring
+  FROM dims d JOIN row1 r ON r.t1 = d.t1 AND r.t2 = d.t2
+  GROUP BY d.t1, d.t2, d.n, d.m
+),
+dp AS (
+  SELECT t1, t2, n, m, c, ring FROM seed
+  UNION ALL
+  SELECT dp.t1, dp.t2, dp.n, dp.m, dp.c + 1,
+         dp.ring[2:] || [
+           k.cst + least(
+             CASE WHEN (dp.c % dp.m) + 1 = 1 THEN CAST(1e18 AS DOUBLE)
+                  ELSE dp.ring[1] END,
+             dp.ring[2],
+             CASE WHEN (dp.c % dp.m) + 1 = 1 THEN CAST(1e18 AS DOUBLE)
+                  ELSE dp.ring[dp.m + 1] END
+           )
+         ]
+  FROM dp
+  JOIN cost k
+    ON k.t1 = dp.t1 AND k.t2 = dp.t2
+   AND k.i = (dp.c // dp.m) + 1
+   AND k.j = (dp.c % dp.m) + 1
+  WHERE dp.c < dp.n * dp.m
+),
+fin AS (
+  SELECT t1, t2, n, m, ring[m + 1] AS d
+  FROM dp WHERE c = n * m
+)
+SELECT t1, t2, CAST(n AS BIGINT) AS n1, CAST(m AS BIGINT) AS n2,
+       floor(round(d, 8) * 10000) / 10000 AS dtw,
+       floor(round(d / (n + m), 8) * 10000) / 10000 AS dtw_per_step
+FROM fin ORDER BY t1, t2
+"""
+
+
 CUSUM_SLACK = 0.5  # k: slack in σ units
 CUSUM_H = 4.0  # h: alarm threshold in σ units
 
@@ -2194,6 +2361,7 @@ QUERIES = {
     "events_burstiness": events_burstiness,
     "ts_holt_linear": ts_holt_linear,
     "ts_holt_winters": ts_holt_winters,
+    "ts_dtw_distance": ts_dtw_distance,
     "ts_theil_sen_trend": ts_theil_sen_trend,
     "ts_rolling_median": ts_rolling_median,
     "ts_gap_outages": ts_gap_outages,

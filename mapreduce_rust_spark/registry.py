@@ -175,6 +175,9 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "skyline_pareto",
     "features_kfold_assign",
     "search_prefix_topk",
+    "ann_rerank_two_stage",
+    "survival_kaplan_meier",
+    "ts_dtw_distance",
     # --- oldest-evidence (round-1) backfill ---
     "q13_customer_distribution",
     "q1_pricing_summary",

