@@ -136,7 +136,13 @@ def test_try_arithmetic_census_matches_direct_counts(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.sum((F.col("l_quantity") == 25.0).cast("bigint")).alias("dz"),
             F.sum((F.col("l_linenumber") % 2 != 0).cast("bigint")).alias("pf"),
-            F.sum((F.col("l_orderkey") >= 1).cast("bigint")).alias("ov"),
+            F.sum(
+                (
+                    F.col("l_linenumber")
+                    + 7 * F.col("l_quantity").cast("bigint")
+                    > 356
+                ).cast("bigint")
+            ).alias("ov"),
         )
         .collect()
     }
