@@ -692,6 +692,120 @@ ORDER BY 1
 """
 
 
+KS_ALPHA_C = 1.358  # c(α) for the α=0.05 two-sample KS critical value
+
+
+def table_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event type — the
+    EXACT-TEST sibling of ``table_drift_psi``: D = max |F₁(v) − F₂(v)|
+    between the first and second half of the observation window, with
+    the α=0.05 critical value c(α)·√((n₁+n₂)/(n₁n₂)) and a drift
+    verdict per type. The ECDFs are compared on the integer-quantized
+    value grid (floor(value)) — the streaming-KS standard: the grid
+    is bounded by the VALUE DOMAIN, not the row count, so the
+    per-type cumulative window runs on a provably-bounded frame at
+    any scale (the same bounded-grid argument as the PSI bins; raw
+    per-row ECDFs would put a data-sized window behind a 5-key
+    partition). One partial-aggregated shuffle on (type, grid cell),
+    then window arithmetic on the grid."""
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.agg(F.min(F.date_trunc("day", "ts")).alias("d0"))
+    g = (
+        ev.crossJoin(F.broadcast(lo))
+        .select(
+            "event_type",
+            (
+                F.datediff(F.date_trunc("day", "ts"), "d0") < 15
+            ).cast("int").alias("early"),
+            F.floor("value").cast("bigint").alias("gv"),
+        )
+        .groupBy("event_type", "gv")
+        .agg(
+            F.sum("early").alias("c1"),
+            F.sum(F.lit(1) - F.col("early")).alias("c2"),
+        )
+    )
+    wt = W.partitionBy("event_type")
+    wc = wt.orderBy("gv").rowsBetween(W.unboundedPreceding, 0)
+    curves = (
+        g.withColumn("t1", F.sum("c1").over(wt))
+        .withColumn("t2", F.sum("c2").over(wt))
+        .withColumn("f1", F.sum("c1").over(wc) / F.col("t1"))
+        .withColumn("f2", F.sum("c2").over(wc) / F.col("t2"))
+    )
+    return (
+        curves.groupBy("event_type")
+        .agg(
+            F.first("t1").alias("n1"),
+            F.first("t2").alias("n2"),
+            F.max(F.abs(F.col("f1") - F.col("f2"))).alias("d_raw"),
+        )
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            fround("d_raw", 6).alias("ks_d"),
+            fround(
+                F.lit(KS_ALPHA_C)
+                * F.sqrt(
+                    (F.col("n1") + F.col("n2"))
+                    / (F.col("n1") * F.col("n2")).cast("double")
+                ),
+                6,
+            ).alias("ks_crit"),
+            (
+                F.col("d_raw")
+                > F.lit(KS_ALPHA_C)
+                * F.sqrt(
+                    (F.col("n1") + F.col("n2"))
+                    / (F.col("n1") * F.col("n2")).cast("double")
+                )
+            ).alias("drift"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["table_ks_drift"] = f"""
+WITH lo AS (SELECT min(date_trunc('day', ts)) AS d0 FROM events),
+g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN date_diff('day', lo.d0,
+                                      date_trunc('day', ts)) < 15
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN date_diff('day', lo.d0,
+                                      date_trunc('day', ts)) < 15
+                       THEN 0 ELSE 1 END) AS BIGINT) AS c2,
+         CAST(floor(value) AS BIGINT) AS gv
+  FROM events, lo GROUP BY event_type, gv
+),
+curves AS (
+  SELECT event_type, gv, c1, c2,
+         sum(c1) OVER (PARTITION BY event_type) AS t1,
+         sum(c2) OVER (PARTITION BY event_type) AS t2,
+         sum(c1) OVER (PARTITION BY event_type ORDER BY gv
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum1,
+         sum(c2) OVER (PARTITION BY event_type ORDER BY gv
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum2
+  FROM g
+),
+agg AS (
+  SELECT event_type, CAST(max(t1) AS BIGINT) AS n1,
+         CAST(max(t2) AS BIGINT) AS n2,
+         max(abs(cum1 * 1.0 / t1 - cum2 * 1.0 / t2)) AS d_raw
+  FROM curves GROUP BY event_type
+)
+SELECT event_type, n1, n2,
+       {fround_sql("d_raw", 6)} AS ks_d,
+       {fround_sql(f"{KS_ALPHA_C} * sqrt((n1 + n2) / (n1 * 1.0 * n2))", 6)}
+         AS ks_crit,
+       d_raw > {KS_ALPHA_C} * sqrt((n1 + n2) / (n1 * 1.0 * n2)) AS drift
+FROM agg ORDER BY event_type
+"""
+
+
 PSI_BINS = 10
 
 
@@ -1758,6 +1872,7 @@ QUERIES = {
     "table_profile": table_profile,
     "table_skew_report": table_skew_report,
     "table_drift_psi": table_drift_psi,
+    "table_ks_drift": table_ks_drift,
     "table_fd_discovery": table_fd_discovery,
     "table_sketch_profile": table_sketch_profile,
     "table_histogram": table_histogram,

@@ -1534,6 +1534,84 @@ ORDER BY t1, t2
 """
 
 
+def events_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for event value across event types —
+    the k-group generalization of ``ab_welch_ttest``'s two arms: does
+    the metric differ across ANY of the k groups, in one test instead
+    of k² pairwise comparisons (the multiple-testing trap). Pure
+    closed-form decomposition SS_total = SS_between + SS_within from
+    ONE aggregation over (type): SSB = Σ nᵢ(mᵢ−m̄)², SSW = Σ(nᵢ−1)vᵢ,
+    F = (SSB/(k−1))/(SSW/(N−k)), plus η² = SSB/(SSB+SSW) (effect
+    size — F says "real", η² says "big enough to matter"). At 100 TB
+    this is a k-row partial-aggregated shuffle and 1-row arithmetic;
+    like Welch, the F statistic and dfs are reported (the F CDF is
+    not SQL-expressible) — gates threshold F directly."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "nn", "gm")
+        .agg(
+            F.sum(
+                F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+            ).alias("ssb"),
+            F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+        )
+        .select(
+            "k",
+            F.col("nn").alias("n_total"),
+            (F.col("k") - 1).alias("df_between"),
+            (F.col("nn") - F.col("k")).alias("df_within"),
+            fround("ssb", 4).alias("ss_between"),
+            fround("ssw", 4).alias("ss_within"),
+            fround(
+                (F.col("ssb") / (F.col("k") - 1))
+                / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+                6,
+            ).alias("f_stat"),
+            fround(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
+                "eta_squared"
+            ),
+        )
+    )
+
+
+ORACLE["events_anova_oneway"] = f"""
+WITH g AS (
+  SELECT event_type, count(*) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+         sum(n * m) / sum(n) AS gm
+  FROM g
+),
+ss AS (
+  SELECT tot.k, tot.nn, tot.gm,
+         sum(g.n * (g.m - tot.gm) * (g.m - tot.gm)) AS ssb,
+         sum((g.n - 1) * g.v) AS ssw
+  FROM g CROSS JOIN tot GROUP BY 1, 2, 3
+)
+SELECT k, nn AS n_total,
+       k - 1 AS df_between,
+       nn - k AS df_within,
+       {fround_sql("ssb", 4)} AS ss_between,
+       {fround_sql("ssw", 4)} AS ss_within,
+       {fround_sql("(ssb / (k - 1)) / (ssw / (nn - k))", 6)} AS f_stat,
+       {fround_sql("ssb / (ssb + ssw)", 6)} AS eta_squared
+FROM ss
+"""
+
+
 KM_HORIZONS = (30, 60, 90, 180, 365)  # survival readout days
 
 
@@ -1707,6 +1785,7 @@ QUERIES = {
     "ab_bayesian_beta": ab_bayesian_beta,
     "cohort_retention": cohort_retention,
     "survival_kaplan_meier": survival_kaplan_meier,
+    "events_anova_oneway": events_anova_oneway,
     "funnel_conversion": funnel_conversion,
     "funnel_time_bounded": funnel_time_bounded,
     "event_path_analysis": event_path_analysis,

@@ -178,6 +178,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "ann_rerank_two_stage",
     "survival_kaplan_meier",
     "ts_dtw_distance",
+    "table_ks_drift",
+    "events_anova_oneway",
     # --- oldest-evidence (round-1) backfill ---
     "q13_customer_distribution",
     "q1_pricing_summary",

