@@ -1618,6 +1618,109 @@ FROM ss
 """
 
 
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator per event type — the
+    observational sibling of the A/B readouts: when assignment isn't
+    randomized per-request, DiD removes both the group baseline and
+    the common time trend in one subtraction, (T_post − T_pre) −
+    (C_post − C_pre). Groups are the deterministic md5 user split,
+    periods the first-15-days/rest split (same knives as
+    ``ab_bayesian_beta`` and ``table_ks_drift``). One aggregation to
+    the 4-cell (arm × period) means per type, then closed-form
+    estimate and SE = √(Σ vᵢ/nᵢ) over the four cells (independent
+    cell means), t = DiD/SE. At 100 TB: one partial-combined shuffle
+    on a 4×|types| key; everything after is 4-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.agg(F.min(F.date_trunc("day", "ts")).alias("d0"))
+    cells = (
+        ev.crossJoin(F.broadcast(lo))
+        .select(
+            "event_type",
+            (F.md5(F.col("user_id").cast("string")) < "8")
+            .cast("int")
+            .alias("treated"),
+            (F.datediff(F.date_trunc("day", "ts"), "d0") >= 15)
+            .cast("int")
+            .alias("post"),
+            "value",
+        )
+        .groupBy("event_type", "treated", "post")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+
+    def cell(t, p, col):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    g = cells.groupBy("event_type").agg(
+        *[
+            cell(t, p, c).alias(f"{c}{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+            for c in ("n", "m", "v")
+        ]
+    )
+    did = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+    se = F.sqrt(
+        F.col("v00") / F.col("n00")
+        + F.col("v01") / F.col("n01")
+        + F.col("v10") / F.col("n10")
+        + F.col("v11") / F.col("n11")
+    )
+    return g.select(
+        "event_type",
+        F.col("n10").alias("n_treat_pre"),
+        F.col("n11").alias("n_treat_post"),
+        F.col("n00").alias("n_ctrl_pre"),
+        F.col("n01").alias("n_ctrl_post"),
+        fround(F.col("m11") - F.col("m10"), 4).alias("delta_treat"),
+        fround(F.col("m01") - F.col("m00"), 4).alias("delta_ctrl"),
+        fround(did, 4).alias("did"),
+        fround(se, 4).alias("se"),
+        fround(did / se, 4).alias("t_stat"),
+    ).orderBy("event_type")
+
+
+ORACLE["events_diff_in_diff"] = f"""
+WITH lo AS (SELECT min(date_trunc('day', ts)) AS d0 FROM events),
+cells AS (
+  SELECT event_type,
+         CAST(md5(CAST(user_id AS VARCHAR)) < '8' AS INT) AS treated,
+         CAST(date_diff('day', lo.d0, date_trunc('day', ts)) >= 15 AS INT)
+           AS post,
+         count(*) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM events, lo GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT event_type,
+         {", ".join(
+             f"max(CASE WHEN treated = {t} AND post = {p} "
+             f"THEN {c} END) AS {c}{t}{p}"
+             for t in (0, 1) for p in (0, 1) for c in ("n", "m", "v")
+         )}
+  FROM cells GROUP BY 1
+)
+SELECT event_type,
+       CAST(n10 AS BIGINT) AS n_treat_pre,
+       CAST(n11 AS BIGINT) AS n_treat_post,
+       CAST(n00 AS BIGINT) AS n_ctrl_pre,
+       CAST(n01 AS BIGINT) AS n_ctrl_post,
+       {fround_sql("m11 - m10", 4)} AS delta_treat,
+       {fround_sql("m01 - m00", 4)} AS delta_ctrl,
+       {fround_sql("(m11 - m10) - (m01 - m00)", 4)} AS did,
+       {fround_sql("sqrt(v00/n00 + v01/n01 + v10/n10 + v11/n11)", 4)} AS se,
+       {fround_sql(
+           "((m11 - m10) - (m01 - m00))"
+           " / sqrt(v00/n00 + v01/n01 + v10/n10 + v11/n11)", 4)} AS t_stat
+FROM g ORDER BY event_type
+"""
+
+
 KM_HORIZONS = (30, 60, 90, 180, 365)  # survival readout days
 
 
@@ -1792,6 +1895,7 @@ QUERIES = {
     "cohort_retention": cohort_retention,
     "survival_kaplan_meier": survival_kaplan_meier,
     "events_anova_oneway": events_anova_oneway,
+    "events_diff_in_diff": events_diff_in_diff,
     "funnel_conversion": funnel_conversion,
     "funnel_time_bounded": funnel_time_bounded,
     "event_path_analysis": event_path_analysis,

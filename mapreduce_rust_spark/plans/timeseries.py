@@ -1644,6 +1644,144 @@ ORDER BY event_type
 """
 
 
+def forecast_ensemble_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-MAE weighted forecast combination of the three classic
+    closed-form baselines — expanding MEAN, DRIFT (last value + average
+    historical slope), and SEASONAL-NAIVE (y_{{t−7}}) — the "forecast
+    combination beats its members" workhorse (Bates & Granger 1969),
+    and the honest benchmark every fancy model must beat (compare
+    ``ts_forecast_snaive_backtest``, which scores one member alone).
+    Everything is window arithmetic on the calendar-bounded daily
+    grid: expanding averages, lags, and first_value — NO recursion,
+    NO UDF; in-sample one-step MAEs are scored on the common t ≥ 8
+    support (snaive needs 7 lags), weights wᵢ ∝ 1/MAEᵢ, and the
+    combined h=1 forecast is the weighted blend. One data-sized
+    shuffle (the daily aggregate); per-type windows on ≤|days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("y"))
+    )
+    wt = W.partitionBy("event_type").orderBy("day")
+    wprev = wt.rowsBetween(W.unboundedPreceding, -1)
+    wall = W.partitionBy("event_type")
+    rows = (
+        daily.withColumn("t", F.row_number().over(wt))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("mean_pred", F.avg("y").over(wprev))
+        .withColumn("y_prev", F.lag("y", 1).over(wt))
+        .withColumn("y1", F.first("y").over(wt))
+        .withColumn(
+            "drift_pred",
+            # ANSI guard: t=2 has zero history slope denominator; the
+            # MAE support starts at t>=8 so the guard changes nothing
+            F.when(
+                F.col("t") >= 3,
+                F.col("y_prev")
+                + (F.col("y_prev") - F.col("y1")) / (F.col("t") - 2),
+            ),
+        )
+        .withColumn("snaive_pred", F.lag("y", 7).over(wt))
+    )
+    valid = F.col("t") >= 8
+
+    def mae(pred):
+        return F.avg(F.when(valid, F.abs(F.col("y") - F.col(pred))))
+
+    g = rows.groupBy("event_type").agg(
+        F.max("n").alias("n_days"),
+        mae("mean_pred").alias("mae_mean"),
+        mae("drift_pred").alias("mae_drift"),
+        mae("snaive_pred").alias("mae_snaive"),
+        F.avg("y").alias("f_mean"),
+        F.max(F.when(F.col("t") == F.col("n"), F.col("y"))).alias("yn"),
+        F.max(F.when(F.col("t") == 1, F.col("y"))).alias("y_first"),
+        F.max(F.when(F.col("t") == F.col("n") - 6, F.col("y"))).alias(
+            "f_snaive"
+        ),
+    )
+    f_drift = F.col("yn") + (F.col("yn") - F.col("y_first")) / (
+        F.col("n_days") - 1
+    )
+    wsum = (
+        1.0 / F.col("mae_mean")
+        + 1.0 / F.col("mae_drift")
+        + 1.0 / F.col("mae_snaive")
+    )
+    w_mean = (1.0 / F.col("mae_mean")) / wsum
+    w_drift = (1.0 / F.col("mae_drift")) / wsum
+    w_snaive = (1.0 / F.col("mae_snaive")) / wsum
+    return g.select(
+        "event_type",
+        "n_days",
+        fround("mae_mean", 4).alias("mae_mean"),
+        fround("mae_drift", 4).alias("mae_drift"),
+        fround("mae_snaive", 4).alias("mae_snaive"),
+        fround(w_mean, 4).alias("w_mean"),
+        fround(w_drift, 4).alias("w_drift"),
+        fround(w_snaive, 4).alias("w_snaive"),
+        fround(
+            w_mean * F.col("f_mean")
+            + w_drift * f_drift
+            + w_snaive * F.col("f_snaive"),
+            4,
+        ).alias("forecast_combined"),
+    ).orderBy("event_type")
+
+
+ORACLE["forecast_ensemble_basic"] = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS y
+  FROM events GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT event_type, y,
+         row_number() OVER w AS t,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         avg(y) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS mean_pred,
+         lag(y, 1) OVER w AS y_prev,
+         first_value(y) OVER w AS y1,
+         lag(y, 7) OVER w AS snaive_pred
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+g AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS n_days,
+         avg(CASE WHEN t >= 8 THEN abs(y - mean_pred) END) AS mae_mean,
+         avg(CASE WHEN t >= 8
+                  THEN abs(y - (y_prev + (y_prev - y1) / (t - 2))) END)
+           AS mae_drift,
+         avg(CASE WHEN t >= 8 THEN abs(y - snaive_pred) END) AS mae_snaive,
+         avg(y) AS f_mean,
+         max(CASE WHEN t = n THEN y END) AS yn,
+         max(CASE WHEN t = 1 THEN y END) AS y_first,
+         max(CASE WHEN t = n - 6 THEN y END) AS f_snaive
+  FROM rows_ GROUP BY 1
+),
+wts AS (
+  SELECT *,
+         1.0 / mae_mean + 1.0 / mae_drift + 1.0 / mae_snaive AS wsum,
+         yn + (yn - y_first) / (n_days - 1) AS f_drift
+  FROM g
+)
+SELECT event_type, n_days,
+       {fround_sql("mae_mean", 4)} AS mae_mean,
+       {fround_sql("mae_drift", 4)} AS mae_drift,
+       {fround_sql("mae_snaive", 4)} AS mae_snaive,
+       {fround_sql("(1.0 / mae_mean) / wsum", 4)} AS w_mean,
+       {fround_sql("(1.0 / mae_drift) / wsum", 4)} AS w_drift,
+       {fround_sql("(1.0 / mae_snaive) / wsum", 4)} AS w_snaive,
+       {fround_sql(
+           "((1.0 / mae_mean) / wsum) * f_mean"
+           " + ((1.0 / mae_drift) / wsum) * f_drift"
+           " + ((1.0 / mae_snaive) / wsum) * f_snaive", 4)}
+         AS forecast_combined
+FROM wts ORDER BY event_type
+"""
+
+
 def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-time-warping distance between every pair of event-type
     daily series — the alignment-tolerant series similarity (a lagged
@@ -2362,6 +2500,7 @@ QUERIES = {
     "ts_holt_linear": ts_holt_linear,
     "ts_holt_winters": ts_holt_winters,
     "ts_dtw_distance": ts_dtw_distance,
+    "forecast_ensemble_basic": forecast_ensemble_basic,
     "ts_theil_sen_trend": ts_theil_sen_trend,
     "ts_rolling_median": ts_rolling_median,
     "ts_gap_outages": ts_gap_outages,

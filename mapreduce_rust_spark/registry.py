@@ -180,6 +180,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "ts_dtw_distance",
     "table_ks_drift",
     "events_anova_oneway",
+    "events_diff_in_diff",
+    "forecast_ensemble_basic",
     # --- oldest-evidence (round-1) backfill ---
     "q13_customer_distribution",
     "q1_pricing_summary",

@@ -353,3 +353,48 @@ def test_anova_decomposition_and_f(spark, sf_dir):
     eta = r["ss_between"] / (r["ss_between"] + r["ss_within"])
     assert r["eta_squared"] == pytest.approx(eta, abs=1e-5)
     assert r["df_between"] == r["k"] - 1
+
+
+def test_did_equals_manual_cell_arithmetic(spark, sf_dir):
+    """DiD must equal (ΔT − ΔC) from the reported cells, SE from the
+    four cell variances, and the four cell counts must partition the
+    per-type row count."""
+    from mapreduce_rust_spark.plans.behavior import events_diff_in_diff
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    rows = events_diff_in_diff(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in rows:
+        cells = (
+            r["n_treat_pre"] + r["n_treat_post"]
+            + r["n_ctrl_pre"] + r["n_ctrl_post"]
+        )
+        assert cells == totals[r["event_type"]]
+        assert r["did"] == pytest.approx(
+            r["delta_treat"] - r["delta_ctrl"], abs=2e-4
+        )
+        assert r["se"] > 0
+        assert r["t_stat"] == pytest.approx(r["did"] / r["se"], abs=2e-3)
+
+
+def test_ensemble_weights_sum_to_one_and_blend(spark, sf_dir):
+    from mapreduce_rust_spark.plans.timeseries import forecast_ensemble_basic
+
+    rows = forecast_ensemble_basic(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        ws = [r["w_mean"], r["w_drift"], r["w_snaive"]]
+        assert all(0.0 < w < 1.0 for w in ws)
+        assert sum(ws) == pytest.approx(1.0, abs=3e-4)
+        # better member (lower MAE) must get the larger weight
+        maes = [r["mae_mean"], r["mae_drift"], r["mae_snaive"]]
+        assert sorted(range(3), key=lambda i: maes[i]) == sorted(
+            range(3), key=lambda i: -ws[i]
+        )
+        for m in maes:
+            assert m > 0
