@@ -282,6 +282,144 @@ LIMIT 100
 """
 
 
+MIX_BUDGET_FRAC = 0.97  # token budget as a share of total corpus chars
+
+
+def corpus_mix_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-aware training-mix solver (water-filling): a target
+    mix says "give every source an equal share of the token budget",
+    but short sources can't fill their quota — naive per-source rates
+    silently under-deliver the budget. The classic water-filling
+    allocation saturates short sources at capacity and redistributes
+    their unmet share across the rest, in the single closed form the
+    sort admits: order sources by capacity/weight ascending, then a
+    source is saturated iff its ratio ≤ (remaining budget)/(remaining
+    weight) computed over the EXCLUSIVE prefix — the saturated set is
+    always a prefix of that order, so two banded prefix sums replace
+    the sequential redistribute loop (the pin test replays the
+    textbook sequential algorithm and asserts equality). Scale shape:
+    one map-side char aggregation to |sources| rows, then
+    ``single_partition`` window arithmetic on that provably-bounded
+    frame. This is the solver that turns ``sample_temperature``-style
+    target mixes into FEASIBLE per-source sampling rates."""
+    docs = load_table(spark, sf_dir, "documents")
+    caps = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("cap"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = caps.agg(
+        F.sum("cap").alias("total_cap"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    base = caps.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "cap",
+        (F.lit(1.0) / F.col("k")).alias("w"),
+        (F.col("total_cap") * MIX_BUDGET_FRAC).alias("budget"),
+    )
+    b1, wspec = single_partition(
+        base, by=[F.col("cap") / F.col("w"), "source"]
+    )
+    w_prev = wspec.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = wspec.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    flagged = (
+        b1.withColumn(
+            "cum_cap_prev", F.coalesce(F.sum("cap").over(w_prev), F.lit(0.0))
+        )
+        .withColumn(
+            "cum_w_prev", F.coalesce(F.sum("w").over(w_prev), F.lit(0.0))
+        )
+        .withColumn(
+            "saturated",
+            F.col("cap") / F.col("w")
+            <= (F.col("budget") - F.col("cum_cap_prev"))
+            / (F.lit(1.0) - F.col("cum_w_prev")),
+        )
+    )
+    solved = (
+        flagged.withColumn(
+            "sat_cap",
+            F.sum(F.when(F.col("saturated"), F.col("cap")).otherwise(0.0)).over(
+                w_all
+            ),
+        )
+        .withColumn(
+            "sat_w",
+            F.sum(F.when(F.col("saturated"), F.col("w")).otherwise(0.0)).over(
+                w_all
+            ),
+        )
+        .withColumn(
+            "alloc",
+            F.when(F.col("saturated"), F.col("cap").cast("double")).otherwise(
+                F.col("w")
+                * (F.col("budget") - F.col("sat_cap"))
+                / (F.lit(1.0) - F.col("sat_w"))
+            ),
+        )
+    )
+    return solved.select(
+        "source",
+        "n_docs",
+        F.col("cap").alias("capacity_chars"),
+        fround("w", 6).alias("target_share"),
+        fround("alloc", 2).alias("allocated_chars"),
+        fround(F.col("alloc") / F.col("cap"), 6).alias("fill_rate"),
+        "saturated",
+    ).orderBy("source")
+
+
+ORACLE["corpus_mix_water_filling"] = f"""
+WITH caps AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS cap,
+         count(*) AS n_docs
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(cap) * {MIX_BUDGET_FRAC} AS budget,
+               count(*) AS k FROM caps),
+base AS (
+  SELECT source, n_docs, cap, 1.0 / tot.k AS w, tot.budget AS budget
+  FROM caps, tot
+),
+flagged AS (
+  SELECT *,
+         coalesce(sum(cap) OVER (ORDER BY cap / w, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+           AS cum_cap_prev,
+         coalesce(sum(w) OVER (ORDER BY cap / w, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+           AS cum_w_prev
+  FROM base
+),
+sat AS (
+  SELECT *,
+         cap / w <= (budget - cum_cap_prev) / (1.0 - cum_w_prev)
+           AS saturated
+  FROM flagged
+),
+solved AS (
+  SELECT *,
+         sum(CASE WHEN saturated THEN cap ELSE 0.0 END) OVER () AS sat_cap,
+         sum(CASE WHEN saturated THEN w ELSE 0.0 END) OVER () AS sat_w
+  FROM sat
+)
+SELECT source, n_docs, cap AS capacity_chars,
+       {fround_sql("w", 6)} AS target_share,
+       {fround_sql(
+           "CASE WHEN saturated THEN cap * 1.0"
+           " ELSE w * (budget - sat_cap) / (1.0 - sat_w) END", 2)}
+         AS allocated_chars,
+       {fround_sql(
+           "CASE WHEN saturated THEN cap * 1.0"
+           " ELSE w * (budget - sat_cap) / (1.0 - sat_w) END / cap", 6)}
+         AS fill_rate,
+       saturated
+FROM solved ORDER BY source
+"""
+
+
 def pack_shards(
     df: DataFrame, part_col: str, order_col: str, size_col: str, budget: int
 ) -> DataFrame:
@@ -1778,6 +1916,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "inverted_index_postings": inverted_index_postings,
     "search_prefix_topk": search_prefix_topk,
+    "corpus_mix_water_filling": corpus_mix_water_filling,
     "corpus_shard_pack": corpus_shard_pack,
     "sample_stratified": sample_stratified,
     "source_mix_weights": source_mix_weights,

@@ -1618,6 +1618,78 @@ FROM ss
 """
 
 
+PWR_Z_ALPHA = 1.959964  # two-sided α = 0.05
+PWR_Z_BETA = 0.841621  # 80% power
+PWR_REL_MDE = 0.10  # minimum detectable effect: +10% relative lift
+
+
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment power analysis per event type — the "can this
+    corpus even detect the lift we care about" gate that should run
+    BEFORE ``ab_welch_ttest``/``ab_bayesian_beta`` ever do: from the
+    observed conversion base rate p, the users per arm required to
+    detect a +{PWR_REL_MDE:.0%} relative lift at α=0.05 / 80% power
+    under the standard two-proportion normal approximation,
+    n = (z_α/2 + z_β)²·(p₁q₁ + p₂q₂)/(p₂−p₁)², compared against the
+    users actually available per arm. Closed form over one distinct
+    aggregation (the same (type, user) dedup the A/B readouts use);
+    all arithmetic identical in the oracle. An underpowered verdict
+    here is what stops a team from reading noise as a result."""
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    conv = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_conv"))
+        .crossJoin(F.broadcast(n_users))
+    )
+    p1 = F.col("n_conv") / F.col("n_total")
+    p2 = F.least(p1 * (1.0 + PWR_REL_MDE), F.lit(0.999999))
+    zsum2 = float((PWR_Z_ALPHA + PWR_Z_BETA) ** 2)
+    n_req = (
+        F.lit(zsum2)
+        * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+        / ((p2 - p1) * (p2 - p1))
+    )
+    avail = (F.col("n_total") / 2.0).cast("double")
+    return conv.select(
+        "event_type",
+        F.col("n_total").alias("n_users"),
+        fround(p1, 6).alias("p_base"),
+        fround(p2, 6).alias("p_target"),
+        F.ceil(n_req).cast("bigint").alias("n_required_per_arm"),
+        (avail >= n_req).alias("powered"),
+    ).orderBy("event_type")
+
+
+_PWR_P1 = "(n_conv * 1.0 / n_total)"
+_PWR_P2 = f"least({_PWR_P1} * {1.0 + PWR_REL_MDE}, 0.999999)"
+_PWR_NREQ = (
+    f"({(PWR_Z_ALPHA + PWR_Z_BETA) ** 2!r}"
+    f" * ({_PWR_P1} * (1.0 - {_PWR_P1}) + {_PWR_P2} * (1.0 - {_PWR_P2}))"
+    f" / (({_PWR_P2} - {_PWR_P1}) * ({_PWR_P2} - {_PWR_P1})))"
+)
+
+ORACLE["ab_power_analysis"] = f"""
+WITH u AS (SELECT count(*) AS n_total
+           FROM (SELECT DISTINCT user_id FROM events)),
+conv AS (
+  SELECT event_type, count(*) AS n_conv
+  FROM (SELECT DISTINCT event_type, user_id FROM events) GROUP BY 1
+)
+SELECT event_type,
+       CAST(u.n_total AS BIGINT) AS n_users,
+       {fround_sql(_PWR_P1, 6)} AS p_base,
+       {fround_sql(_PWR_P2, 6)} AS p_target,
+       CAST(ceil({_PWR_NREQ}) AS BIGINT) AS n_required_per_arm,
+       (u.n_total / 2.0) >= {_PWR_NREQ} AS powered
+FROM conv, u ORDER BY event_type
+"""
+
+
 def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences estimator per event type — the
     observational sibling of the A/B readouts: when assignment isn't
@@ -1896,6 +1968,7 @@ QUERIES = {
     "survival_kaplan_meier": survival_kaplan_meier,
     "events_anova_oneway": events_anova_oneway,
     "events_diff_in_diff": events_diff_in_diff,
+    "ab_power_analysis": ab_power_analysis,
     "funnel_conversion": funnel_conversion,
     "funnel_time_bounded": funnel_time_bounded,
     "event_path_analysis": event_path_analysis,

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from mapreduce_rust_spark.functions.numeric import fround, fround_sql
+from mapreduce_rust_spark.functions.numeric import fround, fround_sql, single_partition
 from mapreduce_rust_spark.sources.tables import load_table
 
 ORACLE: dict[str, str] = {}
@@ -407,7 +407,73 @@ GROUP BY 1 ORDER BY 1
 
 
 
+TOPK_DAYS = 10  # maintained leaderboard size
+
+
+def incremental_topk_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained top-k leaderboard (busiest days by
+    event volume): the new batch's top-k merges with the stored top-k
+    — ``topk(topk(base) ∪ topk(delta))`` — WITHOUT rescanning history.
+    The docstring-level contract matters more than the code: this
+    merge is EXACT only because the leaderboard key (day) is DISJOINT
+    across the time split — a day lives entirely in one batch, so any
+    day in the true combined top-k is in its own batch's top-k. For
+    non-disjoint keys (per-customer sums spanning batches) top-k
+    lists are NOT mergeable and you must maintain the full partial
+    aggregate instead (``incremental_agg_merge``) — shipping that
+    distinction as an oracle-checked operator is the point. Scale
+    shape: each batch aggregates map-side to day grain, keeps k rows;
+    the merge touches 2k rows. The oracle computes the full-history
+    top-k directly — equality IS the mergeability proof, re-checked
+    on every run."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def topk(df: DataFrame, rank_name: str) -> DataFrame:
+        days = df.groupBy(
+            F.date_trunc("day", "ts").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        # batch frames are day-grain (calendar-bounded): the global
+        # rank runs on a provably-bounded sliver via single_partition
+        days1, w = single_partition(days, by=[F.desc("n"), "day"])
+        return (
+            days1.withColumn(rank_name, F.row_number().over(w))
+            .filter(F.col(rank_name) <= TOPK_DAYS)
+        )
+
+    base = topk(ev.filter(F.col("ts") < _CUTOFF), "r")
+    delta = topk(ev.filter(F.col("ts") >= _CUTOFF), "r")
+    merged = base.unionByName(delta).drop("r")
+    return (
+        topk_frame_rank(merged)
+        .filter(F.col("rank") <= TOPK_DAYS)
+        .select("rank", "day", "n")
+        .orderBy("rank")
+    )
+
+
+def topk_frame_rank(merged: DataFrame) -> DataFrame:
+    """Rank the ≤2k merged leaderboard rows (bounded by construction)."""
+    m1, w = single_partition(merged, by=[F.desc("n"), "day"])
+    return m1.withColumn("rank", F.row_number().over(w))
+
+
+ORACLE["incremental_topk_maintain"] = f"""
+WITH days AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT day, n,
+         row_number() OVER (ORDER BY n DESC, day) AS rank
+  FROM days
+)
+SELECT rank, day, n FROM ranked
+WHERE rank <= {TOPK_DAYS} ORDER BY rank
+"""
+
+
 QUERIES = {
+    "incremental_topk_maintain": incremental_topk_maintain,
     "incremental_join_delta": incremental_join_delta,
     "incremental_agg_merge": incremental_agg_merge,
     "snapshot_diff": snapshot_diff,

@@ -182,6 +182,10 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "events_anova_oneway",
     "events_diff_in_diff",
     "forecast_ensemble_basic",
+    "sql_grouping_id",
+    "incremental_topk_maintain",
+    "corpus_mix_water_filling",
+    "ab_power_analysis",
     # --- oldest-evidence (round-1) backfill ---
     "q13_customer_distribution",
     "q1_pricing_summary",

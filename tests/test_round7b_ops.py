@@ -398,3 +398,101 @@ def test_ensemble_weights_sum_to_one_and_blend(spark, sf_dir):
         )
         for m in maes:
             assert m > 0
+
+
+def test_grouping_id_distinguishes_rollup_from_data(spark, sf_dir):
+    from mapreduce_rust_spark.plans.sqlface import sql_grouping_id
+
+    rows = sql_grouping_id(spark, sf_dir).collect()
+    grand = [r for r in rows if r["grain_id"] == 3]
+    assert len(grand) == 1 and grand[0]["o_orderpriority"] is None
+    detail = [r for r in rows if r["grain_id"] == 0]
+    mids = [r for r in rows if r["grain_id"] == 1]
+    assert grand[0]["n"] == sum(r["n"] for r in detail) == sum(
+        r["n"] for r in mids
+    )
+    for r in mids:
+        assert r["is_status_rollup"] == 1 and r["o_orderstatus"] is None
+        assert r["is_priority_rollup"] == 0
+
+
+def test_topk_merge_equals_full_recompute(spark, sf_dir):
+    """The disjoint-key merge property: merged top-k == full top-k."""
+    from mapreduce_rust_spark.plans.incremental import (
+        TOPK_DAYS,
+        incremental_topk_maintain,
+    )
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    merged = incremental_topk_maintain(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    full = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "day")
+        .limit(TOPK_DAYS)
+        .collect()
+    )
+    assert [(r["day"], r["n"]) for r in merged] == [
+        (r["day"], r["n"]) for r in full
+    ]
+
+
+def test_water_filling_equals_sequential_algorithm(spark, sf_dir):
+    """The closed-form prefix solution must equal the textbook
+    sequential redistribute loop, deliver the budget exactly, and
+    never over-allocate a source."""
+    from mapreduce_rust_spark.operators.corpus import (
+        MIX_BUDGET_FRAC,
+        corpus_mix_water_filling,
+    )
+
+    rows = corpus_mix_water_filling(spark, sf_dir).collect()
+    caps = {r["source"]: r["capacity_chars"] for r in rows}
+    k = len(rows)
+    budget = sum(caps.values()) * MIX_BUDGET_FRAC
+    # textbook sequential water-filling
+    remaining = dict(caps)
+    alloc = {}
+    b_rem, w_rem = budget, 1.0
+    for src in sorted(remaining, key=lambda s: (caps[s] * k, s)):
+        quota = (1.0 / k) / w_rem * b_rem
+        if caps[src] <= quota:
+            alloc[src] = float(caps[src])
+            b_rem -= caps[src]
+            w_rem -= 1.0 / k
+        else:
+            alloc[src] = quota
+            b_rem -= quota
+            w_rem -= 1.0 / k
+    for r in rows:
+        assert r["allocated_chars"] == pytest.approx(alloc[r["source"]], abs=0.02)
+        assert r["allocated_chars"] <= caps[r["source"]] + 0.01
+        assert r["saturated"] == (
+            abs(alloc[r["source"]] - caps[r["source"]]) < 1e-6
+        )
+    assert sum(r["allocated_chars"] for r in rows) == pytest.approx(
+        budget, abs=0.5
+    )
+
+
+def test_power_analysis_closed_form(spark, sf_dir):
+    from mapreduce_rust_spark.plans.behavior import (
+        PWR_REL_MDE,
+        PWR_Z_ALPHA,
+        PWR_Z_BETA,
+        ab_power_analysis,
+    )
+
+    rows = ab_power_analysis(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        p1, p2 = r["p_base"], r["p_target"]
+        assert p2 == pytest.approx(min(p1 * (1 + PWR_REL_MDE), 0.999999), abs=2e-6)
+        n_req = (
+            (PWR_Z_ALPHA + PWR_Z_BETA) ** 2
+            * (p1 * (1 - p1) + p2 * (1 - p2))
+            / (p2 - p1) ** 2
+        )
+        assert r["n_required_per_arm"] == pytest.approx(n_req, rel=2e-3)
+        assert r["powered"] == (r["n_users"] / 2.0 >= r["n_required_per_arm"] - 1)
