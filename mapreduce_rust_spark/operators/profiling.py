@@ -551,6 +551,89 @@ ORDER BY 1, 2
 
 
 DP_EPSILON = 1.0  # privacy budget for the sensitivity-1 count release
+EM_EPSILON = 0.5  # budget for the exponential-mechanism selection
+
+
+def privacy_dp_exponential_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP SELECTION via the exponential mechanism (McSherry & Talwar
+    2007): per event type, release the busiest hour-of-day WITHOUT
+    releasing the counts — P(h) ∝ exp(ε·u(h)/2Δ) with utility
+    u = hourly count, Δ = 1. Sampling uses the Gumbel-max trick
+    (argmax of ε·u/2Δ + Gumbel noise IS an exponential-mechanism
+    draw), with the Gumbel built by inverse-CDF over an md5-derived
+    uniform — deterministic like ``privacy_dp_counts``, so the DuckDB
+    oracle replays the released choice bit-for-bit; a production
+    release swaps in a real RNG without touching the shape. One
+    partial-aggregated shuffle to the (type × 24)-cell grid, argmax
+    via a window partitioned by type on that bounded frame. The audit
+    view emits the true argmax beside the released one — the utility
+    loss the privacy budget buys."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        "event_type", F.hour("ts").alias("hh")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("em:"), F.col("event_type"),
+                           F.lit(":"), F.col("hh").cast("string"))),
+            1, 15,
+        ), 16, 10,
+    ).cast("double") / F.lit(float(2**60))
+    gumbel = -F.log(-F.log(F.greatest(F.lit(1e-15), u)))
+    scored = grid.withColumn(
+        "score", F.lit(EM_EPSILON / 2.0) * F.col("cnt") + gumbel
+    )
+    w = W.partitionBy("event_type").orderBy(F.desc("score"), "hh")
+    wt = W.partitionBy("event_type").orderBy(F.desc("cnt"), "hh")
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .withColumn("rt", F.row_number().over(wt))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("r") == 1, F.col("hh"))).alias("released_hour"),
+            F.max(F.when(F.col("rt") == 1, F.col("hh"))).alias("true_best_hour"),
+            F.max(F.when(F.col("rt") == 1, F.col("cnt"))).alias("true_best_cnt"),
+            F.max(F.when(F.col("r") == 1, F.col("cnt"))).alias("released_cnt"),
+            fround(F.max(F.when(F.col("r") == 1, F.col("score"))), 4).alias(
+                "released_score"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["privacy_dp_exponential_topk"] = f"""
+WITH grid AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hh,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hh, cnt,
+         {EM_EPSILON / 2.0} * cnt
+           - ln(-ln(greatest(1e-15,
+               ('0x' || substr(md5('em:' || event_type || ':'
+                               || CAST(hh AS VARCHAR)), 1, 15))::BIGINT
+               / CAST({float(2**60)} AS DOUBLE)))) AS score
+  FROM grid
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY score DESC, hh) AS r,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, hh) AS rt
+  FROM scored
+)
+SELECT event_type,
+       CAST(max(CASE WHEN r = 1 THEN hh END) AS INT) AS released_hour,
+       CAST(max(CASE WHEN rt = 1 THEN hh END) AS INT) AS true_best_hour,
+       CAST(max(CASE WHEN rt = 1 THEN cnt END) AS BIGINT) AS true_best_cnt,
+       CAST(max(CASE WHEN r = 1 THEN cnt END) AS BIGINT) AS released_cnt,
+       {fround_sql("max(CASE WHEN r = 1 THEN score END)", 4)}
+         AS released_score
+FROM ranked GROUP BY event_type ORDER BY event_type
+"""
 
 
 def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1873,6 +1956,7 @@ QUERIES = {
     "table_skew_report": table_skew_report,
     "table_drift_psi": table_drift_psi,
     "table_ks_drift": table_ks_drift,
+    "privacy_dp_exponential_topk": privacy_dp_exponential_topk,
     "table_fd_discovery": table_fd_discovery,
     "table_sketch_profile": table_sketch_profile,
     "table_histogram": table_histogram,

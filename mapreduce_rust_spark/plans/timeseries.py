@@ -1644,6 +1644,169 @@ ORDER BY event_type
 """
 
 
+HURST_WINDOWS = (5, 10, 15, 30)  # R/S chunk sizes on the daily grid
+
+
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via classical R/S analysis (Hurst 1951, Mandelbrot
+    & Wallis 1969) per event type — the long-range-dependence gauge the
+    ACF can't give: H ≈ 0.5 random walk, H > 0.5 persistent (trends
+    feed trends — forecast horizons stretch), H < 0.5 anti-persistent.
+    For each chunk size w the daily series splits into ⌊n/w⌋
+    consecutive chunks; per chunk the range R of mean-adjusted
+    cumulative deviations over the POPULATION σ gives R/S, averaged
+    per w; H is the least-squares slope of ln(mean R/S) on ln(w).
+    Every stage is bounded-frame window arithmetic: the chunk id is
+    integer math on the day index, cumulative deviations run inside
+    (type, w, chunk) windows whose length is w ≤ {max(HURST_WINDOWS)}
+    — nothing is ever data-sized after the one daily aggregation.
+    σ is spelled √(E[y²]−E[y]²) on BOTH engines (no stddev-flavor
+    ambiguity); zero-σ chunks are excluded on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("y"))
+    )
+    wt = W.partitionBy("event_type").orderBy("day")
+    base = daily.withColumn("t", F.row_number().over(wt))
+    spine = spark.range(len(HURST_WINDOWS)).select(
+        F.element_at(
+            F.array(*[F.lit(w) for w in HURST_WINDOWS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("w")
+    )
+    chunked = (
+        base.crossJoin(F.broadcast(spine))
+        .withColumn("chunk", ((F.col("t") - 1) / F.col("w")).cast("int"))
+    )
+    wc = W.partitionBy("event_type", "w", "chunk")
+    wcum = wc.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    stats = (
+        chunked.withColumn("clen", F.count(F.lit(1)).over(wc))
+        .filter(F.col("clen") == F.col("w"))  # drop the ragged tail
+        .withColumn("cmean", F.avg("y").over(wc))
+        .withColumn("csig", F.sqrt(
+            F.avg(F.col("y") * F.col("y")).over(wc)
+            - F.avg("y").over(wc) * F.avg("y").over(wc)
+        ))
+        # z spelled cumsum(y) − i·mean with IDENTICAL op order in the
+        # oracle (a cumsum of (y−mean) is a different float sum)
+        .withColumn("i", F.row_number().over(wc.orderBy("t")))
+        .withColumn(
+            "z",
+            F.sum("y").over(wcum) - F.col("i") * F.col("cmean"),
+        )
+    )
+    rs = (
+        stats.groupBy("event_type", "w", "chunk")
+        .agg(
+            (F.max("z") - F.min("z")).alias("rng"),
+            F.max("csig").alias("sig"),
+        )
+        .filter(F.col("sig") > 0)
+        .groupBy("event_type", "w")
+        .agg(F.avg(F.col("rng") / F.col("sig")).alias("mean_rs"))
+    )
+    pts = rs.select(
+        "event_type",
+        F.log("w").alias("x"),
+        F.log("mean_rs").alias("yy"),
+        F.col("w"),
+        "mean_rs",
+    )
+    return (
+        pts.groupBy("event_type")
+        .agg(
+            fround(
+                (
+                    F.avg(F.col("x") * F.col("yy"))
+                    - F.avg("x") * F.avg("yy")
+                )
+                / (
+                    F.avg(F.col("x") * F.col("x"))
+                    - F.avg("x") * F.avg("x")
+                ),
+                4,
+            ).alias("hurst"),
+            F.count(F.lit(1)).alias("n_scales"),
+            fround(
+                F.max(F.when(F.col("w") == HURST_WINDOWS[0], F.col("mean_rs"))),
+                4,
+            ).alias("rs_small"),
+            fround(
+                F.max(
+                    F.when(F.col("w") == HURST_WINDOWS[-1], F.col("mean_rs"))
+                ),
+                4,
+            ).alias("rs_large"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["ts_hurst_exponent"] = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS y
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM daily
+),
+chunked AS (
+  SELECT b.event_type, b.y, b.t, s.w,
+         CAST((b.t - 1) // s.w AS INT) AS chunk
+  FROM base b, (SELECT unnest([{", ".join(str(w) for w in HURST_WINDOWS)}])
+                AS w) s
+),
+winstats AS (
+  SELECT *,
+         count(*) OVER pc AS clen,
+         avg(y) OVER pc AS cmean,
+         sqrt(avg(y * y) OVER pc - avg(y) OVER pc * avg(y) OVER pc) AS csig,
+         sum(y) OVER (PARTITION BY event_type, w, chunk ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumy,
+         sum(y) OVER pc AS toty,
+         row_number() OVER (PARTITION BY event_type, w, chunk
+                            ORDER BY t) AS i
+  FROM chunked
+  WINDOW pc AS (PARTITION BY event_type, w, chunk)
+),
+zrows AS (
+  SELECT event_type, w, chunk, clen, csig,
+         cumy - i * cmean AS z
+  FROM winstats WHERE clen = w
+),
+rs AS (
+  SELECT event_type, w, avg(rng / sig) AS mean_rs
+  FROM (
+    SELECT event_type, w, chunk,
+           max(z) - min(z) AS rng, max(csig) AS sig
+    FROM zrows GROUP BY 1, 2, 3
+  ) WHERE sig > 0 GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type, ln(CAST(w AS DOUBLE)) AS x, ln(mean_rs) AS yy,
+         w, mean_rs
+  FROM rs
+)
+SELECT event_type,
+       {fround_sql(
+           "(avg(x * yy) - avg(x) * avg(yy))"
+           " / (avg(x * x) - avg(x) * avg(x))", 4)} AS hurst,
+       count(*) AS n_scales,
+       {fround_sql(
+           f"max(CASE WHEN w = {HURST_WINDOWS[0]} THEN mean_rs END)", 4)}
+         AS rs_small,
+       {fround_sql(
+           f"max(CASE WHEN w = {HURST_WINDOWS[-1]} THEN mean_rs END)", 4)}
+         AS rs_large
+FROM pts GROUP BY event_type ORDER BY event_type
+"""
+
+
 def forecast_ensemble_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse-MAE weighted forecast combination of the three classic
     closed-form baselines — expanding MEAN, DRIFT (last value + average
@@ -2501,6 +2664,7 @@ QUERIES = {
     "ts_holt_winters": ts_holt_winters,
     "ts_dtw_distance": ts_dtw_distance,
     "forecast_ensemble_basic": forecast_ensemble_basic,
+    "ts_hurst_exponent": ts_hurst_exponent,
     "ts_theil_sen_trend": ts_theil_sen_trend,
     "ts_rolling_median": ts_rolling_median,
     "ts_gap_outages": ts_gap_outages,

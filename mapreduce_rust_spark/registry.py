@@ -186,6 +186,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "incremental_topk_maintain",
     "corpus_mix_water_filling",
     "ab_power_analysis",
+    "privacy_dp_exponential_topk",
+    "ts_hurst_exponent",
     # --- oldest-evidence (round-1) backfill ---
     "q13_customer_distribution",
     "q1_pricing_summary",

@@ -496,3 +496,90 @@ def test_power_analysis_closed_form(spark, sf_dir):
         )
         assert r["n_required_per_arm"] == pytest.approx(n_req, rel=2e-3)
         assert r["powered"] == (r["n_users"] / 2.0 >= r["n_required_per_arm"] - 1)
+
+
+def test_exponential_mechanism_selection_properties(spark, sf_dir):
+    """The released hour must be a real grid cell; with ε→∞ the
+    mechanism must return the true argmax (pure-python replica of the
+    Gumbel-max scoring); released utility ≤ true best utility."""
+    from mapreduce_rust_spark.operators.profiling import (
+        privacy_dp_exponential_topk,
+    )
+
+    rows = privacy_dp_exponential_topk(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["released_hour"] <= 23
+        assert 0 <= r["true_best_hour"] <= 23
+        assert r["released_cnt"] <= r["true_best_cnt"]
+    # ε→∞ sanity: score ordering degenerates to count ordering
+    import hashlib
+
+    def gumbel(key):
+        u = max(
+            1e-15,
+            int(hashlib.md5(key.encode()).hexdigest()[:15], 16) / 2**60,
+        )
+        import math
+
+        return -math.log(-math.log(u))
+
+    counts = {"a": 100, "b": 90, "c": 10}
+    eps = 1e9
+    scores = {
+        k: eps / 2 * v + gumbel(f"em:x:{k}") for k, v in counts.items()
+    }
+    assert max(scores, key=scores.get) == "a"
+
+
+def test_hurst_random_walk_and_trend_pure_python():
+    """The R/S slope must sit near 0.5 for an iid series and higher
+    for a strongly trending one — computed with the operator's exact
+    recipe on deterministic synthetic series."""
+    import math
+
+    def hurst(y, windows=(5, 10, 15, 30)):
+        pts = []
+        for w in windows:
+            rss = []
+            for c in range(len(y) // w):
+                chunk = y[c * w : (c + 1) * w]
+                m = sum(chunk) / w
+                sig = math.sqrt(sum(v * v for v in chunk) / w - m * m)
+                if sig <= 0:
+                    continue
+                cum, zs = 0.0, []
+                for i, v in enumerate(chunk, 1):
+                    cum += v
+                    zs.append(cum - i * m)
+                rss.append((max(zs) - min(zs)) / sig)
+            if rss:
+                pts.append((math.log(w), math.log(sum(rss) / len(rss))))
+        n = len(pts)
+        mx = sum(x for x, _ in pts) / n
+        my = sum(v for _, v in pts) / n
+        return sum((x - mx) * (v - my) for x, v in pts) / sum(
+            (x - mx) ** 2 for x, _ in pts
+        )
+
+    # deterministic "iid-ish" series via a hash scramble
+    iid = [((i * 2654435761) % 1000) / 1000.0 for i in range(60)]
+    trend = [0.1 * i + ((i * 2654435761) % 1000) / 10000.0 for i in range(60)]
+    h_iid, h_trend = hurst(iid), hurst(trend)
+    assert h_trend > h_iid
+    assert 0.3 < h_iid < 0.75  # around the random-walk band
+    assert h_trend > 0.75  # persistent
+
+
+def test_hurst_operator_output(spark, sf_dir):
+    from mapreduce_rust_spark.plans.timeseries import (
+        HURST_WINDOWS,
+        ts_hurst_exponent,
+    )
+
+    rows = ts_hurst_exponent(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_scales"] == len(HURST_WINDOWS)
+        assert -0.5 < r["hurst"] < 1.5
+        assert r["rs_large"] > r["rs_small"] > 0  # R/S grows with scale
