@@ -813,11 +813,20 @@ def table_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     curves = (
         g.withColumn("t1", F.sum("c1").over(wt))
         .withColumn("t2", F.sum("c2").over(wt))
-        .withColumn("f1", F.sum("c1").over(wc) / F.col("t1"))
-        .withColumn("f2", F.sum("c2").over(wc) / F.col("t2"))
+        # ANSI guard: a type with an empty half has no defined ECDF —
+        # such types are excluded below (identical rule in the oracle)
+        .withColumn(
+            "f1",
+            F.when(F.col("t1") > 0, F.sum("c1").over(wc) / F.col("t1")),
+        )
+        .withColumn(
+            "f2",
+            F.when(F.col("t2") > 0, F.sum("c2").over(wc) / F.col("t2")),
+        )
     )
     return (
-        curves.groupBy("event_type")
+        curves.filter((F.col("t1") > 0) & (F.col("t2") > 0))
+        .groupBy("event_type")
         .agg(
             F.first("t1").alias("n1"),
             F.first("t2").alias("n2"),
@@ -878,7 +887,7 @@ agg AS (
   SELECT event_type, CAST(max(t1) AS BIGINT) AS n1,
          CAST(max(t2) AS BIGINT) AS n2,
          max(abs(cum1 * 1.0 / t1 - cum2 * 1.0 / t2)) AS d_raw
-  FROM curves GROUP BY event_type
+  FROM curves WHERE t1 > 0 AND t2 > 0 GROUP BY event_type
 )
 SELECT event_type, n1, n2,
        {fround_sql("d_raw", 6)} AS ks_d,
