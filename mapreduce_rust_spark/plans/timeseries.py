@@ -1866,14 +1866,16 @@ def forecast_ensemble_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_drift = F.col("yn") + (F.col("yn") - F.col("y_first")) / (
         F.col("n_days") - 1
     )
-    wsum = (
-        1.0 / F.col("mae_mean")
-        + 1.0 / F.col("mae_drift")
-        + 1.0 / F.col("mae_snaive")
-    )
-    w_mean = (1.0 / F.col("mae_mean")) / wsum
-    w_drift = (1.0 / F.col("mae_drift")) / wsum
-    w_snaive = (1.0 / F.col("mae_snaive")) / wsum
+    # 1e-12 floor: a zero MAE (perfectly predictable series) would be
+    # an ANSI divide-by-zero; the floor hands such a member ~all the
+    # weight, which is also the right answer — identical in the oracle
+    def inv(c):
+        return 1.0 / F.greatest(F.col(c), F.lit(1e-12))
+
+    wsum = inv("mae_mean") + inv("mae_drift") + inv("mae_snaive")
+    w_mean = inv("mae_mean") / wsum
+    w_drift = inv("mae_drift") / wsum
+    w_snaive = inv("mae_snaive") / wsum
     return g.select(
         "event_type",
         "n_days",
@@ -1925,7 +1927,8 @@ g AS (
 ),
 wts AS (
   SELECT *,
-         1.0 / mae_mean + 1.0 / mae_drift + 1.0 / mae_snaive AS wsum,
+         1.0 / greatest(mae_mean, 1e-12) + 1.0 / greatest(mae_drift, 1e-12)
+           + 1.0 / greatest(mae_snaive, 1e-12) AS wsum,
          yn + (yn - y_first) / (n_days - 1) AS f_drift
   FROM g
 )
@@ -1933,13 +1936,13 @@ SELECT event_type, n_days,
        {fround_sql("mae_mean", 4)} AS mae_mean,
        {fround_sql("mae_drift", 4)} AS mae_drift,
        {fround_sql("mae_snaive", 4)} AS mae_snaive,
-       {fround_sql("(1.0 / mae_mean) / wsum", 4)} AS w_mean,
-       {fround_sql("(1.0 / mae_drift) / wsum", 4)} AS w_drift,
-       {fround_sql("(1.0 / mae_snaive) / wsum", 4)} AS w_snaive,
+       {fround_sql("(1.0 / greatest(mae_mean, 1e-12)) / wsum", 4)} AS w_mean,
+       {fround_sql("(1.0 / greatest(mae_drift, 1e-12)) / wsum", 4)} AS w_drift,
+       {fround_sql("(1.0 / greatest(mae_snaive, 1e-12)) / wsum", 4)} AS w_snaive,
        {fround_sql(
-           "((1.0 / mae_mean) / wsum) * f_mean"
-           " + ((1.0 / mae_drift) / wsum) * f_drift"
-           " + ((1.0 / mae_snaive) / wsum) * f_snaive", 4)}
+           "((1.0 / greatest(mae_mean, 1e-12)) / wsum) * f_mean"
+           " + ((1.0 / greatest(mae_drift, 1e-12)) / wsum) * f_drift"
+           " + ((1.0 / greatest(mae_snaive, 1e-12)) / wsum) * f_snaive", 4)}
          AS forecast_combined
 FROM wts ORDER BY event_type
 """
