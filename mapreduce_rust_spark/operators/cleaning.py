@@ -700,8 +700,13 @@ def features_scaler_fit_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("hi"),
     )
     val = tagged.filter(F.col("is_train") == 0).crossJoin(F.broadcast(params))
-    z = (F.col("c_acctbal") - F.col("mu")) / F.col("sigma")
-    mm = (F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    # degenerate-train guard: a constant feature (sigma=0, hi=lo) must
+    # not become an ANSI divide-by-zero — floor both denominators,
+    # identically in the oracle (forecast_ensemble_basic convention)
+    z = (F.col("c_acctbal") - F.col("mu")) / F.greatest(F.col("sigma"), F.lit(1e-12))
+    mm = (F.col("c_acctbal") - F.col("lo")) / F.greatest(
+        F.col("hi") - F.col("lo"), F.lit(1e-12)
+    )
     return (
         val.groupBy("c_nationkey")
         .agg(
@@ -732,8 +737,8 @@ params AS (
 ),
 val AS (
   SELECT c_nationkey,
-         (c_acctbal - p.mu) / p.sigma AS z,
-         (c_acctbal - p.lo) / (p.hi - p.lo) AS mm
+         (c_acctbal - p.mu) / greatest(p.sigma, 1e-12) AS z,
+         (c_acctbal - p.lo) / greatest(p.hi - p.lo, 1e-12) AS mm
   FROM tagged CROSS JOIN params p
   WHERE is_train = 0
 )

@@ -837,11 +837,15 @@ def table_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1",
             "n2",
             fround("d_raw", 6).alias("ks_d"),
+            # cast BEFORE multiplying: n1*n2 in bigint overflows int64
+            # (ANSI throw) past ~3e9 rows per half — the exact scale
+            # this statistic is meant to survive; mirrors the oracle's
+            # n1 * 1.0 * n2
             fround(
                 F.lit(KS_ALPHA_C)
                 * F.sqrt(
                     (F.col("n1") + F.col("n2"))
-                    / (F.col("n1") * F.col("n2")).cast("double")
+                    / (F.col("n1").cast("double") * F.col("n2").cast("double"))
                 ),
                 6,
             ).alias("ks_crit"),
@@ -850,7 +854,7 @@ def table_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > F.lit(KS_ALPHA_C)
                 * F.sqrt(
                     (F.col("n1") + F.col("n2"))
-                    / (F.col("n1") * F.col("n2")).cast("double")
+                    / (F.col("n1").cast("double") * F.col("n2").cast("double"))
                 )
             ).alias("drift"),
         )

@@ -579,11 +579,16 @@ conv AS (
 ),
 j AS (SELECT conv.event_type, conv.arm, conv.c, u.n
       FROM conv JOIN u ON u.arm = conv.arm),
+-- conditional-aggregation pivot, mirroring the Spark side: a type
+-- whose conversions appear in only ONE arm keeps its row (NULL
+-- ca/na or cb/nb) instead of being dropped by an inner self-join
 w AS (
-  SELECT a.event_type,
-         a.n AS na, a.c AS ca, b.n AS nb, b.c AS cb
-  FROM j a JOIN j b ON b.event_type = a.event_type
-  WHERE a.arm = 1 AND b.arm = 0
+  SELECT event_type,
+         max(CASE WHEN arm = 1 THEN c END) AS ca,
+         max(CASE WHEN arm = 1 THEN n END) AS na,
+         max(CASE WHEN arm = 0 THEN c END) AS cb,
+         max(CASE WHEN arm = 0 THEN n END) AS nb
+  FROM j GROUP BY event_type
 )
 SELECT event_type, na, ca, nb, cb,
        {fround_sql(_AB_MA, 4)} AS post_mean_a,

@@ -17,6 +17,8 @@ input set every run); these plans are the Spark-first upgrade path.
 
 from __future__ import annotations
 
+from datetime import datetime
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -440,6 +442,15 @@ def incremental_topk_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col(rank_name) <= TOPK_DAYS)
         )
 
+    # the merge below is exact ONLY if day-grain keys are batch-
+    # disjoint, which requires the split boundary to be midnight-
+    # aligned; assert the invariant so a future _CUTOFF edit cannot
+    # silently produce partial-count days
+    cutoff_dt = datetime.strptime(_CUTOFF, "%Y-%m-%d %H:%M:%S")
+    assert cutoff_dt == cutoff_dt.replace(hour=0, minute=0, second=0), (
+        f"_CUTOFF {_CUTOFF!r} is not midnight-aligned: day-grain keys "
+        "would span batches and the top-k merge would be inexact"
+    )
     base = topk(ev.filter(F.col("ts") < _CUTOFF), "r")
     delta = topk(ev.filter(F.col("ts") >= _CUTOFF), "r")
     merged = base.unionByName(delta).drop("r")
