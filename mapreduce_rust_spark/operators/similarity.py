@@ -739,6 +739,10 @@ ORDER BY w.query_id
 """
 
 
+KMEANS_K = 8  # Lloyd cluster count (shared by kmeans + purity slugs)
+KMEANS_ITERS = 3  # unrolled Lloyd rounds (oracle chains the same CTEs)
+
+
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd's k-means over the embeddings table (k = 8,
     3 rounds, deterministic init = first k ids) summarized as
@@ -752,7 +756,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_embedding_kmeans_numpy_golden``) independently pins the same
     trace."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, max_iter=3)
+    cents = kmeans_centroids(emb, "vec_id", "embedding", k=KMEANS_K, max_iter=KMEANS_ITERS)
     sim = fround(cosine_similarity(F.col("embedding"), F.col("cv")), 6)
     w = W.partitionBy("vec_id").orderBy(F.col("_csim").desc(), F.col("cid"))
     assigned = (
@@ -816,7 +820,7 @@ FROM fin GROUP BY cid ORDER BY cid
     return f"WITH {body}\n{tail}"
 
 
-ORACLE["embedding_kmeans"] = _kmeans_oracle(k=8, iters=3)
+ORACLE["embedding_kmeans"] = _kmeans_oracle(k=KMEANS_K, iters=KMEANS_ITERS)
 
 
 def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,7 +834,7 @@ def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering; the add-on cost is one |clusters|×|labels| aggregate
     and an argmax window over it."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, max_iter=3)
+    cents = kmeans_centroids(emb, "vec_id", "embedding", k=KMEANS_K, max_iter=KMEANS_ITERS)
     sim = fround(cosine_similarity(F.col("embedding"), F.col("cv")), 6)
     w = W.partitionBy("vec_id").orderBy(F.col("_csim").desc(), F.col("cid"))
     assigned = (
@@ -866,8 +870,8 @@ def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["embedding_cluster_purity"] = _kmeans_oracle(
-    k=8,
-    iters=3,
+    k=KMEANS_K,
+    iters=KMEANS_ITERS,
     tail=f"""
 , lab AS (
   SELECT f.cid, e2.label, count(*) AS n
@@ -3033,7 +3037,44 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_mmr_rerank.__doc__ = ann_mmr_rerank.__doc__.format(k=MMR_K, p=MMR_POOL)
 
 
-ORACLE["ann_mmr_rerank"] = f"""
+def _mmr_oracle_sql() -> str:
+    """Generate the unrolled-greedy MMR oracle from the SAME policy
+    constants the Spark side loops over (MMR_K rounds, MMR_POOL pool,
+    MMR_LAMBDA weight) — round r's penalty is max candidate-candidate
+    sim to the r-1 already-selected ids, exactly the Spark loop body.
+    Generated, not hand-unrolled: a retune of MMR_K/MMR_LAMBDA cannot
+    leave a stale literal twin behind (the round-6/7 defect class the
+    policy-constant audit now guards)."""
+    rounds = []
+    for r in range(2, MMR_K + 1):
+        prev = list(range(1, r))
+        sel_joins = "\n  ".join(
+            f"JOIN s{i} ON s{i}.query_id = p.query_id" for i in prev
+        )
+        sel_ids = ", ".join(f"s{i}.sel_id" for i in prev)
+        not_sel = " AND ".join(f"p.cid <> s{i}.sel_id" for i in prev)
+        rounds.append(f"""
+r{r} AS (
+  SELECT p.query_id, p.cid, p.rel,
+         floor(round({MMR_LAMBDA} * p.rel - {1.0 - MMR_LAMBDA} * max(cc.sim_cc), 10) * 1000000) / 1000000 AS mmr_score
+  FROM pool p
+  {sel_joins}
+  JOIN cc ON cc.query_id = p.query_id AND cc.c1 = p.cid
+         AND cc.c2 IN ({sel_ids})
+  WHERE {not_sel}
+  GROUP BY p.query_id, p.cid, p.rel, {sel_ids}
+),
+s{r} AS (
+  SELECT query_id, cid AS sel_id, rel, mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr_score DESC, cid) AS rn
+    FROM r{r}
+  ) WHERE rn = 1
+)""")
+    allsel = "\n  UNION ALL\n  ".join(
+        f"SELECT query_id, {r} AS mmr_rank, sel_id, rel, mmr_score FROM s{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {_QUERY_PRED}),
 pool AS MATERIALIZED (
@@ -3061,44 +3102,9 @@ s1 AS (
            row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rn
     FROM pool
   ) WHERE rn = 1
-),
-r2 AS (
-  SELECT p.query_id, p.cid, p.rel,
-         floor(round({MMR_LAMBDA} * p.rel - {1.0 - MMR_LAMBDA} * cc.sim_cc, 10) * 1000000) / 1000000 AS mmr_score
-  FROM pool p
-  JOIN s1 ON s1.query_id = p.query_id
-  JOIN cc ON cc.query_id = p.query_id AND cc.c1 = p.cid AND cc.c2 = s1.sel_id
-  WHERE p.cid <> s1.sel_id
-),
-s2 AS (
-  SELECT query_id, cid AS sel_id, rel, mmr_score FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr_score DESC, cid) AS rn
-    FROM r2
-  ) WHERE rn = 1
-),
-r3 AS (
-  SELECT p.query_id, p.cid, p.rel,
-         floor(round({MMR_LAMBDA} * p.rel - {1.0 - MMR_LAMBDA} * max(cc.sim_cc), 10) * 1000000) / 1000000 AS mmr_score
-  FROM pool p
-  JOIN s1 ON s1.query_id = p.query_id
-  JOIN s2 ON s2.query_id = p.query_id
-  JOIN cc ON cc.query_id = p.query_id AND cc.c1 = p.cid
-         AND cc.c2 IN (s1.sel_id, s2.sel_id)
-  WHERE p.cid <> s1.sel_id AND p.cid <> s2.sel_id
-  GROUP BY p.query_id, p.cid, p.rel, s1.sel_id, s2.sel_id
-),
-s3 AS (
-  SELECT query_id, cid AS sel_id, rel, mmr_score FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr_score DESC, cid) AS rn
-    FROM r3
-  ) WHERE rn = 1
-),
+),{",".join(rounds)},
 allsel AS (
-  SELECT query_id, 1 AS mmr_rank, sel_id, rel, mmr_score FROM s1
-  UNION ALL
-  SELECT query_id, 2, sel_id, rel, mmr_score FROM s2
-  UNION ALL
-  SELECT query_id, 3, sel_id, rel, mmr_score FROM s3
+  {allsel}
 )
 SELECT query_id, CAST(mmr_rank AS INT) AS mmr_rank, sel_id AS doc_id,
        floor(round(rel, 8) * 10000) / 10000 AS rel,
@@ -3106,6 +3112,9 @@ SELECT query_id, CAST(mmr_rank AS INT) AS mmr_rank, sel_id AS doc_id,
 FROM allsel
 ORDER BY query_id, mmr_rank
 """
+
+
+ORACLE["ann_mmr_rerank"] = _mmr_oracle_sql()
 
 
 QUERIES = {
