@@ -1864,7 +1864,126 @@ ORDER BY i.d1, i.d2
 ORACLE["dedup_sorted_neighborhood"] = _sorted_neighborhood_oracle()
 
 
+RUN_SPAN_K = 8  # anchor span width (tokens) — same grain as dedup_span_exact
+RUN_MIN_DOCS = 2  # an anchor is "duplicated" when seen in >= this many docs
+
+
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length exact substring duplication census — the
+    distributed approximation of the Lee et al. 2022 suffix-array
+    dedup ("Deduplicating Training Data Makes Language Models
+    Better"). ``dedup_span_exact`` censuses FIXED 8-token spans; the
+    training-data failure mode is LONG duplicated passages at
+    arbitrary boundaries. Here every position's {k}-token anchor span
+    is flagged if it occurs in >= {m} distinct documents, then
+    consecutive flagged positions chain (gaps-and-islands) into
+    maximal duplicated runs: an isolated duplicated substring of
+    token length L >= {k} produces exactly L-{k}+1 consecutive
+    flagged anchors, so run_len = (max_pos - min_pos) + {k}
+    reconstructs L exactly; overlapping duplications from DIFFERENT
+    sources merge into one run (an upper-bound census — the standard
+    distributed relaxation of the exact suffix-array method). Output:
+    run census by power-of-two length bucket (n_runs, docs touched,
+    duplicated-token mass) — the table that says "this corpus carries
+    N tokens of >=64-token boilerplate".
+
+    Scale shape: one explode to |tokens| anchor rows; the duplicated-
+    anchor set is a partial-aggregating groupBy on a 16-byte md5 key
+    (NOT a count-distinct window over the hash — a boilerplate span
+    present in 1e9 documents would pile one partition at 100 TB; the
+    groupBy combines map-side); the flag join back is a linear
+    sort-merge on the same key; run assembly is a per-document window
+    (bounded by document length) and the bucket rollup is tiny.
+    Power-of-two bucketing is integer-exact in both engines (binary
+    digit count, not float log2 — log2(16) can evaluate to
+    3.9999999999999996 and floor across the boundary)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return substring_run_census(docs, "doc_id", "text")
+
+
+def substring_run_census(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Library form of ``dedup_substring_runs`` (plan documented
+    there); exposed separately so the run-length reconstruction can
+    be golden-tested on constructed documents."""
+    anch = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_shingles(text_col, RUN_SPAN_K)).alias("pos0", "span"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5("span").alias("h"),
+    )
+    dup = (
+        anch.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= RUN_MIN_DOCS)
+        .select("h")
+    )
+    flagged = anch.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        flagged.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            (F.max("pos") - F.min("pos") + F.lit(RUN_SPAN_K)).alias("run_len")
+        )
+    )
+    bits = F.length(F.conv(F.col("run_len").cast("string"), 10, 2))
+    bucket = F.pow(F.lit(2.0), (bits - F.lit(1)).cast("double")).cast("bigint")
+    return (
+        runs.groupBy(bucket.alias("run_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("run_len").cast("bigint").alias("dup_tokens"),
+        )
+        .orderBy("run_bucket")
+    )
+
+
+dedup_substring_runs.__doc__ = dedup_substring_runs.__doc__.format(
+    k=RUN_SPAN_K, m=RUN_MIN_DOCS
+)
+
+
+def _substring_runs_oracle() -> str:
+    leads = " || ' ' || ".join(
+        f"lead(w,{i}) OVER win" for i in range(1, RUN_SPAN_K)
+    )
+    return f"""
+WITH tok AS ({_TOK_SQL}),
+spans AS (
+  SELECT doc_id, pos, md5(w || ' ' || {leads}) AS h
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+anch AS (SELECT doc_id, pos, h FROM spans WHERE h IS NOT NULL),
+dup AS (
+  SELECT h FROM anch GROUP BY h
+  HAVING count(DISTINCT doc_id) >= {RUN_MIN_DOCS}
+),
+fl AS (SELECT a.doc_id, a.pos FROM anch a JOIN dup USING (h)),
+grpd AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM fl
+),
+runs AS (
+  SELECT doc_id, max(pos) - min(pos) + {RUN_SPAN_K} AS run_len
+  FROM grpd GROUP BY doc_id, grp
+)
+SELECT CAST(power(2, length(to_base(run_len, 2)) - 1) AS BIGINT) AS run_bucket,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(run_len) AS BIGINT) AS dup_tokens
+FROM runs GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLE["dedup_substring_runs"] = _substring_runs_oracle()
+
+
 QUERIES = {
+    "dedup_substring_runs": dedup_substring_runs,
     "dedup_levenshtein_verified": dedup_levenshtein_verified,
     "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
     "dedup_exact": dedup_exact,

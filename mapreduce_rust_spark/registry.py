@@ -152,7 +152,7 @@ _PRIORITY: tuple[str, ...] = (
 # the remaining oldest-evidence (round-1) backfill.
 _NEXT_WINDOW: tuple[str, ...] = (
     # --- round-8 additions: first driver evidence due r09 ---
-    # (prepend as added)
+    "dedup_substring_runs",
     # --- oldest-evidence (round-1) backfill ---
     "q22_dormant_customers",
     "map_udf",
