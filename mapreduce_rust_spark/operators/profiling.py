@@ -1450,6 +1450,84 @@ FROM n CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
 """
 
 
+def table_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V association between event type and day-of-week —
+    the bounded [0,1] effect-size companion to
+    ``table_mutual_information``: V = sqrt(chi2 / (n * (min(r,c)-1)))
+    normalizes the chi-square statistic so "is weekday behavior
+    different per event type" reads on one scale across tables of any
+    size (chi2 alone grows with n; MI is in nats). Day-of-week is
+    computed as floor(epoch_days) % 7 — engine-neutral integer
+    arithmetic, NOT dayofweek() (Spark is 1=Sunday, DuckDB 0=Sunday).
+    Plan: ONE hash aggregation to the r x c contingency table
+    (bounded by category cardinalities), marginals re-aggregate the
+    tiny joint frame, expected counts multiply as DOUBLE (bigint
+    row-total x col-total overflows int64 past ~3e9 rows per margin —
+    the table_ks_drift lesson applied at birth)."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400) % 7
+    ).cast("int")
+    joint = ev.groupBy(
+        F.col("event_type").alias("x"), dow.alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rx = joint.groupBy("x").agg(F.sum("c").alias("rx"))
+    cy = joint.groupBy("y").agg(F.sum("c").alias("cy"))
+    n = joint.agg(
+        F.sum("c").alias("n"),
+        F.countDistinct("x").alias("r"),
+        F.countDistinct("y").alias("k"),
+    )
+    e = F.col("rx").cast("double") * F.col("cy").cast("double") / F.col("n")
+    chi = (
+        joint.join(F.broadcast(rx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(n))
+        .agg(F.sum((F.col("c") - e) * (F.col("c") - e) / e).alias("chi2"))
+    )
+    return n.crossJoin(F.broadcast(chi)).select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("r").cast("int").alias("n_types"),
+        F.col("k").cast("int").alias("n_dows"),
+        fround("chi2", 4).alias("chi2"),
+        fround(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("r") - 1, F.col("k") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+ORACLE["table_cramers_v"] = f"""
+WITH joint AS (
+  SELECT event_type AS x,
+         CAST(CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) % 7 AS INT) AS y,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+rx AS (SELECT x, sum(c) AS rx FROM joint GROUP BY 1),
+cy AS (SELECT y, sum(c) AS cy FROM joint GROUP BY 1),
+n AS (SELECT sum(c) AS n, count(DISTINCT x) AS r, count(DISTINCT y) AS k FROM joint),
+chi AS (
+  SELECT sum((joint.c - rx.rx * 1.0 * cy.cy / n.n)
+             * (joint.c - rx.rx * 1.0 * cy.cy / n.n)
+             / (rx.rx * 1.0 * cy.cy / n.n)) AS chi2
+  FROM joint JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN n
+)
+SELECT CAST(n.n AS BIGINT) AS n_rows,
+       CAST(n.r AS INT) AS n_types,
+       CAST(n.k AS INT) AS n_dows,
+       {fround_sql("chi.chi2", 4)} AS chi2,
+       {fround_sql("sqrt(chi.chi2 / (n.n * 1.0 * least(n.r - 1, n.k - 1)))", 6)} AS cramers_v
+FROM n CROSS JOIN chi
+"""
+
+
 T_CLOSENESS_T = 0.2  # EMD threshold for the is_t_close flag
 
 
@@ -1957,6 +2035,7 @@ ORDER BY pattern
 
 
 QUERIES = {
+    "table_cramers_v": table_cramers_v,
     "table_missingness_patterns": table_missingness_patterns,
     "table_referential_integrity": table_referential_integrity,
     "privacy_randomized_response": privacy_randomized_response,

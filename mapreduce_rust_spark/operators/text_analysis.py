@@ -400,6 +400,81 @@ GROUP BY s.doc_id
 """
 
 
+def text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class census — the charset/encoding QA
+    gate a corpus passes before tokenizer training: share of
+    lowercase alpha, uppercase alpha, digits, whitespace, and
+    everything-else (the mojibake/control-char bucket) plus docs and
+    total chars per source. A source whose "other" share spikes is
+    broken extraction, not language. Character-class counts are
+    length-of-regex-stripped-string expressions — pure JVM codegen,
+    one scan, and the aggregation keys on the tiny source vocabulary,
+    so map-side combine collapses everything before the shuffle at
+    any corpus size. The identical POSIX classes run in DuckDB."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+
+    def cnt(pattern: str) -> Column:
+        return F.length(F.regexp_replace("text", pattern, ""))
+
+    per_doc = docs.select(
+        "source",
+        F.length("text").alias("n"),
+        (F.length("text") - cnt("[a-z]")).alias("lower"),
+        (F.length("text") - cnt("[A-Z]")).alias("upper"),
+        (F.length("text") - cnt("[0-9]")).alias("digit"),
+        (F.length("text") - cnt(r"\s")).alias("space"),
+    )
+    tot = F.sum("n").cast("double")
+    share = lambda c: fround(F.sum(c) / tot, 6)  # noqa: E731
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_chars"),
+            share("lower").alias("lower_share"),
+            share("upper").alias("upper_share"),
+            share("digit").alias("digit_share"),
+            share("space").alias("space_share"),
+            fround(
+                (
+                    tot
+                    - F.sum("lower")
+                    - F.sum("upper")
+                    - F.sum("digit")
+                    - F.sum("space")
+                )
+                / tot,
+                6,
+            ).alias("other_share"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["text_charset_profile"] = rf"""
+WITH per_doc AS (
+  SELECT source,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS lower,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+         length(text) - length(regexp_replace(text, '\s', '', 'g')) AS space
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_chars,
+       {fround_sql("sum(lower) / CAST(sum(n) AS DOUBLE)", 6)} AS lower_share,
+       {fround_sql("sum(upper) / CAST(sum(n) AS DOUBLE)", 6)} AS upper_share,
+       {fround_sql("sum(digit) / CAST(sum(n) AS DOUBLE)", 6)} AS digit_share,
+       {fround_sql("sum(space) / CAST(sum(n) AS DOUBLE)", 6)} AS space_share,
+       {fround_sql(
+           "(CAST(sum(n) AS DOUBLE) - sum(lower) - sum(upper) - sum(digit) - sum(space))"
+           " / CAST(sum(n) AS DOUBLE)", 6)} AS other_share
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return token_diversity(docs, "doc_id", "text")
@@ -1944,6 +2019,7 @@ LIMIT {BURST_TOPK}
 
 
 QUERIES = {
+    "text_charset_profile": text_charset_profile,
     "text_term_burstiness": text_term_burstiness,
     "text_code_detect": text_code_detect,
     "text_readability_fk": text_readability_fk,

@@ -1623,6 +1623,139 @@ FROM ss
 """
 
 
+OBF_C = 2.24  # O'Brien-Fleming-shaped boundary scale: b(t) = C / sqrt(t)
+
+
+def ab_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitoring with an O'Brien-Fleming-
+    shaped spending boundary — the daily peeking dashboard that does
+    NOT inflate false positives the way repeated fixed-alpha z-tests
+    do. Per calendar day: cumulative per-arm n/sum/sumsq of the event
+    value metric (arm = the md5 hash split shared with ab_welch_ttest
+    / ab_bayesian_beta), Welch z on the CUMULATIVE moments, information
+    fraction t = n_cum / n_total, and the boundary b(t) = {c}/sqrt(t)
+    — early looks demand overwhelming evidence, the final look
+    approaches a fixed-horizon critical value. Output: one row per
+    day with (z, boundary, crossed) — the experiment stops the first
+    day |z| > b(t).
+
+    Scale shape: one pass collapses the fact table to day×arm grain
+    (map-side combinable moments), the pivot + running sums operate
+    on the |days|-row frame, and the total is one more model-sized
+    aggregate — nothing downstream of the first groupBy scales with
+    rows. Cumulative variance derives from (n, sum, sumsq) — the
+    mergeable-moments trick, so this plan IS the incremental-
+    maintenance shape: tomorrow's row needs only today's moments
+    plus the new day's partial."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.md5(F.col("user_id").cast("string")) < "8").cast("int")
+    daily = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            arm.alias("arm"),
+            F.col("value").alias("v"),
+        )
+        .groupBy("day", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("q"),
+        )
+    )
+    piv = daily.groupBy("day").agg(
+        F.coalesce(F.max(F.when(F.col("arm") == 1, F.col("n"))), F.lit(0)).alias("na_d"),
+        F.coalesce(F.max(F.when(F.col("arm") == 1, F.col("s"))), F.lit(0.0)).alias("sa_d"),
+        F.coalesce(F.max(F.when(F.col("arm") == 1, F.col("q"))), F.lit(0.0)).alias("qa_d"),
+        F.coalesce(F.max(F.when(F.col("arm") == 0, F.col("n"))), F.lit(0)).alias("nb_d"),
+        F.coalesce(F.max(F.when(F.col("arm") == 0, F.col("s"))), F.lit(0.0)).alias("sb_d"),
+        F.coalesce(F.max(F.when(F.col("arm") == 0, F.col("q"))), F.lit(0.0)).alias("qb_d"),
+    )
+    # the cumulative window runs on the |days|-row pivot — bounded by
+    # construction, so the single-partition spelling is the plan
+    piv, w0 = single_partition(piv, by=["day"])
+    wc = w0.rowsBetween(W.unboundedPreceding, 0)
+    cum = piv.select(
+        "day",
+        F.sum("na_d").over(wc).alias("na"),
+        F.sum("sa_d").over(wc).alias("sa"),
+        F.sum("qa_d").over(wc).alias("qa"),
+        F.sum("nb_d").over(wc).alias("nb"),
+        F.sum("sb_d").over(wc).alias("sb"),
+        F.sum("qb_d").over(wc).alias("qb"),
+    )
+    tot = piv.agg(
+        (F.sum("na_d") + F.sum("nb_d")).cast("double").alias("nt")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na")) / (F.col("na") - 1)
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb")) / (F.col("nb") - 1)
+    se = F.sqrt(F.greatest(va / F.col("na") + vb / F.col("nb"), F.lit(1e-12)))
+    z = F.when((F.col("na") > 1) & (F.col("nb") > 1), (mb - ma) / se)
+    t_frac = (F.col("na") + F.col("nb")) / F.col("nt")
+    bound = F.lit(OBF_C) / F.sqrt(t_frac)
+    return (
+        j.select(
+            "day",
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
+            fround(t_frac, 6).alias("t_frac"),
+            fround(z, 4).alias("z"),
+            fround(bound, 4).alias("boundary"),
+            (F.abs(z) > bound).alias("crossed"),
+        )
+        .orderBy("day")
+    )
+
+
+ab_sequential_obf.__doc__ = ab_sequential_obf.__doc__.format(c=OBF_C)
+
+
+ORACLE["ab_sequential_obf"] = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(md5(CAST(user_id AS VARCHAR)) < '8' AS INT) AS arm,
+         count(*) AS n, sum(value) AS s, sum(value * value) AS q
+  FROM events GROUP BY 1, 2
+),
+piv AS (
+  SELECT day,
+         coalesce(max(CASE WHEN arm = 1 THEN n END), 0) AS na_d,
+         coalesce(max(CASE WHEN arm = 1 THEN s END), 0.0) AS sa_d,
+         coalesce(max(CASE WHEN arm = 1 THEN q END), 0.0) AS qa_d,
+         coalesce(max(CASE WHEN arm = 0 THEN n END), 0) AS nb_d,
+         coalesce(max(CASE WHEN arm = 0 THEN s END), 0.0) AS sb_d,
+         coalesce(max(CASE WHEN arm = 0 THEN q END), 0.0) AS qb_d
+  FROM daily GROUP BY day
+),
+cum AS (
+  SELECT day,
+         sum(na_d) OVER w AS na, sum(sa_d) OVER w AS sa, sum(qa_d) OVER w AS qa,
+         sum(nb_d) OVER w AS nb, sum(sb_d) OVER w AS sb, sum(qb_d) OVER w AS qb
+  FROM piv
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (SELECT CAST(sum(na_d) + sum(nb_d) AS DOUBLE) AS nt FROM piv),
+m AS (
+  SELECT day, na, nb, (na + nb) / tot.nt AS t_frac,
+         CASE WHEN na > 1 AND nb > 1 THEN
+           ((sb / nb) - (sa / na))
+           / sqrt(greatest(
+               ((qa - sa * sa / na) / (na - 1)) / na
+             + ((qb - sb * sb / nb) / (nb - 1)) / nb, 1e-12))
+         END AS z
+  FROM cum CROSS JOIN tot
+)
+SELECT day, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       {fround_sql("t_frac", 6)} AS t_frac,
+       {fround_sql("z", 4)} AS z,
+       {fround_sql(f"{OBF_C} / sqrt(t_frac)", 4)} AS boundary,
+       abs(z) > {OBF_C} / sqrt(t_frac) AS crossed
+FROM m ORDER BY day
+"""
+
+
 PWR_Z_ALPHA = 1.959964  # two-sided α = 0.05
 PWR_Z_BETA = 0.841621  # 80% power
 PWR_REL_MDE = 0.10  # minimum detectable effect: +10% relative lift
@@ -1954,6 +2087,7 @@ FROM j ORDER BY horizon_days
 
 
 QUERIES = {
+    "ab_sequential_obf": ab_sequential_obf,
     "graph_bipartite_projection": graph_bipartite_projection,
     "events_user_activity_powerlaw": events_user_activity_powerlaw,
     "cohort_ltv_curve": cohort_ltv_curve,

@@ -1114,6 +1114,150 @@ ORDER BY lag
 """
 
 
+PACF_MAX_LAG = 4  # Durbin-Levinson unroll depth (expression size grows fast)
+
+
+def _durbin_levinson_formulas(max_lag: int) -> dict[int, str]:
+    """Engine-neutral arithmetic strings for the partial
+    autocorrelations phi_kk in terms of columns r1..r{max_lag}
+    (the ACF), via the Durbin-Levinson recursion:
+
+        phi_kk = (r_k - sum_j phi_{k-1,j} r_{k-j})
+                 / (1 - sum_j phi_{k-1,j} r_j)
+        phi_kj = phi_{k-1,j} - phi_kk * phi_{k-1,k-j}
+
+    Emitted SYMBOLICALLY so the Spark side (F.expr) and the DuckDB
+    oracle evaluate character-identical expressions — the policy-
+    constant discipline applied to a whole formula. Expression size
+    is exponential in max_lag; 4 is the classic AR-order
+    identification depth and keeps the text ~2 KB."""
+    phi: dict[tuple[int, int], str] = {}
+    out: dict[int, str] = {}
+    for k in range(1, max_lag + 1):
+        if k == 1:
+            e = "r1"
+        else:
+            num = f"r{k} - (" + " + ".join(
+                f"({phi[(k - 1, j)]}) * r{k - j}" for j in range(1, k)
+            ) + ")"
+            den = "1 - (" + " + ".join(
+                f"({phi[(k - 1, j)]}) * r{j}" for j in range(1, k)
+            ) + ")"
+            e = f"({num}) / ({den})"
+        out[k] = e
+        phi[(k, k)] = e
+        for j in range(1, k):
+            phi[(k, j)] = f"({phi[(k - 1, j)]}) - ({e}) * ({phi[(k - 1, k - j)]})"
+    return out
+
+
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the hourly event-count series at
+    lags 1..{maxlag} — THE AR-order identification tool (PACF cuts
+    off at lag p for an AR(p) process; the ACF only tails). Estimator:
+    standard stationary ACF rho_k = gamma_k / gamma_0 with the GLOBAL
+    mean (sum of lagged deviation products over the common grid),
+    then the Durbin-Levinson recursion unrolled symbolically — both
+    engines evaluate character-identical formula text generated from
+    the same Python function, so a depth retune cannot diverge them.
+    Scale shape: the fact table collapses to the |hours|-row series
+    in one aggregation; everything after (lag joins, the 1-row pivot,
+    the closed-form recursion) is model-sized. rho is fround-snapped
+    BEFORE the recursion so both engines feed identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    mu = series.agg(F.avg("n").alias("mu"))
+    dx = series.crossJoin(F.broadcast(mu)).select(
+        F.unix_timestamp("h").alias("hs"), (F.col("n") - F.col("mu")).alias("d")
+    )
+    g0 = dx.agg(F.sum(F.col("d") * F.col("d")).alias("g0"))
+    lags = spark.range(1, PACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    shifted = dx.crossJoin(F.broadcast(lags)).select(
+        (F.col("hs") + F.col("lag") * 3600).alias("hs"),
+        "lag",
+        F.col("d").alias("d_past"),
+    )
+    gk = (
+        dx.join(shifted, "hs")
+        .groupBy("lag")
+        .agg(F.sum(F.col("d") * F.col("d_past")).alias("gk"))
+    )
+    rho = gk.crossJoin(F.broadcast(g0)).select(
+        "lag", fround(F.col("gk") / F.col("g0"), 6).alias("rho")
+    )
+    wide = rho.groupBy().agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("rho"))).alias(f"r{k}")
+            for k in range(1, PACF_MAX_LAG + 1)
+        ]
+    )
+    formulas = _durbin_levinson_formulas(PACF_MAX_LAG)
+    stack_args = ", ".join(
+        f"{k}, pacf_{k}" for k in range(1, PACF_MAX_LAG + 1)
+    )
+    return (
+        wide.select(
+            *[F.col(f"r{k}") for k in range(1, PACF_MAX_LAG + 1)],
+            *[
+                fround(F.expr(formulas[k]), 4).alias(f"pacf_{k}")
+                for k in range(1, PACF_MAX_LAG + 1)
+            ],
+        )
+        .select(
+            F.expr(f"stack({PACF_MAX_LAG}, {stack_args}) AS (lag, pacf)")
+        )
+        .select(F.col("lag").cast("int").alias("lag"), "pacf")
+        .orderBy("lag")
+    )
+
+
+ts_pacf.__doc__ = ts_pacf.__doc__.format(maxlag=PACF_MAX_LAG)
+
+
+def _pacf_oracle() -> str:
+    formulas = _durbin_levinson_formulas(PACF_MAX_LAG)
+    picks = ",\n       ".join(
+        f"{fround_sql(f'gk{k}.gk / g0.g0', 6)} AS r{k}"
+        for k in range(1, PACF_MAX_LAG + 1)
+    )
+    gks = ",\n".join(
+        f"gk{k} AS (SELECT sum(cur.d * past.d) AS gk FROM dx cur "
+        f"JOIN dx past ON past.hs = cur.hs - {k} * 3600)"
+        for k in range(1, PACF_MAX_LAG + 1)
+    )
+    joins = " CROSS JOIN ".join(
+        ["g0"] + [f"gk{k}" for k in range(1, PACF_MAX_LAG + 1)]
+    )
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT {k} AS lag, {fround_sql(formulas[k], 4)} AS pacf FROM r"
+        for k in range(1, PACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH series AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1
+),
+mu AS (SELECT avg(n) AS mu FROM series),
+dx AS (SELECT epoch(h) AS hs, n - (SELECT mu FROM mu) AS d FROM series),
+g0 AS (SELECT sum(d * d) AS g0 FROM dx),
+{gks},
+r AS (
+  SELECT {picks}
+  FROM {joins}
+)
+SELECT CAST(lag AS INT) AS lag, pacf FROM (
+  {unions}
+) ORDER BY lag
+"""
+
+
+ORACLE["ts_pacf"] = _pacf_oracle()
+
+
 _XCF_MAX_LAG = 6
 
 
@@ -2657,6 +2801,7 @@ ORDER BY part
 
 
 QUERIES = {
+    "ts_pacf": ts_pacf,
     "ts_kalman_local_level": ts_kalman_local_level,
     "forecast_croston": forecast_croston,
     "ts_periodogram_daily": ts_periodogram_daily,

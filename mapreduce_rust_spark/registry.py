@@ -153,6 +153,10 @@ _PRIORITY: tuple[str, ...] = (
 _NEXT_WINDOW: tuple[str, ...] = (
     # --- round-8 additions: first driver evidence due r09 ---
     "dedup_substring_runs",
+    "ts_pacf",
+    "ab_sequential_obf",
+    "table_cramers_v",
+    "text_charset_profile",
     # --- oldest-evidence (round-1) backfill ---
     "q22_dormant_customers",
     "map_udf",

@@ -84,3 +84,89 @@ def test_substring_runs_census_invariants_on_corpus(spark, sf_dir):
         # run_len in [bucket, 2*bucket) bounds the token mass
         assert r["n_runs"] * b <= r["dup_tokens"] < r["n_runs"] * 2 * b
         assert 1 <= r["n_docs"] <= 2 * r["n_runs"]
+
+
+def test_pacf_lag1_equals_acf_lag1_and_bounded(spark, sf_dir):
+    """PACF(1) == ACF(1) by definition; all values in [-1, 1]."""
+    from mapreduce_rust_spark.plans.timeseries import PACF_MAX_LAG, ts_pacf
+
+    rows = {r["lag"]: r["pacf"] for r in ts_pacf(spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(1, PACF_MAX_LAG + 1))
+    for v in rows.values():
+        assert v is None or -1.0001 <= v <= 1.0001
+
+
+def test_pacf_durbin_levinson_matches_numpy(spark, sf_dir):
+    """Golden: solve the Yule-Walker system directly with numpy from
+    the same ACF and compare against the unrolled recursion."""
+    import numpy as np
+    from mapreduce_rust_spark.plans.timeseries import PACF_MAX_LAG, ts_pacf
+    from mapreduce_rust_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    pdf = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .orderBy("h")
+        .toPandas()
+    )
+    x = pdf["n"].to_numpy()
+    hs = pdf["h"].astype("int64").to_numpy() // 3_600_000_000_000
+    d = x - x.mean()
+    g0 = float((d * d).sum())
+    pos = {h: i for i, h in enumerate(hs)}
+    rho = []
+    for k in range(1, PACF_MAX_LAG + 1):
+        s = sum(
+            d[i] * d[pos[h - k]] for i, h in enumerate(hs) if (h - k) in pos
+        )
+        rho.append(round(s / g0, 6))
+    got = {r["lag"]: r["pacf"] for r in ts_pacf(spark, sf_dir).collect()}
+    # Yule-Walker solve per k: phi_kk is the last coefficient
+    for k in range(1, PACF_MAX_LAG + 1):
+        r = np.array(rho[:k])
+        toep = np.array(
+            [[(rho[abs(i - j) - 1] if i != j else 1.0) for j in range(k)] for i in range(k)]
+        )
+        phi = np.linalg.solve(toep, r)
+        assert abs(got[k] - phi[-1]) < 5e-4, (k, got[k], phi[-1])
+
+
+def test_sequential_obf_boundary_shrinks_and_final_look(spark, sf_dir):
+    """The OBF boundary must be monotonically non-increasing in the
+    information fraction and equal OBF_C at the final look (t=1)."""
+    from mapreduce_rust_spark.plans.behavior import OBF_C, ab_sequential_obf
+
+    rows = ab_sequential_obf(spark, sf_dir).orderBy("day").collect()
+    assert rows
+    bounds = [r["boundary"] for r in rows]
+    assert bounds == sorted(bounds, reverse=True)
+    assert abs(rows[-1]["t_frac"] - 1.0) < 1e-9
+    assert abs(rows[-1]["boundary"] - OBF_C) < 1e-3
+    for r in rows:
+        assert (r["crossed"] is None) == (r["z"] is None)
+
+
+def test_cramers_v_in_unit_interval(spark, sf_dir):
+    from mapreduce_rust_spark.operators.profiling import table_cramers_v
+
+    r = table_cramers_v(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["cramers_v"] <= 1.0
+    assert r["chi2"] >= 0.0
+    assert r["n_types"] >= 2 and r["n_dows"] >= 2
+
+
+def test_charset_shares_sum_to_one(spark, sf_dir):
+    from mapreduce_rust_spark.operators.text_analysis import text_charset_profile
+
+    for r in text_charset_profile(spark, sf_dir).collect():
+        total = (
+            r["lower_share"]
+            + r["upper_share"]
+            + r["digit_share"]
+            + r["space_share"]
+            + r["other_share"]
+        )
+        assert abs(total - 1.0) < 1e-4, r
+        assert r["n_chars"] > 0
