@@ -1934,22 +1934,17 @@ FROM g ORDER BY event_type
 KM_HORIZONS = (30, 60, 90, 180, 365)  # survival readout days
 
 
-def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier product-limit estimator over time-to-reorder —
-    the censoring-correct answer to "how long until a customer buys
-    again?" that a naive avg(gap) gets wrong (customers who never
-    reordered are CENSORED at the observation edge, not ignored):
-    every consecutive order pair is an observed reorder duration, the
-    last order of each customer is censored at the corpus max date,
-    and S(t) = Π_{{u≤t}} (1 − d_u/n_u) over the grouped duration grid.
-    Scale shape: one customer-keyed window pass builds durations
-    map-side-combinable into the DAY-GRANULAR grid (bounded by the
-    calendar span, NOT by row count), the risk-set/product recursion
-    runs on that provably-bounded grid via ``single_partition``, and
-    the {len(KM_HORIZONS)}-row horizon readout joins the grid
-    broadcast. The product becomes exp(Σ ln(1−d/n)) so one running
-    sum replaces the sequential product. Output per horizon: at-risk
-    count, cumulative events/censored, S(horizon)."""
+def _reorder_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared survival machinery for ``survival_kaplan_meier`` and
+    ``survival_nelson_aalen``: time-to-reorder durations (last order
+    per customer censored at the corpus max date), the day-granular
+    (d, c, n_risk) grid bounded by max(KM_HORIZONS), running KM
+    log-survival, running Nelson-Aalen hazard, and cumulative
+    event/censor counts. One customer-keyed window pass collapses the
+    fact table; everything after runs on the provably-bounded grid
+    via ``single_partition``. Durations beyond the horizon cut enter
+    ONLY through the total (risk-set mass), which also keeps
+    1 − d/n strictly positive on every retained row (no ln(0))."""
     orders = load_table(spark, sf_dir, "orders")
     wmax = orders.agg(F.max("o_orderdate").alias("obs_end"))
     wcust = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -1966,11 +1961,6 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nxt").isNotNull().cast("bigint").alias("event"),
         )
     )
-    # the curve only needs durations ≤ the last horizon; durations
-    # beyond it enter ONLY through the total (risk-set mass), which
-    # also guarantees 1 − d/n stays strictly positive on every
-    # retained row (the observation window outlives every horizon,
-    # so censored mass beyond the cut always exists — no ln(0))
     total_df = durs.agg(F.count(F.lit(1)).alias("total"))
     grid = (
         durs.filter(F.col("dur") <= max(KM_HORIZONS))
@@ -1984,7 +1974,7 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     g1, wg = single_partition(grid, by=["dur"])
     w_prev = wg.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
     w_upto = wg.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
-    curve = (
+    return (
         g1.withColumn(
             "n_risk",
             F.col("total")
@@ -1997,10 +1987,131 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.log(F.lit(1.0) - F.col("d") / F.col("n_risk")),
             ).otherwise(F.lit(0.0)),
         )
+        .withColumn(
+            "hazterm",
+            F.when(
+                F.col("n_risk") > 0, F.col("d") / F.col("n_risk")
+            ).otherwise(F.lit(0.0)),
+        )
         .withColumn("logs", F.sum("logterm").over(w_upto))
+        .withColumn("haz", F.sum("hazterm").over(w_upto))
         .withColumn("cum_d", F.sum("d").over(w_upto))
         .withColumn("cum_c", F.sum("c").over(w_upto))
     )
+
+
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator H(t) = sum d_u/n_u
+    over the same censoring-correct time-to-reorder grid as
+    ``survival_kaplan_meier``, plus the Fleming-Harrington survival
+    S = exp(-H) — the estimator of choice when event counts per
+    distinct time are small (it is the sum the KM product linearizes
+    to, and its variance behaves better in sparse grids; comparing
+    the two columns IS the small-sample diagnostic). Shares the
+    entire plan with KM via ``_reorder_duration_curve``: one
+    customer-keyed window pass, then model-sized arithmetic."""
+    curve = _reorder_duration_curve(spark, sf_dir)
+    horizons = spark.range(len(KM_HORIZONS)).select(
+        F.element_at(
+            F.array(*[F.lit(h) for h in KM_HORIZONS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("horizon_days")
+    )
+    return (
+        curve.join(
+            F.broadcast(horizons),
+            F.col("dur") <= F.col("horizon_days"),
+        )
+        .groupBy("horizon_days")
+        .agg(
+            F.max(F.struct("dur", "haz", "cum_d", "cum_c")).alias("last"),
+            F.first("total").alias("total"),
+        )
+        .select(
+            "horizon_days",
+            (F.col("total") - F.col("last.cum_d") - F.col("last.cum_c")).alias(
+                "n_at_risk"
+            ),
+            F.col("last.cum_d").alias("events_so_far"),
+            fround("last.haz", 6).alias("cum_hazard"),
+            fround(F.exp(-F.col("last.haz")), 6).alias("s_fleming_harrington"),
+        )
+        .orderBy("horizon_days")
+    )
+
+
+ORACLE["survival_nelson_aalen"] = f"""
+WITH durs AS (
+  SELECT CASE WHEN nxt IS NOT NULL
+              THEN date_diff('day', o_orderdate, nxt)
+              ELSE date_diff('day', o_orderdate,
+                             (SELECT max(o_orderdate) FROM orders))
+         END AS dur,
+         CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM (
+    SELECT o_orderdate,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS nxt
+    FROM orders
+  )
+),
+grid AS (
+  SELECT dur, CAST(sum(event) AS BIGINT) AS d,
+         CAST(sum(1 - event) AS BIGINT) AS c,
+         (SELECT count(*) FROM durs) AS total
+  FROM durs WHERE dur <= {max(KM_HORIZONS)} GROUP BY dur
+),
+curve AS (
+  SELECT dur, d, c, total,
+         total - coalesce(sum(d + c) OVER (
+             ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS n_risk,
+         sum(d) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum_d,
+         sum(c) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum_c
+  FROM grid
+),
+curve2 AS (
+  SELECT dur, total, cum_d, cum_c,
+         sum(CASE WHEN n_risk > 0 THEN d * 1.0 / n_risk ELSE 0.0 END)
+           OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS haz
+  FROM curve
+),
+h AS (SELECT unnest([{", ".join(str(h) for h in KM_HORIZONS)}]) AS horizon_days),
+j AS (
+  SELECT h.horizon_days, max_by(curve2, curve2.dur) AS last,
+         any_value(curve2.total) AS total
+  FROM curve2 JOIN h ON curve2.dur <= h.horizon_days
+  GROUP BY h.horizon_days
+)
+SELECT horizon_days,
+       CAST(total - last.cum_d - last.cum_c AS BIGINT) AS n_at_risk,
+       CAST(last.cum_d AS BIGINT) AS events_so_far,
+       {fround_sql("last.haz", 6)} AS cum_hazard,
+       {fround_sql("exp(-last.haz)", 6)} AS s_fleming_harrington
+FROM j ORDER BY horizon_days
+"""
+
+
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator over time-to-reorder —
+    the censoring-correct answer to "how long until a customer buys
+    again?" that a naive avg(gap) gets wrong (customers who never
+    reordered are CENSORED at the observation edge, not ignored):
+    every consecutive order pair is an observed reorder duration, the
+    last order of each customer is censored at the corpus max date,
+    and S(t) = Π_{{u≤t}} (1 − d_u/n_u) over the grouped duration grid.
+    Scale shape: one customer-keyed window pass builds durations
+    map-side-combinable into the DAY-GRANULAR grid (bounded by the
+    calendar span, NOT by row count), the risk-set/product recursion
+    runs on that provably-bounded grid via ``single_partition``, and
+    the {len(KM_HORIZONS)}-row horizon readout joins the grid
+    broadcast. The product becomes exp(Σ ln(1−d/n)) so one running
+    sum replaces the sequential product. Output per horizon: at-risk
+    count, cumulative events/censored, S(horizon)."""
+    curve = _reorder_duration_curve(spark, sf_dir)
     horizons = spark.range(len(KM_HORIZONS)).select(
         F.element_at(
             F.array(*[F.lit(h) for h in KM_HORIZONS]),
@@ -2088,6 +2199,7 @@ FROM j ORDER BY horizon_days
 
 QUERIES = {
     "ab_sequential_obf": ab_sequential_obf,
+    "survival_nelson_aalen": survival_nelson_aalen,
     "graph_bipartite_projection": graph_bipartite_projection,
     "events_user_activity_powerlaw": events_user_activity_powerlaw,
     "cohort_ltv_curve": cohort_ltv_curve,

@@ -1651,6 +1651,114 @@ ORDER BY event_type
 """
 
 
+THETA_ALPHA = 0.3  # SES smoothing on the theta=2 line
+THETA_HORIZON = 7  # forecast lead (days)
+
+
+def forecast_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 —
+    the M3-competition winner) per event type: decompose the daily
+    series into the theta=0 line (OLS trend a + b*t) and the theta=2
+    line z_t = 2*y_t - (a + b*t) (double-curvature residual), smooth
+    z with SES, and forecast h-ahead as the half-half combination
+    0.5*ses + 0.5*(a + b*(n+h)). Equivalent to SES with drift, but
+    the decomposition spelling is the one practitioners tune. OLS
+    coefficients come from the closed-form normal equations (plain
+    sum aggregates — map-side combinable); the SES recursion has no
+    window closed form, so per-key ``applyInPandas`` over the
+    calendar-bounded daily series, exactly the ``ts_holt_linear``
+    architecture. DuckDB replays the identical recursion as a
+    RECURSIVE CTE seeded from the same OLS aggregates."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("y"))
+    )
+
+    schema = (
+        "event_type string, n_days bigint, slope double, ses_level double,"
+        " forecast double"
+    )
+
+    def theta(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        y = pdf["y"].to_list()
+        cols = ["event_type", "n_days", "slope", "ses_level", "forecast"]
+        n = len(y)
+        if n < 2:
+            return pd.DataFrame([], columns=cols)
+        st = float(sum(range(1, n + 1)))
+        sy = float(sum(y))
+        sty = float(sum(t * v for t, v in enumerate(y, start=1)))
+        stt = float(sum(t * t for t in range(1, n + 1)))
+        b = (n * sty - st * sy) / (n * stt - st * st)
+        a = (sy - b * st) / n
+        s = 2.0 * y[0] - (a + b * 1.0)
+        for t in range(2, n + 1):
+            z = 2.0 * y[t - 1] - (a + b * t)
+            s = THETA_ALPHA * z + (1.0 - THETA_ALPHA) * s
+        fc = 0.5 * s + 0.5 * (a + b * (n + THETA_HORIZON))
+        return pd.DataFrame(
+            [[pdf["event_type"].iloc[0], n, b, s, fc]], columns=cols
+        )
+
+    out = daily.groupBy("event_type").applyInPandas(theta, schema)
+    return out.select(
+        "event_type",
+        "n_days",
+        fround("slope", 4).alias("slope"),
+        fround("ses_level", 4).alias("ses_level"),
+        fround("forecast", 4).alias("forecast"),
+    ).orderBy("event_type")
+
+
+ORACLE["forecast_theta"] = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS y
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+ols AS (
+  SELECT event_type, max(n) AS n,
+         (max(n) * sum(t * y) - sum(t) * sum(y))
+           / (max(n) * sum(t * t) - sum(t) * sum(t)) AS b
+  FROM seq GROUP BY event_type
+),
+ols2 AS (
+  SELECT o.event_type, o.n, o.b,
+         (s.sy - o.b * s.st) / o.n AS a
+  FROM ols o JOIN (
+    SELECT event_type, sum(y) AS sy, sum(t) AS st FROM seq GROUP BY 1
+  ) s USING (event_type)
+),
+ses AS (
+  SELECT s.event_type, 1 AS t, o.n, o.a, o.b,
+         2.0 * s.y - (o.a + o.b * 1.0) AS s
+  FROM seq s JOIN ols2 o USING (event_type)
+  WHERE s.t = 1 AND o.n >= 2
+  UNION ALL
+  SELECT ses.event_type, ses.t + 1, ses.n, ses.a, ses.b,
+         {THETA_ALPHA} * (2.0 * q.y - (ses.a + ses.b * (ses.t + 1)))
+           + (1.0 - {THETA_ALPHA}) * ses.s
+  FROM ses JOIN seq q
+    ON q.event_type = ses.event_type AND q.t = ses.t + 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       {fround_sql("b", 4)} AS slope,
+       {fround_sql("s", 4)} AS ses_level,
+       {fround_sql(f"0.5 * s + 0.5 * (a + b * (n + {THETA_HORIZON}))", 4)} AS forecast
+FROM ses WHERE t = n
+ORDER BY event_type
+"""
+
+
 HW_ALPHA = 0.3  # level smoothing
 HW_BETA = 0.1  # trend smoothing
 HW_GAMMA = 0.2  # seasonal smoothing
@@ -2802,6 +2910,7 @@ ORDER BY part
 
 QUERIES = {
     "ts_pacf": ts_pacf,
+    "forecast_theta": forecast_theta,
     "ts_kalman_local_level": ts_kalman_local_level,
     "forecast_croston": forecast_croston,
     "ts_periodogram_daily": ts_periodogram_daily,

@@ -157,6 +157,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "ab_sequential_obf",
     "table_cramers_v",
     "text_charset_profile",
+    "forecast_theta",
+    "survival_nelson_aalen",
     # --- oldest-evidence (round-1) backfill ---
     "q22_dormant_customers",
     "map_udf",

@@ -170,3 +170,63 @@ def test_charset_shares_sum_to_one(spark, sf_dir):
         )
         assert abs(total - 1.0) < 1e-4, r
         assert r["n_chars"] > 0
+
+
+def test_theta_forecast_matches_numpy_golden(spark, sf_dir):
+    """Golden: replay the theta decomposition in numpy from the same
+    daily series and compare slope/level/forecast."""
+    from mapreduce_rust_spark.plans.timeseries import (
+        THETA_ALPHA,
+        THETA_HORIZON,
+        forecast_theta,
+    )
+    from mapreduce_rust_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("y"))
+        .orderBy("event_type", "day")
+        .toPandas()
+    )
+    got = {r["event_type"]: r for r in forecast_theta(spark, sf_dir).collect()}
+    for et, grp in daily.groupby("event_type"):
+        y = grp.sort_values("day")["y"].to_list()
+        n = len(y)
+        if n < 2:
+            assert et not in got
+            continue
+        st = sum(range(1, n + 1))
+        sy = sum(y)
+        sty = sum(t * v for t, v in enumerate(y, start=1))
+        stt = sum(t * t for t in range(1, n + 1))
+        b = (n * sty - st * sy) / (n * stt - st * st)
+        a = (sy - b * st) / n
+        s = 2.0 * y[0] - (a + b)
+        for t in range(2, n + 1):
+            s = THETA_ALPHA * (2.0 * y[t - 1] - (a + b * t)) + (1 - THETA_ALPHA) * s
+        fc = 0.5 * s + 0.5 * (a + b * (n + THETA_HORIZON))
+        assert abs(got[et]["slope"] - b) < 1e-3
+        assert abs(got[et]["forecast"] - fc) < 1e-3
+
+
+def test_nelson_aalen_brackets_kaplan_meier(spark, sf_dir):
+    """Analytic invariant: exp(-H) >= S_KM pointwise (each KM factor
+    1-x <= exp(-x)), hazard is nondecreasing, and both estimators
+    agree within a few percent on dense grids."""
+    from mapreduce_rust_spark.plans.behavior import (
+        survival_kaplan_meier,
+        survival_nelson_aalen,
+    )
+
+    km = {r["horizon_days"]: r for r in survival_kaplan_meier(spark, sf_dir).collect()}
+    na = {r["horizon_days"]: r for r in survival_nelson_aalen(spark, sf_dir).collect()}
+    assert set(km) == set(na)
+    prev_h = 0.0
+    for h in sorted(na):
+        assert na[h]["cum_hazard"] >= prev_h - 1e-9
+        prev_h = na[h]["cum_hazard"]
+        assert na[h]["s_fleming_harrington"] >= km[h]["survival"] - 1e-6
+        assert na[h]["n_at_risk"] == km[h]["n_at_risk"]
+        assert na[h]["events_so_far"] == km[h]["events_so_far"]

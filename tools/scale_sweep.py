@@ -20,7 +20,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF01 = "/root/testdata/sf0.1"
+# small side of the ratio; override for higher-decade sweeps, e.g.
+# MRS_SWEEP_SMALL=scaledata/sf1 python tools/scale_sweep.py scaledata/sf10 <slug>
+SF01 = os.environ.get("MRS_SWEEP_SMALL", "/root/testdata/sf0.1")
+# MRS_SWEEP_NOCHECK=1 records a rows-only run for slugs whose DuckDB
+# replay is intractable at the target scale (documented fallback)
 
 # representative slugs for every family whose 100 TB story the repo
 # claims: dedup/LSH, embedding ANN/IVF, connected components,
@@ -89,17 +93,29 @@ def main() -> int:
     qs = queries()
     con = duck_con(sf1_dir)
     results = {}
+    nocheck = os.environ.get("MRS_SWEEP_NOCHECK") == "1"
     for slug in slugs:
         fn = qs[slug]
-        ok, detail = check_one(spark, con, slug, sf1_dir)
+        if nocheck:
+            n = fn(spark, sf1_dir).count()
+            ok, detail = True, f"rows-only ({n} rows; oracle not replayed)"
+        else:
+            ok, detail = check_one(spark, con, slug, sf1_dir)
         t_small = time_slug(spark, fn, SF01)
         t_big = time_slug(spark, fn, sf1_dir)
         exp = math.log10(max(t_big, 1e-3) / max(t_small, 1e-3))
-        results[slug] = {
+        key = (
+            f"{slug}@{os.environ['MRS_SWEEP_TAG']}"
+            if os.environ.get("MRS_SWEEP_TAG")
+            else slug
+        )
+        results[key] = {
             "sf0.1_s": round(t_small, 2),
             "sf1_s": round(t_big, 2),
             "exponent": round(exp, 2),
-            "sf1_value_check": "pass" if ok else f"FAIL: {detail}",
+            "sf1_value_check": (
+                detail if nocheck else ("pass" if ok else f"FAIL: {detail}")
+            ),
         }
         print(
             f"{slug}: {t_small:.2f}s -> {t_big:.2f}s  exp={exp:.2f}  "
