@@ -159,6 +159,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "text_charset_profile",
     "forecast_theta",
     "survival_nelson_aalen",
+    "linkage_fellegi_sunter",
+    "sql_session_variables",
     # --- oldest-evidence (round-1) backfill ---
     "q22_dormant_customers",
     "map_udf",

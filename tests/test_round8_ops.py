@@ -230,3 +230,45 @@ def test_nelson_aalen_brackets_kaplan_meier(spark, sf_dir):
         assert na[h]["s_fleming_harrington"] >= km[h]["survival"] - 1e-6
         assert na[h]["n_at_risk"] == km[h]["n_at_risk"]
         assert na[h]["events_so_far"] == km[h]["events_so_far"]
+
+
+def test_fellegi_sunter_decision_ordering(spark, sf_dir):
+    """Links must out-score possibles must out-score non-links, with
+    agreement rates monotone in the same direction for every field,
+    and the thresholds actually separating the classes."""
+    from mapreduce_rust_spark.operators.linkage import (
+        FS_LOWER,
+        FS_UPPER,
+        linkage_fellegi_sunter,
+    )
+
+    rows = {r["decision"]: r for r in linkage_fellegi_sunter(spark, sf_dir).collect()}
+    assert "link" in rows and "nonlink" in rows
+    assert rows["link"]["avg_score"] >= FS_UPPER
+    assert rows["nonlink"]["avg_score"] < FS_LOWER
+    if "possible" in rows:
+        assert FS_LOWER <= rows["possible"]["avg_score"] < FS_UPPER
+    assert rows["link"]["name_agree_rate"] > rows["nonlink"]["name_agree_rate"]
+
+
+def test_fellegi_sunter_weights_signs():
+    from mapreduce_rust_spark.operators.linkage import _fs_weights
+
+    for field, (w_agree, w_disagree) in _fs_weights().items():
+        assert w_agree > 0 > w_disagree, field
+
+
+def test_session_variables_round_trip(spark, sf_dir):
+    """The derived variable must hold the actual data-driven value
+    after the query ran, and re-running is idempotent."""
+    from mapreduce_rust_spark.plans.sqlface import (
+        SQLVAR_TOP_N,
+        sql_session_variables,
+    )
+
+    out1 = sql_session_variables(spark, sf_dir).collect()
+    out2 = sql_session_variables(spark, sf_dir).collect()
+    assert out1 == out2
+    assert 0 < len(out1) <= SQLVAR_TOP_N
+    v = spark.sql("SELECT mrs_avg_price AS p").collect()[0]["p"]
+    assert v is not None and v > 0
