@@ -744,6 +744,136 @@ ORDER BY doc_id
 """
 
 
+INC_LSH_THRESHOLD = 0.5  # batch-vs-corpus near-dup flag level
+
+
+def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FUZZY dedup — the daily-ingest near-dup screen
+    that ``dedup_incremental`` (exact content hash) cannot express:
+    the incoming batch's MinHash band signatures join against the
+    EXISTING corpus's banded index only (batch x corpus, never
+    batch x batch or corpus x corpus), and each batch doc reports its
+    best corpus match at est_sim >= {t}. The production property this
+    demonstrates: MinHash signatures are MERGEABLE state (min of mins)
+    and band buckets are an additive index, so at 100 TB the corpus
+    side is a maintained parquet artifact the batch probes — nothing
+    rescans history (here both sides derive from one signature pass
+    over the parity-split table because the demo owns no cross-run
+    state; the join topology is the production one). Even ids stand
+    in for the corpus, odd ids for the batch, the
+    ``dedup_incremental`` convention. Output per flagged batch doc:
+    its best corpus match (highest est_sim, lowest corpus id on
+    ties)."""
+    sigs = signature_index(spark, sf_dir, k=3)
+    sig_arr = F.array(*[F.col(f"mh{j}") for j in range(N_HASHES)])
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh{j}")
+                    for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+                ],
+            ).alias("sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id",
+        sig_arr.alias("sig_arr"),
+        F.explode(F.array(*band_structs)).alias("bs"),
+    ).select("doc_id", "sig_arr", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    corpus = bands.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("sig_arr").alias("corpus_arr"),
+        "band",
+        "sig",
+    )
+    batch = bands.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("batch_id"),
+        F.col("sig_arr").alias("batch_arr"),
+        "band",
+        "sig",
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("batch_arr"), F.col("corpus_arr"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    cand = (
+        batch.join(corpus, ["band", "sig"])
+        .select(
+            "batch_id",
+            "corpus_id",
+            (matches / F.lit(float(N_HASHES))).alias("est_sim"),
+        )
+        .distinct()
+        .filter(F.col("est_sim") >= INC_LSH_THRESHOLD)
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("est_sim").desc(), "corpus_id"
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("batch_id", "corpus_id", fround("est_sim", 4).alias("est_sim"))
+        .orderBy("batch_id")
+    )
+
+
+dedup_lsh_incremental.__doc__ = dedup_lsh_incremental.__doc__.format(
+    t=INC_LSH_THRESHOLD
+)
+
+
+def _lsh_incremental_oracle() -> str:
+    params = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(_minhash_params())
+    )
+    return f"""
+WITH ds AS ({_SHINGLE_SQL}),
+h AS (SELECT doc_id, {_h64_sql('s')} AS h FROM ds),
+params(j, a, b) AS (VALUES {params}),
+sig AS MATERIALIZED (
+  SELECT doc_id, j,
+         min((a * (h % {MINHASH_PRIME}) + b) % {MINHASH_PRIME}) AS mh
+  FROM h CROSS JOIN params GROUP BY doc_id, j
+),
+band AS MATERIALIZED (
+  SELECT doc_id, j // {ROWS_PER_BAND} AS band,
+         array_to_string(list(mh ORDER BY j), '-') AS sig
+  FROM sig GROUP BY doc_id, j // {ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+  FROM band b JOIN band c
+    ON c.band = b.band AND c.sig = b.sig
+   AND b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+),
+scored AS (
+  SELECT cand.batch_id, cand.corpus_id,
+         sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) / {N_HASHES}.0 AS est_sim
+  FROM cand
+  JOIN sig s1 ON s1.doc_id = cand.batch_id
+  JOIN sig s2 ON s2.doc_id = cand.corpus_id AND s2.j = s1.j
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT batch_id, corpus_id, est_sim,
+         row_number() OVER (PARTITION BY batch_id
+                            ORDER BY est_sim DESC, corpus_id) AS rk
+  FROM scored WHERE est_sim >= {INC_LSH_THRESHOLD}
+)
+SELECT batch_id, corpus_id, {fround_sql("est_sim", 4)} AS est_sim
+FROM best WHERE rk = 1 ORDER BY batch_id
+"""
+
+
+ORACLE["dedup_lsh_incremental"] = _lsh_incremental_oracle()
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return exact_duplicate_groups(docs, "doc_id", "text")
@@ -1984,6 +2114,7 @@ ORACLE["dedup_substring_runs"] = _substring_runs_oracle()
 
 QUERIES = {
     "dedup_substring_runs": dedup_substring_runs,
+    "dedup_lsh_incremental": dedup_lsh_incremental,
     "dedup_levenshtein_verified": dedup_levenshtein_verified,
     "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
     "dedup_exact": dedup_exact,

@@ -161,6 +161,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "survival_nelson_aalen",
     "linkage_fellegi_sunter",
     "sql_session_variables",
+    "dedup_lsh_incremental",
     # --- oldest-evidence (round-1) backfill ---
     "q22_dormant_customers",
     "map_udf",

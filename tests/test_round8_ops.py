@@ -272,3 +272,29 @@ def test_session_variables_round_trip(spark, sf_dir):
     assert 0 < len(out1) <= SQLVAR_TOP_N
     v = spark.sql("SELECT mrs_avg_price AS p").collect()[0]["p"]
     assert v is not None and v > 0
+
+
+def test_lsh_incremental_topology_and_threshold(spark, sf_dir):
+    """Matches must be batch(odd) -> corpus(even) only, one row per
+    flagged batch doc, est_sim at or above the policy threshold, and
+    every flagged pair must also exist in the full-corpus LSH
+    candidate set (the incremental view is a subset by construction)."""
+    from mapreduce_rust_spark.operators.dedup import (
+        INC_LSH_THRESHOLD,
+        dedup_lsh_incremental,
+        dedup_minhash_lsh,
+    )
+
+    rows = dedup_lsh_incremental(spark, sf_dir).collect()
+    assert rows, "synthetic corpus has cross-parity near-dups"
+    ids = [r["batch_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "one best match per batch doc"
+    full = {
+        (min(r["d1"], r["d2"]), max(r["d1"], r["d2"]))
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r["batch_id"] % 2 == 1 and r["corpus_id"] % 2 == 0
+        assert r["est_sim"] >= INC_LSH_THRESHOLD
+        key = (min(r["batch_id"], r["corpus_id"]), max(r["batch_id"], r["corpus_id"]))
+        assert key in full, key
