@@ -1761,6 +1761,102 @@ PWR_Z_BETA = 0.841621  # 80% power
 PWR_REL_MDE = 0.10  # minimum detectable effect: +10% relative lift
 
 
+RATE_SPLIT_DAY = 15  # first-half / second-half boundary (days from corpus start)
+
+
+def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate test per event type — the ops-monitor
+    question "did this event's RATE change between the first and
+    second half of the window?" that a t-test on values cannot answer
+    (counts, not measurements). With c1 events in t1 days and c2 in
+    t2 days, the normal-approximation test statistic is
+    z = (r1 - r2) / sqrt(c1/t1^2 + c2/t2^2), r = c/t. Exposure-time
+    denominators make it robust to unequal halves. Plan: ONE
+    partial-aggregating pass to (type, half) counts — the entire test
+    runs on a 2x|types| frame; the corpus-start anchor is a broadcast
+    1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    maxd = ev.agg(
+        (F.datediff(F.date_trunc("day", F.max("ts")),
+                    F.date_trunc("day", F.min("ts"))) + 1).alias("span_days")
+    )
+    halves = (
+        ev.crossJoin(F.broadcast(lo))
+        .select(
+            "event_type",
+            (
+                F.datediff(F.date_trunc("day", "ts"), "d0") < RATE_SPLIT_DAY
+            ).cast("int").alias("h1"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("h1").alias("c1"),
+            F.sum(F.lit(1) - F.col("h1")).alias("c2"),
+        )
+        .crossJoin(F.broadcast(maxd))
+    )
+    t1 = F.lit(float(RATE_SPLIT_DAY))
+    t2 = (F.col("span_days") - RATE_SPLIT_DAY).cast("double")
+    r1 = F.col("c1") / t1
+    r2 = F.col("c2") / t2
+    se = F.sqrt(
+        F.greatest(
+            F.col("c1") / (t1 * t1) + F.col("c2") / (t2 * t2), F.lit(1e-12)
+        )
+    )
+    z = (r1 - r2) / se
+    return (
+        halves.select(
+            "event_type",
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("c2").cast("bigint").alias("c2"),
+            fround(r1, 4).alias("rate1_per_day"),
+            fround(r2, 4).alias("rate2_per_day"),
+            fround(z, 4).alias("z"),
+            (F.abs(z) > PWR_Z_ALPHA).alias("rate_changed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["events_poisson_rate_test"] = f"""
+WITH lo AS (SELECT date_trunc('day', min(ts)) AS d0,
+                   date_diff('day', date_trunc('day', min(ts)),
+                             date_trunc('day', max(ts))) + 1 AS span_days
+            FROM events),
+halves AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN date_diff('day', lo.d0, date_trunc('day', ts))
+                            < {RATE_SPLIT_DAY} THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN date_diff('day', lo.d0, date_trunc('day', ts))
+                            < {RATE_SPLIT_DAY} THEN 0 ELSE 1 END) AS BIGINT) AS c2,
+         any_value(lo.span_days) AS span_days
+  FROM events, lo GROUP BY event_type
+),
+m AS (
+  SELECT event_type, c1, c2,
+         c1 / {float(RATE_SPLIT_DAY)} AS r1,
+         c2 / CAST(span_days - {RATE_SPLIT_DAY} AS DOUBLE) AS r2,
+         (c1 / {float(RATE_SPLIT_DAY)}
+          - c2 / CAST(span_days - {RATE_SPLIT_DAY} AS DOUBLE))
+         / sqrt(greatest(
+             c1 / ({float(RATE_SPLIT_DAY)} * {float(RATE_SPLIT_DAY)})
+           + c2 / (CAST(span_days - {RATE_SPLIT_DAY} AS DOUBLE)
+                   * CAST(span_days - {RATE_SPLIT_DAY} AS DOUBLE)), 1e-12)) AS z
+  FROM halves
+)
+SELECT event_type, c1, c2,
+       {fround_sql("r1", 4)} AS rate1_per_day,
+       {fround_sql("r2", 4)} AS rate2_per_day,
+       {fround_sql("z", 4)} AS z,
+       abs(z) > {PWR_Z_ALPHA} AS rate_changed
+FROM m ORDER BY event_type
+"""
+
+
+
+
 def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-experiment power analysis per event type — the "can this
     corpus even detect the lift we care about" gate that should run
@@ -2199,6 +2295,7 @@ FROM j ORDER BY horizon_days
 
 QUERIES = {
     "ab_sequential_obf": ab_sequential_obf,
+    "events_poisson_rate_test": events_poisson_rate_test,
     "survival_nelson_aalen": survival_nelson_aalen,
     "graph_bipartite_projection": graph_bipartite_projection,
     "events_user_activity_powerlaw": events_user_activity_powerlaw,

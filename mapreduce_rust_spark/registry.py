@@ -162,6 +162,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "linkage_fellegi_sunter",
     "sql_session_variables",
     "dedup_lsh_incremental",
+    "table_fd_discovery",
+    "events_poisson_rate_test",
     # --- oldest-evidence (round-1) backfill ---
     "q22_dormant_customers",
     "map_udf",

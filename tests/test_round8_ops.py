@@ -298,3 +298,48 @@ def test_lsh_incremental_topology_and_threshold(spark, sf_dir):
         assert r["est_sim"] >= INC_LSH_THRESHOLD
         key = (min(r["batch_id"], r["corpus_id"]), max(r["batch_id"], r["corpus_id"]))
         assert key in full, key
+
+
+def test_fd_discovery_known_keys(spark, sf_dir):
+    """c_custkey (a PK) must determine everything tested; the reverse
+    segment->nation mapping must be violated on any non-trivial data."""
+    from mapreduce_rust_spark.operators.profiling import table_fd_discovery
+
+    rows = {
+        (r["determinant"], r["dependent"]): r
+        for r in table_fd_discovery(spark, sf_dir).collect()
+    }
+    assert rows[("customer.c_custkey", "customer.c_nationkey")]["is_fd"]
+    assert rows[("customer.c_custkey", "customer.c_mktsegment")]["is_fd"]
+    assert rows[("nation.n_nationkey", "nation.n_regionkey")]["is_fd"]
+    seg = rows[("customer.c_mktsegment", "customer.c_nationkey")]
+    assert not seg["is_fd"] and seg["n_violating_values"] > 0
+    for r in rows.values():
+        assert (r["n_violating_values"] == 0) == r["is_fd"]
+        assert r["n_extra_mappings"] >= r["n_violating_values"]
+
+
+def test_poisson_rate_test_recomputes(spark, sf_dir):
+    """Golden replay: recompute z from the reported counts and the
+    fixed split; verify the flag agrees with the reported z."""
+    import math
+
+    from mapreduce_rust_spark.plans.behavior import (
+        PWR_Z_ALPHA,
+        RATE_SPLIT_DAY,
+        events_poisson_rate_test,
+    )
+    from mapreduce_rust_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        (F.datediff(F.date_trunc("day", F.max("ts")),
+                    F.date_trunc("day", F.min("ts"))) + 1).alias("s")
+    ).collect()[0]["s"]
+    t1, t2 = float(RATE_SPLIT_DAY), float(span - RATE_SPLIT_DAY)
+    for r in events_poisson_rate_test(spark, sf_dir).collect():
+        r1, r2 = r["c1"] / t1, r["c2"] / t2
+        z = (r1 - r2) / math.sqrt(max(r["c1"] / t1**2 + r["c2"] / t2**2, 1e-12))
+        assert abs(r["z"] - z) < 1e-3
+        assert r["rate_changed"] == (abs(r["z"]) > PWR_Z_ALPHA)
