@@ -409,6 +409,122 @@ GROUP BY 1 ORDER BY 1
 
 
 
+def _scd2_runs(ev: DataFrame) -> DataFrame:
+    """Maximal same-type runs per user (the ``scd2_compress_states``
+    gaps-and-islands) with raw-timestamp bounds kept for stitching."""
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias(
+            "island"
+        ),
+    )
+    return (
+        runs.groupBy("user_id", "event_type", "island")
+        .agg(
+            F.min("ts").alias("vf"),
+            F.max("ts").alias("vt"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("island")
+    )
+
+
+def incremental_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance — apply a change-stream DELTA to
+    an existing type-2 dimension WITHOUT rebuilding history: the only
+    rows the merge may touch are each delta-user's LAST stored run
+    and the delta's FIRST run (same state spanning the batch boundary
+    must stitch into ONE validity interval — the correctness trap a
+    naive append ships: a user whose state didn't change across the
+    boundary would grow a duplicate row). Base = runs over events
+    before {cutoff!r}, delta = runs over events after; stitch by a
+    user-keyed join of (last base run, first delta run) on equal
+    state, keep everything else verbatim. The DuckDB oracle builds
+    the SCD2 from FULL history — equality IS the proof that maximal
+    runs compose across the boundary (only the boundary pair can be
+    same-type adjacent, because base and delta are each internally
+    maximal). Scale shape: user-keyed windows and joins throughout
+    (high-cardinality, evenly spread); per-user state touched is two
+    rows regardless of history depth — the warehouse MERGE pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    base = _scd2_runs(ev.filter(F.col("ts") < _CUTOFF))
+    delta = _scd2_runs(ev.filter(F.col("ts") >= _CUTOFF))
+    w_last = W.partitionBy("user_id").orderBy(F.col("vf").desc())
+    w_first = W.partitionBy("user_id").orderBy("vf")
+    base_r = base.withColumn("is_last", F.row_number().over(w_last) == 1)
+    delta_r = delta.withColumn("is_first", F.row_number().over(w_first) == 1)
+    lb = base_r.filter("is_last").select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.col("vf").alias("vf1"),
+        F.col("vt").alias("vt1"),
+        F.col("n_events").alias("n1"),
+    )
+    fd = delta_r.filter("is_first").select(
+        "user_id",
+        F.col("event_type").alias("t2"),
+        F.col("vf").alias("vf2"),
+        F.col("vt").alias("vt2"),
+        F.col("n_events").alias("n2"),
+    )
+    stitched = lb.join(fd, "user_id").filter(F.col("t1") == F.col("t2")).select(
+        "user_id",
+        F.col("t1").alias("event_type"),
+        F.col("vf1").alias("vf"),
+        F.col("vt2").alias("vt"),
+        (F.col("n1") + F.col("n2")).alias("n_events"),
+    )
+    skey = stitched.select("user_id", F.col("event_type").alias("st_type"))
+    keep_base = base_r.join(
+        skey,
+        (base_r["user_id"] == skey["user_id"])
+        & (base_r["event_type"] == skey["st_type"])
+        & base_r["is_last"],
+        "left_anti",
+    ).select("user_id", "event_type", "vf", "vt", "n_events")
+    keep_delta = delta_r.join(
+        skey,
+        (delta_r["user_id"] == skey["user_id"])
+        & (delta_r["event_type"] == skey["st_type"])
+        & delta_r["is_first"],
+        "left_anti",
+    ).select("user_id", "event_type", "vf", "vt", "n_events")
+    return keep_base.unionByName(keep_delta).unionByName(stitched).select(
+        "user_id",
+        "event_type",
+        F.date_format("vf", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("vt", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "n_events",
+    )
+
+
+incremental_scd2_apply.__doc__ = incremental_scd2_apply.__doc__.format(
+    cutoff=_CUTOFF
+)
+
+
+# full-history SCD2 — equality proves the boundary stitch is exact
+ORACLE["incremental_scd2_apply"] = """
+WITH runs AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS island
+  FROM events
+)
+SELECT user_id, event_type,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS valid_to,
+       count(*) AS n_events
+FROM runs
+GROUP BY user_id, event_type, island
+"""
+
+
 TOPK_DAYS = 10  # maintained leaderboard size
 
 
@@ -484,6 +600,7 @@ WHERE rank <= {TOPK_DAYS} ORDER BY rank
 
 
 QUERIES = {
+    "incremental_scd2_apply": incremental_scd2_apply,
     "incremental_topk_maintain": incremental_topk_maintain,
     "incremental_join_delta": incremental_join_delta,
     "incremental_agg_merge": incremental_agg_merge,

@@ -164,6 +164,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "dedup_lsh_incremental",
     "table_fd_discovery",
     "events_poisson_rate_test",
+    "incremental_scd2_apply",
     # --- oldest-evidence (round-1) backfill ---
     "q22_dormant_customers",
     "map_udf",

@@ -343,3 +343,28 @@ def test_poisson_rate_test_recomputes(spark, sf_dir):
         z = (r1 - r2) / math.sqrt(max(r["c1"] / t1**2 + r["c2"] / t2**2, 1e-12))
         assert abs(r["z"] - z) < 1e-3
         assert r["rate_changed"] == (abs(r["z"]) > PWR_Z_ALPHA)
+
+
+def test_scd2_apply_stitches_boundary_runs(spark, sf_dir):
+    """The incremental result must equal the full-history rebuild
+    (row-for-row), and must contain NO same-type adjacent duplicate
+    rows per user — the naive-append failure the stitch prevents."""
+    from mapreduce_rust_spark.plans.behavior import scd2_compress_states
+    from mapreduce_rust_spark.plans.incremental import incremental_scd2_apply
+
+    inc = incremental_scd2_apply(spark, sf_dir)
+    full = scd2_compress_states(spark, sf_dir)
+    cols = ["user_id", "event_type", "valid_from", "valid_to", "n_events"]
+    a = sorted(map(tuple, inc.select(*cols).collect()))
+    b = sorted(map(tuple, full.select(*cols).collect()))
+    assert a == b
+    by_user: dict = {}
+    for r in a:
+        by_user.setdefault(r[0], []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r[2])
+        for prev, nxt in zip(rows, rows[1:]):
+            if prev[1] == nxt[1]:
+                # same type twice in a row is only legal if another
+                # type's run separates them in time
+                assert prev[3] <= nxt[2]
