@@ -329,7 +329,15 @@ def topk_ivf(
 
 # --- registry queries -----------------------------------------------
 
-_QUERY_PRED = "vec_id % 100 = 0"
+ANN_QUERY_CAP = 20_000  # query panel drawn from ids BELOW this only
+# The ANN query panel must be FIXED-SIZE, never a corpus fraction:
+# "every 100th vector" made query count scale with the corpus, so
+# queries x probed-candidates turned the whole ANN family quadratic
+# (sf1->sf10 sweep measured exponent 1.42 on ann_topk_ivfpq before
+# this cap — the same defect class as the round-7 decontamination
+# benchmark fraction). ids ≡ 0 (mod 100) below 20k = 200 queries at
+# sf1 and beyond; unchanged at the gate scales (corpus < cap there).
+_QUERY_PRED = f"vec_id % 100 = 0 AND vec_id < {ANN_QUERY_CAP}"
 
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
