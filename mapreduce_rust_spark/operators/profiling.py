@@ -1528,81 +1528,6 @@ FROM n CROSS JOIN chi
 """
 
 
-# candidate (determinant -> dependent) pairs for the FD screen; kept
-# a declared policy list so the audit table reads as configuration
-FD_CANDIDATES = (
-    ("customer", "c_custkey", "c_nationkey"),
-    ("customer", "c_custkey", "c_mktsegment"),
-    ("customer", "c_mktsegment", "c_nationkey"),
-    ("orders", "o_orderkey", "o_custkey"),
-    ("orders", "o_custkey", "o_orderpriority"),
-    ("nation", "n_nationkey", "n_regionkey"),
-)
-
-
-def table_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Functional-dependency screen (the TANE-style profiling primitive):
-    for each candidate pair X -> Y, X determines Y iff no X value maps
-    to two Y values. Reported per candidate: distinct determinant
-    count, number of VIOLATING determinant values, total violating
-    rows beyond the first value (the repair cost), and the verdict —
-    the audit that finds real-world key semantics (and silently broken
-    denormalizations) before a pipeline relies on them. Plan per pair:
-    one (X, Y) distinct aggregation then an X-keyed count — both
-    partial-aggregating, bounded by value cardinalities, unioned into
-    one report frame. The candidate list is configuration, not
-    discovery-over-all-pairs: at 100 TB you screen the pairs a human
-    or a previous profile nominated (all-pairs FD mining is |cols|²
-    full scans — a different, deliberate job)."""
-    frames = []
-    for table, det, dep in FD_CANDIDATES:
-        t = load_table(spark, sf_dir, table)
-        per_det = (
-            t.select(F.col(det).cast("string").alias("x"),
-                     F.col(dep).cast("string").alias("y"))
-            .distinct()
-            .groupBy("x")
-            .agg(F.count(F.lit(1)).alias("n_y"))
-        )
-        frames.append(
-            per_det.agg(
-                F.lit(f"{table}.{det}").alias("determinant"),
-                F.lit(f"{table}.{dep}").alias("dependent"),
-                F.count(F.lit(1)).alias("n_det_values"),
-                F.sum((F.col("n_y") > 1).cast("bigint")).alias("n_violating_values"),
-                F.sum(F.col("n_y") - 1).cast("bigint").alias("n_extra_mappings"),
-                (F.max("n_y") == 1).alias("is_fd"),
-            )
-        )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out.orderBy("determinant", "dependent")
-
-
-def _fd_oracle() -> str:
-    selects = []
-    for table, det, dep in FD_CANDIDATES:
-        selects.append(f"""
-  SELECT '{table}.{det}' AS determinant, '{table}.{dep}' AS dependent,
-         CAST(count(*) AS BIGINT) AS n_det_values,
-         CAST(sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_violating_values,
-         CAST(sum(n_y - 1) AS BIGINT) AS n_extra_mappings,
-         max(n_y) = 1 AS is_fd
-  FROM (
-    SELECT x, count(*) AS n_y FROM (
-      SELECT DISTINCT CAST({det} AS VARCHAR) AS x,
-                      CAST({dep} AS VARCHAR) AS y FROM {table}
-    ) GROUP BY x
-  )""")
-    body = "\n  UNION ALL\n".join(selects)
-    return f"SELECT * FROM (\n{body}\n) ORDER BY determinant, dependent"
-
-
-ORACLE["table_fd_discovery"] = _fd_oracle()
-
-
 T_CLOSENESS_T = 0.2  # EMD threshold for the is_t_close flag
 
 
@@ -2111,7 +2036,6 @@ ORDER BY pattern
 
 QUERIES = {
     "table_cramers_v": table_cramers_v,
-    "table_fd_discovery": table_fd_discovery,
     "table_missingness_patterns": table_missingness_patterns,
     "table_referential_integrity": table_referential_integrity,
     "privacy_randomized_response": privacy_randomized_response,

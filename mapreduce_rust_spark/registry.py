@@ -162,7 +162,6 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "linkage_fellegi_sunter",
     "sql_session_variables",
     "dedup_lsh_incremental",
-    "table_fd_discovery",
     "events_poisson_rate_test",
     "incremental_scd2_apply",
     # --- oldest-evidence (round-1) backfill ---

@@ -300,25 +300,6 @@ def test_lsh_incremental_topology_and_threshold(spark, sf_dir):
         assert key in full, key
 
 
-def test_fd_discovery_known_keys(spark, sf_dir):
-    """c_custkey (a PK) must determine everything tested; the reverse
-    segment->nation mapping must be violated on any non-trivial data."""
-    from mapreduce_rust_spark.operators.profiling import table_fd_discovery
-
-    rows = {
-        (r["determinant"], r["dependent"]): r
-        for r in table_fd_discovery(spark, sf_dir).collect()
-    }
-    assert rows[("customer.c_custkey", "customer.c_nationkey")]["is_fd"]
-    assert rows[("customer.c_custkey", "customer.c_mktsegment")]["is_fd"]
-    assert rows[("nation.n_nationkey", "nation.n_regionkey")]["is_fd"]
-    seg = rows[("customer.c_mktsegment", "customer.c_nationkey")]
-    assert not seg["is_fd"] and seg["n_violating_values"] > 0
-    for r in rows.values():
-        assert (r["n_violating_values"] == 0) == r["is_fd"]
-        assert r["n_extra_mappings"] >= r["n_violating_values"]
-
-
 def test_poisson_rate_test_recomputes(spark, sf_dir):
     """Golden replay: recompute z from the reported counts and the
     fixed split; verify the flag agrees with the reported z."""
