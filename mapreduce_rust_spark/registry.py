@@ -164,6 +164,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "dedup_lsh_incremental",
     "events_poisson_rate_test",
     "incremental_scd2_apply",
+    "streaming_join_left_outer",
     # --- oldest-evidence (round-1) backfill ---
     "q22_dormant_customers",
     "map_udf",

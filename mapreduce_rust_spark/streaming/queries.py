@@ -447,6 +447,94 @@ GROUP BY c.user_id
 """
 
 
+def streaming_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the attribution join
+    with the semantics production actually needs: a click that never
+    converts must still emit (null-padded) so downstream funnels see
+    the denominator. Unlike the inner join, the null side can only
+    emit when the WATERMARK proves no future purchase can match
+    (c_ts + 1 h < watermark) — the state-eviction contract this slug
+    value-checks. Over the bounded replay the final watermark is
+    max(ts) − 2 h; clicks younger than max(ts) − 3 h sit in the
+    undecided tail and are withheld, so the output is restricted to
+    the decidable domain (a 1-minute margin guards the exact
+    boundary tie, applied identically in the oracle). Per user:
+    emitted clicks, unattributed clicks (the null rows), attributed
+    value."""
+    ev1 = read_stream_table(spark, sf_dir, "events")
+    ev2 = read_stream_table(spark, sf_dir, "events")
+    clicks = (
+        ev1.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev2.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"
+        ),
+        "leftOuter",
+    )
+    out = run_available_now(joined, "append", partitions=8)
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    bound = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg((F.max("ts") - F.expr("interval 3 hours 1 minute")).alias("b"))
+    )
+    return (
+        out.crossJoin(F.broadcast(bound))
+        .filter(F.col("c_ts") < F.col("b"))
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("p_value").isNull().cast("bigint")).alias(
+                "n_unattributed"
+            ),
+            fround(F.sum(F.coalesce("p_value", F.lit(0.0)))).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["streaming_join_left_outer"] = """
+WITH bound AS (SELECT max(ts) - INTERVAL 3 HOUR - INTERVAL 1 MINUTE AS b
+               FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id FROM events, bound
+      WHERE event_type = 'click' AND ts < bound.b),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.user_id, p.value
+  FROM c LEFT JOIN p
+    ON p.user_id = c.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unattributed,
+       floor(round((sum(coalesce(value, 0.0))), 6) * 100) / 100
+         AS attributed_value
+FROM j GROUP BY user_id ORDER BY user_id
+"""
+
+
 def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping windows on the stream: the SAME window('1 hour', '15
     minutes') expression as the batch window_sliding_counts slug,
@@ -786,6 +874,7 @@ FROM (
 
 
 QUERIES = {
+    "streaming_join_left_outer": streaming_join_left_outer,
     "streaming_session_window": streaming_session_window,
     "streaming_batch_parity_audit": streaming_batch_parity_audit,
     "streaming_state_inspect": streaming_state_inspect,

@@ -349,3 +349,24 @@ def test_scd2_apply_stitches_boundary_runs(spark, sf_dir):
                 # same type twice in a row is only legal if another
                 # type's run separates them in time
                 assert prev[3] <= nxt[2]
+
+
+def test_streaming_left_outer_subsumes_inner(spark, sf_dir):
+    """Within the decidable domain: attributed value must equal the
+    inner join's rollup for the same users, and unattributed counts
+    must be positive somewhere (the whole point of OUTER)."""
+    from mapreduce_rust_spark.streaming.queries import (
+        streaming_join_left_outer,
+        streaming_stream_join,
+    )
+
+    outer = {r["user_id"]: r for r in streaming_join_left_outer(spark, sf_dir).collect()}
+    assert outer and any(r["n_unattributed"] > 0 for r in outer.values())
+    inner = {r["user_id"]: r for r in streaming_stream_join(spark, sf_dir).collect()}
+    for uid, r in outer.items():
+        matched = r["n_rows"] - r["n_unattributed"]
+        if matched:
+            assert uid in inner
+            # inner covers ALL clicks; outer only the decidable domain
+            assert inner[uid]["n_attributed"] >= matched
+        assert r["n_rows"] >= r["n_unattributed"] >= 0
