@@ -416,6 +416,119 @@ ORDER BY d.community
 ORACLE["graph_modularity"] = _modularity_oracle()
 
 
+def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community CONDUCTANCE of the LPA communities — the cut
+    quality metric modularity doesn't give you: phi(c) = cut(c) /
+    min(vol(c), 2m - vol(c)), where cut = edge endpoints leaving the
+    community and vol = total degree inside. Low phi = a community
+    that barely touches the rest of the dup graph (safe to dedup as a
+    unit); phi near 1 = an LSH-bridge artifact. Same shared
+    artifacts as ``graph_modularity`` (memoized candidate pairs +
+    fixed-round LPA labels), two node-keyed label joins, and the
+    readout runs on the |communities|-row frame — nothing here scales
+    beyond the edge list."""
+    from mapreduce_rust_spark.operators.dedup import candidate_pairs_index
+
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.5, k=3)
+    labels = label_propagation(pairs, "d1", "d2")
+    und = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .distinct()
+    )
+    m2 = und.count()  # 2m, both directions
+    la = labels.select(F.col("node").alias("a"), F.col("lbl").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("lbl").alias("cb"))
+    tagged = und.join(la, "a").join(lb, "b")
+    cut = (
+        tagged.filter(F.col("ca") != F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    vol = (
+        labels.join(deg.withColumnRenamed("a", "node"), "node")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.sum("deg").alias("vol"))
+    )
+    phi = F.coalesce("cut", F.lit(0)) / F.greatest(
+        F.least(F.col("vol").cast("double"), F.lit(float(m2)) - F.col("vol")),
+        F.lit(1.0),
+    )
+    return (
+        vol.join(cut, "community", "left")
+        .select(
+            "community",
+            F.col("vol").cast("bigint").alias("vol"),
+            F.coalesce("cut", F.lit(0)).cast("bigint").alias("cut"),
+            fround(phi, 6).alias("conductance"),
+        )
+        .orderBy("community")
+    )
+
+
+def _conductance_oracle() -> str:
+    from mapreduce_rust_spark.operators.dedup import _minhash_oracle
+
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT node, lbl FROM (
+    SELECT e.b AS node, l.lbl, count(*) AS c,
+           row_number() OVER (PARTITION BY e.b
+                              ORDER BY count(*) DESC, l.lbl) AS rn
+    FROM edges e JOIN {prev} l ON l.node = e.a
+    GROUP BY e.b, l.lbl
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.5
+),
+edges AS MATERIALIZED (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges),
+{", ".join(rounds)},
+labels AS MATERIALIZED (SELECT node, lbl FROM {prev}),
+m2 AS (SELECT count(*) AS m2 FROM edges),
+tagged AS (
+  SELECT la.lbl AS ca, lb.lbl AS cb
+  FROM edges e
+  JOIN labels la ON la.node = e.a
+  JOIN labels lb ON lb.node = e.b
+),
+cut AS (
+  SELECT ca AS community, CAST(count(*) AS BIGINT) AS cut
+  FROM tagged WHERE ca <> cb GROUP BY 1
+),
+deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY 1),
+vol AS (
+  SELECT l.lbl AS community, sum(d.deg) AS vol
+  FROM labels l JOIN deg d ON d.a = l.node
+  GROUP BY 1
+)
+SELECT v.community,
+       CAST(v.vol AS BIGINT) AS vol,
+       CAST(coalesce(c.cut, 0) AS BIGINT) AS cut,
+       {fround_sql("coalesce(c.cut, 0) / greatest(least(v.vol * 1.0, any_value(m2.m2) - v.vol), 1.0)", 6)} AS conductance
+FROM vol v
+LEFT JOIN cut c ON c.community = v.community
+CROSS JOIN m2
+GROUP BY v.community, v.vol, c.cut
+ORDER BY v.community
+"""
+
+
+ORACLE["graph_conductance"] = _conductance_oracle()
+
+
 def graph_clustering_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjusted Rand Index between the dup graph's TWO clusterings —
     connected components (reachability) vs label propagation
@@ -1213,6 +1326,7 @@ ORACLE["graph_eigenvector_centrality"] = _eigenvector_oracle()
 
 
 QUERIES = {
+    "graph_conductance": graph_conductance,
     "graph_adamic_adar": graph_adamic_adar,
     "graph_eigenvector_centrality": graph_eigenvector_centrality,
     "graph_modularity": graph_modularity,

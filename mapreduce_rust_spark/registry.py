@@ -165,6 +165,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "events_poisson_rate_test",
     "incremental_scd2_apply",
     "streaming_join_left_outer",
+    "graph_conductance",
     # --- oldest-evidence (round-1) backfill ---
     "q22_dormant_customers",
     "map_udf",

@@ -370,3 +370,14 @@ def test_streaming_left_outer_subsumes_inner(spark, sf_dir):
             # inner covers ALL clicks; outer only the decidable domain
             assert inner[uid]["n_attributed"] >= matched
         assert r["n_rows"] >= r["n_unattributed"] >= 0
+
+
+def test_conductance_bounds_and_vol_cut_sanity(spark, sf_dir):
+    from mapreduce_rust_spark.operators.graph import graph_conductance
+
+    rows = graph_conductance(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["conductance"] <= 1.0 + 1e-9
+        assert r["cut"] <= r["vol"], "cut endpoints are a subset of volume"
+        assert r["vol"] > 0
