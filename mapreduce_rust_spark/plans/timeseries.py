@@ -1258,6 +1258,138 @@ SELECT CAST(lag AS INT) AS lag, pacf FROM (
 ORACLE["ts_pacf"] = _pacf_oracle()
 
 
+# shared engine-neutral formula strings for the Granger F readout —
+# centered-sum OLS, generated once so both engines evaluate identical
+# arithmetic (the ts_pacf discipline)
+_GR_D = "(suu * svv - suv * suv)"
+_GR_B = f"((suy * svv - svy * suv) / {_GR_D})"
+_GR_C = f"((svy * suu - suy * suv) / {_GR_D})"
+_GR_RSS2 = f"(syy - {_GR_B} * suy - {_GR_C} * svy)"
+_GR_RSS1 = "(syy - suy * suy / suu)"
+_GR_F = (
+    f"(({_GR_RSS1} - {_GR_RSS2}) / (({_GR_RSS2}) / (n - 3)))"
+)
+GRANGER_F_CRIT = 4.0  # ~F(1, 25+) at alpha=0.05 on the daily grid
+
+
+def ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Granger-causality screen over the daily per-type
+    value series: does YESTERDAY's x improve predicting today's y
+    beyond yesterday's y? For every ordered type pair, compare
+    restricted OLS y_t ~ y_{t-1} against augmented y_t ~ y_{t-1} +
+    x_{t-1}; F = (RSS1 - RSS2)/(RSS2/(n-3)) with 1 extra parameter.
+    Everything is closed-form centered-sum algebra over ONE lag-join
+    of the (types x days)-sized frame — the 2x2 normal equations are
+    solved symbolically, and the identical generated formula text
+    runs in both engines (the ``ts_pacf`` discipline), so there is no
+    iterative fitting anywhere. The "lite" is honest: one lag, no
+    differencing/stationarity pretest — the screening pass that picks
+    which pairs earn a real VAR. Scale shape: the fact table
+    collapses to |types| x |days| once; the pair frame is |types|²
+    x |days| of DOUBLES, bounded by the calendar."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("t"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.avg("value").alias("v"))
+    y_now = daily.select(
+        F.col("t").alias("effect"), "day", F.col("v").alias("y")
+    )
+    y_lag = daily.select(
+        F.col("t").alias("effect"),
+        F.date_add(F.col("day"), 1).alias("day"),
+        F.col("v").alias("u"),
+    )
+    x_lag = daily.select(
+        F.col("t").alias("cause"),
+        F.date_add(F.col("day"), 1).alias("day"),
+        F.col("v").alias("x"),
+    )
+    j = (
+        y_now.join(y_lag, ["effect", "day"])
+        .join(x_lag, "day")
+        .filter(F.col("cause") != F.col("effect"))
+    )
+    g = j.groupBy("cause", "effect").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("my"),
+        F.avg("u").alias("mu"),
+        F.avg("x").alias("mx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy_r"),
+        F.sum(F.col("u") * F.col("u")).alias("suu_r"),
+        F.sum(F.col("x") * F.col("x")).alias("svv_r"),
+        F.sum(F.col("u") * F.col("y")).alias("suy_r"),
+        F.sum(F.col("x") * F.col("y")).alias("svy_r"),
+        F.sum(F.col("u") * F.col("x")).alias("suv_r"),
+    )
+    cent = g.select(
+        "cause",
+        "effect",
+        "n",
+        (F.col("syy_r") - F.col("n") * F.col("my") * F.col("my")).alias("syy"),
+        (F.col("suu_r") - F.col("n") * F.col("mu") * F.col("mu")).alias("suu"),
+        (F.col("svv_r") - F.col("n") * F.col("mx") * F.col("mx")).alias("svv"),
+        (F.col("suy_r") - F.col("n") * F.col("mu") * F.col("my")).alias("suy"),
+        (F.col("svy_r") - F.col("n") * F.col("mx") * F.col("my")).alias("svy"),
+        (F.col("suv_r") - F.col("n") * F.col("mu") * F.col("mx")).alias("suv"),
+    )
+    f_expr = F.when(
+        (F.col("n") > 3)
+        & (F.expr(_GR_D) > 1e-12)
+        & (F.col("suu") > 1e-12)
+        & (F.expr(_GR_RSS2) > 1e-12),
+        F.expr(_GR_F),
+    )
+    return cent.select(
+        "cause",
+        "effect",
+        F.col("n").cast("bigint").alias("n"),
+        fround(f_expr, 4).alias("f_stat"),
+        (f_expr > GRANGER_F_CRIT).alias("granger_causes"),
+    ).orderBy("cause", "effect")
+
+
+ORACLE["ts_granger_lite"] = f"""
+WITH daily AS (
+  SELECT event_type AS t, date_trunc('day', ts) AS day, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT x.t AS cause, y.t AS effect, y.v AS y, yl.v AS u, x.v AS x
+  FROM daily y
+  JOIN daily yl ON yl.t = y.t AND yl.day = y.day - INTERVAL 1 DAY
+  JOIN daily x ON x.day = y.day - INTERVAL 1 DAY AND x.t <> y.t
+),
+g AS (
+  SELECT cause, effect, count(*) AS n,
+         avg(y) AS my, avg(u) AS mu, avg(x) AS mx,
+         sum(y * y) AS syy_r, sum(u * u) AS suu_r, sum(x * x) AS svv_r,
+         sum(u * y) AS suy_r, sum(x * y) AS svy_r, sum(u * x) AS suv_r
+  FROM j GROUP BY 1, 2
+),
+cent AS (
+  SELECT cause, effect, n,
+         syy_r - n * my * my AS syy,
+         suu_r - n * mu * mu AS suu,
+         svv_r - n * mx * mx AS svv,
+         suy_r - n * mu * my AS suy,
+         svy_r - n * mx * my AS svy,
+         suv_r - n * mu * mx AS suv
+  FROM g
+),
+m AS (
+  SELECT cause, effect, n,
+         CASE WHEN n > 3 AND {_GR_D} > 1e-12 AND suu > 1e-12
+                   AND {_GR_RSS2} > 1e-12
+              THEN {_GR_F} END AS f
+  FROM cent
+)
+SELECT cause, effect, CAST(n AS BIGINT) AS n,
+       {fround_sql("f", 4)} AS f_stat,
+       f > {GRANGER_F_CRIT} AS granger_causes
+FROM m ORDER BY cause, effect
+"""
+
+
 _XCF_MAX_LAG = 6
 
 
@@ -2910,6 +3042,7 @@ ORDER BY part
 
 QUERIES = {
     "ts_pacf": ts_pacf,
+    "ts_granger_lite": ts_granger_lite,
     "forecast_theta": forecast_theta,
     "ts_kalman_local_level": ts_kalman_local_level,
     "forecast_croston": forecast_croston,

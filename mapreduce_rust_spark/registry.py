@@ -166,6 +166,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "incremental_scd2_apply",
     "streaming_join_left_outer",
     "graph_conductance",
+    "ts_granger_lite",
     # --- oldest-evidence (round-1) backfill ---
     "q22_dormant_customers",
     "map_udf",

@@ -381,3 +381,39 @@ def test_conductance_bounds_and_vol_cut_sanity(spark, sf_dir):
         assert 0.0 <= r["conductance"] <= 1.0 + 1e-9
         assert r["cut"] <= r["vol"], "cut endpoints are a subset of volume"
         assert r["vol"] > 0
+
+
+def test_granger_matches_numpy_ols(spark, sf_dir):
+    """Golden: refit both regressions with numpy lstsq and compare F."""
+    import numpy as np
+
+    from mapreduce_rust_spark.plans.timeseries import ts_granger_lite
+    from mapreduce_rust_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("t"), F.date_trunc("day", "ts").alias("day"))
+        .agg(F.avg("value").alias("v"))
+        .toPandas()
+    )
+    series = {
+        t: grp.sort_values("day")["v"].to_numpy()
+        for t, grp in daily.groupby("t")
+    }
+    got = {(r["cause"], r["effect"]): r for r in ts_granger_lite(spark, sf_dir).collect()}
+    checked = 0
+    for (cause, effect), r in got.items():
+        x, y = series[cause], series[effect]
+        n = min(len(x), len(y))
+        yy, u, v = y[1:n], y[: n - 1], x[: n - 1]
+        if r["f_stat"] is None or len(yy) < 4:
+            continue
+        ones = np.ones_like(u)
+        rss1 = np.linalg.lstsq(np.c_[ones, u], yy, rcond=None)[1][0]
+        rss2_res = np.linalg.lstsq(np.c_[ones, u, v], yy, rcond=None)[1]
+        rss2 = rss2_res[0] if len(rss2_res) else 0.0
+        f = (rss1 - rss2) / (rss2 / (len(yy) - 3))
+        assert abs(r["f_stat"] - f) < max(0.01, 0.01 * abs(f)), (cause, effect, r["f_stat"], f)
+        checked += 1
+    assert checked >= 10
