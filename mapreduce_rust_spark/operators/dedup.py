@@ -1889,6 +1889,165 @@ SN_KEY_LEN = 24  # sort-key prefix length (normalized chars)
 SN_THRESHOLD = 0.5  # verify: shingle Jaccard
 
 
+ROUGE_PREFIX_TOKENS = 32  # LCS clamp: per-pair cost is a CONSTANT 32x32
+
+
+def dedup_rouge_l_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L-verified near-dup pairs — the SUBSEQUENCE measure the
+    eval-decontamination literature uses beside n-gram overlap:
+    token-level longest-common-subsequence over the banded-LSH
+    candidates (est_sim >= 0.7, the same bounded set the levenshtein
+    verify consumes), F = 2PR/(P+R) with P = LCS/m, R = LCS/n.
+    Catches reorderings-with-insertions that character edit distance
+    over-penalizes and shingle Jaccard under-reports. Cost bounded
+    twice, the ``dedup_levenshtein_verified`` discipline: candidates
+    only (never n²) and a fixed {k}-token prefix, so per-pair work is
+    a constant {k}x{k} DP. The DP runs in an Arrow-batched pandas UDF
+    (no JVM LCS builtin; the candidate sliver is tiny relative to the
+    scan) and the DuckDB oracle replays the identical DP cell-by-cell
+    with the ``ts_dtw_distance`` ring-buffer recursion."""
+    import pandas as pd
+
+    pairs = candidate_pairs_index(spark, sf_dir, threshold=0.7, k=3).select(
+        "d1", "d2"
+    )
+    toks = F.slice(
+        tokenize_whitespace(normalize_text(F.col("text"))),
+        1,
+        ROUGE_PREFIX_TOKENS,
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("tok")
+    )
+
+    # module-wide `from __future__ import annotations` stringifies
+    # hints, which pandas_udf can't introspect — set them explicitly
+    def _lcs_batch(a, b):
+        out = []
+        for xs, ys in zip(a, b):
+            xs, ys = list(xs), list(ys)
+            m = len(ys)
+            row = [0] * (m + 1)
+            for x in xs:
+                prev_diag = 0
+                for j in range(1, m + 1):
+                    cur = row[j]
+                    row[j] = (
+                        prev_diag + 1
+                        if x == ys[j - 1]
+                        else max(row[j], row[j - 1])
+                    )
+                    prev_diag = cur
+            out.append(row[m])
+        return pd.Series(out)
+
+    _lcs_batch.__annotations__ = {
+        "a": pd.Series, "b": pd.Series, "return": pd.Series
+    }
+    lcs_udf = F.pandas_udf(_lcs_batch, "int")
+
+    t1 = docs.select(F.col("doc_id").alias("d1"), F.col("tok").alias("a1"))
+    t2 = docs.select(F.col("doc_id").alias("d2"), F.col("tok").alias("a2"))
+    scored = (
+        pairs.join(t1, "d1")
+        .join(t2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.size("a1").alias("n1"),
+            F.size("a2").alias("n2"),
+            lcs_udf("a1", "a2").alias("lcs"),
+        )
+    )
+    f = (2.0 * F.col("lcs") * F.col("lcs")) / (
+        F.col("n1").cast("double") * F.col("lcs")
+        + F.col("n2").cast("double") * F.col("lcs")
+    )
+    # 2PR/(P+R) with P=lcs/n2, R=lcs/n1 simplifies to 2*lcs/(n1+n2);
+    # spelled that way to avoid 0/0 when lcs = 0
+    f = 2.0 * F.col("lcs") / (F.col("n1") + F.col("n2")).cast("double")
+    return scored.select(
+        "d1",
+        "d2",
+        F.col("lcs").cast("bigint").alias("lcs_len"),
+        fround(f, 6).alias("rouge_l_f"),
+    ).orderBy("d1", "d2")
+
+
+dedup_rouge_l_verified.__doc__ = dedup_rouge_l_verified.__doc__.format(
+    k=ROUGE_PREFIX_TOKENS
+)
+
+
+def _rouge_oracle() -> str:
+    return f"""
+WITH RECURSIVE cand AS MATERIALIZED (
+  SELECT d1, d2 FROM ({_minhash_oracle()}) WHERE est_sim >= 0.7
+),
+tok AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')[1:{ROUGE_PREFIX_TOKENS}] AS tok
+  FROM documents
+),
+sized AS MATERIALIZED (
+  SELECT c.d1, c.d2, a.tok AS ta, b.tok AS tb,
+         len(a.tok) AS n, len(b.tok) AS m
+  FROM cand c JOIN tok a ON a.doc_id = c.d1 JOIN tok b ON b.doc_id = c.d2
+),
+eq AS MATERIALIZED (
+  SELECT s.d1, s.d2, i.i, j.j,
+         (s.ta[i.i] = s.tb[j.j]) AS same
+  FROM sized s,
+       unnest(generate_series(1, s.n)) AS i(i),
+       unnest(generate_series(1, s.m)) AS j(j)
+),
+row1 AS (
+  SELECT e.d1, e.d2, e.j,
+         max(CASE WHEN e2.same THEN 1 ELSE 0 END) AS dp
+  FROM eq e JOIN eq e2
+    ON e2.d1 = e.d1 AND e2.d2 = e.d2 AND e2.i = 1 AND e2.j <= e.j
+  WHERE e.i = 1
+  GROUP BY e.d1, e.d2, e.j
+),
+seed AS (
+  SELECT s.d1, s.d2, s.n, s.m, s.m AS c,
+         [0] || list(r.dp ORDER BY r.j) AS ring
+  FROM sized s JOIN row1 r ON r.d1 = s.d1 AND r.d2 = s.d2
+  GROUP BY s.d1, s.d2, s.n, s.m
+),
+dp AS (
+  SELECT d1, d2, n, m, c, ring FROM seed
+  UNION ALL
+  SELECT dp.d1, dp.d2, dp.n, dp.m, dp.c + 1,
+         dp.ring[2:] || [
+           CASE WHEN k.same THEN
+             CASE WHEN (dp.c % dp.m) + 1 = 1 THEN 0 ELSE dp.ring[1] END + 1
+           ELSE greatest(
+             dp.ring[2],
+             CASE WHEN (dp.c % dp.m) + 1 = 1 THEN 0 ELSE dp.ring[dp.m + 1] END
+           ) END
+         ]
+  FROM dp
+  JOIN eq k
+    ON k.d1 = dp.d1 AND k.d2 = dp.d2
+   AND k.i = (dp.c // dp.m) + 1
+   AND k.j = (dp.c % dp.m) + 1
+  WHERE dp.c < dp.n * dp.m
+),
+fin AS (
+  SELECT d1, d2, n, m, ring[m + 1] AS lcs
+  FROM dp WHERE c = n * m
+)
+SELECT d1, d2, CAST(lcs AS BIGINT) AS lcs_len,
+       {fround_sql("2.0 * lcs / (n + m)", 6)} AS rouge_l_f
+FROM fin ORDER BY d1, d2
+"""
+
+
+ORACLE["dedup_rouge_l_verified"] = _rouge_oracle()
+
+
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
     OTHER classic candidate generator next to LSH banding: sort
@@ -2115,6 +2274,7 @@ ORACLE["dedup_substring_runs"] = _substring_runs_oracle()
 QUERIES = {
     "dedup_substring_runs": dedup_substring_runs,
     "dedup_lsh_incremental": dedup_lsh_incremental,
+    "dedup_rouge_l_verified": dedup_rouge_l_verified,
     "dedup_levenshtein_verified": dedup_levenshtein_verified,
     "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
     "dedup_exact": dedup_exact,

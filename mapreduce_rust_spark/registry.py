@@ -167,6 +167,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "streaming_join_left_outer",
     "graph_conductance",
     "ts_granger_lite",
+    "dedup_rouge_l_verified",
     # --- oldest-evidence (round-1) backfill ---
     "q22_dormant_customers",
     "map_udf",

@@ -417,3 +417,47 @@ def test_granger_matches_numpy_ols(spark, sf_dir):
         assert abs(r["f_stat"] - f) < max(0.01, 0.01 * abs(f)), (cause, effect, r["f_stat"], f)
         checked += 1
     assert checked >= 10
+
+
+def test_rouge_l_golden_and_bounds(spark, sf_dir):
+    """Golden: recompute LCS in pure Python from the same clamped
+    token lists for every reported pair."""
+    from mapreduce_rust_spark.operators.dedup import (
+        ROUGE_PREFIX_TOKENS,
+        dedup_rouge_l_verified,
+    )
+    from mapreduce_rust_spark.functions.text import normalize_text, tokenize_whitespace
+    from mapreduce_rust_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = dedup_rouge_l_verified(spark, sf_dir).collect()
+    assert rows
+    docs = dict(
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.slice(
+                tokenize_whitespace(normalize_text(F.col("text"))),
+                1,
+                ROUGE_PREFIX_TOKENS,
+            ).alias("tok"),
+        )
+        .rdd.map(lambda r: (r["doc_id"], r["tok"]))
+        .collect()
+    )
+
+    def lcs(xs, ys):
+        row = [0] * (len(ys) + 1)
+        for x in xs:
+            diag = 0
+            for j in range(1, len(ys) + 1):
+                cur = row[j]
+                row[j] = diag + 1 if x == ys[j - 1] else max(row[j], row[j - 1])
+                diag = cur
+        return row[-1]
+
+    for r in rows:
+        a, b = docs[r["d1"]], docs[r["d2"]]
+        want = lcs(a, b)
+        assert r["lcs_len"] == want, (r["d1"], r["d2"], r["lcs_len"], want)
+        assert 0.0 <= r["rouge_l_f"] <= 1.0
