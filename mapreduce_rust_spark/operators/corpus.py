@@ -522,6 +522,75 @@ ORDER BY k.lang
 """
 
 
+NEYMAN_BUDGET = 2000  # total eval-sample budget (docs)
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sample ALLOCATION (the survey-
+    sampling classic): given a fixed eval budget of {b} docs, how many
+    to draw per source so the stratified mean of document length has
+    minimum variance — n_h ∝ N_h * S_h (stratum size x stratum
+    std-dev), versus the proportional allocation n_h ∝ N_h that
+    ``sample_stratified`` implements. High-variance sources earn more
+    than their share; near-constant ones less — the difference column
+    is the efficiency the design buys. Plan: ONE partial-aggregating
+    pass to per-source (count, stddev), a broadcast 1-row normalizer,
+    floor rounding (identical in both engines) for integer
+    allocations. At 100 TB the allocation itself is |sources|-sized —
+    the report that PRECEDES the sampling job."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.stddev_samp(F.col("n_chars").cast("double")).alias("sd"),
+    )
+    tot = per.agg(
+        F.sum(F.col("n_total") * F.col("sd")).alias("z"),
+        F.sum("n_total").alias("n"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    ney = F.floor(
+        F.lit(NEYMAN_BUDGET) * (F.col("n_total") * F.col("sd")) / F.col("z")
+    ).cast("bigint")
+    prop = F.floor(
+        F.lit(NEYMAN_BUDGET) * F.col("n_total") / F.col("n").cast("double")
+    ).cast("bigint")
+    return j.select(
+        "source",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        fround("sd", 4).alias("sd_len"),
+        ney.alias("alloc_neyman"),
+        prop.alias("alloc_proportional"),
+        (ney - prop).alias("alloc_shift"),
+    ).orderBy("source")
+
+
+sample_neyman_allocation.__doc__ = sample_neyman_allocation.__doc__.format(
+    b=NEYMAN_BUDGET
+)
+
+
+ORACLE["sample_neyman_allocation"] = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_total,
+         stddev_samp(CAST(n_chars AS DOUBLE)) AS sd
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_total * sd) AS z, sum(n_total) AS n FROM per)
+SELECT source,
+       CAST(n_total AS BIGINT) AS n_total,
+       {fround_sql("sd", 4)} AS sd_len,
+       CAST(floor({NEYMAN_BUDGET} * (n_total * sd) / tot.z) AS BIGINT)
+         AS alloc_neyman,
+       CAST(floor({NEYMAN_BUDGET} * n_total / CAST(tot.n AS DOUBLE)) AS BIGINT)
+         AS alloc_proportional,
+       CAST(floor({NEYMAN_BUDGET} * (n_total * sd) / tot.z) AS BIGINT)
+         - CAST(floor({NEYMAN_BUDGET} * n_total / CAST(tot.n AS DOUBLE)) AS BIGINT)
+         AS alloc_shift
+FROM per CROSS JOIN tot
+ORDER BY source
+"""
+
+
 def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix rebalancing report: per source, its share of the
     corpus (by characters) and the resampling weight that would bring
@@ -1902,6 +1971,7 @@ ORACLE["corpus_bm25_retrieval"] = _bm25_oracle()
 
 
 QUERIES = {
+    "sample_neyman_allocation": sample_neyman_allocation,
     "corpus_bm25_retrieval": corpus_bm25_retrieval,
     "corpus_span_corruption": corpus_span_corruption,
     "corpus_dsir_weights": corpus_dsir_weights,

@@ -168,6 +168,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "graph_conductance",
     "ts_granger_lite",
     "dedup_rouge_l_verified",
+    "sample_neyman_allocation",
     # --- oldest-evidence (round-1) backfill ---
     "q22_dormant_customers",
     "map_udf",

