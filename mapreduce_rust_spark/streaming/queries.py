@@ -491,10 +491,14 @@ def streaming_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(joined, "append", partitions=8)
     from mapreduce_rust_spark.sources.tables import load_table
 
-    bound = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .agg((F.max("ts") - F.expr("interval 3 hours 1 minute")).alias("b"))
+    bound = load_table(spark, sf_dir, "events").agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("interval 3 hours 1 minute")
+        ).alias("b")
     )
     return (
         out.crossJoin(F.broadcast(bound))
@@ -514,8 +518,11 @@ def streaming_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["streaming_join_left_outer"] = """
-WITH bound AS (SELECT max(ts) - INTERVAL 3 HOUR - INTERVAL 1 MINUTE AS b
-               FROM events WHERE event_type = 'purchase'),
+WITH bound AS (
+  SELECT least(max(CASE WHEN event_type = 'click' THEN ts END),
+               max(CASE WHEN event_type = 'purchase' THEN ts END))
+         - INTERVAL 3 HOUR - INTERVAL 1 MINUTE AS b
+  FROM events),
 c AS (SELECT user_id, ts, event_id FROM events, bound
       WHERE event_type = 'click' AND ts < bound.b),
 p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
