@@ -19,8 +19,10 @@ from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.functions.numeric import fround, fround_sql, single_partition
 from mapreduce_rust_spark.functions.text import (
+    hash64,
     normalize_text,
     tokenize_whitespace,
+    word_shingles,
 )
 from mapreduce_rust_spark.sources.tables import fan_out, load_table
 
@@ -278,6 +280,92 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["text_lang_id"] = _language_id_sql()
+
+
+WIN_K = 4  # winnowing k-gram width (tokens)
+WIN_W = 4  # winnowing window: every window of W consecutive k-gram
+#            hashes contributes its minimum — guarantees any shared
+#            run of >= W+K-1 tokens shares a fingerprint (MOSS bound)
+
+
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every {k}-token k-gram, slide a
+    {w}-window over the hash sequence, keep each window's MINIMUM —
+    the selection guarantees any shared substring of at least
+    {w}+{k}-1 tokens leaves at least one COMMON fingerprint in both
+    documents, while storing only ~2/(w+1) of all hashes. Output: the
+    cross-document shared-fingerprint census (fingerprint → docs,
+    occurrences) for fingerprints in >= 2 docs, top 100 — the
+    plagiarism/boilerplate detector at fingerprint (not full-scan)
+    cost. Spark side is array-native per row (k-gram hashes, window
+    minima, set-distinct — zero shuffle until the census), and the
+    census keys on a 64-bit value with map-side combine; at 100 TB
+    the fingerprint index is the ~2/(w+1)-sampled artifact production
+    stores. The identical selection runs in DuckDB list functions."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    h = F.transform(
+        word_shingles(F.col("text"), WIN_K), lambda s: hash64(s)
+    )
+    hc = F.col("h")
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(hc) - F.lit(WIN_W - 1)),
+            lambda s: F.array_min(F.slice(hc, s, WIN_W)),
+        )
+    )
+    fps = (
+        docs.select("doc_id", h.alias("h"))
+        .filter(F.size("h") >= WIN_W)
+        .select("doc_id", F.explode(mins).alias("fp"))
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "fp")
+        .limit(100)
+    )
+
+
+text_winnowing_fingerprints.__doc__ = text_winnowing_fingerprints.__doc__.format(
+    k=WIN_K, w=WIN_W
+)
+
+
+ORACLE["text_winnowing_fingerprints"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS l
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, len(l) - {WIN_K - 1}),
+           i -> ('0x' || substr(md5(array_to_string(l[i:i+{WIN_K - 1}], ' ')),
+                 1, 15))::BIGINT
+         ) AS h
+  FROM toks WHERE len(l) >= {WIN_K}
+),
+fps AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(h) - {WIN_W - 1}),
+           s -> list_aggregate(h[s:s+{WIN_W - 1}], 'min')
+         ))) AS fp
+  FROM grams WHERE len(h) >= {WIN_W}
+)
+SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occ DESC, fp
+LIMIT 100
+"""
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2020,6 +2108,7 @@ LIMIT {BURST_TOPK}
 
 QUERIES = {
     "text_charset_profile": text_charset_profile,
+    "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "text_term_burstiness": text_term_burstiness,
     "text_code_detect": text_code_detect,
     "text_readability_fk": text_readability_fk,

@@ -1623,6 +1623,96 @@ FROM ss
 """
 
 
+def events_markov_order2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is user behavior SECOND-order Markov? Per (s1, s2) context,
+    compare the log-likelihood of the order-2 transition model
+    P(s3 | s1, s2) against order-1 P(s3 | s2) evaluated on the same
+    trigram stream — per-context LL gain plus the G² = 2·ΔLL
+    statistic whose magnitude says whether the extra memory is real
+    structure (feeding sequence-model order choice and
+    ``markov_transitions``' validity). All counts: one windowed pass
+    builds (s1, s2, s3) trigrams per user (lag-2/lag-1 over the
+    user-keyed ordering), then trigram/bigram/context aggregations are
+    |types|³-bounded frames joined broadcast. ln on count RATIOS only
+    (never ln(0): every observed trigram has positive marginals by
+    construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("s3"),
+            F.lag("event_type", 1).over(w).alias("s2"),
+            F.lag("event_type", 2).over(w).alias("s1"),
+            "ts",
+            "event_id",
+        )
+        .filter(F.col("s1").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n3"))
+    )
+    ctx2 = tri.groupBy("s1", "s2").agg(F.sum("n3").alias("n12"))
+    big = tri.groupBy("s2", "s3").agg(F.sum("n3").alias("n23"))
+    ctx1 = tri.groupBy("s2").agg(F.sum("n3").alias("n2"))
+    j = (
+        tri.join(F.broadcast(ctx2), ["s1", "s2"])
+        .join(F.broadcast(big), ["s2", "s3"])
+        .join(F.broadcast(ctx1), "s2")
+    )
+    ll2 = F.col("n3") * F.log(F.col("n3") / F.col("n12"))
+    ll1 = F.col("n3") * F.log(F.col("n23") / F.col("n2"))
+    per_ctx = j.groupBy("s1", "s2").agg(
+        F.sum("n3").alias("n_transitions"),
+        F.sum(ll1).alias("ll_order1"),
+        F.sum(ll2).alias("ll_order2"),
+    )
+    return per_ctx.select(
+        "s1",
+        "s2",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        fround("ll_order1", 4).alias("ll_order1"),
+        fround("ll_order2", 4).alias("ll_order2"),
+        fround(2.0 * (F.col("ll_order2") - F.col("ll_order1")), 4).alias("g2"),
+    ).orderBy("s1", "s2")
+
+
+ORACLE["events_markov_order2"] = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS s3,
+         lag(event_type, 1) OVER w AS s2,
+         lag(event_type, 2) OVER w AS s1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT s1, s2, s3, count(*) AS n3 FROM seq
+  WHERE s1 IS NOT NULL GROUP BY 1, 2, 3
+),
+ctx2 AS (SELECT s1, s2, sum(n3) AS n12 FROM tri GROUP BY 1, 2),
+big AS (SELECT s2, s3, sum(n3) AS n23 FROM tri GROUP BY 1, 2),
+ctx1 AS (SELECT s2, sum(n3) AS n2 FROM tri GROUP BY 1),
+j AS (
+  SELECT t.s1, t.s2, t.n3,
+         t.n3 * ln(t.n3 * 1.0 / c2.n12) AS ll2,
+         t.n3 * ln(b.n23 * 1.0 / c1.n2) AS ll1
+  FROM tri t
+  JOIN ctx2 c2 ON c2.s1 = t.s1 AND c2.s2 = t.s2
+  JOIN big b ON b.s2 = t.s2 AND b.s3 = t.s3
+  JOIN ctx1 c1 ON c1.s2 = t.s2
+),
+per AS (
+  SELECT s1, s2, CAST(sum(n3) AS BIGINT) AS n_transitions,
+         sum(ll1) AS ll_order1, sum(ll2) AS ll_order2
+  FROM j GROUP BY 1, 2
+)
+SELECT s1, s2, n_transitions,
+       {fround_sql("ll_order1", 4)} AS ll_order1,
+       {fround_sql("ll_order2", 4)} AS ll_order2,
+       {fround_sql("2.0 * (ll_order2 - ll_order1)", 4)} AS g2
+FROM per ORDER BY s1, s2
+"""
+
+
 OBF_C = 2.24  # O'Brien-Fleming-shaped boundary scale: b(t) = C / sqrt(t)
 
 
@@ -2295,6 +2385,7 @@ FROM j ORDER BY horizon_days
 
 QUERIES = {
     "ab_sequential_obf": ab_sequential_obf,
+    "events_markov_order2": events_markov_order2,
     "events_poisson_rate_test": events_poisson_rate_test,
     "survival_nelson_aalen": survival_nelson_aalen,
     "graph_bipartite_projection": graph_bipartite_projection,

@@ -169,6 +169,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "ts_granger_lite",
     "dedup_rouge_l_verified",
     "sample_neyman_allocation",
+    "text_winnowing_fingerprints",
+    "events_markov_order2",
     # --- oldest-evidence (round-1) backfill ---
     "q22_dormant_customers",
     "map_udf",

@@ -479,3 +479,51 @@ def test_neyman_allocation_conservation_and_shift(spark, sf_dir):
     for r in rows:
         assert r["alloc_shift"] == r["alloc_neyman"] - r["alloc_proportional"]
         assert r["alloc_neyman"] >= 0 and r["alloc_proportional"] >= 0
+
+
+def test_winnowing_guarantee_on_constructed_docs(spark):
+    """MOSS guarantee: two docs sharing a run of >= w+k-1 tokens must
+    share at least one fingerprint; disjoint docs share none."""
+    from mapreduce_rust_spark.operators.text_analysis import WIN_K, WIN_W
+    from mapreduce_rust_spark.functions.text import hash64, normalize_text, tokenize_whitespace, word_shingles
+    from pyspark.sql import functions as F
+
+    shared = " ".join(f"tok{i}" for i in range(WIN_K + WIN_W - 1))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} " + " ".join(f"aa{i}" for i in range(10))),
+            (2, " ".join(f"bb{i}" for i in range(10)) + f" {shared}"),
+            (3, " ".join(f"cc{i}" for i in range(20))),
+        ],
+        "doc_id bigint, text string",
+    )
+    h = F.transform(word_shingles(F.col("text"), WIN_K), lambda s: hash64(s))
+    hc = F.col("h")
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(hc) - F.lit(WIN_W - 1)),
+            lambda s: F.array_min(F.slice(hc, s, WIN_W)),
+        )
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in docs.select("doc_id", h.alias("h"))
+        .filter(F.size("h") >= WIN_W)
+        .select("doc_id", mins.alias("fps"))
+        .collect()
+    }
+    assert fps[1] & fps[2], "shared run must leave a common fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_markov_order2_gain_nonnegative(spark, sf_dir):
+    """Per context, the order-2 model can never fit its own training
+    trigrams worse than order-1: G2 >= 0 everywhere (MLE nesting)."""
+    from mapreduce_rust_spark.plans.behavior import events_markov_order2
+
+    rows = events_markov_order2(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["g2"] >= -1e-6, r
+        assert r["ll_order2"] >= r["ll_order1"] - 1e-6
+        assert r["n_transitions"] > 0
