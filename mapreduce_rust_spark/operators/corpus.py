@@ -1970,7 +1970,260 @@ ORDER BY qid, rank
 ORACLE["corpus_bm25_retrieval"] = _bm25_oracle()
 
 
+# --- hybrid retrieval: reciprocal rank fusion ------------------------
+
+RRF_K = 60  # the canonical RRF damping constant (Cormack et al. 2009)
+RRF_ARM_TOPK = 20  # depth of each arm's candidate list
+RRF_TOPK = 10  # fused results returned per query
+RRF_MLT_TERMS = 8  # more-like-this: top-TF terms taken from the query doc
+# Fixed-size query-by-example panel (ids ≡ 0 mod RRF_PANEL_MOD below
+# RRF_PANEL_CAP → 10 queries at EVERY scale factor). The panel must
+# never be a corpus fraction — the ANN family's sf10 sweep measured
+# exponent 1.42 when it was (see _QUERY_PRED in similarity.py); with a
+# fixed panel both arms stay linear in the corpus.
+RRF_PANEL_MOD = 50
+RRF_PANEL_CAP = 500
+
+
+def _rrf_panel(col: str) -> str:
+    return f"{col} % {RRF_PANEL_MOD} = 0 AND {col} < {RRF_PANEL_CAP}"
+
+
+def rrf_fuse(
+    dense: DataFrame, lex: DataFrame, k: int = RRF_K, topk: int = RRF_TOPK
+) -> DataFrame:
+    """Fuse two (qid, doc_id, rank) arm frames by Reciprocal Rank
+    Fusion: score = Σ_arms 1/(k + rank), absent arms contribute 0.
+    Pure integer-rank arithmetic → bit-identical across engines."""
+    d = dense.select("qid", "doc_id", F.col("rank").alias("r_dense"))
+    x = lex.select("qid", "doc_id", F.col("rank").alias("r_lex"))
+    fused = d.join(x, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        "r_dense",
+        "r_lex",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("r_dense")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("r_lex")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            "doc_id",
+            "r_dense",
+            "r_lex",
+            fround("rrf", 6).alias("rrf"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion — the default
+    architecture of every production RAG stack: a LEXICAL arm and a
+    DENSE arm each produce a top-{RRF_ARM_TOPK} list per query, and
+    the fused score of a document is Σ_arms 1/({RRF_K} + rank_arm)
+    (Cormack et al. 2009's parameter-free rank fusion; absent arms
+    contribute 0). Queries are query-by-example: a fixed panel of
+    corpus documents (ids ≡ 0 mod {RRF_PANEL_MOD} below
+    {RRF_PANEL_CAP}), so the
+    lexical arm is Lucene-style more-like-this (the query doc's top-
+    {RRF_MLT_TERMS} terms by TF, BM25-scored through the inverted-
+    index access pattern of ``corpus_bm25_retrieval``) and the dense
+    arm is cosine top-k over the shared-id ``embeddings`` table
+    (brute-force here — the honest baseline; ``ann_topk_bucketed`` is
+    the documented scale path for the arm). Plan shape: the panel and
+    its term lists are broadcast everywhere, both arms are linear in
+    the corpus, and the fusion itself is a full-outer join of two
+    panel×{RRF_ARM_TOPK}-row frames — driver-safe at any corpus size.
+    Ranks fuse as exact integers, so the RRF score is bit-identical
+    across engines; arm scores are grid-snapped (fround 6) BEFORE
+    ranking so per-arm rank order is summation-order-proof."""
+    from mapreduce_rust_spark.operators.similarity import topk_bruteforce
+
+    # --- dense arm ---
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = topk_bruteforce(
+        emb.filter(F.expr(_rrf_panel("vec_id"))),
+        emb,
+        "vec_id",
+        "embedding",
+        k=RRF_ARM_TOPK,
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_dense"),
+    )
+
+    # --- lexical arm: more-like-this BM25 ---
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    terms = _doc_terms(docs)
+    wq = Window.partitionBy("qid").orderBy(F.col("tf").desc(), "term")
+    qterms = (
+        terms.filter(F.expr(_rrf_panel("doc_id")))
+        .groupBy(F.col("doc_id").alias("qid"), "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= RRF_MLT_TERMS)
+        .select("qid", "term")
+    )
+    doclen = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        terms.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(doclen, "doc_id")
+        .select(
+            "term",
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    wl = Window.partitionBy("qid").orderBy(F.col("bm25").desc(), "doc_id")
+    lex = (
+        F.broadcast(qterms)
+        .join(scored, "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(fround(F.sum("s"), 6).alias("bm25"))
+        .withColumn("r_lex", F.row_number().over(wl))
+        .filter(F.col("r_lex") <= RRF_ARM_TOPK)
+        .select("qid", "doc_id", "r_lex")
+    )
+
+    # --- fusion ---
+    return rrf_fuse(
+        dense.select("qid", "doc_id", F.col("r_dense").alias("rank")),
+        lex.select("qid", "doc_id", F.col("r_lex").alias("rank")),
+        k=RRF_K,
+        topk=RRF_TOPK,
+    )
+
+
+search_rrf_fusion.__doc__ = search_rrf_fusion.__doc__.format(
+    RRF_K=RRF_K,
+    RRF_ARM_TOPK=RRF_ARM_TOPK,
+    RRF_MLT_TERMS=RRF_MLT_TERMS,
+    RRF_PANEL_MOD=RRF_PANEL_MOD,
+    RRF_PANEL_CAP=RRF_PANEL_CAP,
+)
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE {_rrf_panel("vec_id")}),
+dsc AS (
+  SELECT q.qid, e.vec_id AS doc_id,
+         floor(round(list_cosine_similarity(q.qv, e.v), 10) * 1000000) / 1000000 AS sim
+  FROM q JOIN e ON q.qid <> e.vec_id
+),
+dense AS (
+  SELECT qid, doc_id, r_dense FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id) AS r_dense
+    FROM dsc
+  ) WHERE r_dense <= {RRF_ARM_TOPK}
+),
+terms AS ({_DOC_TERMS_SQL}),
+qterms AS (
+  SELECT qid, term FROM (
+    SELECT doc_id AS qid, term,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, term) AS rn
+    FROM terms WHERE {_rrf_panel("doc_id")}
+    GROUP BY doc_id, term
+  ) WHERE rn <= {RRF_MLT_TERMS}
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM terms t
+  WHERE t.term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY 1, 2
+),
+idf AS (
+  SELECT term, ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf, s.avgdl
+  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN stats s
+),
+lsc AS (
+  SELECT tf.term, tf.doc_id,
+         idf.idf * (tf.tf * ({BM25_K1} + 1))
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / idf.avgdl)) AS s
+  FROM tf JOIN idf USING (term) JOIN doclen dl USING (doc_id)
+),
+lex AS (
+  SELECT qid, doc_id, r_lex FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS r_lex
+    FROM (
+      SELECT q.qid, sc.doc_id, {fround_sql("sum(sc.s)", 6)} AS bm25
+      FROM qterms q JOIN lsc sc USING (term)
+      WHERE sc.doc_id <> q.qid
+      GROUP BY 1, 2
+    )
+  ) WHERE r_lex <= {RRF_ARM_TOPK}
+),
+fused AS (
+  SELECT coalesce(d.qid, l.qid) AS query_id,
+         coalesce(d.doc_id, l.doc_id) AS doc_id,
+         d.r_dense, l.r_lex,
+         coalesce(1.0 / ({RRF_K} + d.r_dense), 0.0)
+           + coalesce(1.0 / ({RRF_K} + l.r_lex), 0.0) AS rrf
+  FROM dense d FULL OUTER JOIN lex l
+    ON l.qid = d.qid AND l.doc_id = d.doc_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+       CAST(r_dense AS INT) AS r_dense, CAST(r_lex AS INT) AS r_lex,
+       {fround_sql("rrf", 6)} AS rrf
+FROM (
+  SELECT query_id, doc_id, r_dense, r_lex, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= {RRF_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+ORACLE["search_rrf_fusion"] = _rrf_oracle()
+
+
 QUERIES = {
+    "search_rrf_fusion": search_rrf_fusion,
     "sample_neyman_allocation": sample_neyman_allocation,
     "corpus_bm25_retrieval": corpus_bm25_retrieval,
     "corpus_span_corruption": corpus_span_corruption,

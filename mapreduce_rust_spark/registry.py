@@ -152,6 +152,7 @@ _PRIORITY: tuple[str, ...] = (
 # the remaining oldest-evidence (round-1) backfill.
 _NEXT_WINDOW: tuple[str, ...] = (
     # --- round-8 additions: first driver evidence due r09 ---
+    "search_rrf_fusion",
     "dedup_substring_runs",
     "ts_pacf",
     "ab_sequential_obf",
