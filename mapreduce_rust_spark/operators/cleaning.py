@@ -26,7 +26,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.functions.numeric import fround, fround_sql, single_partition
@@ -823,7 +823,187 @@ ORDER BY idx
 """
 
 
+DECON_MH_HOLDOUT = 20  # same holdout spacing as the embedding screen
+DECON_MH_CAP = 1000  # bench ids from [0, CAP) only — eval sets are FIXED-SIZE (the quadratic-fraction lesson, see DECON_EMB_CAP)
+DECON_MH_THR = 0.5  # flag level: VERIFIED 3-gram Jaccard, not the LSH estimate
+
+
+def _decon_mh_bench(col: str) -> str:
+    return f"{col} % {DECON_MH_HOLDOUT} = 0 AND {col} < {DECON_MH_CAP}"
+
+
+def corpus_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination — the third screen modality, between
+    ``decontaminate_ngram_overlap`` (exact 8-token spans: misses any
+    edit) and ``corpus_decontaminate_embedding`` (semantic cosine:
+    needs vectors): MinHash band signatures of the corpus probe a
+    BROADCAST banded index of a fixed-size held-out "benchmark" slice
+    (ids ≡ 0 mod {DECON_MH_HOLDOUT} below {DECON_MH_CAP}), and every
+    candidate is then VERIFIED by true 3-gram Jaccard against the
+    broadcast bench shingle sets — flagged at jaccard ≥
+    {DECON_MH_THR}. This is the near-dup eval-leak screen training
+    pipelines actually run (exact n-grams miss light rewording; LSH
+    candidates + verified Jaccard catch it without embeddings).
+
+    Plan shape for 100 TB: the bench side is eval-set-sized, so BOTH
+    probe structures (band index, shingle sets) broadcast — the corpus
+    streams through map-side joins; the only shuffles are the
+    per-candidate-pair intersection aggregate (bounded by bench bucket
+    collisions) and the final per-doc best-match window. The memoized
+    signature index is shared with the whole dedup family. Output per
+    flagged corpus doc: its best bench match (highest verified
+    jaccard, lowest bench id on ties)."""
+    from mapreduce_rust_spark.operators.dedup import (
+        N_BANDS,
+        ROWS_PER_BAND,
+        shingle_sets,
+        signature_index,
+    )
+
+    sigs = signature_index(spark, sf_dir, k=3)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh{j}")
+                    for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+                ],
+            ).alias("sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.sig")
+    is_bench = F.expr(_decon_mh_bench("doc_id"))
+    bench_bands = F.broadcast(
+        bands.filter(is_bench).select(
+            F.col("doc_id").alias("bid"), "band", "sig"
+        )
+    )
+    cand = (
+        bands.filter(~is_bench)
+        .join(bench_bands, ["band", "sig"])
+        .select(F.col("doc_id").alias("cid"), "bid")
+        .distinct()
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = shingle_sets(docs, "doc_id", "text", k=3)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    bench_sh = F.broadcast(
+        sh.filter(is_bench).select(F.col("doc_id").alias("bid"), "s")
+    )
+    bench_sz = F.broadcast(
+        sz.filter(is_bench).select(F.col("doc_id").alias("bid"), F.col("n").alias("n2"))
+    )
+    # verify CANDIDATES ONLY: restrict the corpus shingle stream to
+    # candidate docs (broadcast id list — bounded by bench bucket
+    # collisions), then intersect map-side against the bench sets
+    inter = (
+        sh.join(F.broadcast(cand.select("cid").distinct()), sh.doc_id == F.col("cid"))
+        .join(bench_sh, "s")
+        .groupBy("cid", "bid")
+        .agg(F.count(F.lit(1)).alias("i"))
+        .join(F.broadcast(cand), ["cid", "bid"])  # candidate pairs only
+    )
+    jac = F.col("i") * F.lit(1.0) / (F.col("n1") + F.col("n2") - F.col("i"))
+    # inter is candidate-bounded → broadcast it against the corpus-sized
+    # size frame so neither join shuffles the corpus
+    scored = (
+        F.broadcast(inter)
+        .join(sz.select(F.col("doc_id").alias("cid"), F.col("n").alias("n1")), "cid")
+        .join(bench_sz, "bid")
+        .select("cid", "bid", "i", jac.alias("jac"))
+        .filter(F.col("jac") >= DECON_MH_THR)
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("jac").desc(), "bid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("cid").alias("doc_id"),
+            F.col("bid").alias("bench_id"),
+            F.col("i").alias("n_shared"),
+            fround("jac", 4).alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+corpus_decontaminate_minhash.__doc__ = corpus_decontaminate_minhash.__doc__.format(
+    DECON_MH_HOLDOUT=DECON_MH_HOLDOUT,
+    DECON_MH_CAP=DECON_MH_CAP,
+    DECON_MH_THR=DECON_MH_THR,
+)
+
+
+def _decon_minhash_oracle() -> str:
+    from mapreduce_rust_spark.operators.dedup import (
+        MINHASH_PRIME,
+        ROWS_PER_BAND,
+        _h64_sql,
+        _minhash_params,
+        _SHINGLE_SQL,
+    )
+
+    params = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(_minhash_params())
+    )
+    return f"""
+WITH ds AS ({_SHINGLE_SQL}),
+h AS (SELECT doc_id, {_h64_sql('s')} AS h FROM ds),
+params(j, a, b) AS (VALUES {params}),
+sig AS MATERIALIZED (
+  SELECT doc_id, j,
+         min((a * (h % {MINHASH_PRIME}) + b) % {MINHASH_PRIME}) AS mh
+  FROM h CROSS JOIN params GROUP BY doc_id, j
+),
+band AS MATERIALIZED (
+  SELECT doc_id, j // {ROWS_PER_BAND} AS band,
+         array_to_string(list(mh ORDER BY j), '-') AS sig
+  FROM sig GROUP BY doc_id, j // {ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+  FROM band c JOIN band b ON b.band = c.band AND b.sig = c.sig
+  WHERE ({_decon_mh_bench("b.doc_id")})
+    AND NOT ({_decon_mh_bench("c.doc_id")})
+),
+sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+inter AS (
+  SELECT c.doc_id AS cid, b.doc_id AS bid, count(*) AS i
+  FROM ds c
+  JOIN ds b USING (s)
+  JOIN cand ON cand.cid = c.doc_id AND cand.bid = b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT cid, bid, i,
+         i * 1.0 / (s1.n + s2.n - i) AS jac
+  FROM inter
+  JOIN sz s1 ON s1.doc_id = cid
+  JOIN sz s2 ON s2.doc_id = bid
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= {DECON_MH_THR}
+),
+best AS (
+  SELECT cid, bid, i, jac,
+         row_number() OVER (PARTITION BY cid ORDER BY jac DESC, bid) AS rk
+  FROM scored
+)
+SELECT cid AS doc_id, bid AS bench_id, CAST(i AS BIGINT) AS n_shared,
+       {fround_sql("jac", 4)} AS jaccard
+FROM best WHERE rk = 1 ORDER BY doc_id
+"""
+
+
+ORACLE["corpus_decontaminate_minhash"] = _decon_minhash_oracle()
+
+
 QUERIES = {
+    "corpus_decontaminate_minhash": corpus_decontaminate_minhash,
     "features_target_encoding": features_target_encoding,
     "features_woe_iv": features_woe_iv,
     "features_hashing_trick": features_hashing_trick,

@@ -153,6 +153,7 @@ _PRIORITY: tuple[str, ...] = (
 _NEXT_WINDOW: tuple[str, ...] = (
     # --- round-8 additions: first driver evidence due r09 ---
     "search_rrf_fusion",
+    "corpus_decontaminate_minhash",
     "dedup_substring_runs",
     "ts_pacf",
     "ab_sequential_obf",

@@ -51,6 +51,61 @@ def test_rrf_consensus_beats_single_strong_arm(spark):
     assert out[1]["rrf"] == out[2]["rrf"]
 
 
+def test_minhash_decon_flagged_rows_are_verified_near_dups(spark, sf_dir):
+    """Every flagged row must satisfy the screen's contract: corpus
+    doc outside the bench slice, bench doc inside it, and the reported
+    jaccard equals the TRUE 3-gram Jaccard of the pair (recomputed
+    here from shingle sets) at or above the flag threshold."""
+    from mapreduce_rust_spark.operators.cleaning import (
+        DECON_MH_CAP,
+        DECON_MH_HOLDOUT,
+        DECON_MH_THR,
+        corpus_decontaminate_minhash,
+    )
+    from mapreduce_rust_spark.operators.dedup import shingle_sets
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    rows = corpus_decontaminate_minhash(spark, sf_dir).collect()
+    assert rows, "synthetic corpus is known to contain bench near-dups"
+    sh = {
+        r["doc_id"]: set()
+        for r in rows
+    }
+    wanted = {r["doc_id"] for r in rows} | {r["bench_id"] for r in rows}
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isin([int(x) for x in wanted])
+    )
+    for rec in shingle_sets(docs, "doc_id", "text", k=3).collect():
+        sh.setdefault(rec["doc_id"], set()).add(rec["s"])
+    for r in rows:
+        assert r["bench_id"] % DECON_MH_HOLDOUT == 0 and r["bench_id"] < DECON_MH_CAP
+        assert not (r["doc_id"] % DECON_MH_HOLDOUT == 0 and r["doc_id"] < DECON_MH_CAP)
+        a, b = sh[r["doc_id"]], sh[r["bench_id"]]
+        true_j = len(a & b) / len(a | b)
+        assert r["jaccard"] >= DECON_MH_THR
+        assert abs(r["jaccard"] - true_j) < 1e-3
+        assert r["n_shared"] == len(a & b)
+
+
+def test_minhash_decon_corpus_never_shuffles(spark, sf_dir):
+    """Both probe structures (band index, bench shingles) broadcast;
+    candidate-bounded frames broadcast into the size joins — the plan
+    must contain no sort-merge join and no cartesian."""
+    import io
+    import contextlib
+
+    from mapreduce_rust_spark.operators.cleaning import corpus_decontaminate_minhash
+
+    df = corpus_decontaminate_minhash(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "SortMergeJoin" not in p
+    assert "Cartesian" not in p
+    assert "BroadcastHashJoin" in p
+
+
 def test_rrf_topk_truncates_per_query(spark):
     from mapreduce_rust_spark.operators.corpus import rrf_fuse
 
