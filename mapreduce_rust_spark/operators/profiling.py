@@ -2034,7 +2034,104 @@ ORDER BY pattern
 """
 
 
+def table_xicor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's ξ rank correlation (JASA 2020) of event value
+    against TIME ORDER, per event type — the modern dependence screen
+    the correlation matrix can't replace: Pearson/Spearman see only
+    monotone association, ξ consistently estimates whether y is a
+    (noisy) FUNCTION of x at all, oscillations included, so it flags
+    seasonal/periodic value structure that corr_matrix scores ~0.
+    Ties-general form: ξ = 1 − n·Σ|r_{i+1} − r_i| / (2·Σ l_i(n−l_i)),
+    r_i = #{y_j ≤ y_i}, l_i = #{y_j ≥ y_i}, sequence ordered by x.
+    Ties in x are broken deterministically (event_id) rather than by
+    the paper's randomization — documented determinism trade, the
+    estimate is unchanged when x has no heavy ties (timestamps).
+
+    Scale shape: three windows, ALL partitioned by event_type (zero
+    global sorts), then one hash aggregate — a fixed number of
+    per-group shuffles regardless of data size. Products l·(n−l) are
+    cast to double BEFORE multiplying (the table_ks_drift int64-
+    overflow lesson: at >~3·10⁹ rows/type bigint products throw under
+    ANSI); the final ratio is grid-snapped at 1e-6."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", F.col("value").alias("y")
+    )
+    return xicor_by_group(ev, "event_type", ["ts", "event_id"], "y")
+
+
+def xicor_by_group(
+    df: DataFrame, group_col: str, order_cols: list[str], y_col: str
+) -> DataFrame:
+    """Ties-general Chatterjee ξ per group (see ``table_xicor``).
+    ``order_cols`` is the x ordering plus a deterministic tiebreak."""
+    wr = (
+        W.partitionBy(group_col)
+        .orderBy(y_col)
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wl = (
+        W.partitionBy(group_col)
+        .orderBy(F.col(y_col).desc())
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = W.partitionBy(group_col)
+    ws = W.partitionBy(group_col).orderBy(*order_cols)
+    rk = df.select(
+        group_col,
+        *order_cols,
+        F.count(F.lit(1)).over(wr).alias("r"),
+        F.count(F.lit(1)).over(wl).alias("l"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    seq = rk.select(
+        group_col,
+        "n",
+        "r",
+        "l",
+        F.lead("r").over(ws).alias("rn"),
+    )
+    num = F.sum(F.abs(F.col("rn").cast("double") - F.col("r").cast("double")))
+    den = F.sum(F.col("l").cast("double") * (F.col("n") - F.col("l")).cast("double"))
+    return (
+        seq.groupBy(group_col)
+        .agg(
+            F.max("n").alias("n"),
+            fround(
+                F.lit(1.0) - F.max("n").cast("double") * num / (F.lit(2.0) * den),
+                6,
+            ).alias("xi"),
+        )
+        .orderBy(group_col)
+    )
+
+
+ORACLE["table_xicor"] = f"""
+WITH rk AS (
+  SELECT event_type, ts, event_id,
+         count(*) OVER (PARTITION BY event_type ORDER BY value
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r,
+         count(*) OVER (PARTITION BY event_type ORDER BY value DESC
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+seq AS (
+  SELECT event_type, n, r, l,
+         lead(r) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM rk
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       {fround_sql(
+           "1.0 - max(n) * 1.0 * sum(abs(rn * 1.0 - r * 1.0))"
+           " / (2.0 * sum(l * 1.0 * (n - l)))",
+           6,
+       )} AS xi
+FROM seq GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "table_xicor": table_xicor,
     "table_cramers_v": table_cramers_v,
     "table_missingness_patterns": table_missingness_patterns,
     "table_referential_integrity": table_referential_integrity,

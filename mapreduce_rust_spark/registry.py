@@ -154,6 +154,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     # --- round-8 additions: first driver evidence due r09 ---
     "search_rrf_fusion",
     "corpus_decontaminate_minhash",
+    "table_xicor",
     "dedup_substring_runs",
     "ts_pacf",
     "ab_sequential_obf",

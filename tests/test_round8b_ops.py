@@ -106,6 +106,56 @@ def test_minhash_decon_corpus_never_shuffles(spark, sf_dir):
     assert "BroadcastHashJoin" in p
 
 
+def _xy(spark, rows):
+    return spark.createDataFrame(rows, "g string, x double, i int, y double")
+
+
+def test_xicor_perfect_monotone_matches_closed_form(spark):
+    """No-ties strictly increasing y=f(x): ξ = (n−2)/(n+1) exactly."""
+    from mapreduce_rust_spark.operators.profiling import xicor_by_group
+
+    n = 50
+    rows = [("a", float(i), i, float(i) * 2.0 + 1.0) for i in range(n)]
+    r = xicor_by_group(_xy(spark, rows), "g", ["x", "i"], "y").collect()[0]
+    assert r["n"] == n
+    assert abs(r["xi"] - (n - 2) / (n + 1)) < 1e-6
+
+
+def test_xicor_detects_nonmonotone_function_pearson_misses(spark):
+    """A noiseless symmetric parabola: Pearson = 0 by symmetry but ξ
+    is high — the screen's selling point over corr_matrix."""
+    from mapreduce_rust_spark.operators.profiling import xicor_by_group
+
+    n = 400
+    rows = [("p", float(i), i, (i - (n - 1) / 2.0) ** 2) for i in range(n)]
+    df = _xy(spark, rows)
+    xi = xicor_by_group(df, "g", ["x", "i"], "y").collect()[0]["xi"]
+    pearson = df.select(F.corr("x", "y")).collect()[0][0]
+    assert abs(pearson) < 0.01
+    assert xi > 0.8
+
+
+def test_xicor_independent_is_near_zero_and_bounded(spark):
+    """y hash-scrambled w.r.t. x (no estimable local structure):
+    ξ ≈ 0 — unlike the parabola case above."""
+    import hashlib
+
+    from mapreduce_rust_spark.operators.profiling import xicor_by_group
+
+    n = 500
+    rows = [
+        (
+            "r",
+            float(i),
+            i,
+            float(int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)),
+        )
+        for i in range(n)
+    ]
+    xi = xicor_by_group(_xy(spark, rows), "g", ["x", "i"], "y").collect()[0]["xi"]
+    assert abs(xi) < 0.15
+
+
 def test_rrf_topk_truncates_per_query(spark):
     from mapreduce_rust_spark.operators.corpus import rrf_fuse
 
