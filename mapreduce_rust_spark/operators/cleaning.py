@@ -823,6 +823,188 @@ ORDER BY idx
 """
 
 
+STUMP_BINS = 32  # histogram resolution — the LightGBM-style bin count
+STUMP_EPS = 1e-12  # degenerate-range guard (features_scaler convention)
+
+
+def features_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed decision-stump search — the histogram split-finding
+    kernel every distributed GBDT (XGBoost 'hist', LightGBM) runs per
+    node, as a standalone feature screen: for each candidate feature,
+    bin values into {STUMP_BINS} fixed-width bins (ONE pass for
+    min/max, broadcast; ONE pass for per-bin label counts), then scan
+    occupied-bin upper edges as thresholds and report the split with
+    the best Gini gain for label y = (o_orderstatus = 'F'). Features:
+    o_totalprice and o_orderdate as epoch days.
+
+    Scale shape: the data is touched exactly twice, map-side both
+    times (range agg → broadcast; histogram agg with partial
+    aggregation); the threshold scan runs over ≤ {STUMP_BINS} rows
+    per feature via feature-partitioned windows — at 100 TB the
+    shuffled state is |features|×{STUMP_BINS} rows of counts, nothing
+    else. All impurity arithmetic is ratios of exact integer counts →
+    identical doubles in both engines; the gain is grid-snapped at
+    1e-6. Degenerate (constant) features hit the {STUMP_EPS} width
+    floor instead of ANSI divide-by-zero."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_totalprice").cast("double").alias("f_totalprice"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("double")
+        .alias("f_orderday"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    long = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("f_orderday").alias("feature"), F.col("f_orderday").alias("x")),
+                F.struct(F.lit("f_totalprice").alias("feature"), F.col("f_totalprice").alias("x")),
+            )
+        ).alias("fx"),
+        "y",
+    ).select(F.col("fx.feature").alias("feature"), F.col("fx.x").alias("x"), "y")
+    return stump_search(long)
+
+
+def stump_search(long: DataFrame) -> DataFrame:
+    """Histogram split search over a long (feature, x, y) frame —
+    the reusable kernel behind ``features_decision_stump``."""
+    rng = long.groupBy("feature").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    width = F.greatest(
+        (F.col("mx") - F.col("mn")) / F.lit(float(STUMP_BINS)), F.lit(STUMP_EPS)
+    )
+    binned = long.join(F.broadcast(rng), "feature").select(
+        "feature",
+        "mn",
+        width.alias("w"),
+        F.least(
+            F.lit(STUMP_BINS - 1),
+            F.floor((F.col("x") - F.col("mn")) / width),
+        ).alias("bin"),
+        "y",
+    )
+    hist = binned.groupBy("feature", "mn", "w", "bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    wcum = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature",
+        "mn",
+        "w",
+        "bin",
+        F.sum("n").over(wcum).alias("nl"),
+        F.sum("pos").over(wcum).alias("posl"),
+        F.sum("n").over(wtot).alias("nt"),
+        F.sum("pos").over(wtot).alias("post"),
+        F.max("bin").over(wtot).alias("maxbin"),
+    ).filter(F.col("bin") < F.col("maxbin"))  # last edge splits nothing off
+
+    def gini(p):  # noqa: ANN001 — column expr
+        return F.lit(2.0) * p * (F.lit(1.0) - p)
+
+    pt = F.col("post").cast("double") / F.col("nt").cast("double")
+    pl = F.col("posl").cast("double") / F.col("nl").cast("double")
+    nr = F.col("nt") - F.col("nl")
+    pr = (F.col("post") - F.col("posl")).cast("double") / nr.cast("double")
+    gain = gini(pt) - (
+        F.col("nl").cast("double") / F.col("nt").cast("double") * gini(pl)
+        + nr.cast("double") / F.col("nt").cast("double") * gini(pr)
+    )
+    wbest = Window.partitionBy("feature").orderBy(F.col("gain").desc(), "bin")
+    return (
+        cum.select(
+            "feature",
+            (F.col("mn") + (F.col("bin") + 1) * F.col("w")).alias("threshold"),
+            F.col("nl").alias("n_left"),
+            nr.alias("n_right"),
+            gain.alias("gain"),
+            "bin",
+        )
+        .withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "feature",
+            fround("threshold", 4).alias("threshold"),
+            "n_left",
+            "n_right",
+            fround("gain", 6).alias("gini_gain"),
+        )
+        .orderBy("feature")
+    )
+
+
+features_decision_stump.__doc__ = features_decision_stump.__doc__.format(
+    STUMP_BINS=STUMP_BINS, STUMP_EPS=STUMP_EPS
+)
+
+
+ORACLE["features_decision_stump"] = f"""
+WITH long AS (
+  SELECT 'f_orderday' AS feature,
+         CAST(o_orderdate::DATE - DATE '1970-01-01' AS DOUBLE) AS x,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+  UNION ALL
+  SELECT 'f_totalprice', CAST(o_totalprice AS DOUBLE),
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+  FROM orders
+),
+rng AS (
+  SELECT feature, min(x) AS mn, max(x) AS mx,
+         greatest((max(x) - min(x)) / {float(STUMP_BINS)}, {STUMP_EPS}) AS w
+  FROM long GROUP BY 1
+),
+binned AS (
+  SELECT l.feature, r.mn, r.w,
+         least({STUMP_BINS - 1}, CAST(floor((l.x - r.mn) / r.w) AS BIGINT)) AS bin,
+         l.y
+  FROM long l JOIN rng r USING (feature)
+),
+hist AS (
+  SELECT feature, mn, w, bin, count(*) AS n, sum(y) AS pos
+  FROM binned GROUP BY 1, 2, 3, 4
+),
+cum AS (
+  SELECT feature, mn, w, bin,
+         sum(n) OVER (PARTITION BY feature ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+         sum(pos) OVER (PARTITION BY feature ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS posl,
+         sum(n) OVER (PARTITION BY feature) AS nt,
+         sum(pos) OVER (PARTITION BY feature) AS post,
+         max(bin) OVER (PARTITION BY feature) AS maxbin
+  FROM hist
+),
+scored AS (
+  SELECT feature, mn + (bin + 1) * w AS threshold,
+         nl AS n_left, nt - nl AS n_right, bin,
+         (2.0 * (post * 1.0 / nt) * (1.0 - post * 1.0 / nt))
+         - ((nl * 1.0 / nt) * (2.0 * (posl * 1.0 / nl) * (1.0 - posl * 1.0 / nl))
+            + ((nt - nl) * 1.0 / nt)
+              * (2.0 * ((post - posl) * 1.0 / (nt - nl))
+                 * (1.0 - (post - posl) * 1.0 / (nt - nl)))) AS gain
+  FROM cum WHERE bin < maxbin
+),
+best AS (
+  SELECT feature, threshold, n_left, n_right, gain,
+         row_number() OVER (PARTITION BY feature
+                            ORDER BY gain DESC, bin) AS rk
+  FROM scored
+)
+SELECT feature, {fround_sql("threshold", 4)} AS threshold,
+       CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+       {fround_sql("gain", 6)} AS gini_gain
+FROM best WHERE rk = 1 ORDER BY feature
+"""
+
+
 DECON_MH_HOLDOUT = 20  # same holdout spacing as the embedding screen
 DECON_MH_CAP = 1000  # bench ids from [0, CAP) only — eval sets are FIXED-SIZE (the quadratic-fraction lesson, see DECON_EMB_CAP)
 DECON_MH_THR = 0.5  # flag level: VERIFIED 3-gram Jaccard, not the LSH estimate
@@ -1003,6 +1185,7 @@ ORACLE["corpus_decontaminate_minhash"] = _decon_minhash_oracle()
 
 
 QUERIES = {
+    "features_decision_stump": features_decision_stump,
     "corpus_decontaminate_minhash": corpus_decontaminate_minhash,
     "features_target_encoding": features_target_encoding,
     "features_woe_iv": features_woe_iv,

@@ -155,6 +155,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "search_rrf_fusion",
     "corpus_decontaminate_minhash",
     "table_xicor",
+    "features_decision_stump",
     "dedup_substring_runs",
     "ts_pacf",
     "ab_sequential_obf",

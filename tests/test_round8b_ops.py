@@ -156,6 +156,41 @@ def test_xicor_independent_is_near_zero_and_bounded(spark):
     assert abs(xi) < 0.15
 
 
+def test_stump_perfectly_separable_gain_equals_parent_gini(spark):
+    """x < 100 all y=0, x > 200 all y=1 (balanced): the best split's
+    children are pure, so gain = parent Gini = 0.5."""
+    from mapreduce_rust_spark.operators.cleaning import stump_search
+
+    rows = [("f", float(i), 0) for i in range(50)] + [
+        ("f", 200.0 + i, 1) for i in range(50)
+    ]
+    long = spark.createDataFrame(rows, "feature string, x double, y int")
+    r = stump_search(long).collect()[0]
+    assert r["n_left"] == 50 and r["n_right"] == 50
+    assert abs(r["gini_gain"] - 0.5) < 1e-6
+    assert 49.0 < r["threshold"] < 201.0
+
+
+def test_stump_constant_feature_degenerate_range_no_error(spark):
+    """A constant feature must hit the width floor (no ANSI divide-
+    by-zero) and produce no split row (single occupied bin)."""
+    from mapreduce_rust_spark.operators.cleaning import stump_search
+
+    rows = [("c", 7.0, i % 2) for i in range(40)]
+    long = spark.createDataFrame(rows, "feature string, x double, y int")
+    assert stump_search(long).count() == 0
+
+
+def test_stump_uninformative_feature_gain_near_zero(spark):
+    """y independent of x: every candidate split has ~0 gain."""
+    from mapreduce_rust_spark.operators.cleaning import stump_search
+
+    rows = [("u", float(i), i % 2) for i in range(200)]
+    long = spark.createDataFrame(rows, "feature string, x double, y int")
+    r = stump_search(long).collect()[0]
+    assert r["gini_gain"] < 0.01
+
+
 def test_rrf_topk_truncates_per_query(spark):
     from mapreduce_rust_spark.operators.corpus import rrf_fuse
 
