@@ -2383,7 +2383,86 @@ FROM j ORDER BY horizon_days
 """
 
 
+SEQ_GAP_US = 900 * 1_000_000  # 15-minute follow window, exact int µs
+SEQ_TOPK = 20
+
+
+def events_seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-constrained sequential-pattern support (the length-2 core
+    of PrefixSpan/SPAM-style mining): a user exhibits pattern a→b iff
+    some b-event follows some a-event within {gap_min} minutes — NOT
+    necessarily adjacently, which is what separates this from
+    ``markov_transitions`` (adjacent-pair transition probabilities).
+    Support = number of users exhibiting the pattern; avg_min_gap_s =
+    the mean over users of their tightest qualifying gap — the
+    "how quickly does b follow a" signature used for funnel timeouts.
+
+    Scale shape: a self-join EQUI-KEYED on user_id (co-partitioned,
+    never cartesian) whose pair blow-up is bounded by events-per-user
+    within the {gap_min}-minute window; it collapses immediately to
+    one row per (user, a, b) — ≤ |types|² rows/user — then to the
+    |types|²-row support table. Gap arithmetic is exact integer
+    microseconds (unix_micros ↔ epoch_us, the house idiom). Top-
+    {SEQ_TOPK} by support via TakeOrderedAndProject (no global-sort
+    exchange); same-timestamp events never pair (strict >)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    a = ev.select(
+        F.col("user_id"), F.col("event_type").alias("ea"), F.col("t").alias("ta")
+    )
+    b = ev.select(
+        F.col("user_id"), F.col("event_type").alias("eb"), F.col("t").alias("tb")
+    )
+    per_user = (
+        a.join(
+            b,
+            ["user_id"],
+        )
+        .filter(
+            (F.col("tb") > F.col("ta"))
+            & (F.col("tb") - F.col("ta") <= SEQ_GAP_US)
+        )
+        .groupBy("user_id", "ea", "eb")
+        .agg(F.min(F.col("tb") - F.col("ta")).alias("mingap_us"))
+    )
+    return (
+        per_user.groupBy("ea", "eb")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            fround(F.avg("mingap_us") / F.lit(1_000_000.0), 2).alias(
+                "avg_min_gap_s"
+            ),
+        )
+        .orderBy(F.col("n_users").desc(), "ea", "eb")
+        .limit(SEQ_TOPK)
+    )
+
+
+events_seq_pattern_support.__doc__ = events_seq_pattern_support.__doc__.format(
+    gap_min=SEQ_GAP_US // 60_000_000, SEQ_TOPK=SEQ_TOPK
+)
+
+
+ORACLE["events_seq_pattern_support"] = f"""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+pu AS (
+  SELECT a.user_id, a.event_type AS ea, b.event_type AS eb,
+         min(b.t - a.t) AS mingap_us
+  FROM ev a JOIN ev b
+    ON b.user_id = a.user_id
+   AND b.t > a.t AND b.t - a.t <= {SEQ_GAP_US}
+  GROUP BY 1, 2, 3
+)
+SELECT ea, eb, CAST(count(*) AS BIGINT) AS n_users,
+       {fround_sql("avg(mingap_us) / 1000000.0", 2)} AS avg_min_gap_s
+FROM pu GROUP BY ea, eb
+ORDER BY n_users DESC, ea, eb LIMIT {SEQ_TOPK}
+"""
+
+
 QUERIES = {
+    "events_seq_pattern_support": events_seq_pattern_support,
     "ab_sequential_obf": ab_sequential_obf,
     "events_markov_order2": events_markov_order2,
     "events_poisson_rate_test": events_poisson_rate_test,

@@ -156,6 +156,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "corpus_decontaminate_minhash",
     "table_xicor",
     "features_decision_stump",
+    "events_seq_pattern_support",
     "dedup_substring_runs",
     "ts_pacf",
     "ab_sequential_obf",

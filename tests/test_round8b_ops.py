@@ -191,6 +191,41 @@ def test_stump_uninformative_feature_gain_near_zero(spark):
     assert r["gini_gain"] < 0.01
 
 
+def test_seq_pattern_gap_constraint_and_nonadjacency(spark, tmp_path):
+    """a→c counted even with b between them (non-adjacent); a pair
+    outside the gap window is NOT counted; support is per-user
+    (a user exhibiting a pattern twice counts once)."""
+    import datetime as dt
+
+    from mapreduce_rust_spark.plans import behavior as B
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a, b, c within 5 min — a→c non-adjacent but in gap
+        (1, t0, "a"),
+        (1, t0 + dt.timedelta(minutes=2), "b"),
+        (1, t0 + dt.timedelta(minutes=4), "c"),
+        # user 1 again: second a→b occurrence (must not double-count user)
+        (1, t0 + dt.timedelta(hours=2), "a"),
+        (1, t0 + dt.timedelta(hours=2, minutes=1), "b"),
+        # user 2: a then c but 30 min apart — outside the 15-min gap
+        (2, t0, "a"),
+        (2, t0 + dt.timedelta(minutes=30), "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    p = tmp_path / "events.parquet"
+    ev.write.mode("overwrite").parquet(str(p))
+    # load_table expects <dir>/events.parquet
+    out = B.events_seq_pattern_support(spark, str(tmp_path))
+    got = {(r["ea"], r["eb"]): r for r in out.collect()}
+    assert got[("a", "c")]["n_users"] == 1  # user 1 only, non-adjacent
+    assert got[("a", "b")]["n_users"] == 1  # once despite two occurrences
+    assert abs(got[("a", "b")]["avg_min_gap_s"] - 60.0) < 0.01  # tightest gap
+    assert ("b", "a") not in got  # order matters
+
+
 def test_rrf_topk_truncates_per_query(spark):
     from mapreduce_rust_spark.operators.corpus import rrf_fuse
 
