@@ -157,6 +157,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "table_xicor",
     "features_decision_stump",
     "events_seq_pattern_support",
+    "sql_interval_arithmetic",
     "dedup_substring_runs",
     "ts_pacf",
     "ab_sequential_obf",
