@@ -1005,6 +1005,132 @@ FROM best WHERE rk = 1 ORDER BY feature
 """
 
 
+CONF_ALPHA = 0.1  # target miscoverage: 90% prediction intervals
+
+
+def features_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals, group-conditional
+    (Mondrian) — the distribution-free uncertainty wrapper modern ML
+    serving puts around ANY point predictor (Vovk et al.; Angelopoulos
+    & Bates 2023 tutorial form): a deterministic 3-way hash split of
+    orders gives train/calibration/test; the predictor is the
+    train-split mean total price per order priority (deliberately
+    simple — conformal's guarantee holds for any predictor); the
+    calibration nonconformity scores |y − ŷ| yield, per group, the
+    k = ⌈(n_cal+1)·(1−α)⌉-th smallest score as the interval half-width
+    q̂; test coverage of ŷ ± q̂ is then reported against the 1−α = 90%
+    target the method guarantees in expectation.
+
+    Scale shape: the predictor and the q̂ table are |groups|-row
+    broadcast frames; scores are one map pass; the order statistic is
+    a row_number over GROUP-partitioned windows (never a global
+    sort); coverage is one partial-combined aggregate. Determinism:
+    the group means are grid-snapped (fround 6) BEFORE scores are
+    formed, so every downstream comparison is a function of parquet
+    doubles and a snapped constant — q̂ is an actual data value
+    (order statistic), not an interpolated quantile. Tie rows at the
+    k-th position share the same VALUE, so the tiebreak affects only
+    which row is picked, never q̂."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_orderkey") % 3).alias("split"),
+    )
+    pred = F.broadcast(
+        base.filter(F.col("split") == 0)
+        .groupBy("g")
+        .agg(fround(F.avg("y"), 6).alias("p"))
+    )
+    wcal = Window.partitionBy("g").orderBy(F.abs(F.col("y") - F.col("p")), "k")
+    wn = Window.partitionBy("g")
+    cal = (
+        base.filter(F.col("split") == 1)
+        .join(pred, "g")
+        .select(
+            "g",
+            F.abs(F.col("y") - F.col("p")).alias("s"),
+            F.row_number().over(wcal).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n_cal"),
+        )
+    )
+    k_stat = F.least(
+        F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - CONF_ALPHA)).cast("bigint"),
+        F.col("n_cal"),
+    )
+    qhat = F.broadcast(
+        cal.filter(F.col("rn") == k_stat).select(
+            "g", F.col("n_cal"), F.col("s").alias("q")
+        )
+    )
+    test = (
+        base.filter(F.col("split") == 2)
+        .join(pred, "g")
+        .join(qhat, "g")
+        .groupBy("g")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (F.abs(F.col("y") - F.col("p")) <= F.col("q")).cast("bigint")
+            ).alias("n_cov"),
+            F.max("q").alias("q"),
+        )
+    )
+    return test.select(
+        F.col("g").alias("o_orderpriority"),
+        "n_cal",
+        "n_test",
+        fround("q", 4).alias("qhat"),
+        fround(F.lit(2.0) * F.col("q"), 4).alias("width"),
+        fround(F.col("n_cov").cast("double") / F.col("n_test"), 4).alias(
+            "coverage"
+        ),
+        F.lit(1.0 - CONF_ALPHA).alias("target"),
+    ).orderBy("o_orderpriority")
+
+
+ORACLE["features_conformal_interval"] = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS g, o_totalprice AS y,
+         o_orderkey % 3 AS split
+  FROM orders
+),
+pred AS (
+  SELECT g, {fround_sql("avg(y)", 6)} AS p
+  FROM base WHERE split = 0 GROUP BY 1
+),
+cal AS (
+  SELECT b.g, abs(b.y - p.p) AS s,
+         row_number() OVER (PARTITION BY b.g
+                            ORDER BY abs(b.y - p.p), b.k) AS rn,
+         count(*) OVER (PARTITION BY b.g) AS n_cal
+  FROM base b JOIN pred p USING (g)
+  WHERE b.split = 1
+),
+qh AS (
+  SELECT g, n_cal, s AS q FROM cal
+  WHERE rn = least(CAST(ceil((n_cal + 1) * {1.0 - CONF_ALPHA}) AS BIGINT),
+                   n_cal)
+),
+test AS (
+  SELECT b.g, max(q.n_cal) AS n_cal, count(*) AS n_test,
+         sum(CASE WHEN abs(b.y - p.p) <= q.q THEN 1 ELSE 0 END) AS n_cov,
+         max(q.q) AS q
+  FROM base b JOIN pred p USING (g) JOIN qh q USING (g)
+  WHERE b.split = 2
+  GROUP BY 1
+)
+SELECT g AS o_orderpriority, CAST(n_cal AS BIGINT) AS n_cal,
+       CAST(n_test AS BIGINT) AS n_test,
+       {fround_sql("q", 4)} AS qhat,
+       {fround_sql("2.0 * q", 4)} AS width,
+       {fround_sql("n_cov * 1.0 / n_test", 4)} AS coverage,
+       {1.0 - CONF_ALPHA} AS target
+FROM test ORDER BY o_orderpriority
+"""
+
+
 DECON_MH_HOLDOUT = 20  # same holdout spacing as the embedding screen
 DECON_MH_CAP = 1000  # bench ids from [0, CAP) only — eval sets are FIXED-SIZE (the quadratic-fraction lesson, see DECON_EMB_CAP)
 DECON_MH_THR = 0.5  # flag level: VERIFIED 3-gram Jaccard, not the LSH estimate
@@ -1185,6 +1311,7 @@ ORACLE["corpus_decontaminate_minhash"] = _decon_minhash_oracle()
 
 
 QUERIES = {
+    "features_conformal_interval": features_conformal_interval,
     "features_decision_stump": features_decision_stump,
     "corpus_decontaminate_minhash": corpus_decontaminate_minhash,
     "features_target_encoding": features_target_encoding,

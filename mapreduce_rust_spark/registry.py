@@ -158,6 +158,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "features_decision_stump",
     "events_seq_pattern_support",
     "sql_interval_arithmetic",
+    "features_conformal_interval",
     "dedup_substring_runs",
     "ts_pacf",
     "ab_sequential_obf",

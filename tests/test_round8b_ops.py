@@ -226,6 +226,30 @@ def test_seq_pattern_gap_constraint_and_nonadjacency(spark, tmp_path):
     assert ("b", "a") not in got  # order matters
 
 
+def test_conformal_coverage_meets_target_per_group(spark, sf_dir):
+    """The split-conformal guarantee: per-group test coverage of
+    ŷ ± q̂ should sit at or above ~1−α (in expectation; loose lower
+    bound for finite samples), and the reported geometry must be
+    self-consistent (width = 2·q̂, target = 0.9)."""
+    from mapreduce_rust_spark.operators.cleaning import (
+        CONF_ALPHA,
+        features_conformal_interval,
+    )
+
+    rows = features_conformal_interval(spark, sf_dir).collect()
+    assert len(rows) == 5  # one per order priority
+    for r in rows:
+        assert r["target"] == 1.0 - CONF_ALPHA
+        assert r["qhat"] > 0
+        assert abs(r["width"] - 2 * r["qhat"]) < 2e-4  # independent rounding
+        # per-group finite-sample noise at the sf0.001 smoke scale is
+        # ±3-5% (n_cal ≈ 100/group); the guarantee is in expectation
+        assert r["coverage"] >= 0.80
+        assert r["n_cal"] > 50 and r["n_test"] > 50
+    mean_cov = sum(r["coverage"] for r in rows) / len(rows)
+    assert mean_cov >= 0.85
+
+
 def test_rrf_topk_truncates_per_query(spark):
     from mapreduce_rust_spark.operators.corpus import rrf_fuse
 
