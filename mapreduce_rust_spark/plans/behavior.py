@@ -2385,6 +2385,15 @@ FROM j ORDER BY horizon_days
 
 SEQ_GAP_US = 900 * 1_000_000  # 15-minute follow window, exact int µs
 SEQ_TOPK = 20
+# The pattern alphabet: patterns are mined over this FIXED vocabulary
+# (the funnel-op convention). This is what keeps the operator LINEAR —
+# the naive instance-pair self-join is quadratic in per-user event
+# RATE (the sf1 sweep measured exponent 1.09 on exactly that
+# formulation before this rewrite); the window form below does one
+# pass with |SEQ_TYPES| conditional mins and never enumerates pairs.
+# Both engines filter to this list, so vocabulary drift in future
+# data fails the value gate instead of silently diverging.
+SEQ_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
 def events_seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2397,34 +2406,58 @@ def events_seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mean over users of their tightest qualifying gap — the
     "how quickly does b follow a" signature used for funnel timeouts.
 
-    Scale shape: a self-join EQUI-KEYED on user_id (co-partitioned,
-    never cartesian) whose pair blow-up is bounded by events-per-user
-    within the {gap_min}-minute window; it collapses immediately to
-    one row per (user, a, b) — ≤ |types|² rows/user — then to the
-    |types|²-row support table. Gap arithmetic is exact integer
-    microseconds (unix_micros ↔ epoch_us, the house idiom). Top-
-    {SEQ_TOPK} by support via TakeOrderedAndProject (no global-sort
-    exchange); same-timestamp events never pair (strict >)."""
+    Scale shape: ONE user-partitioned range window (value frame
+    (t, t+gap]) carrying |SEQ_TYPES| conditional mins — per event,
+    the earliest following occurrence of each type — then a (user, a)
+    aggregate and a |types|²-row support table. Strictly linear in
+    events: the instance-pair self-join this replaced measured
+    exponent 1.09 in the sf1 sweep because pairs grow with the SQUARE
+    of per-user event rate; the window form examines each event once
+    per alphabet symbol. Gap arithmetic is exact integer microseconds
+    (unix_micros ↔ epoch_us). Top-{SEQ_TOPK} by support via
+    TakeOrderedAndProject (no global-sort exchange); same-timestamp
+    events never pair (frame starts at 1 µs following)."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("t")
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+    ).filter(F.col("event_type").isin(*SEQ_TYPES))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(1, SEQ_GAP_US)
     )
-    a = ev.select(
-        F.col("user_id"), F.col("event_type").alias("ea"), F.col("t").alias("ta")
-    )
-    b = ev.select(
-        F.col("user_id"), F.col("event_type").alias("eb"), F.col("t").alias("tb")
+    per_a = ev.select(
+        "user_id",
+        F.col("event_type").alias("ea"),
+        *[
+            (F.min(F.when(F.col("event_type") == tname, F.col("t"))).over(w)
+             - F.col("t")).alias(f"g_{i}")
+            for i, tname in enumerate(SEQ_TYPES)
+        ],
     )
     per_user = (
-        a.join(
-            b,
-            ["user_id"],
+        per_a.groupBy("user_id", "ea")
+        .agg(
+            *[F.min(f"g_{i}").alias(f"mg_{i}") for i in range(len(SEQ_TYPES))]
         )
-        .filter(
-            (F.col("tb") > F.col("ta"))
-            & (F.col("tb") - F.col("ta") <= SEQ_GAP_US)
+        .select(
+            "user_id",
+            "ea",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(tname).alias("eb"),
+                            F.col(f"mg_{i}").alias("mingap_us"),
+                        )
+                        for i, tname in enumerate(SEQ_TYPES)
+                    ]
+                )
+            ).alias("p"),
         )
-        .groupBy("user_id", "ea", "eb")
-        .agg(F.min(F.col("tb") - F.col("ta")).alias("mingap_us"))
+        .select("user_id", "ea", "p.eb", "p.mingap_us")
+        .filter(F.col("mingap_us").isNotNull())
     )
     return (
         per_user.groupBy("ea", "eb")
@@ -2444,8 +2477,11 @@ events_seq_pattern_support.__doc__ = events_seq_pattern_support.__doc__.format(
 )
 
 
-ORACLE["events_seq_pattern_support"] = f"""
-WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+def _seq_pattern_oracle() -> str:
+    types_in = ", ".join(f"'{t}'" for t in SEQ_TYPES)
+    return f"""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+            WHERE event_type IN ({types_in})),
 pu AS (
   SELECT a.user_id, a.event_type AS ea, b.event_type AS eb,
          min(b.t - a.t) AS mingap_us
@@ -2459,6 +2495,9 @@ SELECT ea, eb, CAST(count(*) AS BIGINT) AS n_users,
 FROM pu GROUP BY ea, eb
 ORDER BY n_users DESC, ea, eb LIMIT {SEQ_TOPK}
 """
+
+
+ORACLE["events_seq_pattern_support"] = _seq_pattern_oracle()
 
 
 QUERIES = {

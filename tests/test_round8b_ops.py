@@ -200,17 +200,20 @@ def test_seq_pattern_gap_constraint_and_nonadjacency(spark, tmp_path):
     from mapreduce_rust_spark.plans import behavior as B
 
     t0 = dt.datetime(2024, 1, 1)
+    # types must come from the fixed SEQ_TYPES alphabet — the operator
+    # filters to it in both engines (vocabulary-drift guard)
     rows = [
-        # user 1: a, b, c within 5 min — a→c non-adjacent but in gap
-        (1, t0, "a"),
-        (1, t0 + dt.timedelta(minutes=2), "b"),
-        (1, t0 + dt.timedelta(minutes=4), "c"),
-        # user 1 again: second a→b occurrence (must not double-count user)
-        (1, t0 + dt.timedelta(hours=2), "a"),
-        (1, t0 + dt.timedelta(hours=2, minutes=1), "b"),
-        # user 2: a then c but 30 min apart — outside the 15-min gap
-        (2, t0, "a"),
-        (2, t0 + dt.timedelta(minutes=30), "c"),
+        # user 1: view, click, purchase within 5 min —
+        # view→purchase is non-adjacent but inside the gap
+        (1, t0, "view"),
+        (1, t0 + dt.timedelta(minutes=2), "click"),
+        (1, t0 + dt.timedelta(minutes=4), "purchase"),
+        # user 1 again: second view→click pair (must not double-count)
+        (1, t0 + dt.timedelta(hours=2), "view"),
+        (1, t0 + dt.timedelta(hours=2, minutes=1), "click"),
+        # user 2: view then purchase 30 min apart — outside the gap
+        (2, t0, "view"),
+        (2, t0 + dt.timedelta(minutes=30), "purchase"),
     ]
     ev = spark.createDataFrame(
         rows, "user_id bigint, ts timestamp, event_type string"
@@ -220,10 +223,11 @@ def test_seq_pattern_gap_constraint_and_nonadjacency(spark, tmp_path):
     # load_table expects <dir>/events.parquet
     out = B.events_seq_pattern_support(spark, str(tmp_path))
     got = {(r["ea"], r["eb"]): r for r in out.collect()}
-    assert got[("a", "c")]["n_users"] == 1  # user 1 only, non-adjacent
-    assert got[("a", "b")]["n_users"] == 1  # once despite two occurrences
-    assert abs(got[("a", "b")]["avg_min_gap_s"] - 60.0) < 0.01  # tightest gap
-    assert ("b", "a") not in got  # order matters
+    assert got[("view", "purchase")]["n_users"] == 1  # non-adjacent, in gap
+    assert got[("view", "click")]["n_users"] == 1  # once despite two pairs
+    # tightest qualifying view→click gap is the 1-minute second pair
+    assert abs(got[("view", "click")]["avg_min_gap_s"] - 60.0) < 0.01
+    assert ("click", "view") not in got  # order matters
 
 
 def test_conformal_coverage_meets_target_per_group(spark, sf_dir):
