@@ -2500,7 +2500,148 @@ ORDER BY n_users DESC, ea, eb LIMIT {SEQ_TOPK}
 ORACLE["events_seq_pattern_support"] = _seq_pattern_oracle()
 
 
+FDR_ALPHA = 0.1  # Benjamini-Hochberg target false-discovery rate
+
+
+def ab_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a metric battery — the
+    multiple-testing gate every experimentation platform runs when a
+    dashboard fires dozens of tests at once (at α=0.05 per test, a
+    35-cell battery produces ~2 false positives per experiment by
+    construction; BH caps the EXPECTED false-discovery proportion at
+    {FDR_ALPHA} instead). Battery: per (event_type, ISO weekday), a
+    Welch z on event value between the two hash arms; p = 2(1−Φ(|z|))
+    via the A&S erf polynomial (identical arithmetic both engines,
+    the ``ab_bayesian_beta`` discipline). BH: rank p ascending,
+    q_i = min_{{j≥i}} p_j·m/j (reversed running min, capped at 1),
+    reject at q ≤ {FDR_ALPHA}.
+
+    Scale shape: ONE partial-combined aggregation over (type, dow,
+    arm) — a ~70-row key space at any data volume — then the battery
+    arithmetic on that bounded frame; the BH sort is a window over
+    the m≈35-row battery via ``single_partition`` (provably bounded,
+    no data-sized global sort). p-values are grid-snapped at 1e-9
+    BEFORE ranking so cross-engine rank order is summation-order-
+    proof; m is computed in-frame (count over the battery), so cells
+    missing an arm drop out consistently."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.weekday("ts") + 1).alias("dow"),  # == DuckDB isodow: 1=Mon
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        "value",
+    )
+    g = ev.groupBy("event_type", "dow", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = g.filter(F.col("arm") == 0).select(
+        "event_type", "dow",
+        F.col("n").alias("n0"), F.col("m").alias("m0"), F.col("v").alias("v0"),
+    )
+    b = g.filter(F.col("arm") == 1).select(
+        "event_type", "dow",
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1"),
+    )
+    z = (F.col("m1") - F.col("m0")) / F.sqrt(
+        F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0")
+    )
+    tests = a.join(b, ["event_type", "dow"]).select(
+        "event_type",
+        "dow",
+        fround(z, 4).alias("z"),
+        fround(F.lit(2.0) * (F.lit(1.0) - _phi(F.abs(z))), 9).alias("p"),
+    )
+    tests1, wrank = single_partition(tests, by=[F.col("p"), F.col("event_type"), F.col("dow")])
+    wm = W.partitionBy(F.spark_partition_id())
+    wrev = (
+        W.partitionBy(F.spark_partition_id())
+        .orderBy(F.col("rk").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = tests1.select(
+        "event_type",
+        "dow",
+        "z",
+        "p",
+        F.row_number().over(wrank).alias("rk"),
+        F.count(F.lit(1)).over(wm).alias("m_tests"),
+    )
+    qraw = F.col("p") * F.col("m_tests") / F.col("rk")
+    return (
+        ranked.withColumn("qraw", qraw)
+        .withColumn("q", F.least(F.min("qraw").over(wrev), F.lit(1.0)))
+        .select(
+            "event_type",
+            "dow",
+            "z",
+            fround("p", 6).alias("p_value"),
+            fround("q", 6).alias("q_value"),
+            (F.col("q") <= FDR_ALPHA).alias("rejected"),
+            F.col("rk").alias("rank"),
+            F.col("m_tests"),
+        )
+        .orderBy("rank")
+    )
+
+
+ab_fdr_bh.__doc__ = ab_fdr_bh.__doc__.format(FDR_ALPHA=FDR_ALPHA)
+
+
+def _fdr_bh_oracle() -> str:
+    z = "((m1 - m0) / sqrt(v1 / n1 + v0 / n0))"
+    p = f"(2.0 * (1.0 - {_phi_sql(f'abs({z})')}))"
+    return f"""
+WITH ev AS (
+  SELECT event_type, isodow(ts) AS dow,
+         CAST(user_id % 2 AS INT) AS arm, value
+  FROM events
+),
+g AS (
+  SELECT event_type, dow, arm, count(*) AS n, avg(value) AS m,
+         var_samp(value) AS v
+  FROM ev GROUP BY 1, 2, 3
+),
+tests AS (
+  SELECT a.event_type, a.dow,
+         {fround_sql(z.replace('m1', 'b.m').replace('m0', 'a.m')
+                      .replace('v1', 'b.v').replace('v0', 'a.v')
+                      .replace('n1', 'b.n').replace('n0', 'a.n'), 4)} AS z,
+         {fround_sql(p.replace('m1', 'b.m').replace('m0', 'a.m')
+                      .replace('v1', 'b.v').replace('v0', 'a.v')
+                      .replace('n1', 'b.n').replace('n0', 'a.n'), 9)} AS p
+  FROM g a JOIN g b
+    ON b.event_type = a.event_type AND b.dow = a.dow
+   AND a.arm = 0 AND b.arm = 1
+),
+ranked AS (
+  SELECT event_type, dow, z, p,
+         row_number() OVER (ORDER BY p, event_type, dow) AS rk,
+         count(*) OVER () AS m_tests
+  FROM tests
+),
+bh AS (
+  SELECT event_type, dow, z, p, rk, m_tests,
+         least(min(p * m_tests / rk)
+                 OVER (ORDER BY rk DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               1.0) AS q
+  FROM ranked
+)
+SELECT event_type, CAST(dow AS INT) AS dow, z,
+       {fround_sql("p", 6)} AS p_value,
+       {fround_sql("q", 6)} AS q_value,
+       q <= {FDR_ALPHA} AS rejected,
+       CAST(rk AS INT) AS rank, CAST(m_tests AS BIGINT) AS m_tests
+FROM bh ORDER BY rank
+"""
+
+
+ORACLE["ab_fdr_bh"] = _fdr_bh_oracle()
+
+
 QUERIES = {
+    "ab_fdr_bh": ab_fdr_bh,
     "events_seq_pattern_support": events_seq_pattern_support,
     "ab_sequential_obf": ab_sequential_obf,
     "events_markov_order2": events_markov_order2,

@@ -159,6 +159,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "events_seq_pattern_support",
     "sql_interval_arithmetic",
     "features_conformal_interval",
+    "ab_fdr_bh",
     "dedup_substring_runs",
     "ts_pacf",
     "ab_sequential_obf",

@@ -254,6 +254,35 @@ def test_conformal_coverage_meets_target_per_group(spark, sf_dir):
     assert mean_cov >= 0.85
 
 
+def test_fdr_bh_matches_textbook_recomputation(spark, sf_dir):
+    """Recompute the BH step-up from the reported p-values in plain
+    Python and compare: q_i = min_{j>=i}(p_j*m/j) capped at 1, q
+    monotone in rank, rejection exactly q <= alpha."""
+    from mapreduce_rust_spark.plans.behavior import FDR_ALPHA, ab_fdr_bh
+
+    rows = ab_fdr_bh(spark, sf_dir).orderBy("rank").collect()
+    assert rows
+    m = rows[0]["m_tests"]
+    assert m == len(rows)
+    ps = [r["p_value"] for r in rows]
+    assert ps == sorted(ps)  # ranked ascending
+    # textbook reversed running min
+    qraw = [p * m / (i + 1) for i, p in enumerate(ps)]
+    expect = []
+    best = float("inf")
+    for qr in reversed(qraw):
+        best = min(best, qr)
+        expect.append(min(best, 1.0))
+    expect.reverse()
+    for r, e in zip(rows, expect):
+        assert abs(r["q_value"] - e) < 1e-4  # p rounded at 1e-6 in output
+        if abs(e - FDR_ALPHA) > 1e-3:  # away from the decision boundary
+            assert r["rejected"] == (e <= FDR_ALPHA)
+        assert r["q_value"] <= 1.0 + 1e-9
+    qs = [r["q_value"] for r in rows]
+    assert qs == sorted(qs)  # BH q is monotone in rank
+
+
 def test_rrf_topk_truncates_per_query(spark):
     from mapreduce_rust_spark.operators.corpus import rrf_fuse
 
