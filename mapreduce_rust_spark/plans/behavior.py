@@ -2640,7 +2640,154 @@ FROM bh ORDER BY rank
 ORACLE["ab_fdr_bh"] = _fdr_bh_oracle()
 
 
+CEM_BIN_W = 10  # activity-coarsening width (events per bin)
+CEM_BIN_CAP = 9  # top bin collapses the activity tail
+
+
+def events_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened Exact Matching ATT (Iacus, King & Porro 2012) — the
+    observational sibling of the randomized readouts: when
+    "treatment" is self-selected (here: the user's deterministic
+    FIRST event is a signup — the organic signup-first cohort, ~20%
+    of users), a raw treated-vs-control outcome diff confounds with
+    activity (active users both hit any first-event type more evenly
+    AND purchase more).
+    CEM coarsens the confounder (total event count, width-{CEM_BIN_W}
+    integer bins capped at {CEM_BIN_CAP}), keeps only strata with
+    BOTH arms present, and estimates
+    ATT = Σ_s (m_t_s / M_t) · (ȳ_treated,s − ȳ_control,s) — the
+    within-stratum diffs weighted by the treated distribution.
+    Output: one row per matched stratum (counts, means, diff, treated
+    share) with the pruned-unit census and the ATT repeated as a
+    summary column.
+
+    Scale shape: one user-level aggregation (partial-combined, keyed
+    on user_id), one |bins|×2-row stratum aggregate, and scalar
+    arithmetic via a broadcast one-row frame — integer binning (no
+    quantiles, no global sort), stratum means grid-snapped (fround 6)
+    before any cross-engine-sensitive difference."""
+    ev = load_table(spark, sf_dir, "events")
+    wf = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(wf).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            (F.col("event_type") == "signup").cast("int").alias("treated"),
+        )
+    )
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("activity"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("y"),
+    ).join(first, "user_id")
+    binned = users.select(
+        F.least(
+            F.lit(CEM_BIN_CAP).cast("bigint"),
+            F.floor(F.col("activity") / F.lit(CEM_BIN_W)),
+        ).alias("bin"),
+        "treated",
+        "y",
+    )
+    strata = binned.groupBy("bin").agg(
+        F.sum("treated").alias("n_t"),
+        F.sum(F.lit(1) - F.col("treated")).alias("n_c"),
+        fround(
+            F.sum(F.when(F.col("treated") == 1, F.col("y"))) /
+            F.sum("treated"),
+            6,
+        ).alias("y_t"),
+        fround(
+            F.sum(F.when(F.col("treated") == 0, F.col("y"))) /
+            F.sum(F.lit(1) - F.col("treated")),
+            6,
+        ).alias("y_c"),
+    )
+    matched = strata.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    tot = F.broadcast(
+        matched.agg(
+            F.sum("n_t").alias("mt"),
+            F.sum(F.col("n_t") * (F.col("y_t") - F.col("y_c"))).alias("wsum"),
+        )
+    )
+    return (
+        matched.crossJoin(tot)
+        .select(
+            "bin",
+            F.col("n_t").alias("n_treated"),
+            F.col("n_c").alias("n_control"),
+            "y_t",
+            "y_c",
+            fround(F.col("y_t") - F.col("y_c"), 6).alias("diff"),
+            fround(F.col("n_t") / F.col("mt"), 6).alias("w_treated"),
+            fround(F.col("wsum") / F.col("mt"), 4).alias("att"),
+        )
+        .orderBy("bin")
+    )
+
+
+events_cem_att.__doc__ = events_cem_att.__doc__.format(
+    CEM_BIN_W=CEM_BIN_W, CEM_BIN_CAP=CEM_BIN_CAP
+)
+
+
+ORACLE["events_cem_att"] = f"""
+WITH first AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS treated
+  FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+users AS (
+  SELECT e.user_id, f.treated, count(*) AS activity,
+         sum(CASE WHEN e.event_type = 'purchase' THEN e.value
+                  ELSE 0.0 END) AS y
+  FROM events e JOIN first f ON f.user_id = e.user_id
+  GROUP BY 1, 2
+),
+binned AS (
+  SELECT least({CEM_BIN_CAP}, activity // {CEM_BIN_W}) AS bin, treated, y
+  FROM users
+),
+strata AS (
+  SELECT bin,
+         sum(treated) AS n_t,
+         sum(1 - treated) AS n_c,
+         {fround_sql(
+             "sum(CASE WHEN treated = 1 THEN y END) / sum(treated)", 6
+         )} AS y_t,
+         {fround_sql(
+             "sum(CASE WHEN treated = 0 THEN y END) / sum(1 - treated)", 6
+         )} AS y_c
+  FROM binned GROUP BY 1
+),
+matched AS (SELECT * FROM strata WHERE n_t > 0 AND n_c > 0),
+tot AS (
+  SELECT sum(n_t) AS mt, sum(n_t * (y_t - y_c)) AS wsum FROM matched
+)
+SELECT bin, CAST(n_t AS BIGINT) AS n_treated, CAST(n_c AS BIGINT) AS n_control,
+       y_t, y_c,
+       {fround_sql("y_t - y_c", 6)} AS diff,
+       {fround_sql("n_t * 1.0 / mt", 6)} AS w_treated,
+       {fround_sql("wsum / mt", 4)} AS att
+FROM matched CROSS JOIN tot
+ORDER BY bin
+"""
+
+
 QUERIES = {
+    "events_cem_att": events_cem_att,
     "ab_fdr_bh": ab_fdr_bh,
     "events_seq_pattern_support": events_seq_pattern_support,
     "ab_sequential_obf": ab_sequential_obf,

@@ -160,6 +160,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "sql_interval_arithmetic",
     "features_conformal_interval",
     "ab_fdr_bh",
+    "events_cem_att",
     "dedup_substring_runs",
     "ts_pacf",
     "ab_sequential_obf",

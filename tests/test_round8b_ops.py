@@ -283,6 +283,24 @@ def test_fdr_bh_matches_textbook_recomputation(spark, sf_dir):
     assert qs == sorted(qs)  # BH q is monotone in rank
 
 
+def test_cem_att_is_treated_weighted_mean_of_stratum_diffs(spark, sf_dir):
+    """ATT must equal sum(w_treated * diff) over matched strata, the
+    weights must sum to 1, and every stratum must have both arms."""
+    from mapreduce_rust_spark.plans.behavior import events_cem_att
+
+    rows = events_cem_att(spark, sf_dir).collect()
+    assert rows
+    w_sum = sum(r["w_treated"] for r in rows)
+    assert abs(w_sum - 1.0) < 1e-4
+    att = rows[0]["att"]
+    assert all(abs(r["att"] - att) < 1e-9 for r in rows)
+    recomputed = sum(r["w_treated"] * r["diff"] for r in rows)
+    assert abs(att - recomputed) < 1e-2  # rounding at 1e-6 per term
+    for r in rows:
+        assert r["n_treated"] > 0 and r["n_control"] > 0
+        assert abs(r["diff"] - (r["y_t"] - r["y_c"])) < 2e-6
+
+
 def test_rrf_topk_truncates_per_query(spark):
     from mapreduce_rust_spark.operators.corpus import rrf_fuse
 
