@@ -2106,7 +2106,131 @@ LIMIT {BURST_TOPK}
 """
 
 
+AUC_LABEL_LANG = "en"  # positives: the latin-script majority class
+
+
+def features_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC via the Mann–Whitney U rank statistic —
+    THE binary-classifier eval every quality/language/toxicity filter
+    is judged by, computed exactly (tie-corrected average ranks), per
+    source: score = alpha-character ratio, label = (lang =
+    '{AUC_LABEL_LANG}'). AUC = (Σ_pos avgrank − n₊(n₊+1)/2)/(n₊·n₋);
+    average ranks come from two RANGE windows (≤score count ascending,
+    ≥score count descending) so ties get the textbook midrank — no
+    sort-and-collect, no sklearn. Everything is exact integer-and-half
+    arithmetic until the final division, so both engines agree
+    bit-for-bit before the 1e-6 snap.
+
+    Scale shape: one map pass for the score, three windows ALL
+    partitioned by source (zero global sorts — the same discipline as
+    ``table_xicor``), one hash aggregate; at 100 TB the only shuffled
+    state is per-source ranked rows, and groups without both classes
+    drop out (AUC undefined) in both engines."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n_alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("bigint")
+    base = docs.select(
+        "source",
+        (F.col("lang") == AUC_LABEL_LANG).cast("int").alias("y"),
+        (n_alpha.cast("double") / F.greatest(F.length("text"), F.lit(1))).alias(
+            "s"
+        ),
+    )
+    return auc_by_group(base, "source", "s", "y")
+
+
+def auc_by_group(
+    df: DataFrame, group_col: str, score_col: str, label_col: str
+) -> DataFrame:
+    """Tie-corrected Mann–Whitney AUC per group over (group, score,
+    binary label) — the reusable kernel behind
+    ``features_auc_mannwhitney``."""
+    from pyspark.sql import Window as W
+
+    wle = (
+        W.partitionBy(group_col)
+        .orderBy(score_col)
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wge = (
+        W.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc())
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = W.partitionBy(group_col)
+    ranked = df.select(
+        group_col,
+        F.col(label_col).alias("y"),
+        (
+            (
+                F.count(F.lit(1)).over(wle)
+                + (F.count(F.lit(1)).over(wn) - F.count(F.lit(1)).over(wge))
+                + F.lit(1)
+            ).cast("double")
+            / F.lit(2.0)
+        ).alias("ar"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.sum("y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
+        F.sum(F.when(F.col("y") == 1, F.col("ar"))).alias("rsum"),
+    )
+    auc = (
+        F.col("rsum")
+        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1).cast("double") / F.lit(2.0)
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+    return (
+        agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            group_col,
+            "n_pos",
+            "n_neg",
+            fround(auc, 6).alias("auc"),
+        )
+        .orderBy(group_col)
+    )
+
+
+features_auc_mannwhitney.__doc__ = features_auc_mannwhitney.__doc__.format(
+    AUC_LABEL_LANG=AUC_LABEL_LANG
+)
+
+
+ORACLE["features_auc_mannwhitney"] = f"""
+WITH base AS (
+  SELECT source,
+         CASE WHEN lang = '{AUC_LABEL_LANG}' THEN 1 ELSE 0 END AS y,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS s
+  FROM documents
+),
+ranked AS (
+  SELECT source, y,
+         (count(*) OVER (PARTITION BY source ORDER BY s
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          + (count(*) OVER (PARTITION BY source)
+             - count(*) OVER (PARTITION BY source ORDER BY s DESC
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW))
+          + 1) / 2.0 AS ar
+  FROM base
+),
+agg AS (
+  SELECT source, sum(y) AS n_pos, sum(1 - y) AS n_neg,
+         sum(CASE WHEN y = 1 THEN ar END) AS rsum
+  FROM ranked GROUP BY 1
+)
+SELECT source, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       {fround_sql(
+           "(rsum - n_pos * 1.0 * (n_pos + 1) / 2.0)"
+           " / (n_pos * 1.0 * n_neg)", 6
+       )} AS auc
+FROM agg WHERE n_pos > 0 AND n_neg > 0
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "features_auc_mannwhitney": features_auc_mannwhitney,
     "text_charset_profile": text_charset_profile,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "text_term_burstiness": text_term_burstiness,

@@ -161,6 +161,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "features_conformal_interval",
     "ab_fdr_bh",
     "events_cem_att",
+    "features_auc_mannwhitney",
     "dedup_substring_runs",
     "ts_pacf",
     "ab_sequential_obf",

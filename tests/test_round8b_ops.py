@@ -301,6 +301,45 @@ def test_cem_att_is_treated_weighted_mean_of_stratum_diffs(spark, sf_dir):
         assert abs(r["diff"] - (r["y_t"] - r["y_c"])) < 2e-6
 
 
+def _auc(spark, rows):
+    from mapreduce_rust_spark.operators.text_analysis import auc_by_group
+
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    out = auc_by_group(df, "g", "s", "y").collect()
+    return {r["g"]: r["auc"] for r in out}
+
+
+def test_auc_perfect_reversed_and_tied(spark):
+    """AUC = 1 for perfect separation, 0 for perfectly reversed,
+    exactly 0.5 when every score ties (midrank correctness)."""
+    rows = (
+        [("perf", float(i), 1 if i >= 10 else 0) for i in range(20)]
+        + [("rev", float(i), 1 if i < 10 else 0) for i in range(20)]
+        + [("tied", 7.0, i % 2) for i in range(20)]
+    )
+    got = _auc(spark, rows)
+    assert got["perf"] == 1.0
+    assert got["rev"] == 0.0
+    assert abs(got["tied"] - 0.5) < 1e-9
+
+
+def test_auc_matches_pair_counting(spark):
+    """AUC must equal P(score_pos > score_neg) + 0.5 P(tie) computed
+    by brute-force pair counting on a small mixed fixture."""
+    import itertools
+
+    vals = [(0.1, 0), (0.4, 0), (0.4, 1), (0.7, 0), (0.9, 1), (0.9, 1), (0.2, 1)]
+    rows = [("m", s, y) for s, y in vals]
+    got = _auc(spark, rows)["m"]
+    pos = [s for s, y in vals if y == 1]
+    neg = [s for s, y in vals if y == 0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    )
+    assert abs(got - wins / (len(pos) * len(neg))) < 1e-6
+
+
 def test_rrf_topk_truncates_per_query(spark):
     from mapreduce_rust_spark.operators.corpus import rrf_fuse
 
