@@ -1019,7 +1019,12 @@ def features_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration nonconformity scores |y − ŷ| yield, per group, the
     k = ⌈(n_cal+1)·(1−α)⌉-th smallest score as the interval half-width
     q̂; test coverage of ŷ ± q̂ is then reported against the 1−α = 90%
-    target the method guarantees in expectation.
+    target the method guarantees in expectation. Groups too small to
+    calibrate (⌈(n_cal+1)(1−α)⌉ > n_cal, i.e. n_cal+1 < 1/α) get k
+    capped at n_cal — the max score substitutes for the conformal
+    infinite-width convention — and are FLAGGED via the
+    ``undersized_cal`` column (same predicate in the oracle) so the
+    lost guarantee is visible, not silent.
 
     Scale shape: the predictor and the q̂ table are |groups|-row
     broadcast frames; scores are one map pass; the order statistic is
@@ -1087,6 +1092,14 @@ def features_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
         F.lit(1.0 - CONF_ALPHA).alias("target"),
+        # ADVICE r08: when ⌈(n_cal+1)(1−α)⌉ > n_cal the true split-
+        # conformal quantile is +∞ (infinite-width interval); capping k
+        # at n_cal substitutes the max calibration score and silently
+        # loses the coverage guarantee. Surface that substitution.
+        (
+            F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - CONF_ALPHA)).cast("bigint")
+            > F.col("n_cal")
+        ).alias("undersized_cal"),
     ).orderBy("o_orderpriority")
 
 
@@ -1126,7 +1139,8 @@ SELECT g AS o_orderpriority, CAST(n_cal AS BIGINT) AS n_cal,
        {fround_sql("q", 4)} AS qhat,
        {fround_sql("2.0 * q", 4)} AS width,
        {fround_sql("n_cov * 1.0 / n_test", 4)} AS coverage,
-       {1.0 - CONF_ALPHA} AS target
+       {1.0 - CONF_ALPHA} AS target,
+       ceil((n_cal + 1) * {1.0 - CONF_ALPHA}) > n_cal AS undersized_cal
 FROM test ORDER BY o_orderpriority
 """
 
@@ -1134,6 +1148,7 @@ FROM test ORDER BY o_orderpriority
 DECON_MH_HOLDOUT = 20  # same holdout spacing as the embedding screen
 DECON_MH_CAP = 1000  # bench ids from [0, CAP) only — eval sets are FIXED-SIZE (the quadratic-fraction lesson, see DECON_EMB_CAP)
 DECON_MH_THR = 0.5  # flag level: VERIFIED 3-gram Jaccard, not the LSH estimate
+DECON_MH_BCAST_CAP = 2_000_000  # max candidate pairs to driver-broadcast (execution strategy only — never in the oracle)
 
 
 def _decon_mh_bench(col: str) -> str:
@@ -1158,9 +1173,15 @@ def corpus_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams through map-side joins; the only shuffles are the
     per-candidate-pair intersection aggregate (bounded by bench bucket
     collisions) and the final per-doc best-match window. The memoized
-    signature index is shared with the whole dedup family. Output per
-    flagged corpus doc: its best bench match (highest verified
-    jaccard, lowest bench id on ties)."""
+    signature index is shared with the whole dedup family. The
+    CANDIDATE-side frames are data-dependent (bounded only by how many
+    corpus docs near-dup the bench slice — a dup-heavy corpus can blow
+    past driver memory), so they are persisted, counted, and
+    driver-broadcast only under {DECON_MH_BCAST_CAP} pairs; above the
+    cap the joins run un-hinted and AQE picks the strategy (worst case:
+    two extra shuffles of candidate-sized frames — never the corpus).
+    Output per flagged corpus doc: its best bench match (highest
+    verified jaccard, lowest bench id on ties)."""
     from mapreduce_rust_spark.operators.dedup import (
         N_BANDS,
         ROWS_PER_BAND,
@@ -1196,6 +1217,13 @@ def corpus_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bench_bands, ["band", "sig"])
         .select(F.col("doc_id").alias("cid"), "bid")
         .distinct()
+        .persist()
+    )
+    # broadcast guard (ADVICE r08): cand is data-dependent; count the
+    # persisted frame (reused 2× below anyway) and only hint a driver
+    # broadcast under the cap — above it AQE picks the join strategy
+    _hint = (
+        F.broadcast if cand.count() <= DECON_MH_BCAST_CAP else (lambda df: df)
     )
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
@@ -1211,17 +1239,17 @@ def corpus_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate docs (broadcast id list — bounded by bench bucket
     # collisions), then intersect map-side against the bench sets
     inter = (
-        sh.join(F.broadcast(cand.select("cid").distinct()), sh.doc_id == F.col("cid"))
+        sh.join(_hint(cand.select("cid").distinct()), sh.doc_id == F.col("cid"))
         .join(bench_sh, "s")
         .groupBy("cid", "bid")
         .agg(F.count(F.lit(1)).alias("i"))
-        .join(F.broadcast(cand), ["cid", "bid"])  # candidate pairs only
+        .join(_hint(cand), ["cid", "bid"])  # candidate pairs only
     )
     jac = F.col("i") * F.lit(1.0) / (F.col("n1") + F.col("n2") - F.col("i"))
-    # inter is candidate-bounded → broadcast it against the corpus-sized
-    # size frame so neither join shuffles the corpus
+    # inter is candidate-bounded → broadcast it (cap-guarded) against the
+    # corpus-sized size frame so neither join shuffles the corpus
     scored = (
-        F.broadcast(inter)
+        _hint(inter)
         .join(sz.select(F.col("doc_id").alias("cid"), F.col("n").alias("n1")), "cid")
         .join(bench_sz, "bid")
         .select("cid", "bid", "i", jac.alias("jac"))
@@ -1245,6 +1273,7 @@ corpus_decontaminate_minhash.__doc__ = corpus_decontaminate_minhash.__doc__.form
     DECON_MH_HOLDOUT=DECON_MH_HOLDOUT,
     DECON_MH_CAP=DECON_MH_CAP,
     DECON_MH_THR=DECON_MH_THR,
+    DECON_MH_BCAST_CAP=DECON_MH_BCAST_CAP,
 )
 
 

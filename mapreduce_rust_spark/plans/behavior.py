@@ -2523,7 +2523,12 @@ def ab_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     no data-sized global sort). p-values are grid-snapped at 1e-9
     BEFORE ranking so cross-engine rank order is summation-order-
     proof; m is computed in-frame (count over the battery), so cells
-    missing an arm drop out consistently."""
+    missing an arm drop out consistently. Degenerate cells (an arm
+    with n≤1 makes var_samp NULL; two zero-variance equal-mean arms
+    make z 0/0) are filtered with the SAME finite-z predicate in
+    both engines — Spark orders NULL p first, DuckDB last, so a
+    NULL/NaN p surviving to the rank window would silently shift
+    every rank/q-value across engines (ADVICE r08)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         (F.weekday("ts") + 1).alias("dow"),  # == DuckDB isodow: 1=Mon
@@ -2546,11 +2551,21 @@ def ab_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("m1") - F.col("m0")) / F.sqrt(
         F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0")
     )
-    tests = a.join(b, ["event_type", "dow"]).select(
-        "event_type",
-        "dow",
-        fround(z, 4).alias("z"),
-        fround(F.lit(2.0) * (F.lit(1.0) - _phi(F.abs(z))), 9).alias("p"),
+    tests = (
+        a.join(b, ["event_type", "dow"])
+        # finite-z guard (same predicate in the oracle): n>1 per arm so
+        # var_samp is defined, pooled SE > 0 so z is never 0/0
+        .filter(
+            (F.col("n0") > 1)
+            & (F.col("n1") > 1)
+            & (F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1") > 0)
+        )
+        .select(
+            "event_type",
+            "dow",
+            fround(z, 4).alias("z"),
+            fround(F.lit(2.0) * (F.lit(1.0) - _phi(F.abs(z))), 9).alias("p"),
+        )
     )
     tests1, wrank = single_partition(tests, by=[F.col("p"), F.col("event_type"), F.col("dow")])
     wm = W.partitionBy(F.spark_partition_id())
@@ -2613,6 +2628,7 @@ tests AS (
   FROM g a JOIN g b
     ON b.event_type = a.event_type AND b.dow = a.dow
    AND a.arm = 0 AND b.arm = 1
+  WHERE a.n > 1 AND b.n > 1 AND (a.v / a.n + b.v / b.n) > 0
 ),
 ranked AS (
   SELECT event_type, dow, z, p,
