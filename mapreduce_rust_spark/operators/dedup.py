@@ -2271,7 +2271,168 @@ FROM runs GROUP BY 1 ORDER BY 1
 ORACLE["dedup_substring_runs"] = _substring_runs_oracle()
 
 
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL — the transformation step after the
+    ``dedup_substring_runs`` census: rewrite every document with its
+    duplicated spans EXCISED under Lee et al. 2022 keep-one semantics
+    (the globally FIRST occurrence of each duplicated {k}-token anchor
+    — min doc_id, then min position within it — keeps its span; every
+    other occurrence is removed). The first operator in the family
+    whose OUTPUT is a transformed corpus, not a report: (doc_id,
+    n_tokens, n_tokens_removed, cleaned_text) over the normalized
+    token stream the dedup family works in — the missing link between
+    the dedup census and ``pipeline_prepare_corpus``.
+
+    Semantics: an anchor is duplicated when its {k}-token span occurs
+    in >= {m} distinct docs (the census predicate). A token is removed
+    iff it is covered by ANY removed anchor occurrence ([pos, pos+{k}-1]
+    coverage union — overlapping removals merge naturally). The
+    survivor occurrence keeps ALL its tokens, so every duplicated span
+    survives exactly once corpus-wide.
+
+    Scale shape at 100 TB: anchor hashing is one explode fused into
+    the scan; the duplicated-anchor set is a partial-aggregating
+    groupBy on the 16-byte hash; survivor selection is two more
+    partial aggs on the same key (min doc, then min pos within it —
+    never a partition-by-hash window, which a 1e9-occurrence
+    boilerplate span would pile onto one partition); coverage is a
+    bounded {k}× explode of REMOVED anchors only, deduplicated by
+    (doc, pos); the rewrite is a linear anti-join on (doc, pos) plus
+    one per-document aggregation (collect bounded by document
+    length). No data-sized windows, no global sorts before the final
+    presentation order."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return duplicate_span_removal(docs, "doc_id", "text")
+
+
+dedup_span_removal.__doc__ = dedup_span_removal.__doc__.format(
+    k=RUN_SPAN_K, m=RUN_MIN_DOCS
+)
+
+
+def duplicate_span_removal(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Library form of ``dedup_span_removal`` (plan documented there);
+    exposed separately so keep-one excision can be golden-tested on
+    constructed near-duplicate documents."""
+    norm_toks = tokenize_whitespace(normalize_text(text_col))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(norm_toks).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    anch = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_shingles(text_col, RUN_SPAN_K)).alias("pos0", "span"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("span").alias("h")
+    )
+    dup = (
+        anch.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= RUN_MIN_DOCS)
+        .select("h")
+    )
+    danch = anch.join(dup, "h")
+    kd = danch.groupBy("h").agg(F.min("doc_id").alias("kd"))
+    kp = (
+        danch.join(kd, "h")
+        .filter(F.col("doc_id") == F.col("kd"))
+        .groupBy("h", "kd")
+        .agg(F.min("pos").alias("kp"))
+    )
+    removed = (
+        danch.join(kp, "h")
+        .filter(~((F.col("doc_id") == F.col("kd")) & (F.col("pos") == F.col("kp"))))
+        .select("doc_id", "pos")
+    )
+    cov = removed.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(RUN_SPAN_K - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = toks.join(cov, ["doc_id", "pos"], "left_anti")
+    tot = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    ka = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        tot.join(ka, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _span_removal_oracle() -> str:
+    leads = " || ' ' || ".join(
+        f"lead(w,{i}) OVER win" for i in range(1, RUN_SPAN_K)
+    )
+    return f"""
+WITH tok AS ({_TOK_SQL}),
+spans AS (
+  SELECT doc_id, pos, md5(w || ' ' || {leads}) AS h
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+anch AS (SELECT doc_id, pos, h FROM spans WHERE h IS NOT NULL),
+dup AS (
+  SELECT h FROM anch GROUP BY h
+  HAVING count(DISTINCT doc_id) >= {RUN_MIN_DOCS}
+),
+danch AS (SELECT a.doc_id, a.pos, a.h FROM anch a JOIN dup USING (h)),
+kd AS (SELECT h, min(doc_id) AS kd FROM danch GROUP BY h),
+kp AS (
+  SELECT d.h, k.kd, min(d.pos) AS kp
+  FROM danch d JOIN kd k ON k.h = d.h AND d.doc_id = k.kd
+  GROUP BY d.h, k.kd
+),
+removed AS (
+  SELECT d.doc_id, d.pos
+  FROM danch d JOIN kp ON kp.h = d.h
+  WHERE NOT (d.doc_id = kp.kd AND d.pos = kp.kp)
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos + i AS pos
+  FROM removed CROSS JOIN range(0, {RUN_SPAN_K}) u(i)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.w
+  FROM tok t ANTI JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+),
+tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1),
+ka AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(w, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.n_tokens - coalesce(ka.n_kept, 0) AS BIGINT)
+         AS n_tokens_removed,
+       coalesce(ka.cleaned_text, '') AS cleaned_text
+FROM tot t LEFT JOIN ka USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+ORACLE["dedup_span_removal"] = _span_removal_oracle()
+
+
 QUERIES = {
+    "dedup_span_removal": dedup_span_removal,
     "dedup_substring_runs": dedup_substring_runs,
     "dedup_lsh_incremental": dedup_lsh_incremental,
     "dedup_rouge_l_verified": dedup_rouge_l_verified,

@@ -621,7 +621,310 @@ GROUP BY 1 ORDER BY 1
 ORACLE["pipeline_rag_prep"] = _rag_prep_oracle()
 
 
+PIPE_DECON_NGRAM_K = 8  # exact-screen span width (tokens) — the grain eval leaks are screened at
+_DECON_SCREENS = ("exact_ngram", "embedding", "fuzzy_minhash")
+
+
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END decontamination pipeline — the report a training-data
+    team reads before a launch: all THREE screen modalities (exact
+    {K}-token n-gram collision, embedding max-cosine ≥ the
+    ``corpus_decontaminate_embedding`` hi threshold, LSH-candidate +
+    verified-Jaccard fuzzy MinHash) composed over the SAME held-out
+    benchmark slice (ids ≡ 0 mod 20 below 1000 — the fixed-size eval
+    set the minhash/embedding screens already pin; doc_id and vec_id
+    are the same id space, see ``pipeline_rag_prep``), with the
+    per-modality attrition census and the pairwise overlap matrix:
+    who flags what, how much the screens agree (flag-set Jaccard),
+    and what each modality catches that NO other screen does (its
+    unique value — the column that justifies running it).
+
+    Output: one row per screen pair (flag counts, joint flags,
+    overlap Jaccard, screen-a-only count) with the corpus-wide census
+    (n_corpus / flagged-by-any / flagged-by-all) repeated as summary
+    columns — a single bounded 3-row frame.
+
+    Scale shape at 100 TB: every screen is the corpus streaming
+    map-side against a BROADCAST eval-set structure (span set,
+    embedding matrix, banded index — each eval-set-sized by
+    construction); per-screen flag sets are contamination-bounded, so
+    the full-outer flag join and the single census aggregation touch
+    only flagged ids, never the corpus (the corpus contributes one
+    partial-agg count for n_corpus). Composition of
+    ``decontaminate_ngram_overlap``/``corpus_decontaminate_embedding``
+    /``corpus_decontaminate_minhash`` machinery (cleaning.py) — the
+    ``pipeline_gate_overlap`` pattern applied to eval-leak screens."""
+    from mapreduce_rust_spark.operators.cleaning import (
+        DECON_EMB_CAP,
+        DECON_EMB_HOLDOUT,
+        DECON_EMB_THR_HI,
+        _decon_mh_bench,
+        corpus_decontaminate_minhash,
+    )
+    from mapreduce_rust_spark.operators.dedup import shingle_sets
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    is_bench = F.expr(_decon_mh_bench("doc_id"))
+
+    # screen 1 — exact K-token span collision vs the bench span set
+    sh = shingle_sets(docs, "doc_id", "text", k=PIPE_DECON_NGRAM_K)
+    bench_spans = F.broadcast(sh.filter(is_bench).select("s").distinct())
+    fe = (
+        sh.filter(~is_bench)
+        .join(bench_spans, "s")
+        .select("doc_id")
+        .distinct()
+        .withColumn("e", F.lit(1))
+    )
+
+    # screen 2 — embedding max-cosine vs the bench vectors (same slice:
+    # vec_id ≡ 0 mod DECON_EMB_HOLDOUT below DECON_EMB_CAP)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    emb = emb.withColumn("nrm", nrm)
+    emb_bench = (F.col("vec_id") % DECON_EMB_HOLDOUT == 0) & (
+        F.col("vec_id") < DECON_EMB_CAP
+    )
+    bvec = emb.filter(emb_bench).select(
+        F.col("v").alias("bv"), F.col("nrm").alias("bnrm")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "bv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    fm = (
+        emb.filter(~emb_bench)
+        .crossJoin(F.broadcast(bvec))
+        .select("vec_id", (dot / (F.col("nrm") * F.col("bnrm"))).alias("sim"))
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("maxsim"))
+        .filter(F.col("maxsim") >= DECON_EMB_THR_HI)
+        .select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("m"))
+    )
+
+    # screen 3 — fuzzy MinHash (LSH candidates + verified Jaccard):
+    # reuse the registered operator's flagged-doc output wholesale
+    fg = (
+        corpus_decontaminate_minhash(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("g", F.lit(1))
+    )
+
+    flags = (
+        fe.join(fm, ["doc_id"], "full")
+        .join(fg, ["doc_id"], "full")
+        .na.fill(0, ["e", "m", "g"])
+    )
+    s = {c: F.coalesce(F.sum(c), F.lit(0)).cast("bigint") for c in "emg"}
+    only = {
+        c: F.coalesce(
+            F.sum(
+                F.col(c)
+                * (1 - F.col(o1))
+                * (1 - F.col(o2))
+            ),
+            F.lit(0),
+        ).cast("bigint")
+        for c, o1, o2 in (("e", "m", "g"), ("m", "e", "g"), ("g", "e", "m"))
+    }
+    wide = flags.agg(
+        s["e"].alias("fe"),
+        s["m"].alias("fm"),
+        s["g"].alias("fg"),
+        F.coalesce(F.sum(F.col("e") * F.col("m")), F.lit(0)).cast("bigint").alias("fem"),
+        F.coalesce(F.sum(F.col("e") * F.col("g")), F.lit(0)).cast("bigint").alias("feg"),
+        F.coalesce(F.sum(F.col("m") * F.col("g")), F.lit(0)).cast("bigint").alias("fmg"),
+        only["e"].alias("oe"),
+        only["m"].alias("om"),
+        only["g"].alias("og"),
+        F.count(F.lit(1)).alias("f_any"),
+        F.coalesce(F.sum(F.col("e") * F.col("m") * F.col("g")), F.lit(0))
+        .cast("bigint")
+        .alias("f_all"),
+    )
+    ncorp = docs.filter(~is_bench).agg(
+        F.count(F.lit(1)).alias("n_corpus")
+    )
+    pairs = [("e", "m"), ("e", "g"), ("m", "g")]
+    names = dict(zip("emg", _DECON_SCREENS))
+    both = {("e", "m"): "fem", ("e", "g"): "feg", ("m", "g"): "fmg"}
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(names[a]).alias("screen_a"),
+                F.lit(names[b]).alias("screen_b"),
+                F.col(f"f{a}").alias("flag_a"),
+                F.col(f"f{b}").alias("flag_b"),
+                F.col(both[(a, b)]).alias("flag_both"),
+                fround(
+                    F.col(both[(a, b)])
+                    / F.greatest(
+                        F.col(f"f{a}") + F.col(f"f{b}") - F.col(both[(a, b)]),
+                        F.lit(1),
+                    ).cast("double"),
+                    6,
+                ).alias("overlap_jaccard"),
+                F.col(f"o{a}").alias("only_screen_a"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        wide.crossJoin(F.broadcast(ncorp))
+        .select(
+            F.explode(rows).alias("r"), "n_corpus", "f_any", "f_all"
+        )
+        .select(
+            "r.*",
+            "n_corpus",
+            F.col("f_any").alias("flag_any"),
+            F.col("f_all").alias("flag_all"),
+        )
+        .orderBy("screen_a", "screen_b")
+    )
+
+
+pipeline_decontaminate.__doc__ = pipeline_decontaminate.__doc__.format(
+    K=PIPE_DECON_NGRAM_K
+)
+
+
+def _pipeline_decontaminate_oracle() -> str:
+    from mapreduce_rust_spark.operators.cleaning import (
+        DECON_EMB_CAP,
+        DECON_EMB_HOLDOUT,
+        DECON_EMB_THR_HI,
+        DECON_MH_THR,
+        _decon_mh_bench,
+    )
+    from mapreduce_rust_spark.operators.dedup import (
+        MINHASH_PRIME,
+        ROWS_PER_BAND,
+        _h64_sql,
+        _minhash_params,
+        _SHINGLE_SQL,
+        _TOK_SQL,
+    )
+
+    leads = " || ' ' || ".join(
+        f"lead(w,{i}) OVER win" for i in range(1, PIPE_DECON_NGRAM_K)
+    )
+    params = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(_minhash_params())
+    )
+    pair_rows = []
+    names = dict(zip("emg", _DECON_SCREENS))
+    both = {("e", "m"): "fem", ("e", "g"): "feg", ("m", "g"): "fmg"}
+    for a, b in [("e", "m"), ("e", "g"), ("m", "g")]:
+        jac = fround_sql(
+            f"{both[(a, b)]} / CAST(greatest(f{a} + f{b} - {both[(a, b)]}, 1)"
+            " AS DOUBLE)",
+            6,
+        )
+        pair_rows.append(
+            f"SELECT '{names[a]}' AS screen_a, '{names[b]}' AS screen_b,"
+            f" f{a} AS flag_a, f{b} AS flag_b, {both[(a, b)]} AS flag_both,"
+            f" {jac} AS overlap_jaccard, o{a} AS only_screen_a,"
+            " n_corpus, f_any AS flag_any, f_all AS flag_all"
+            " FROM agg, ncorp"
+        )
+    union = "\nUNION ALL\n".join(pair_rows)
+    return f"""
+WITH tok AS ({_TOK_SQL}),
+spans8 AS (
+  SELECT DISTINCT doc_id, w || ' ' || {leads} AS s
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+cs8 AS (SELECT doc_id, s FROM spans8
+        WHERE s IS NOT NULL AND NOT ({_decon_mh_bench("doc_id")})),
+bs8 AS (SELECT DISTINCT s FROM spans8
+        WHERE s IS NOT NULL AND ({_decon_mh_bench("doc_id")})),
+fe_ids AS (SELECT DISTINCT doc_id, 1 AS e FROM cs8 JOIN bs8 USING (s)),
+ev AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+bvec AS (SELECT v AS bv, nrm AS bnrm FROM ev
+         WHERE vec_id % {DECON_EMB_HOLDOUT} = 0 AND vec_id < {DECON_EMB_CAP}),
+fm_ids AS (
+  SELECT vec_id AS doc_id, 1 AS m
+  FROM (SELECT c.vec_id,
+               max(list_sum(list_transform(range(1, len(c.v) + 1),
+                   i -> c.v[i] * b.bv[i])) / (c.nrm * b.bnrm)) AS maxsim
+        FROM (SELECT * FROM ev
+              WHERE NOT (vec_id % {DECON_EMB_HOLDOUT} = 0
+                         AND vec_id < {DECON_EMB_CAP})) c, bvec b
+        GROUP BY 1) x
+  WHERE maxsim >= {DECON_EMB_THR_HI}
+),
+ds AS ({_SHINGLE_SQL}),
+h AS (SELECT doc_id, {_h64_sql('s')} AS h FROM ds),
+params(j, a, b) AS (VALUES {params}),
+sig AS MATERIALIZED (
+  SELECT doc_id, j,
+         min((a * (h % {MINHASH_PRIME}) + b) % {MINHASH_PRIME}) AS mh
+  FROM h CROSS JOIN params GROUP BY doc_id, j
+),
+band AS MATERIALIZED (
+  SELECT doc_id, j // {ROWS_PER_BAND} AS band,
+         array_to_string(list(mh ORDER BY j), '-') AS sig
+  FROM sig GROUP BY doc_id, j // {ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+  FROM band c JOIN band b ON b.band = c.band AND b.sig = c.sig
+  WHERE ({_decon_mh_bench("b.doc_id")})
+    AND NOT ({_decon_mh_bench("c.doc_id")})
+),
+sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+inter AS (
+  SELECT c.doc_id AS cid, b.doc_id AS bid, count(*) AS i
+  FROM ds c
+  JOIN ds b USING (s)
+  JOIN cand ON cand.cid = c.doc_id AND cand.bid = b.doc_id
+  GROUP BY 1, 2
+),
+fg_ids AS (
+  SELECT DISTINCT cid AS doc_id, 1 AS g
+  FROM inter
+  JOIN sz s1 ON s1.doc_id = cid
+  JOIN sz s2 ON s2.doc_id = bid
+  WHERE i * 1.0 / (s1.n + s2.n - i) >= {DECON_MH_THR}
+),
+flags AS (
+  SELECT coalesce(e, 0) AS e, coalesce(m, 0) AS m, coalesce(g, 0) AS g
+  FROM fe_ids FULL JOIN fm_ids USING (doc_id) FULL JOIN fg_ids USING (doc_id)
+),
+agg AS (
+  SELECT CAST(coalesce(sum(e), 0) AS BIGINT) AS fe,
+         CAST(coalesce(sum(m), 0) AS BIGINT) AS fm,
+         CAST(coalesce(sum(g), 0) AS BIGINT) AS fg,
+         CAST(coalesce(sum(e * m), 0) AS BIGINT) AS fem,
+         CAST(coalesce(sum(e * g), 0) AS BIGINT) AS feg,
+         CAST(coalesce(sum(m * g), 0) AS BIGINT) AS fmg,
+         CAST(coalesce(sum(e * (1 - m) * (1 - g)), 0) AS BIGINT) AS oe,
+         CAST(coalesce(sum(m * (1 - e) * (1 - g)), 0) AS BIGINT) AS om,
+         CAST(coalesce(sum(g * (1 - e) * (1 - m)), 0) AS BIGINT) AS og,
+         CAST(count(*) AS BIGINT) AS f_any,
+         CAST(coalesce(sum(e * m * g), 0) AS BIGINT) AS f_all
+  FROM flags
+),
+ncorp AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents
+          WHERE NOT ({_decon_mh_bench("doc_id")}))
+{union}
+ORDER BY screen_a, screen_b
+"""
+
+
+ORACLE["pipeline_decontaminate"] = _pipeline_decontaminate_oracle()
+
+
 QUERIES = {
+    "pipeline_decontaminate": pipeline_decontaminate,
     "pipeline_rag_prep": pipeline_rag_prep,
     "pipeline_prepare_corpus": pipeline_prepare_corpus,
     "pipeline_gate_attrition": pipeline_gate_attrition,

@@ -1,0 +1,132 @@
+"""Round-9 operators: duplicate-span removal (keep-one excision) and
+the end-to-end decontamination pipeline."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_span_removal_keep_one_golden(spark):
+    """Crafted near-dup fixture: the survivor (globally first
+    occurrence: min doc_id, min pos) keeps the duplicated 8-token
+    span; every other occurrence is excised."""
+    from mapreduce_rust_spark.operators.dedup import duplicate_span_removal
+
+    span = "a b c d e f g h"  # exactly RUN_SPAN_K tokens
+    docs = _docs(
+        spark,
+        [
+            (0, span + " i j"),  # survivor: keeps everything
+            (1, span + " x y"),  # dup occurrence: span excised
+            (2, "q r s t u v w q2 r2 s2"),  # unique: untouched
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_removal(docs, "doc_id", "text").collect()
+    }
+    assert out[0]["n_tokens_removed"] == 0
+    assert out[0]["cleaned_text"] == span + " i j"
+    assert out[1]["n_tokens_removed"] == 8
+    assert out[1]["cleaned_text"] == "x y"
+    assert out[2]["n_tokens_removed"] == 0
+    assert out[2]["cleaned_text"] == "q r s t u v w q2 r2 s2"
+
+
+def test_span_removal_long_run_fully_excised(spark):
+    """A 10-token duplicated run chains 3 overlapping anchors; the
+    coverage union removes all 10 tokens from the non-survivor —
+    including a doc that becomes EMPTY after excision."""
+    from mapreduce_rust_spark.operators.dedup import duplicate_span_removal
+
+    run = "a b c d e f g h i j"  # 10 tokens -> anchors at pos 1,2,3
+    docs = _docs(
+        spark,
+        [
+            (3, run + " tail1 tail2"),  # survivor
+            (4, run),  # fully duplicated -> empty after excision
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_removal(docs, "doc_id", "text").collect()
+    }
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[4]["n_tokens_removed"] == 10
+    assert out[4]["cleaned_text"] == ""
+    assert out[4]["n_tokens"] == 10
+
+
+def test_span_removal_intra_doc_repeat_keeps_first(spark):
+    """The same span twice WITHIN the survivor doc: only the globally
+    first occurrence (min pos) survives; the second is excised."""
+    from mapreduce_rust_spark.operators.dedup import duplicate_span_removal
+
+    span = "a b c d e f g h"
+    docs = _docs(
+        spark,
+        [
+            (0, span + " mid " + span),  # pos 1..8 kept, pos 10..17 excised
+            (1, span + " zz"),  # non-survivor: excised
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_removal(docs, "doc_id", "text").collect()
+    }
+    assert out[0]["cleaned_text"] == span + " mid"
+    assert out[0]["n_tokens_removed"] == 8
+    assert out[1]["cleaned_text"] == "zz"
+
+
+def test_span_removal_conserves_spans_corpus_wide(spark, sf_dir):
+    """Every duplicated anchor's span survives somewhere: total
+    removed tokens < total duplicated-token mass, and no doc removes
+    more tokens than it has."""
+    from mapreduce_rust_spark.operators.dedup import dedup_span_removal
+
+    rows = dedup_span_removal(spark, sf_dir).collect()
+    assert all(0 <= r["n_tokens_removed"] <= r["n_tokens"] for r in rows)
+    # at least one doc must be untouched (the survivors)
+    assert any(r["n_tokens_removed"] == 0 for r in rows)
+
+
+def test_pipeline_decontaminate_census_consistency(spark, sf_dir):
+    """3 pair rows; joint flags bounded by each side; any/all census
+    consistent with the per-screen counts."""
+    from mapreduce_rust_spark.plans.pipeline import pipeline_decontaminate
+
+    rows = pipeline_decontaminate(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["flag_both"] <= min(r["flag_a"], r["flag_b"])
+        assert r["only_screen_a"] <= r["flag_a"]
+        assert r["flag_all"] <= r["flag_both"]
+        assert r["flag_any"] >= max(r["flag_a"], r["flag_b"])
+        assert r["flag_any"] <= r["n_corpus"]
+        assert 0.0 <= r["overlap_jaccard"] <= 1.0
+
+
+def test_pipeline_decontaminate_bench_sides_broadcast(spark, sf_dir):
+    """All three screens stream the corpus against broadcast eval-set
+    structures — no cartesian product; the only SMJs allowed are the
+    contamination-bounded flag-set full-outer joins."""
+    from mapreduce_rust_spark.plans.pipeline import pipeline_decontaminate
+
+    df = pipeline_decontaminate(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 5
+    # SMJs are allowed only for the contamination-bounded frames (the
+    # flag-set full-outer joins + the minhash candidate verify); the
+    # exact count varies with whether the session's signature index is
+    # already checkpointed, so bound it rather than pin it
+    assert p.count("SortMergeJoin") <= 6
