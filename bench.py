@@ -182,6 +182,16 @@ def main() -> int:
             prev = json.load(fh)
     except (OSError, ValueError):
         pass
+    if only and prev.get("sf") not in (None, sf):
+        # a slug-filtered smoke run at a DIFFERENT sf must not clobber
+        # the full-suite sidecar history (it once wiped the sf0.1
+        # best-of map with a 2-query sf0.001 run)
+        print(
+            f"bench: partial run at sf={sf} but sidecar holds sf="
+            f"{prev.get('sf')}; skipping sidecar write",
+            file=sys.stderr,
+        )
+        side_path = os.devnull
     best: dict[str, float] = {}
     if prev.get("sf") == sf and isinstance(prev.get("best_of"), dict):
         best = dict(prev["best_of"].get("queries") or {})
