@@ -1145,6 +1145,246 @@ FROM test ORDER BY o_orderpriority
 """
 
 
+CALIB_BINS = 10  # reliability-diagram bins (equal-width on [0,1])
+
+
+def features_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier decomposition — the audit run on
+    any score used as a KEEP-probability before it gates a corpus: is
+    a 0.8 really an 80%? Predictor: the composite ``quality_score``
+    (a [0,1] heuristic standing in for a quality-classifier
+    probability — the operator is pluggable); outcome: the Gopher
+    hard keep decision (the binary signal the score is supposed to
+    anticipate). Per equal-width score bin: volume, mean predicted,
+    observed keep rate, and the calibration gap; plus the exact Brier
+    score and its Murphy bin decomposition (reliability = volume-
+    weighted squared gap — lower is better-calibrated; resolution =
+    volume-weighted squared lift over the base rate — higher means
+    the score separates; uncertainty = base-rate variance) repeated
+    as summary columns. Murphy's identity Brier = REL − RES + UNC
+    holds exactly only for bin-constant forecasts; with a continuous
+    score the within-bin variance term remains, so the exact Brier is
+    reported alongside the decomposition, never derived from it.
+
+    Scale shape: two per-row expression passes fused into one scan
+    (score + gopher flags share the tokenization), ONE partial-
+    combined aggregation on a {CALIB_BINS}-row key, then scalar
+    arithmetic on the bounded frame via a broadcast 1-row summary.
+    Integer binning (floor(score·bins) capped) — no quantiles, no
+    sort."""
+    from mapreduce_rust_spark.operators.text_analysis import (
+        gopher_rules,
+        quality_scores,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    q = quality_scores(docs, "doc_id", "text").select("doc_id", "quality_score")
+    g = gopher_rules(docs, "doc_id", "text").select("doc_id", "keep")
+    scored = q.join(g, "doc_id").select(
+        F.least(
+            F.floor(F.col("quality_score") * CALIB_BINS).cast("int"),
+            F.lit(CALIB_BINS - 1),
+        ).alias("bin"),
+        "quality_score",
+        F.col("keep").cast("double").alias("y"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("quality_score").alias("mean_pred"),
+        F.avg("y").alias("frac_pos"),
+        F.sum((F.col("quality_score") - F.col("y")) ** 2).alias("se"),
+    )
+    tot = bins.agg(
+        F.sum("n").alias("n_total"),
+        (F.sum(F.col("frac_pos") * F.col("n")) / F.sum("n")).alias("base"),
+        (F.sum("se") / F.sum("n")).alias("brier"),
+        (
+            F.sum(F.col("n") * (F.col("mean_pred") - F.col("frac_pos")) ** 2)
+            / F.sum("n")
+        ).alias("reliability"),
+    )
+    res = (
+        bins.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(F.col("n") * (F.col("frac_pos") - F.col("base")) ** 2)
+                / F.max("n_total")
+            ).alias("resolution")
+        )
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(res))
+        .select(
+            "bin",
+            "n",
+            fround("mean_pred", 6).alias("mean_pred"),
+            fround("frac_pos", 6).alias("frac_pos"),
+            fround(F.col("mean_pred") - F.col("frac_pos"), 6).alias("gap"),
+            fround("brier", 6).alias("brier"),
+            fround("reliability", 6).alias("reliability"),
+            fround("resolution", 6).alias("resolution"),
+            fround(F.col("base") * (1 - F.col("base")), 6).alias("uncertainty"),
+        )
+        .orderBy("bin")
+    )
+
+
+features_calibration_curve.__doc__ = features_calibration_curve.__doc__.format(
+    CALIB_BINS=CALIB_BINS
+)
+
+
+def _calibration_oracle() -> str:
+    from mapreduce_rust_spark.operators.text_analysis import (
+        ORACLE as TA_ORACLE,
+    )
+    from mapreduce_rust_spark.operators.text_analysis import _quality_sql
+
+    gopher = TA_ORACLE["text_gopher_quality"].strip()
+    return f"""
+WITH gph AS ({gopher}),
+q AS ({_quality_sql()}),
+scored AS (
+  SELECT least(CAST(floor(q.quality_score * {CALIB_BINS}) AS INT),
+               {CALIB_BINS - 1}) AS bin,
+         q.quality_score, CAST(gph.keep AS DOUBLE) AS y
+  FROM q JOIN gph USING (doc_id)
+),
+bins AS (
+  SELECT bin, count(*) AS n, avg(quality_score) AS mean_pred,
+         avg(y) AS frac_pos,
+         sum((quality_score - y) * (quality_score - y)) AS se
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT sum(n) AS n_total,
+         sum(frac_pos * n) / sum(n) AS base,
+         sum(se) / sum(n) AS brier,
+         sum(n * (mean_pred - frac_pos) * (mean_pred - frac_pos)) / sum(n)
+           AS reliability
+  FROM bins
+),
+res AS (
+  SELECT sum(n * (frac_pos - base) * (frac_pos - base)) / max(n_total)
+           AS resolution
+  FROM bins, tot
+)
+SELECT bin, CAST(n AS BIGINT) AS n,
+       {fround_sql("mean_pred", 6)} AS mean_pred,
+       {fround_sql("frac_pos", 6)} AS frac_pos,
+       {fround_sql("mean_pred - frac_pos", 6)} AS gap,
+       {fround_sql("brier", 6)} AS brier,
+       {fround_sql("reliability", 6)} AS reliability,
+       {fround_sql("resolution", 6)} AS resolution,
+       {fround_sql("base * (1 - base)", 6)} AS uncertainty
+FROM bins, tot, res
+ORDER BY bin
+"""
+
+
+ORACLE["features_calibration_curve"] = _calibration_oracle()
+
+
+def features_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ inter-rater agreement per source — the label-QA
+    statistic for any pipeline where two independent judges (human
+    annotators, two classifier versions, two heuristic gates) decide
+    keep/drop: raw agreement overstates consensus when the base rate
+    is skewed; κ = (p_o − p_e)/(1 − p_e) corrects for the agreement
+    two raters would reach by chance from their own marginals. Raters
+    here: the Gopher hard gate (rater A) and the composite-score gate
+    at the pipeline threshold (rater B) — the two real keep decisions
+    ``pipeline_gate_overlap`` already composes, now scored for
+    chance-corrected agreement instead of set overlap. Output per
+    source: the 2×2 confusion counts, observed/chance agreement, and
+    κ (1−p_e floored at 1e-12, the ``features_scaler_fit_apply``
+    degenerate-marginals discipline: an all-keep source has p_e = 1).
+
+    Scale shape: the two flags are per-row expressions sharing one
+    scan; everything reduces in ONE partial-combined aggregation on
+    the |sources|-row key. Zero joins of data-sized frames."""
+    from mapreduce_rust_spark.operators.text_analysis import (
+        gopher_rules,
+        quality_scores,
+    )
+    from mapreduce_rust_spark.operators.text_analysis import QUALITY_GATE_MIN
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    a = gopher_rules(docs, "doc_id", "text").select("doc_id", F.col("keep").alias("ra"))
+    b = quality_scores(docs, "doc_id", "text").select(
+        "doc_id",
+        (F.col("quality_score") >= QUALITY_GATE_MIN).cast("int").alias("rb"),
+    )
+    flags = docs.select("doc_id", "source").join(a, "doc_id").join(b, "doc_id")
+    g = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("n11"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb"))).cast("bigint").alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / nd
+    pe = ((F.col("n11") + F.col("n10")) / nd) * ((F.col("n11") + F.col("n01")) / nd) + (
+        (F.col("n01") + F.col("n00")) / nd
+    ) * ((F.col("n10") + F.col("n00")) / nd)
+    return g.select(
+        "source",
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        fround(po, 6).alias("p_observed"),
+        fround(pe, 6).alias("p_chance"),
+        fround((po - pe) / F.greatest(F.lit(1.0) - pe, F.lit(1e-12)), 6).alias(
+            "kappa"
+        ),
+    ).orderBy("source")
+
+
+def _kappa_oracle() -> str:
+    from mapreduce_rust_spark.operators.text_analysis import (
+        ORACLE as TA_ORACLE,
+    )
+    from mapreduce_rust_spark.operators.text_analysis import _quality_sql
+    from mapreduce_rust_spark.operators.text_analysis import QUALITY_GATE_MIN
+
+    gopher = TA_ORACLE["text_gopher_quality"].strip()
+    po = "(n11 + n00) / CAST(n AS DOUBLE)"
+    pe = (
+        "((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))"
+        " + ((n01 + n00) / CAST(n AS DOUBLE)) * ((n10 + n00) / CAST(n AS DOUBLE))"
+    )
+    return f"""
+WITH gph AS ({gopher}),
+q AS ({_quality_sql()}),
+flags AS (
+  SELECT d.source, gph.keep AS ra,
+         CAST(q.quality_score >= {QUALITY_GATE_MIN} AS INT) AS rb
+  FROM documents d JOIN gph USING (doc_id) JOIN q USING (doc_id)
+),
+g AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(ra * rb) AS BIGINT) AS n11,
+         CAST(sum(ra * (1 - rb)) AS BIGINT) AS n10,
+         CAST(sum((1 - ra) * rb) AS BIGINT) AS n01,
+         CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+  FROM flags GROUP BY 1
+)
+SELECT source, n, n11, n10, n01, n00,
+       {fround_sql(po, 6)} AS p_observed,
+       {fround_sql(pe, 6)} AS p_chance,
+       {fround_sql(f"(({po}) - ({pe})) / greatest(1.0 - ({pe}), 1e-12)", 6)}
+         AS kappa
+FROM g ORDER BY source
+"""
+
+
+ORACLE["features_cohens_kappa"] = _kappa_oracle()
+
+
 DECON_MH_HOLDOUT = 20  # same holdout spacing as the embedding screen
 DECON_MH_CAP = 1000  # bench ids from [0, CAP) only — eval sets are FIXED-SIZE (the quadratic-fraction lesson, see DECON_EMB_CAP)
 DECON_MH_THR = 0.5  # flag level: VERIFIED 3-gram Jaccard, not the LSH estimate
@@ -1340,6 +1580,8 @@ ORACLE["corpus_decontaminate_minhash"] = _decon_minhash_oracle()
 
 
 QUERIES = {
+    "features_calibration_curve": features_calibration_curve,
+    "features_cohens_kappa": features_cohens_kappa,
     "features_conformal_interval": features_conformal_interval,
     "features_decision_stump": features_decision_stump,
     "corpus_decontaminate_minhash": corpus_decontaminate_minhash,

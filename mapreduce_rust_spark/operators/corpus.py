@@ -2222,7 +2222,178 @@ ORDER BY query_id, rank
 ORACLE["search_rrf_fusion"] = _rrf_oracle()
 
 
+def corpus_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration audit — the "is my corpus one domain in a
+    trench coat" report read before any mixing decision: per-source
+    token mass, share, the Lorenz curve point (cumulative share in
+    ascending-mass order), plus the three standard concentration
+    summaries repeated as columns — Gini over source shares (0 =
+    perfectly even, →1 = one source holds everything), Herfindahl-
+    Hirschman index Σshare² (the antitrust statistic; 1/K at perfect
+    evenness), and the top-1 source share. ``corpus_mix_water_filling``
+    DECIDES the rebalance; this measures how skewed the input is so
+    the decision has a baseline.
+
+    Scale shape: one per-row token-count expression fused into the
+    scan, ONE partial-combined aggregation onto the |sources|-row key,
+    then the Lorenz/Gini windows run via ``single_partition`` on the
+    provably-bounded per-source frame. The corpus is touched exactly
+    once."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(
+        F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    ).cast("bigint")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_toks).cast("bigint").alias("tokens"),
+    )
+    src1, w = single_partition(per_src, by=[F.col("tokens"), F.col("source")])
+    wall = Window.partitionBy(F.spark_partition_id())
+    ranked = src1.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.row_number().over(w).alias("rank_asc"),
+        F.sum("tokens").over(wall).alias("_tot"),
+        F.count(F.lit(1)).over(wall).alias("_k"),
+        F.sum("tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+    )
+    share = F.col("tokens") / F.col("_tot").cast("double")
+    gini = (
+        F.lit(2.0)
+        * F.sum(F.col("rank_asc") * F.col("tokens")).over(wall)
+        / (F.col("_k") * F.col("_tot").cast("double"))
+        - (F.col("_k") + 1) / F.col("_k").cast("double")
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "tokens",
+        fround(share, 6).alias("share"),
+        fround(F.col("_cum") / F.col("_tot").cast("double"), 6).alias(
+            "cum_share"
+        ),
+        F.col("rank_asc"),
+        fround(gini, 6).alias("gini"),
+        fround(F.sum(share * share).over(wall), 6).alias("hhi"),
+        fround(F.max(share).over(wall), 6).alias("top_share"),
+    ).orderBy("rank_asc")
+
+
+ORACLE["corpus_concentration"] = rf"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT source, n_docs, tokens,
+         row_number() OVER (ORDER BY tokens, source) AS rank_asc,
+         sum(tokens) OVER () AS _tot,
+         count(*) OVER () AS _k,
+         sum(tokens) OVER (ORDER BY tokens, source
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS _cum
+  FROM per_src
+)
+SELECT source, n_docs, tokens,
+       {fround_sql("tokens / CAST(_tot AS DOUBLE)", 6)} AS share,
+       {fround_sql("_cum / CAST(_tot AS DOUBLE)", 6)} AS cum_share,
+       CAST(rank_asc AS INT) AS rank_asc,
+       {fround_sql(
+           "2.0 * sum(rank_asc * tokens) OVER () / (_k * CAST(_tot AS DOUBLE))"
+           " - (_k + 1) / CAST(_k AS DOUBLE)", 6)} AS gini,
+       {fround_sql(
+           "sum((tokens / CAST(_tot AS DOUBLE)) * (tokens / CAST(_tot AS DOUBLE)))"
+           " OVER ()", 6)} AS hhi,
+       {fround_sql("max(tokens / CAST(_tot AS DOUBLE)) OVER ()", 6)} AS top_share
+FROM ranked ORDER BY rank_asc
+"""
+
+
+def corpus_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup re-weighting (He et al. 2024, "SoftDedup") — instead
+    of DELETING exact duplicates (``dedup_exact``'s survivor policy),
+    keep every copy but down-weight it by its duplication multiplicity
+    (weight = 1/m for a doc whose normalized content appears m times
+    corpus-wide), so the training distribution matches the deduped one
+    while preserving data order/packing. Output per source: raw
+    docs/tokens, EFFECTIVE docs/tokens (Σ 1/m, Σ tokens/m), and the
+    inflation factor raw/effective — the number that says how much of
+    each source's apparent mass is duplication.
+
+    Scale shape: ONE content-hash aggregation (the ``dedup_exact``
+    census) gives multiplicities; the map-side join back is keyed on
+    the same 16-byte hash (linear, partial-combined both sides); the
+    per-source rollup shuffles a |sources|-row frame. The normalized
+    hash matches ``dedup_exact_normalized`` semantics, so the
+    effective-doc total equals that census's survivor count by
+    construction."""
+    from mapreduce_rust_spark.functions.text import normalize_text
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n_toks = F.size(
+        F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    ).cast("bigint")
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        n_toks.alias("n_tok"),
+        F.md5(normalize_text(F.col("text"))).alias("chash"),
+    )
+    mult = hashed.groupBy("chash").agg(F.count(F.lit(1)).alias("m"))
+    weighted = hashed.join(mult, "chash").select(
+        "source",
+        "n_tok",
+        (F.lit(1.0) / F.col("m")).alias("w"),
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+            fround(F.sum("w"), 6).alias("effective_docs"),
+            fround(F.sum(F.col("n_tok") * F.col("w")), 6).alias(
+                "effective_tokens"
+            ),
+            fround(
+                F.sum("n_tok")
+                / F.greatest(F.sum(F.col("n_tok") * F.col("w")), F.lit(1e-12)),
+                6,
+            ).alias("inflation"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["corpus_softdedup_weights"] = rf"""
+WITH hashed AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS chash
+  FROM documents
+),
+mult AS (SELECT chash, count(*) AS m FROM hashed GROUP BY 1)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens,
+       {fround_sql("sum(1.0 / m)", 6)} AS effective_docs,
+       {fround_sql("sum(n_tok * 1.0 / m)", 6)} AS effective_tokens,
+       {fround_sql(
+           "sum(n_tok) / greatest(sum(n_tok * 1.0 / m), 1e-12)", 6)}
+         AS inflation
+FROM hashed JOIN mult USING (chash)
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "corpus_concentration": corpus_concentration,
+    "corpus_softdedup_weights": corpus_softdedup_weights,
     "search_rrf_fusion": search_rrf_fusion,
     "sample_neyman_allocation": sample_neyman_allocation,
     "corpus_bm25_retrieval": corpus_bm25_retrieval,

@@ -3125,7 +3125,105 @@ ORDER BY query_id, mmr_rank
 ORACLE["ann_mmr_rerank"] = _mmr_oracle_sql()
 
 
+def ann_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-balance audit — the index-health report that predicts
+    probe latency BEFORE queries run: per coarse-quantizer cell, its
+    occupancy and share, plus the three summary numbers every vector-
+    DB operator watches, repeated as columns — imbalance factor
+    K·max(n)/N (1.0 = perfectly balanced; the tail-latency multiplier,
+    since the slowest probe scans the fattest cell), expected probe
+    cost Σn²/N (candidates scanned when queries land in cells
+    proportionally to their mass — the THROUGHPUT number; equals N/K
+    only when balanced), and the balanced-cost baseline N/K. Empty
+    cells are reported (occupancy 0), not dropped — a dead centroid is
+    exactly what the audit exists to catch. Same deterministic
+    quantizer as ``ann_topk_ivf`` (first-K centroids, floored-cosine
+    assignment, centroid-id tie-break), so this audit describes the
+    index that slug actually probes.
+
+    Scale shape: one broadcast-centroid assignment pass over the
+    corpus (the ``ivf_assign`` inverted-file build), ONE partial-
+    combined aggregation onto the K-row cell key, then scalar
+    arithmetic via a broadcast 1-row summary. No data-sized joins
+    beyond the map-side assignment."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cents = ivf_centroids(emb, "vec_id", "embedding")
+    assigned = ivf_assign(emb, cents, "vec_id", "embedding")
+    occ = (
+        cents.select("cid")
+        .join(
+            assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs")),
+            "cid",
+            "left",
+        )
+        .select("cid", F.coalesce("n_vecs", F.lit(0)).alias("n_vecs"))
+    )
+    tot = occ.agg(
+        F.sum("n_vecs").alias("n_total"),
+        F.count(F.lit(1)).alias("k_cells"),
+        F.max("n_vecs").alias("n_max"),
+        F.sum(F.col("n_vecs") * F.col("n_vecs")).alias("sum_sq"),
+    )
+    return (
+        occ.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            fround(F.col("n_vecs") / F.col("n_total").cast("double"), 6).alias(
+                "share"
+            ),
+            F.col("k_cells").cast("bigint").alias("k_cells"),
+            fround(
+                F.col("k_cells") * F.col("n_max") / F.col("n_total").cast("double"),
+                6,
+            ).alias("imbalance_factor"),
+            fround(
+                F.col("sum_sq") / F.col("n_total").cast("double"), 6
+            ).alias("expected_probe_cost"),
+            fround(
+                F.col("n_total") / F.col("k_cells").cast("double"), 6
+            ).alias("balanced_cost"),
+        )
+        .orderBy("cid")
+    )
+
+
+ORACLE["ann_ivf_balance_audit"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_K}),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM e CROSS JOIN c
+  ) t WHERE rn = 1
+),
+occ AS (
+  SELECT c.cid, CAST(coalesce(n.n_vecs, 0) AS BIGINT) AS n_vecs
+  FROM c LEFT JOIN (SELECT cid, count(*) AS n_vecs FROM asg GROUP BY 1) n
+    USING (cid)
+),
+tot AS (
+  SELECT sum(n_vecs) AS n_total, count(*) AS k_cells,
+         max(n_vecs) AS n_max, sum(n_vecs * n_vecs) AS sum_sq
+  FROM occ
+)
+SELECT CAST(cid AS INT) AS cid, n_vecs,
+       {fround_sql("n_vecs / CAST(n_total AS DOUBLE)", 6)} AS share,
+       CAST(k_cells AS BIGINT) AS k_cells,
+       {fround_sql("k_cells * n_max / CAST(n_total AS DOUBLE)", 6)}
+         AS imbalance_factor,
+       {fround_sql("sum_sq / CAST(n_total AS DOUBLE)", 6)}
+         AS expected_probe_cost,
+       {fround_sql("n_total / CAST(k_cells AS DOUBLE)", 6)} AS balanced_cost
+FROM occ, tot
+ORDER BY cid
+"""
+
+
 QUERIES = {
+    "ann_ivf_balance_audit": ann_ivf_balance_audit,
     "ann_range_search": ann_range_search,
     "ann_mmr_rerank": ann_mmr_rerank,
     "embedding_isotropy_audit": embedding_isotropy_audit,

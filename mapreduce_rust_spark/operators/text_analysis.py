@@ -634,6 +634,12 @@ LIMIT 30
 
 
 
+# Pipeline keep threshold on the composite quality score — lives
+# beside the score definition so every consumer (pipeline gates,
+# kappa rater B) interpolates the SAME constant by name.
+QUALITY_GATE_MIN = 0.5
+
+
 def _quality_sql() -> str:
     """DuckDB (doc_id, quality_score) twin of quality_scores() —
     shared by the pipeline and budget-selection oracles."""

@@ -273,7 +273,8 @@ ORDER BY table_name
 """
 
 
-QUALITY_GATE_MIN = 0.5
+# re-exported from text_analysis (defined beside the score formula)
+from mapreduce_rust_spark.operators.text_analysis import QUALITY_GATE_MIN  # noqa: E402
 
 
 def pipeline_gate_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -151,6 +151,11 @@ _NEXT_WINDOW: tuple[str, ...] = (
     # (prepend new round-9 slugs here as they land)
     "pipeline_decontaminate",
     "dedup_span_removal",
+    "features_calibration_curve",
+    "features_cohens_kappa",
+    "corpus_concentration",
+    "corpus_softdedup_weights",
+    "ann_ivf_balance_audit",
     # --- oldest-evidence (round-1) backfill ---
     "global_topk",
     "top_k_per_group",

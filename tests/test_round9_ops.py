@@ -112,6 +112,95 @@ def test_pipeline_decontaminate_census_consistency(spark, sf_dir):
         assert 0.0 <= r["overlap_jaccard"] <= 1.0
 
 
+def test_calibration_curve_brier_identities(spark, sf_dir):
+    """Brier/decomposition invariants: brier ∈ [0,1]; reliability and
+    resolution non-negative; uncertainty = base(1−base) ≤ 0.25; the
+    summary columns are constant across bins; bin means live in the
+    bin's score range."""
+    from mapreduce_rust_spark.operators.cleaning import (
+        CALIB_BINS,
+        features_calibration_curve,
+    )
+
+    rows = features_calibration_curve(spark, sf_dir).collect()
+    assert rows
+    assert len({(r["brier"], r["reliability"], r["resolution"], r["uncertainty"]) for r in rows}) == 1
+    r0 = rows[0]
+    assert 0.0 <= r0["brier"] <= 1.0
+    assert r0["reliability"] >= 0.0 and r0["resolution"] >= 0.0
+    assert 0.0 <= r0["uncertainty"] <= 0.25
+    for r in rows:
+        lo, hi = r["bin"] / CALIB_BINS, (r["bin"] + 1) / CALIB_BINS
+        assert lo - 1e-9 <= r["mean_pred"] <= hi + 1e-9 or r["bin"] == CALIB_BINS - 1
+        assert abs(r["gap"] - (r["mean_pred"] - r["frac_pos"])) < 2e-6
+
+
+def test_cohens_kappa_confusion_identities(spark, sf_dir):
+    """κ ≤ 1; the 2×2 cells partition n; p_o/p_e are probabilities;
+    perfect-agreement sources (n10=n01=0) read κ=1 unless the
+    marginals are degenerate (p_e=1 → κ≈0 by the floor)."""
+    from mapreduce_rust_spark.operators.cleaning import features_cohens_kappa
+
+    rows = features_cohens_kappa(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n11"] + r["n10"] + r["n01"] + r["n00"] == r["n"]
+        assert 0.0 <= r["p_observed"] <= 1.0
+        assert 0.0 <= r["p_chance"] <= 1.0 + 1e-9
+        assert r["kappa"] <= 1.0 + 1e-9
+        if r["n10"] == 0 and r["n01"] == 0 and r["p_chance"] < 0.999999:
+            assert r["kappa"] >= 0.999
+
+
+def test_corpus_concentration_lorenz_identities(spark, sf_dir):
+    """Shares sum to 1, the Lorenz curve ends at 1, Gini ∈ [0,1),
+    HHI ≥ 1/K (evenness bound), top_share = max share."""
+    from mapreduce_rust_spark.operators.corpus import corpus_concentration
+
+    rows = corpus_concentration(spark, sf_dir).collect()
+    k = len(rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-5
+    r0 = rows[0]
+    assert 0.0 <= r0["gini"] < 1.0
+    assert r0["hhi"] >= 1.0 / k - 1e-9
+    assert abs(r0["top_share"] - max(r["share"] for r in rows)) < 2e-6
+    # Lorenz curve is non-decreasing and below the diagonal ordering
+    cums = [r["cum_share"] for r in rows]
+    assert cums == sorted(cums)
+
+
+def test_softdedup_effective_mass_matches_distinct_census(spark, sf_dir):
+    """Σ per-source effective_docs = number of distinct normalized
+    contents (each dup group contributes m·(1/m) = 1), and inflation
+    ≥ 1 everywhere."""
+    from mapreduce_rust_spark.operators.corpus import corpus_softdedup_weights
+    from mapreduce_rust_spark.registry import queries
+
+    rows = corpus_softdedup_weights(spark, sf_dir).collect()
+    assert all(r["inflation"] >= 1.0 - 1e-9 for r in rows)
+    assert all(r["effective_docs"] <= r["n_docs"] + 1e-9 for r in rows)
+    n_distinct = queries()["dedup_exact_normalized"](spark, sf_dir).count()
+    assert abs(sum(r["effective_docs"] for r in rows) - n_distinct) < 1e-3
+
+
+def test_ivf_balance_audit_cost_bounds(spark, sf_dir):
+    """All K cells reported; shares sum to 1; imbalance ≥ 1; expected
+    probe cost ≥ balanced cost (Cauchy-Schwarz: Σn²/N ≥ N/K)."""
+    from mapreduce_rust_spark.operators.similarity import (
+        IVF_K,
+        ann_ivf_balance_audit,
+    )
+
+    rows = ann_ivf_balance_audit(spark, sf_dir).collect()
+    assert len(rows) == IVF_K
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    r0 = rows[0]
+    assert r0["imbalance_factor"] >= 1.0 - 1e-9
+    assert r0["expected_probe_cost"] >= r0["balanced_cost"] - 1e-6
+    assert sum(r["n_vecs"] for r in rows) == r0["k_cells"] * r0["balanced_cost"]
+
+
 def test_pipeline_decontaminate_bench_sides_broadcast(spark, sf_dir):
     """All three screens stream the corpus against broadcast eval-set
     structures — no cartesian product; the only SMJs allowed are the
