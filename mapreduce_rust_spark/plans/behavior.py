@@ -59,6 +59,141 @@ GROUP BY 1, 2
 """
 
 
+def events_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-curve FIT — the model on top of ``cohort_retention``'s
+    raw matrix: per weekly cohort, a closed-form log-linear OLS
+    ln(r_w) = a + b·w over the observed week offsets w ≥ 1 gives the
+    exponential decay rate (−b), the implied half-life ln2/(−b) (NULL
+    for non-decaying cohorts), the model's predicted week-1 retention
+    e^{a+b}, and R² — the three numbers a growth team quotes instead
+    of a matrix, and the input every LTV projection starts from.
+
+    Numerics: the fit runs entirely on per-cohort SUMS (Σw, Σy, Σwy,
+    Σw², Σy² — one partial-combined aggregation over the bounded
+    cohort×week frame), so the only transcendental is ln(r_w) itself,
+    grid-snapped (fround 9) before the sums to keep cross-engine libm
+    jitter out of the arithmetic; R² = b²·Sxx/Syy via the OLS identity
+    (never a second residual pass), denominators floored at 1e-12 (the
+    degenerate-marginals discipline). Cohorts need ≥ 2 observed
+    offsets to fit.
+
+    Scale shape: the same two aggregations as ``cohort_retention``
+    (per-user first week; distinct user-weeks) feed a |cohorts×weeks|-
+    bounded frame; the fit is ONE more aggregation onto the |cohorts|
+    key. Nothing data-sized shuffles twice."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    size = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    weeks_since = (
+        (F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800
+    ).cast("bigint")
+    ret = (
+        active.join(first, "user_id")
+        .groupBy("cohort", weeks_since.alias("w"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(size, "cohort")
+        .filter(F.col("w") >= 1)
+        .select(
+            "cohort",
+            "cohort_users",
+            F.col("w").cast("double").alias("w"),
+            fround(
+                F.log(F.col("active_users") / F.col("cohort_users").cast("double")),
+                9,
+            ).alias("y"),
+        )
+    )
+    g = ret.groupBy("cohort").agg(
+        F.max("cohort_users").alias("cohort_users"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("w").alias("sw"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("w") * F.col("y")).alias("swy"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_points").cast("double")
+    sxx = F.col("sww") - F.col("sw") * F.col("sw") / n
+    syy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    b = (F.col("swy") - F.col("sw") * F.col("sy") / n) / F.greatest(
+        sxx, F.lit(1e-12)
+    )
+    a = (F.col("sy") - b * F.col("sw")) / n
+    return (
+        g.filter(F.col("n_points") >= 2)
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "cohort_users",
+            "n_points",
+            fround(-b, 6).alias("decay_rate"),
+            fround(
+                F.when(b < 0, F.log(F.lit(2.0)) / (-b)),
+                4,
+            ).alias("half_life_weeks"),
+            fround(F.exp(a + b), 6).alias("pred_week1_retention"),
+            fround(b * b * sxx / F.greatest(syy, F.lit(1e-12)), 6).alias("r2"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+def _retention_fit_oracle() -> str:
+    n = "CAST(n_points AS DOUBLE)"
+    sxx = f"(sww - sw * sw / {n})"
+    syy_c = f"(syy - sy * sy / {n})"
+    b = f"((swy - sw * sy / {n}) / greatest({sxx}, 1e-12))"
+    a = f"((sy - {b} * sw) / {n})"
+    return f"""
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY 1
+),
+sz AS (SELECT cohort, count(*) AS cohort_users FROM first GROUP BY 1),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+ret AS (
+  SELECT r.cohort, sz.cohort_users,
+         CAST(r.w AS DOUBLE) AS w,
+         {fround_sql("ln(r.active_users / CAST(sz.cohort_users AS DOUBLE))", 9)}
+           AS y
+  FROM (
+    SELECT f.cohort,
+           CAST((epoch(a.wk) - epoch(f.cohort)) // 604800 AS BIGINT) AS w,
+           count(*) AS active_users
+    FROM active a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+  ) r JOIN sz USING (cohort)
+  WHERE r.w >= 1
+),
+g AS (
+  SELECT cohort, max(cohort_users) AS cohort_users,
+         count(*) AS n_points,
+         sum(w) AS sw, sum(y) AS sy, sum(w * y) AS swy,
+         sum(w * w) AS sww, sum(y * y) AS syy
+  FROM ret GROUP BY 1
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(cohort_users AS BIGINT) AS cohort_users,
+       CAST(n_points AS BIGINT) AS n_points,
+       {fround_sql(f"-{b}", 6)} AS decay_rate,
+       {fround_sql(f"CASE WHEN {b} < 0 THEN ln(2.0) / (-{b}) END", 4)}
+         AS half_life_weeks,
+       {fround_sql(f"exp({a} + {b})", 6)} AS pred_week1_retention,
+       {fround_sql(f"{b} * {b} * {sxx} / greatest({syy_c}, 1e-12)", 6)} AS r2
+FROM g WHERE n_points >= 2
+ORDER BY cohort_week
+"""
+
+
+ORACLE["events_retention_decay_fit"] = _retention_fit_oracle()
+
+
 _FUNNEL = ["view", "click", "purchase"]
 
 
@@ -2826,6 +2961,7 @@ QUERIES = {
     "ab_welch_ttest": ab_welch_ttest,
     "ab_bayesian_beta": ab_bayesian_beta,
     "cohort_retention": cohort_retention,
+    "events_retention_decay_fit": events_retention_decay_fit,
     "survival_kaplan_meier": survival_kaplan_meier,
     "events_anova_oneway": events_anova_oneway,
     "events_diff_in_diff": events_diff_in_diff,

@@ -156,6 +156,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "corpus_concentration",
     "corpus_softdedup_weights",
     "ann_ivf_balance_audit",
+    "events_retention_decay_fit",
     # --- oldest-evidence (round-1) backfill ---
     "global_topk",
     "top_k_per_group",

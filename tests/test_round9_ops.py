@@ -201,6 +201,30 @@ def test_ivf_balance_audit_cost_bounds(spark, sf_dir):
     assert sum(r["n_vecs"] for r in rows) == r0["k_cells"] * r0["balanced_cost"]
 
 
+def test_retention_decay_fit_identities(spark, sf_dir):
+    """R² ∈ [0,1]; half-life consistent with the decay rate
+    (ln2/decay) for decaying cohorts and NULL otherwise; predicted
+    week-1 retention is a probability."""
+    import math
+
+    from mapreduce_rust_spark.plans.behavior import events_retention_decay_fit
+
+    rows = events_retention_decay_fit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["r2"] <= 1.0 + 1e-9
+        assert 0.0 < r["pred_week1_retention"] <= 1.0 + 1e-6
+        assert r["n_points"] >= 2
+        if r["decay_rate"] > 0:
+            assert r["half_life_weeks"] is not None
+            assert (
+                abs(r["half_life_weeks"] - math.log(2.0) / r["decay_rate"])
+                < 0.01 * max(r["half_life_weeks"], 1.0)
+            )
+        else:
+            assert r["half_life_weeks"] is None
+
+
 def test_pipeline_decontaminate_bench_sides_broadcast(spark, sf_dir):
     """All three screens stream the corpus against broadcast eval-set
     structures — no cartesian product; the only SMJs allowed are the
