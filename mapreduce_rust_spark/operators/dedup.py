@@ -1379,6 +1379,155 @@ ORDER BY j_bucket
 """
 
 
+LSH_PLAN_THRESHOLD = 0.5  # the dedup threshold the banding must serve
+
+
+def dedup_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding PLANNER — pick (bands b, rows-per-band r) with
+    b·r = {P} BEFORE the 100 TB pass, using this corpus's own
+    similarity histogram instead of the textbook uniform assumption:
+    for every divisor pair (b, r) of the signature length, the
+    S-curve P(s) = 1 − (1 − s^r)^b is integrated against the OBSERVED
+    pair-count histogram (``dedup_threshold_curve``'s buckets, shared
+    memoized index) to yield the expected FALSE-POSITIVE candidate
+    pairs (sub-threshold pairs that still collide → wasted verify
+    work) and expected FALSE-NEGATIVE pairs (true near-dups the bands
+    miss → quality loss), plus the banding's 50%-collision point
+    (1/b)^(1/r). The row minimizing fp+fn (tie: lower fp) is starred —
+    the defensible answer to "why 4×4?". Pairs with zero shared
+    shingles have collision probability 0 under MinHash and cannot
+    contribute to either mass, so the shared-shingle histogram is the
+    complete integration domain.
+
+    Scale shape: the histogram is the memoized pair-intersection
+    index reduced to ≤10 bucket rows; the planner is a ≤10×|divisors|
+    arithmetic cross join — free at any corpus size once any exact
+    scorer has run."""
+    configs = [(b, N_HASHES // b) for b in (1, 2, 4, 8, 16)]
+    stats = pair_stats_index(spark, sf_dir, k=3)
+    j = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    bucket = F.floor(F.round(j, 8) * 10) / 10
+    hist = (
+        stats.select(bucket.alias("j_bucket"))
+        .groupBy("j_bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("b"), F.lit(r).alias("r"))
+                for b, r in configs
+            ]
+        )
+    ).alias("cfg")
+    mid = F.col("j_bucket") + F.lit(0.05)
+    p_collide = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(mid, F.col("cfg.r")), F.col("cfg.b")
+    )
+    crossed = hist.select("j_bucket", "n_pairs", cfg).select(
+        "j_bucket",
+        "n_pairs",
+        F.col("cfg.b").alias("b"),
+        F.col("cfg.r").alias("r"),
+        p_collide.alias("p"),
+    )
+    agg = crossed.groupBy("b", "r").agg(
+        fround(
+            F.sum(
+                F.when(
+                    F.col("j_bucket") < LSH_PLAN_THRESHOLD,
+                    F.col("n_pairs") * F.col("p"),
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("exp_fp_pairs"),
+        fround(
+            F.sum(
+                F.when(
+                    F.col("j_bucket") >= LSH_PLAN_THRESHOLD,
+                    F.col("n_pairs") * (F.lit(1.0) - F.col("p")),
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("exp_fn_pairs"),
+    )
+    agg1, wbest = single_partition(
+        agg,
+        by=[
+            F.col("exp_fp_pairs") + F.col("exp_fn_pairs"),
+            F.col("exp_fp_pairs"),
+            F.col("b"),
+        ],
+    )
+    return (
+        agg1.select(
+            "b",
+            "r",
+            fround(F.pow(F.lit(1.0) / F.col("b"), F.lit(1.0) / F.col("r")), 4).alias(
+                "s50"
+            ),
+            "exp_fp_pairs",
+            "exp_fn_pairs",
+            fround(F.col("exp_fp_pairs") + F.col("exp_fn_pairs"), 4).alias(
+                "total_cost"
+            ),
+            (F.row_number().over(wbest) == 1).cast("int").alias("is_best"),
+        )
+        .orderBy("b")
+    )
+
+
+dedup_lsh_band_planner.__doc__ = dedup_lsh_band_planner.__doc__.format(P=N_HASHES)
+
+
+def _band_planner_oracle() -> str:
+    configs = ", ".join(f"({b}, {N_HASHES // b})" for b in (1, 2, 4, 8, 16))
+    return f"""
+WITH sh AS ({_capped_shingle_sql(MAX_SHINGLE_DF)}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+hist AS (
+  SELECT floor(round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 8) * 10) / 10
+           AS j_bucket,
+         count(*) AS n_pairs
+  FROM inter
+  JOIN sizes n1 ON n1.doc_id = d1
+  JOIN sizes n2 ON n2.doc_id = d2
+  GROUP BY 1
+),
+cfg(b, r) AS (VALUES {configs}),
+crossed AS (
+  SELECT h.j_bucket, h.n_pairs, cfg.b, cfg.r,
+         1.0 - pow(1.0 - pow(h.j_bucket + 0.05, cfg.r), cfg.b) AS p
+  FROM hist h CROSS JOIN cfg
+),
+agg AS (
+  SELECT b, r,
+         {fround_sql(
+             "sum(CASE WHEN j_bucket < " + str(LSH_PLAN_THRESHOLD)
+             + " THEN n_pairs * p ELSE 0 END)", 4)} AS exp_fp_pairs,
+         {fround_sql(
+             "sum(CASE WHEN j_bucket >= " + str(LSH_PLAN_THRESHOLD)
+             + " THEN n_pairs * (1.0 - p) ELSE 0 END)", 4)} AS exp_fn_pairs
+  FROM crossed GROUP BY 1, 2
+)
+SELECT CAST(b AS INT) AS b, CAST(r AS INT) AS r,
+       {fround_sql("pow(1.0 / b, 1.0 / r)", 4)} AS s50,
+       exp_fp_pairs, exp_fn_pairs,
+       {fround_sql("exp_fp_pairs + exp_fn_pairs", 4)} AS total_cost,
+       CAST(row_number() OVER (ORDER BY exp_fp_pairs + exp_fn_pairs,
+                               exp_fp_pairs, b) = 1 AS INT) AS is_best
+FROM agg ORDER BY b
+"""
+
+
+ORACLE["dedup_lsh_band_planner"] = _band_planner_oracle()
+
+
 def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall evaluation of LSH candidate generation against
     (capped-)exact Jaccard truth at 0.5 — the report you produce
@@ -2432,6 +2581,7 @@ ORACLE["dedup_span_removal"] = _span_removal_oracle()
 
 
 QUERIES = {
+    "dedup_lsh_band_planner": dedup_lsh_band_planner,
     "dedup_span_removal": dedup_span_removal,
     "dedup_substring_runs": dedup_substring_runs,
     "dedup_lsh_incremental": dedup_lsh_incremental,

@@ -157,6 +157,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "corpus_softdedup_weights",
     "ann_ivf_balance_audit",
     "events_retention_decay_fit",
+    "dedup_lsh_band_planner",
     # --- oldest-evidence (round-1) backfill ---
     "global_topk",
     "top_k_per_group",

@@ -201,6 +201,29 @@ def test_ivf_balance_audit_cost_bounds(spark, sf_dir):
     assert sum(r["n_vecs"] for r in rows) == r0["k_cells"] * r0["balanced_cost"]
 
 
+def test_lsh_band_planner_scurve_identities(spark, sf_dir):
+    """One row per divisor pair of N_HASHES; s50 matches the closed
+    form (1/b)^(1/r); exactly one starred best; wider bands (more
+    bands, shorter rows) always trade FN mass for FP mass — b=16,r=1
+    has the max FP and min FN of the panel, b=1,r=16 the reverse."""
+    from mapreduce_rust_spark.operators.dedup import (
+        N_HASHES,
+        dedup_lsh_band_planner,
+    )
+
+    rows = {r["b"]: r for r in dedup_lsh_band_planner(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 4, 8, 16]
+    for b, r in rows.items():
+        assert b * r["r"] == N_HASHES
+        assert abs(r["s50"] - (1.0 / b) ** (1.0 / r["r"])) < 1e-3
+        assert r["exp_fp_pairs"] >= 0 and r["exp_fn_pairs"] >= 0
+    assert sum(r["is_best"] for r in rows.values()) == 1
+    fps = [rows[b]["exp_fp_pairs"] for b in (1, 2, 4, 8, 16)]
+    fns = [rows[b]["exp_fn_pairs"] for b in (1, 2, 4, 8, 16)]
+    assert fps == sorted(fps)  # more bands -> more collisions -> more FP
+    assert fns == sorted(fns, reverse=True)  # ... and fewer misses
+
+
 def test_retention_decay_fit_identities(spark, sf_dir):
     """R² ∈ [0,1]; half-life consistent with the decay rate
     (ln2/decay) for decaying cohorts and NULL otherwise; predicted
