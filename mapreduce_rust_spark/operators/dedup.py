@@ -745,6 +745,7 @@ ORDER BY doc_id
 
 
 INC_LSH_THRESHOLD = 0.5  # batch-vs-corpus near-dup flag level
+INC_LSH_BATCH_CAP = 20_000  # batch ids from [0, CAP) only — an INGEST BATCH is FIXED-SIZE (the corpus-fraction lesson, 5th instance: a half-the-corpus "batch" made the band probe quadratic — sf10→sf100 exponent 2.06 before this cap)
 
 
 def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -760,10 +761,16 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescans history (here both sides derive from one signature pass
     over the parity-split table because the demo owns no cross-run
     state; the join topology is the production one). Even ids stand
-    in for the corpus, odd ids for the batch, the
-    ``dedup_incremental`` convention. Output per flagged batch doc:
-    its best corpus match (highest est_sim, lowest corpus id on
-    ties)."""
+    in for the corpus; the batch is odd ids BELOW {cap} — a daily
+    ingest batch is FIXED-SIZE, it does not grow with history (the
+    corpus-fraction lesson, fifth instance: with batch = half the
+    corpus, batch-side bucket membership grew with sf and the band
+    probe measured sf10→sf100 exponent 2.06; with the fixed batch the
+    probe cost is index-bound and linear). The cap never binds at the
+    driver gate scales (≤5 k docs), so gate results are unchanged;
+    the sf1 value check exercises the binding cap cross-engine.
+    Output per flagged batch doc: its best corpus match (highest
+    est_sim, lowest corpus id on ties)."""
     sigs = signature_index(spark, sf_dir, k=3)
     sig_arr = F.array(*[F.col(f"mh{j}") for j in range(N_HASHES)])
     band_structs = [
@@ -790,7 +797,9 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "sig",
     )
-    batch = bands.filter(F.col("doc_id") % 2 == 1).select(
+    batch = bands.filter(
+        (F.col("doc_id") % 2 == 1) & (F.col("doc_id") < INC_LSH_BATCH_CAP)
+    ).select(
         F.col("doc_id").alias("batch_id"),
         F.col("sig_arr").alias("batch_arr"),
         "band",
@@ -824,7 +833,7 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dedup_lsh_incremental.__doc__ = dedup_lsh_incremental.__doc__.format(
-    t=INC_LSH_THRESHOLD
+    t=INC_LSH_THRESHOLD, cap=INC_LSH_BATCH_CAP
 )
 
 
@@ -850,7 +859,8 @@ cand AS (
   SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
   FROM band b JOIN band c
     ON c.band = b.band AND c.sig = b.sig
-   AND b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+   AND b.doc_id % 2 = 1 AND b.doc_id < {INC_LSH_BATCH_CAP}
+   AND c.doc_id % 2 = 0
 ),
 scored AS (
   SELECT cand.batch_id, cand.corpus_id,
