@@ -130,6 +130,12 @@ def main() -> int:
     # report both numbers. A re-run landing near best-of = scheduling
     # noise, recorded; a re-run confirming the slow time = a real
     # regression the freeze gate must adjudicate.
+    #
+    # r09 verdict ask #1a: the old ``best >= 0.5 s`` exemption let a
+    # 162x outlier (multimodal_decode_fake 55.15 s vs 0.34 s best)
+    # stand unadjudicated. Now ANY first measure exceeding
+    # max(3x best-of, 5 s) re-runs regardless of best-of magnitude
+    # (and a slug with no best-of yet re-runs if it took > 5 s).
     side_path_prev = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
     )
@@ -141,12 +147,23 @@ def main() -> int:
             prev_best = dict(_p["best_of"].get("queries") or {})
     except (OSError, ValueError):
         pass
-    remeasured: dict[str, dict[str, float]] = {}
+    first_pass = dict(timings)
+    first_total = round(sum(t for t in first_pass.values() if t >= 0), 3)
+    remeasured: dict[str, dict[str, float | None]] = {}
     qmap = queries()
     for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
         b = prev_best.get(name)
-        if t < 0 or not isinstance(b, (int, float)) or b < 0.5 or t <= 3 * b:
+        if t < 0:
             continue
+        if isinstance(b, (int, float)) and b > 0:
+            # >3x best always re-runs when best is non-trivial; for
+            # sub-0.5 s best-ofs the absolute 5 s floor still triggers
+            if not (t > 3 * b and (b >= 0.5 or t > 5.0)):
+                continue
+        else:
+            if t <= 5.0:
+                continue
+            b = None
         t0 = time.time()
         try:
             qmap[name](spark, sf_dir).write.format("noop").mode(
@@ -160,6 +177,13 @@ def main() -> int:
         remeasured[name] = {"first": t, "rerun": t2, "best": b}
         timings[name] = min(t, t2)  # the better of the two is the measurement
 
+    # Two totals, kept separate (r09 ADVICE): ``first_total`` is the
+    # wall-clock of the actual first pass; ``total`` is the adjudicated
+    # sum after the re-measure pass folded in the better of the two
+    # same-session timings per outlier. The headline ``value`` is the
+    # adjudicated total (the artifact must adjudicate its own noise —
+    # r09 verdict ask #1b); the first-pass wallclock rides alongside so
+    # round-over-round comparisons are never skewed by the folding.
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Full per-query breakdown goes to a sidecar file; stdout carries ONE
     # compact JSON line. The driver captures only the LAST 2000 chars of
@@ -201,6 +225,9 @@ def main() -> int:
             best[name] = min(b, t) if isinstance(b, (int, float)) else t
     side = {
         "value": total if not only else prev.get("value", total),
+        "first_pass_total_sec": (
+            first_total if not only else prev.get("first_pass_total_sec", first_total)
+        ),
         "sf": sf,
         "queries": (
             timings if not only else {**(prev.get("queries") or {}), **timings}
@@ -212,7 +239,14 @@ def main() -> int:
             "per_query_best_sum_sec": round(sum(best.values()), 1),
             "queries": best,
         },
-        "remeasured": remeasured,
+        # partial same-sf runs MERGE into the previous re-measure map
+        # (a subset run must not wipe the full suite's adjudication
+        # evidence out from under the freeze gate — r09 ADVICE)
+        "remeasured": (
+            remeasured
+            if not only
+            else {**(prev.get("remeasured") or {}), **remeasured}
+        ),
     }
     with open(side_path, "w") as fh:
         json.dump(side, fh, sort_keys=True)
@@ -227,6 +261,7 @@ def main() -> int:
                 "metric": "registry_suite_wallclock",
                 "value": total,
                 "unit": "sec",
+                "first_pass_sec": first_total,
                 "n_queries": len(timings),
                 "queries": qdict,
                 "remeasured": rem,

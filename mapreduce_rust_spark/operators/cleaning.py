@@ -1423,8 +1423,10 @@ def corpus_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per flagged corpus doc: its best bench match (highest
     verified jaccard, lowest bench id on ties)."""
     from mapreduce_rust_spark.operators.dedup import (
+        _SIG_INDEX,
         N_BANDS,
         ROWS_PER_BAND,
+        _memoized,
         shingle_sets,
         signature_index,
     )
@@ -1452,15 +1454,21 @@ def corpus_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("bid"), "band", "sig"
         )
     )
-    cand = (
-        bands.filter(~is_bench)
+    # Memoized per (sf_dir) like signature_index: this slug is also
+    # invoked inside pipeline_decontaminate, and a per-call persist()
+    # leaked one cached frame per invocation for the session lifetime
+    # (r09 ADVICE). The memoized localCheckpoint is built once and
+    # shared by every caller.
+    cand = _memoized(
+        _SIG_INDEX,
+        (sf_dir, "decon-mh-cand"),
+        lambda: bands.filter(~is_bench)
         .join(bench_bands, ["band", "sig"])
         .select(F.col("doc_id").alias("cid"), "bid")
-        .distinct()
-        .persist()
+        .distinct(),
     )
     # broadcast guard (ADVICE r08): cand is data-dependent; count the
-    # persisted frame (reused 2× below anyway) and only hint a driver
+    # memoized frame (reused 2× below anyway) and only hint a driver
     # broadcast under the cap — above it AQE picks the join strategy
     _hint = (
         F.broadcast if cand.count() <= DECON_MH_BCAST_CAP else (lambda df: df)

@@ -1430,7 +1430,11 @@ def dedup_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     ).alias("cfg")
-    mid = F.col("j_bucket") + F.lit(0.05)
+    # Bucket midpoint, clamped to 1.0: the j=1.0 bucket (exact dups) is
+    # populated, and an unclamped midpoint of 1.05 makes s^r exceed 1 so
+    # P(s) = 1-(1-s^r)^b leaves [0,1] — for b=1 that minted NEGATIVE
+    # expected-FN mass and flipped is_best (r09 ADVICE, high).
+    mid = F.least(F.col("j_bucket") + F.lit(0.05), F.lit(1.0))
     p_collide = F.lit(1.0) - F.pow(
         F.lit(1.0) - F.pow(mid, F.col("cfg.r")), F.col("cfg.b")
     )
@@ -1512,7 +1516,7 @@ hist AS (
 cfg(b, r) AS (VALUES {configs}),
 crossed AS (
   SELECT h.j_bucket, h.n_pairs, cfg.b, cfg.r,
-         1.0 - pow(1.0 - pow(h.j_bucket + 0.05, cfg.r), cfg.b) AS p
+         1.0 - pow(1.0 - pow(least(h.j_bucket + 0.05, 1.0), cfg.r), cfg.b) AS p
   FROM hist h CROSS JOIN cfg
 ),
 agg AS (

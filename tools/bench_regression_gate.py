@@ -29,6 +29,17 @@ import sys
 
 BEST_FLOOR_SEC = 1.0  # slugs faster than this are pure noise at host variance
 RATIO_LIMIT = 3.0
+# r09 verdict ask #1a: the BEST_FLOOR exemption alone let a 162x
+# outlier with a 0.34 s best stand unadjudicated. Any latest measure
+# exceeding max(RATIO_LIMIT x best, ABS_FLOOR_SEC) is now a violation
+# regardless of best-of magnitude.
+ABS_FLOOR_SEC = 5.0
+
+
+def _violates(t: float, b: float) -> bool:
+    return (b > BEST_FLOOR_SEC and t > RATIO_LIMIT * b) or (
+        t > max(RATIO_LIMIT * b, ABS_FLOOR_SEC)
+    )
 
 
 def main() -> int:
@@ -55,24 +66,32 @@ def main() -> int:
         rows.append((t / b, name, t, b))
     rows.sort(reverse=True)
 
-    violations = [
-        (r, n, t, b)
-        for r, n, t, b in rows
-        if b > BEST_FLOOR_SEC and r > RATIO_LIMIT
-    ]
+    violations = [(r, n, t, b) for r, n, t, b in rows if _violates(t, b)]
 
     if report_only:
         print(f"{'ratio':>7} {'latest':>8} {'best':>8}  slug")
         for r, n, t, b in rows[:25]:
-            mark = " <-- VIOLATION" if (b > BEST_FLOOR_SEC and r > RATIO_LIMIT) else ""
+            mark = " <-- VIOLATION" if _violates(t, b) else ""
             rem = " (re-measured)" if n in remeasured else ""
             print(f"{r:7.2f} {t:8.2f} {b:8.2f}  {n}{rem}{mark}")
         return 0
 
+    # An incomplete queries map (e.g. a partial --only run overwrote the
+    # sidecar) would make a PASS meaningless: the gate must see the full
+    # suite it is adjudicating (r09 ADVICE).
+    if len(latest) < 0.9 * len(best):
+        print(
+            f"REGRESSION GATE FAIL: sidecar holds only {len(latest)} latest"
+            f" timings vs {len(best)} best-of entries — the last run was"
+            " partial; re-run the full suite before gating."
+        )
+        return 1
+
     if violations:
         print(
-            f"REGRESSION GATE FAIL: {len(violations)} slug(s) with best >"
-            f" {BEST_FLOOR_SEC}s measured > {RATIO_LIMIT}x best-of even after"
+            f"REGRESSION GATE FAIL: {len(violations)} slug(s) measured >"
+            f" {RATIO_LIMIT}x best-of (best > {BEST_FLOOR_SEC}s) or >"
+            f" max({RATIO_LIMIT}x best, {ABS_FLOOR_SEC}s) even after"
             " the in-session re-measure:"
         )
         for r, n, t, b in violations:
@@ -87,10 +106,10 @@ def main() -> int:
             " the suite."
         )
         return 1
-    n_gated = sum(1 for _, _, _, b in rows if b > BEST_FLOOR_SEC)
     print(
-        f"regression gate PASS: {n_gated} slugs with best > {BEST_FLOOR_SEC}s"
-        f" all within {RATIO_LIMIT}x best-of"
+        f"regression gate PASS: {len(rows)} slugs all within"
+        f" max({RATIO_LIMIT}x best-of, {ABS_FLOOR_SEC}s (or {RATIO_LIMIT}x"
+        f" for best > {BEST_FLOOR_SEC}s))"
         f" ({len(remeasured)} re-measured in-session)"
     )
     return 0
