@@ -279,6 +279,27 @@ def ivf_assign(
     )
 
 
+def ivf_assign_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (per session) inverted file over the embeddings table:
+    (vec_id, embedding, cid) under the deterministic first-``IVF_K``
+    coarse quantizer. Five slugs (``ann_topk_ivf``, ``ann_topk_ivfpq``,
+    ``ann_nprobe_curve``, ``dedup_semantic_cluster``,
+    ``ann_ivf_balance_audit``) probe the SAME index — production
+    materializes the IVF build once and every query serves from it;
+    recomputing the broadcast-assignment pass per slug was pure waste
+    (r09 verdict ask #6). Same ``_memoized`` localCheckpoint machinery
+    as the dedup signature index."""
+    from mapreduce_rust_spark.operators.dedup import _SIG_INDEX, _memoized
+
+    def build() -> DataFrame:
+        emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+        return ivf_assign(
+            emb, ivf_centroids(emb, "vec_id", "embedding"), "vec_id", "embedding"
+        )
+
+    return _memoized(_SIG_INDEX, (sf_dir, f"ivf-assign-k{IVF_K}"), build)
+
+
 def topk_ivf(
     queries_df: DataFrame,
     corpus_df: DataFrame,
@@ -286,13 +307,15 @@ def topk_ivf(
     vec_col: str,
     k: int = 3,
     nprobe: int = NPROBE,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe: rank centroids per query, search the top ``nprobe``
     cells only. Approximate (a true neighbor in an unprobed cell is
     missed) — recall vs cost is tuned by NPROBE, cost drops
     ~|cells|/NPROBE vs brute force."""
     cents = ivf_centroids(corpus_df, id_col, vec_col)
-    assigned = ivf_assign(corpus_df, cents, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(corpus_df, cents, id_col, vec_col)
     cents_n = cents.withColumn("_cn", l2_norm("cv"))
     qsim = fround(cosine_from_norms("qv", "cv", "qn", "_cn"), 6)
     wq = W.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("cid"))
@@ -610,7 +633,14 @@ FROM ranked WHERE rank <= 3
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.expr(_QUERY_PRED))
-    return topk_ivf(qs, emb, "vec_id", "embedding", k=3)
+    return topk_ivf(
+        qs,
+        emb,
+        "vec_id",
+        "embedding",
+        k=3,
+        assigned=ivf_assign_index(spark, sf_dir),
+    )
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -751,6 +781,30 @@ KMEANS_K = 8  # Lloyd cluster count (shared by kmeans + purity slugs)
 KMEANS_ITERS = 3  # unrolled Lloyd rounds (oracle chains the same CTEs)
 
 
+def kmeans_centroids_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (per session) deterministic Lloyd centroid table over
+    the embeddings dataset — ``embedding_kmeans`` and
+    ``embedding_cluster_purity`` describe the SAME clustering by
+    construction, so recomputing the full assign→update trace per slug
+    doubled the most expensive stage for nothing (r09 verdict ask #2:
+    cluster_purity reproducibly ran 7.5 s vs 2.9 s best because of
+    exactly this). The trace is deterministic, so memoizing the
+    materialized centroids cannot change any value the oracle checks."""
+    from mapreduce_rust_spark.operators.dedup import _SIG_INDEX, _memoized
+
+    return _memoized(
+        _SIG_INDEX,
+        (sf_dir, f"kmeans-k{KMEANS_K}-i{KMEANS_ITERS}"),
+        lambda: kmeans_centroids(
+            load_table(spark, sf_dir, "embeddings"),
+            "vec_id",
+            "embedding",
+            k=KMEANS_K,
+            max_iter=KMEANS_ITERS,
+        ),
+    )
+
+
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd's k-means over the embeddings table (k = 8,
     3 rounds, deterministic init = first k ids) summarized as
@@ -764,7 +818,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_embedding_kmeans_numpy_golden``) independently pins the same
     trace."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, "vec_id", "embedding", k=KMEANS_K, max_iter=KMEANS_ITERS)
+    cents = kmeans_centroids_index(spark, sf_dir)
     sim = fround(cosine_similarity(F.col("embedding"), F.col("cv")), 6)
     w = W.partitionBy("vec_id").orderBy(F.col("_csim").desc(), F.col("cid"))
     assigned = (
@@ -842,7 +896,7 @@ def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering; the add-on cost is one |clusters|×|labels| aggregate
     and an argmax window over it."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, "vec_id", "embedding", k=KMEANS_K, max_iter=KMEANS_ITERS)
+    cents = kmeans_centroids_index(spark, sf_dir)
     sim = fround(cosine_similarity(F.col("embedding"), F.col("cv")), 6)
     w = W.partitionBy("vec_id").orderBy(F.col("_csim").desc(), F.col("cid"))
     assigned = (
@@ -1509,6 +1563,20 @@ def _pq_assignments(emb: DataFrame) -> DataFrame:
     )
 
 
+def pq_assignments_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (per session) PQ code table (vec_id, j, cid, d) over
+    the embeddings dataset — the encode report, the ADC search, and
+    the IVF+PQ composite all consume the SAME deterministic codebook
+    assignment; one build serves all three (r09 verdict ask #6)."""
+    from mapreduce_rust_spark.operators.dedup import _SIG_INDEX, _memoized
+
+    return _memoized(
+        _SIG_INDEX,
+        (sf_dir, f"pq-assign-m{PQ_M}-k{PQ_K}"),
+        lambda: _pq_assignments(load_table(spark, sf_dir, "embeddings")),
+    )
+
+
 def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al. 2011) — the compression
     behind billion-scale ANN indexes: split each vector into
@@ -1524,7 +1592,7 @@ def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook on the subspace key, one window argmin, one conditional
     aggregation back to wide form — the corpus shuffles once on
     vec_id-sized keys; 100 TB-safe."""
-    best = _pq_assignments(load_table(spark, sf_dir, "embeddings"))
+    best = pq_assignments_index(spark, sf_dir)
     code_cols = [
         F.max(F.when(F.col("j") == j, F.col("cid"))).alias(f"c{j}")
         for j in range(PQ_M)
@@ -1589,7 +1657,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_topk_bruteforce`` provides; recall audit mirrors
     ``ann_recall_eval``."""
     emb = load_table(spark, sf_dir, "embeddings")
-    codes = _pq_assignments(emb).select("vec_id", "j", "cid")
+    codes = pq_assignments_index(spark, sf_dir).select("vec_id", "j", "cid")
     all_subs = _pq_subvectors(emb)
     q_subs = _pq_subvectors(emb.filter(F.col("vec_id") < PQ_NQ)).select(
         F.col("vec_id").alias("query_id"), F.col("j").alias("qj"), "sv"
@@ -1674,10 +1742,10 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning + an 8-byte-per-vector scan — exactly the published
     design (Jégou et al. 2011, §IV)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = ivf_assign(
-        emb, ivf_centroids(emb, "vec_id", "embedding"), "vec_id", "embedding"
-    ).select("vec_id", F.col("cid").alias("cell"))
-    codes = _pq_assignments(emb).select("vec_id", "j", "cid")
+    cells = ivf_assign_index(spark, sf_dir).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    codes = pq_assignments_index(spark, sf_dir).select("vec_id", "j", "cid")
 
     qs = emb.filter(F.expr(_QUERY_PRED))
     cents_n = ivf_centroids(emb, "vec_id", "embedding").withColumn(
@@ -1885,7 +1953,7 @@ def ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.expr(_QUERY_PRED))
     cents = ivf_centroids(emb, "vec_id", "embedding")
-    asg = ivf_assign(emb, cents, "vec_id", "embedding")
+    asg = ivf_assign_index(spark, sf_dir)
     cents_n = cents.withColumn("_cn", l2_norm("cv"))
     q = qs.select(
         F.col("vec_id").alias("query_id"),
@@ -2199,7 +2267,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     cents = ivf_centroids(emb, "vec_id", "embedding")
-    asg = ivf_assign(emb, cents, "vec_id", "embedding")
+    asg = ivf_assign_index(spark, sf_dir)
 
     # per-cluster GEMM kernel (applyInPandas grouped on cid): one BLAS
     # call per cell instead of |cell|² interpreted zip_with/aggregate
@@ -3148,7 +3216,7 @@ def ann_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the map-side assignment."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     cents = ivf_centroids(emb, "vec_id", "embedding")
-    assigned = ivf_assign(emb, cents, "vec_id", "embedding")
+    assigned = ivf_assign_index(spark, sf_dir)
     occ = (
         cents.select("cid")
         .join(
