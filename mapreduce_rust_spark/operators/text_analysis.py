@@ -131,7 +131,7 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _language_id_sql() -> str:
+def _language_id_sql(src: str = "documents") -> str:
     hit_exprs = ",\n       ".join(
         f"CAST(len(list_intersect(toks, {_sql_list(words)})) AS INT) AS {lang}_hits"
         for lang, words in STOPWORDS.items()
@@ -150,7 +150,7 @@ def _language_id_sql() -> str:
 WITH n AS (
   SELECT doc_id,
          list_distinct(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS toks
-  FROM documents
+  FROM {src}
 ),
 h AS (
   SELECT doc_id,
@@ -640,9 +640,11 @@ LIMIT 30
 QUALITY_GATE_MIN = 0.5
 
 
-def _quality_sql() -> str:
+def _quality_sql(src: str = "documents") -> str:
     """DuckDB (doc_id, quality_score) twin of quality_scores() —
-    shared by the pipeline and budget-selection oracles."""
+    shared by the pipeline and budget-selection oracles. ``src`` is
+    the (doc_id, text) relation to score — the corpus-prep v2 oracle
+    scores the span-excised CTE instead of raw documents."""
     score = (
         "(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)) * 0.5"
         " + (1 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)) * 0.2"
@@ -654,7 +656,7 @@ def _quality_sql() -> str:
     )
     return (
         f"SELECT doc_id, {fround_sql(score, 4)} AS quality_score\n"
-        "FROM documents WHERE length(text) > 0"
+        f"FROM {src} WHERE length(text) > 0"
     )
 
 

@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 
 from mapreduce_rust_spark.functions.numeric import fround, fround_sql
 from mapreduce_rust_spark.functions.text import bpe_ish_tokens
-from mapreduce_rust_spark.operators.dedup import exact_duplicate_groups
+from mapreduce_rust_spark.operators.dedup import (
+    duplicate_span_removal,
+    exact_duplicate_groups,
+)
 from mapreduce_rust_spark.operators.text_analysis import (
     _language_id_sql,
     _quality_sql,
@@ -87,6 +90,136 @@ JOIN tokens USING (doc_id)
 WHERE quality_score >= {MIN_QUALITY}
 GROUP BY pred_lang
 """
+
+def pipeline_prepare_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep v2: ``pipeline_prepare_corpus`` upgraded with the
+    WITHIN-document rewrite stage the v1 funnel lacked — exact-dedup
+    survivors are span-excised (Lee et al. 2022 keep-one semantics,
+    ``duplicate_span_removal``) BEFORE the quality/language gates, so
+    boilerplate that repeats across surviving documents no longer
+    inflates token budgets or quality scores. The report carries the
+    tokens-removed attrition per language (the number a corpus owner
+    reads to see what excision actually cost).
+
+    Order of stages matters and is deliberate: doc-level dedup first
+    (exact copies collapse, so spans duplicated only because a whole
+    document was duplicated are NOT excised from the survivor), then
+    the span census + excision over survivors only, then gates scored
+    on the EXCISED text. Token accounting uses the same normalized
+    whitespace token stream the excision operates in (v1 counted
+    BPE-ish tokens of the raw text — a pre-rewrite budget; v2's budget
+    is post-rewrite by construction).
+
+    Scale shape: one wide hash aggregate (doc dedup), the span
+    machinery's partial aggs on 16-byte anchor hashes (plan documented
+    at ``dedup_span_removal``), then per-row gate expressions over the
+    candidate-bounded cleaned frame and a per-language rollup. No new
+    shuffle class beyond the composed operators'."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    survivors = exact_duplicate_groups(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    sdocs = docs.join(survivors, "doc_id")
+    cleaned = duplicate_span_removal(sdocs, "doc_id", "text").withColumnRenamed(
+        "cleaned_text", "text"
+    )
+    quality = quality_scores(cleaned, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    lang = language_id(cleaned, "doc_id", "text").select("doc_id", "pred_lang")
+    kept = (
+        cleaned.select("doc_id", "n_tokens", "n_tokens_removed")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .filter(F.col("quality_score") >= MIN_QUALITY)
+    )
+    return (
+        kept.groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens") - F.col("n_tokens_removed"))
+            .cast("bigint")
+            .alias("total_tokens"),
+            F.sum("n_tokens_removed").cast("bigint").alias("tokens_removed"),
+            fround(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+        .orderBy("pred_lang")
+    )
+
+
+def _prepare_corpus_v2_oracle() -> str:
+    from mapreduce_rust_spark.operators.dedup import (
+        _TOK_SQL,
+        RUN_MIN_DOCS,
+        RUN_SPAN_K,
+    )
+
+    leads = " || ' ' || ".join(
+        f"lead(w,{i}) OVER win" for i in range(1, RUN_SPAN_K)
+    )
+    return f"""
+WITH survivors AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+tok0 AS ({_TOK_SQL}),
+tok AS (SELECT t.doc_id, t.pos, t.w FROM tok0 t JOIN survivors USING (doc_id)),
+spans AS (
+  SELECT doc_id, pos, md5(w || ' ' || {leads}) AS h
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+anch AS (SELECT doc_id, pos, h FROM spans WHERE h IS NOT NULL),
+dup AS (
+  SELECT h FROM anch GROUP BY h
+  HAVING count(DISTINCT doc_id) >= {RUN_MIN_DOCS}
+),
+danch AS (SELECT a.doc_id, a.pos, a.h FROM anch a JOIN dup USING (h)),
+kd AS (SELECT h, min(doc_id) AS kd FROM danch GROUP BY h),
+kp AS (
+  SELECT d.h, k.kd, min(d.pos) AS kp
+  FROM danch d JOIN kd k ON k.h = d.h AND d.doc_id = k.kd
+  GROUP BY d.h, k.kd
+),
+removed AS (
+  SELECT d.doc_id, d.pos
+  FROM danch d JOIN kp ON kp.h = d.h
+  WHERE NOT (d.doc_id = kp.kd AND d.pos = kp.kp)
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos + i AS pos
+  FROM removed CROSS JOIN range(0, {RUN_SPAN_K}) u(i)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.w
+  FROM tok t ANTI JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+),
+tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1),
+ka AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(w, ' ' ORDER BY pos) AS text
+  FROM kept GROUP BY 1
+),
+cleaned AS (
+  SELECT t.doc_id, coalesce(ka.text, '') AS text,
+         t.n_tokens, t.n_tokens - coalesce(ka.n_kept, 0) AS n_tokens_removed
+  FROM tot t LEFT JOIN ka USING (doc_id)
+),
+quality AS ({_quality_sql("cleaned")}),
+lang AS (SELECT doc_id, pred_lang FROM ({_language_id_sql("cleaned")}) l)
+SELECT pred_lang, count(*) AS n_docs,
+       CAST(sum(n_tokens - n_tokens_removed) AS BIGINT) AS total_tokens,
+       CAST(sum(n_tokens_removed) AS BIGINT) AS tokens_removed,
+       {fround_sql("avg(quality_score)", 4)} AS avg_quality
+FROM cleaned
+JOIN quality USING (doc_id)
+JOIN lang USING (doc_id)
+WHERE quality_score >= {MIN_QUALITY}
+GROUP BY pred_lang
+ORDER BY pred_lang
+"""
+
+
+ORACLE["pipeline_prepare_corpus_v2"] = _prepare_corpus_v2_oracle()
+
 
 def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-extra-pass pipeline metrics via Spark's Observation API:
@@ -928,6 +1061,7 @@ QUERIES = {
     "pipeline_decontaminate": pipeline_decontaminate,
     "pipeline_rag_prep": pipeline_rag_prep,
     "pipeline_prepare_corpus": pipeline_prepare_corpus,
+    "pipeline_prepare_corpus_v2": pipeline_prepare_corpus_v2,
     "pipeline_gate_attrition": pipeline_gate_attrition,
     "pipeline_gate_overlap": pipeline_gate_overlap,
     "pipeline_dedup_report": pipeline_dedup_report,
