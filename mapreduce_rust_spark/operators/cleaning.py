@@ -1587,7 +1587,373 @@ FROM best WHERE rk = 1 ORDER BY doc_id
 ORACLE["corpus_decontaminate_minhash"] = _decon_minhash_oracle()
 
 
+# --- quality-classifier distillation (r10) ---------------------------
+#
+# The fastText-style step of the standard LLM curation funnel the
+# engine was missing: distill the EXPENSIVE rule-based quality gate
+# (the ``quality_scores`` composite, which a real pipeline would run
+# only on a sample) into a CHEAP hashed linear scorer that can screen
+# 100 TB with one multiply-free pass — score → calibrate → threshold,
+# where calibration and thresholding already exist
+# (``features_calibration_curve``, ``corpus_quality_calibrated_filter``).
+#
+# Trainer: logistic regression over hashed unigram presence features
+# (the hashing trick — no vocabulary, no driver state), fit with
+# QC_ROUNDS unrolled diagonal-Newton rounds (IRLS with a diagonal
+# Hessian, row-sparsity damped + Levenberg floor): closed-form
+# per-bucket updates
+#   beta_j += sum_{i in j} (y_i - p_i)
+#             / (QC_STEP_DAMP * sum_{i in j} p_i(1-p_i) + ridge)
+# — fully declarative (one broadcast model join + two keyed aggregates
+# per round), deterministic (beta and scores snapped to the 1e-6 grid
+# each round in BOTH engines, the ``embedding_kmeans`` recipe), so the
+# DuckDB oracle replays the identical trace as chained unrolled CTEs.
+
+QC_BUCKETS = 64  # hashed dims PER NAMESPACE — fixed model size, never a corpus fraction
+QC_ROUNDS = 5  # unrolled Newton rounds (oracle chains the same CTEs)
+QC_RIDGE = 1.0  # Levenberg floor added to each damped per-bucket Hessian
+# Row-sparsity damping for the parallel per-bucket updates (Shotgun /
+# parallel coordinate descent, Bradley et al. 2011): each doc activates
+# ~26 buckets on the measured corpora (~21 distinct-token buckets + 4
+# profile bands + intercept), and every active bucket absorbs the SAME
+# per-doc residual, so the undamped diagonal-Newton step overshoots by
+# exactly that factor (measured: |beta| -> 2700 in 3 rounds undamped;
+# stable and discriminating at the expected-sparsity damping across
+# sf0.001..sf1).
+QC_STEP_DAMP = 26
+QC_TRAIN_MOD = 5  # doc_id % 5 != 0 trains (80%); every doc is scored
+# Teacher gate: quality_score >= this is the positive class. 0.91 is
+# the corpus's own median quality (40-57% positive at every measured
+# sf) — the pipeline gate's 0.6 admits EVERY synthetic doc and would
+# distill a vacuous always-positive student.
+QC_TEACHER_MIN = 0.91
+
+
+def _qc_design_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct design-matrix rows (doc_id, bucket, y) over ALL docs.
+
+    Two hash NAMESPACES (the Vowpal Wabbit trick): distinct normalized
+    unigrams hash into buckets [0, {B}), the four numeric quality-proxy
+    bands (alpha ratio, digit ratio, mean word length, token count —
+    the signals a fastText-style quality gate actually uses) into
+    [{B}, 2·{B}), plus an intercept row (bucket = -1) per doc. Without
+    the namespace split, a band value colliding with a stopword-grade
+    universal token becomes present in EVERY doc and loses all signal
+    — measured: the student degenerates to the majority class at sf1.
+    y = the teacher gate."""
+    from mapreduce_rust_spark.functions.text import hash64, normalize_text
+    from mapreduce_rust_spark.operators.text_analysis import quality_scores
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    toks = F.array_distinct(tokenize_whitespace(normalize_text(t)))
+    tokb = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .select(
+            "doc_id",
+            (hash64(F.concat(F.lit("tok="), F.col("tok"))) % QC_BUCKETS).alias(
+                "bucket"
+            ),
+        )
+    )
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(t, r"[^ \t\n]", ""))
+    n_tok = F.size(tokenize_whitespace(t))
+
+    def band(prefix: str, expr) -> F.Column:
+        return F.concat(F.lit(prefix), F.floor(expr).cast("bigint").cast("string"))
+
+    bands = F.array(
+        band("alphab=", n_alpha.cast("double") / n_chars * 20),
+        band("digitb=", n_digit.cast("double") / n_chars * 20),
+        band("mwlb=", (n_chars - n_space).cast("double") / n_tok * 4),
+        band("ntokb=", n_tok / F.lit(8)),
+    )
+    bandb = (
+        docs.filter(n_chars > 0)
+        .select("doc_id", F.explode(bands).alias("feat"))
+        .select(
+            "doc_id",
+            (F.lit(QC_BUCKETS) + hash64(F.col("feat")) % QC_BUCKETS).alias(
+                "bucket"
+            ),
+        )
+    )
+    feat = (
+        tokb.unionByName(bandb)
+        .distinct()
+        .unionByName(
+            docs.select("doc_id", F.lit(-1).cast("bigint").alias("bucket"))
+        )
+    )
+    teacher = quality_scores(docs, "doc_id", "text").select(
+        "doc_id",
+        (F.col("quality_score") >= QC_TEACHER_MIN).cast("int").alias("y"),
+    )
+    return feat.join(teacher, "doc_id")
+
+
+_qc_design_frame.__doc__ = _qc_design_frame.__doc__.format(B=QC_BUCKETS)
+
+
+def _qc_train_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unrolled training loop — returns the final (bucket, beta)
+    model frame. Plan per round: broadcast the (QC_BUCKETS+1)-row model
+    onto the design rows, one doc-keyed aggregate (scores), one
+    bucket-keyed aggregate (gradient + diagonal Hessian), snap. Lazy
+    localCheckpoints truncate the iterative lineage (kmeans pattern)."""
+    train = (
+        _qc_design_frame(spark, sf_dir)
+        .filter(F.col("doc_id") % QC_TRAIN_MOD != 0)
+        .localCheckpoint(eager=False)
+    )
+    # intercept initialized at the empirical log-odds of the train
+    # split (the standard GLM start); feature weights at zero
+    logodds = train.select("doc_id", "y").distinct().agg(
+        fround(
+            F.log(
+                (F.sum("y") + F.lit(0.5))
+                / (F.count(F.lit(1)) - F.sum("y") + F.lit(0.5))
+            ),
+            6,
+        ).alias("b_int")
+    )
+    beta = (
+        train.select("bucket")
+        .distinct()
+        .crossJoin(F.broadcast(logodds))
+        .select(
+            "bucket",
+            F.when(F.col("bucket") == -1, F.col("b_int"))
+            .otherwise(F.lit(0.0))
+            .alias("beta"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(QC_ROUNDS):
+        s = (
+            train.join(F.broadcast(beta), "bucket")
+            .groupBy("doc_id", "y")
+            .agg(fround(F.sum("beta"), 6).alias("s"))
+        )
+        p = s.select(
+            "doc_id",
+            "y",
+            fround(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s"))), 6).alias("p"),
+        )
+        upd = (
+            train.select("doc_id", "bucket")
+            .join(p, "doc_id")
+            .groupBy("bucket")
+            .agg(
+                F.sum(F.col("y") - F.col("p")).alias("g"),
+                F.sum(F.col("p") * (F.lit(1.0) - F.col("p"))).alias("h"),
+            )
+        )
+        beta = (
+            beta.join(upd, "bucket", "left")
+            .select(
+                "bucket",
+                fround(
+                    F.col("beta")
+                    + F.coalesce(
+                        F.col("g")
+                        / (F.col("h") * F.lit(QC_STEP_DAMP) + F.lit(QC_RIDGE)),
+                        F.lit(0.0),
+                    ),
+                    6,
+                ).alias("beta"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return beta
+
+
+def qc_beta_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (per session) trained model — the trainer slug and the
+    per-source scorer slug describe the SAME fit by construction."""
+    from mapreduce_rust_spark.operators.dedup import _SIG_INDEX, _memoized
+
+    return _memoized(
+        _SIG_INDEX,
+        (sf_dir, f"qc-beta-b{QC_BUCKETS}-r{QC_ROUNDS}"),
+        lambda: _qc_train_beta(spark, sf_dir),
+    )
+
+
+def features_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained student model itself: per hashed feature bucket the
+    fitted log-odds weight plus its training support (docs touching
+    the bucket, positives among them) — what you inspect before
+    trusting a distilled gate to screen 100 TB. Model size is the
+    policy constant 2*QC_BUCKETS+1 (two namespaces + intercept)
+    regardless of corpus size."""
+    beta = qc_beta_index(spark, sf_dir)
+    train = _qc_design_frame(spark, sf_dir).filter(
+        F.col("doc_id") % QC_TRAIN_MOD != 0
+    )
+    occ = train.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.sum("y").cast("bigint").alias("n_pos_docs"),
+    )
+    return (
+        beta.join(occ, "bucket")
+        .select("bucket", "beta", "n_train_docs", "n_pos_docs")
+        .orderBy("bucket")
+    )
+
+
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source score distribution of the distilled quality
+    classifier over the WHOLE corpus (train + held-out): mean student
+    score, student/teacher positive rates, and student-teacher
+    agreement — the report that says whether the cheap scorer can
+    replace the expensive gate, and which sources it would re-weight.
+    Scoring is one broadcast model join + one doc-keyed aggregate —
+    the shape that screens 100 TB in a single pass."""
+    beta = qc_beta_index(spark, sf_dir)
+    full = _qc_design_frame(spark, sf_dir)
+    s = (
+        full.join(F.broadcast(beta), "bucket", "left")
+        .groupBy("doc_id", "y")
+        .agg(fround(F.sum(F.coalesce(F.col("beta"), F.lit(0.0))), 6).alias("s"))
+    )
+    p = s.select(
+        "doc_id",
+        "y",
+        fround(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("s"))), 6).alias("p"),
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pred = (F.col("p") >= 0.5).cast("int")
+    return (
+        p.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fround(F.avg("p"), 4).alias("mean_score"),
+            fround(F.avg(pred.cast("double")), 4).alias("student_pos_rate"),
+            fround(F.avg(F.col("y").cast("double")), 4).alias("teacher_pos_rate"),
+            fround(F.avg((pred == F.col("y")).cast("double")), 4).alias(
+                "agreement"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _qc_oracle_prefix() -> str:
+    """Shared CTE chain: design matrix, teacher labels, train split,
+    and the unrolled b0..b{QC_ROUNDS} Newton rounds."""
+    from mapreduce_rust_spark.operators.text_analysis import _quality_sql
+
+    featr = f"""
+  SELECT doc_id, ('0x' || substr(md5('tok=' || unnest(list_distinct(list_filter(
+    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+    x -> x <> '')))), 1, 15))::BIGINT % {QC_BUCKETS} AS bucket
+  FROM documents
+  UNION
+  SELECT doc_id, {QC_BUCKETS} + ('0x' || substr(md5(unnest([
+    'alphab=' || CAST(CAST(floor(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) * 20) AS BIGINT) AS VARCHAR),
+    'digitb=' || CAST(CAST(floor(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) * 20) AS BIGINT) AS VARCHAR),
+    'mwlb=' || CAST(CAST(floor((length(text) - length(regexp_replace(text, '[^ \t\n]', '', 'g')))::DOUBLE / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) * 4) AS BIGINT) AS VARCHAR),
+    'ntokb=' || CAST(CAST(floor(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) / 8) AS BIGINT) AS VARCHAR)
+  ])), 1, 15))::BIGINT % {QC_BUCKETS} AS bucket
+  FROM documents WHERE length(text) > 0
+"""
+    ctes = [
+        f"""feat AS (
+  SELECT DISTINCT doc_id, bucket FROM ({featr}) fr
+  UNION
+  SELECT doc_id, CAST(-1 AS BIGINT) AS bucket FROM documents
+)""",
+        f"""teacher AS (
+  SELECT doc_id, CASE WHEN quality_score >= {QC_TEACHER_MIN} THEN 1 ELSE 0 END AS y
+  FROM ({_quality_sql()}) q
+)""",
+        "fullm AS (SELECT f.doc_id, f.bucket, t.y FROM feat f JOIN teacher t USING (doc_id))",
+        f"train AS (SELECT * FROM fullm WHERE doc_id % {QC_TRAIN_MOD} <> 0)",
+        f"""logodds AS (
+  SELECT {fround_sql("ln((sum(y) + 0.5) / (count(*) - sum(y) + 0.5))", 6)} AS b_int
+  FROM (SELECT DISTINCT doc_id, y FROM train) d
+)""",
+        """b0 AS (
+  SELECT DISTINCT t.bucket,
+         CASE WHEN t.bucket = -1 THEN lo.b_int ELSE 0.0 END AS beta
+  FROM train t CROSS JOIN logodds lo
+)""",
+    ]
+    for r in range(1, QC_ROUNDS + 1):
+        ctes.append(
+            f"""s{r} AS (
+  SELECT t.doc_id, t.y, {fround_sql("sum(b.beta)", 6)} AS s
+  FROM train t JOIN b{r - 1} b USING (bucket) GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""p{r} AS (
+  SELECT doc_id, y, {fround_sql("1.0 / (1.0 + exp(-s))", 6)} AS p FROM s{r}
+)"""
+        )
+        ctes.append(
+            f"""u{r} AS (
+  SELECT t.bucket, sum(t.y - p.p) AS g, sum(p.p * (1.0 - p.p)) AS h
+  FROM train t JOIN p{r} p USING (doc_id) GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""b{r} AS (
+  SELECT b.bucket,
+         {fround_sql(
+             f"b.beta + coalesce(u.g / (u.h * {QC_STEP_DAMP} + {QC_RIDGE}), 0.0)",
+             6,
+         )} AS beta
+  FROM b{r - 1} b LEFT JOIN u{r} u USING (bucket)
+)"""
+        )
+    return "WITH " + ",\n".join(ctes)
+
+
+ORACLE["features_quality_distill"] = f"""
+{_qc_oracle_prefix()},
+occ AS (
+  SELECT bucket, count(*) AS n_train_docs, sum(y) AS n_pos_docs
+  FROM train GROUP BY 1
+)
+SELECT b.bucket, b.beta,
+       CAST(o.n_train_docs AS BIGINT) AS n_train_docs,
+       CAST(o.n_pos_docs AS BIGINT) AS n_pos_docs
+FROM b{QC_ROUNDS} b JOIN occ o USING (bucket)
+ORDER BY bucket
+"""
+
+
+ORACLE["corpus_quality_classifier"] = f"""
+{_qc_oracle_prefix()},
+sall AS (
+  SELECT f.doc_id, f.y, {fround_sql("sum(coalesce(b.beta, 0.0))", 6)} AS s
+  FROM fullm f LEFT JOIN b{QC_ROUNDS} b USING (bucket) GROUP BY 1, 2
+),
+pall AS (
+  SELECT doc_id, y, {fround_sql("1.0 / (1.0 + exp(-s))", 6)} AS p FROM sall
+)
+SELECT d.source, count(*) AS n_docs,
+       {fround_sql("avg(p)", 4)} AS mean_score,
+       {fround_sql("avg(CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END)", 4)}
+         AS student_pos_rate,
+       {fround_sql("avg(CAST(y AS DOUBLE))", 4)} AS teacher_pos_rate,
+       {fround_sql(
+           "avg(CASE WHEN (CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) = y"
+           " THEN 1.0 ELSE 0.0 END)", 4)} AS agreement
+FROM pall JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "features_quality_distill": features_quality_distill,
+    "corpus_quality_classifier": corpus_quality_classifier,
     "features_calibration_curve": features_calibration_curve,
     "features_cohens_kappa": features_cohens_kappa,
     "features_conformal_interval": features_conformal_interval,

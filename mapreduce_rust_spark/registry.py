@@ -152,6 +152,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     # --- round-10 additions: first driver evidence due r11 ---
     # (prepend new round-10 slugs here as they land)
     "pipeline_prepare_corpus_v2",
+    "features_quality_distill",
+    "corpus_quality_classifier",
     # --- oldest-evidence (round-2) backfill ---
     "text_lang_id",
     "text_fingerprint",
