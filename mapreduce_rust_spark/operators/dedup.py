@@ -884,9 +884,23 @@ FROM best WHERE rk = 1 ORDER BY batch_id
 ORACLE["dedup_lsh_incremental"] = _lsh_incremental_oracle()
 
 
+def exact_census_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (per session) exact-duplicate census over the documents
+    dataset — (content_hash, keep_id, n_copies). Four slugs consume the
+    identical frame (``dedup_exact``, both corpus-prep pipelines, the
+    dedup funnel report); production materializes the hash census once
+    per corpus snapshot the same way (r09 verdict ask #6)."""
+    return _memoized(
+        _SIG_INDEX,
+        (sf_dir, "exact-census"),
+        lambda: exact_duplicate_groups(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        ),
+    )
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return exact_duplicate_groups(docs, "doc_id", "text")
+    return exact_census_index(spark, sf_dir)
 
 
 ORACLE["dedup_exact"] = """

@@ -20,7 +20,7 @@ from mapreduce_rust_spark.functions.numeric import fround, fround_sql
 from mapreduce_rust_spark.functions.text import bpe_ish_tokens
 from mapreduce_rust_spark.operators.dedup import (
     duplicate_span_removal,
-    exact_duplicate_groups,
+    exact_census_index,
 )
 from mapreduce_rust_spark.operators.text_analysis import (
     _language_id_sql,
@@ -41,7 +41,7 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate, and what token budget they carry. The shape every
     training-data run reports before a tokenizer ever starts."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    survivors = exact_duplicate_groups(docs, "doc_id", "text").select(
+    survivors = exact_census_index(spark, sf_dir).select(
         F.col("keep_id").alias("doc_id")
     )
     quality = quality_scores(docs, "doc_id", "text").select(
@@ -116,7 +116,7 @@ def pipeline_prepare_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-bounded cleaned frame and a per-language rollup. No new
     shuffle class beyond the composed operators'."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    survivors = exact_duplicate_groups(docs, "doc_id", "text").select(
+    survivors = exact_census_index(spark, sf_dir).select(
         F.col("keep_id").alias("doc_id")
     )
     sdocs = docs.join(survivors, "doc_id")
@@ -285,7 +285,7 @@ def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     full = fan_out(load_table(spark, sf_dir, "documents"))
-    exact_survivors = exact_duplicate_groups(full, "doc_id", "text").select(
+    exact_survivors = exact_census_index(spark, sf_dir).select(
         F.col("keep_id").alias("doc_id"), F.lit(1).alias("_exact_keep")
     )
     clustered = dedup_components(spark, sf_dir).select(
