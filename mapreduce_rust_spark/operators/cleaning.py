@@ -1863,22 +1863,22 @@ def _qc_oracle_prefix() -> str:
   FROM documents WHERE length(text) > 0
 """
     ctes = [
-        f"""feat AS (
+        f"""feat AS MATERIALIZED (
   SELECT DISTINCT doc_id, bucket FROM ({featr}) fr
   UNION
   SELECT doc_id, CAST(-1 AS BIGINT) AS bucket FROM documents
 )""",
-        f"""teacher AS (
+        f"""teacher AS MATERIALIZED (
   SELECT doc_id, CASE WHEN quality_score >= {QC_TEACHER_MIN} THEN 1 ELSE 0 END AS y
   FROM ({_quality_sql()}) q
 )""",
-        "fullm AS (SELECT f.doc_id, f.bucket, t.y FROM feat f JOIN teacher t USING (doc_id))",
-        f"train AS (SELECT * FROM fullm WHERE doc_id % {QC_TRAIN_MOD} <> 0)",
-        f"""logodds AS (
+        "fullm AS MATERIALIZED (SELECT f.doc_id, f.bucket, t.y FROM feat f JOIN teacher t USING (doc_id))",
+        f"train AS MATERIALIZED (SELECT * FROM fullm WHERE doc_id % {QC_TRAIN_MOD} <> 0)",
+        f"""logodds AS MATERIALIZED (
   SELECT {fround_sql("ln((sum(y) + 0.5) / (count(*) - sum(y) + 0.5))", 6)} AS b_int
   FROM (SELECT DISTINCT doc_id, y FROM train) d
 )""",
-        """b0 AS (
+        """b0 AS MATERIALIZED (
   SELECT DISTINCT t.bucket,
          CASE WHEN t.bucket = -1 THEN lo.b_int ELSE 0.0 END AS beta
   FROM train t CROSS JOIN logodds lo
@@ -1886,24 +1886,24 @@ def _qc_oracle_prefix() -> str:
     ]
     for r in range(1, QC_ROUNDS + 1):
         ctes.append(
-            f"""s{r} AS (
+            f"""s{r} AS MATERIALIZED (
   SELECT t.doc_id, t.y, {fround_sql("sum(b.beta)", 6)} AS s
   FROM train t JOIN b{r - 1} b USING (bucket) GROUP BY 1, 2
 )"""
         )
         ctes.append(
-            f"""p{r} AS (
+            f"""p{r} AS MATERIALIZED (
   SELECT doc_id, y, {fround_sql("1.0 / (1.0 + exp(-s))", 6)} AS p FROM s{r}
 )"""
         )
         ctes.append(
-            f"""u{r} AS (
+            f"""u{r} AS MATERIALIZED (
   SELECT t.bucket, sum(t.y - p.p) AS g, sum(p.p * (1.0 - p.p)) AS h
   FROM train t JOIN p{r} p USING (doc_id) GROUP BY 1
 )"""
         )
         ctes.append(
-            f"""b{r} AS (
+            f"""b{r} AS MATERIALIZED (
   SELECT b.bucket,
          {fround_sql(
              f"b.beta + coalesce(u.g / (u.h * {QC_STEP_DAMP} + {QC_RIDGE}), 0.0)",

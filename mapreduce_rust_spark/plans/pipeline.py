@@ -158,21 +158,21 @@ def _prepare_corpus_v2_oracle() -> str:
         f"lead(w,{i}) OVER win" for i in range(1, RUN_SPAN_K)
     )
     return f"""
-WITH survivors AS (
+WITH survivors AS MATERIALIZED (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
 tok0 AS ({_TOK_SQL}),
-tok AS (SELECT t.doc_id, t.pos, t.w FROM tok0 t JOIN survivors USING (doc_id)),
+tok AS MATERIALIZED (SELECT t.doc_id, t.pos, t.w FROM tok0 t JOIN survivors USING (doc_id)),
 spans AS (
   SELECT doc_id, pos, md5(w || ' ' || {leads}) AS h
   FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
 ),
-anch AS (SELECT doc_id, pos, h FROM spans WHERE h IS NOT NULL),
+anch AS MATERIALIZED (SELECT doc_id, pos, h FROM spans WHERE h IS NOT NULL),
 dup AS (
   SELECT h FROM anch GROUP BY h
   HAVING count(DISTINCT doc_id) >= {RUN_MIN_DOCS}
 ),
-danch AS (SELECT a.doc_id, a.pos, a.h FROM anch a JOIN dup USING (h)),
+danch AS MATERIALIZED (SELECT a.doc_id, a.pos, a.h FROM anch a JOIN dup USING (h)),
 kd AS (SELECT h, min(doc_id) AS kd FROM danch GROUP BY h),
 kp AS (
   SELECT d.h, k.kd, min(d.pos) AS kp
@@ -198,7 +198,7 @@ ka AS (
          string_agg(w, ' ' ORDER BY pos) AS text
   FROM kept GROUP BY 1
 ),
-cleaned AS (
+cleaned AS MATERIALIZED (
   SELECT t.doc_id, coalesce(ka.text, '') AS text,
          t.n_tokens, t.n_tokens - coalesce(ka.n_kept, 0) AS n_tokens_removed
   FROM tot t LEFT JOIN ka USING (doc_id)
