@@ -62,6 +62,7 @@ def _load() -> None:
         "mapreduce_rust_spark.operators.cleaning",
         "mapreduce_rust_spark.operators.corpus",
         "mapreduce_rust_spark.operators.multimodal",
+        "mapreduce_rust_spark.operators.preference",
         "mapreduce_rust_spark.operators.skew",
         "mapreduce_rust_spark.operators.linkage",
         "mapreduce_rust_spark.operators.graph",
@@ -154,6 +155,12 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "pipeline_prepare_corpus_v2",
     "features_quality_distill",
     "corpus_quality_classifier",
+    "pref_bradley_terry",
+    "pref_rank_centrality",
+    "pref_elo_batch",
+    "pref_position_bias",
+    "pref_rater_agreement",
+    "pref_fleiss_kappa",
     # --- oldest-evidence (round-2) backfill ---
     "text_lang_id",
     "text_fingerprint",

@@ -141,3 +141,136 @@ def test_band_planner_midpoint_clamped(spark, sf_dir):
         assert r["exp_fp_pairs"] >= 0.0
         assert r["exp_fn_pairs"] >= 0.0
     assert sum(r["is_best"] for r in rows.values()) == 1
+
+
+# --- preference / pairwise-ranking family ---------------------------------
+
+
+def test_duel_synthesis_deterministic_and_linear(spark, sf_dir):
+    """The duel table is a pure function of the corpus: duel count is
+    bounded by OFFSETS×RATERS per doc (linear, never all-pairs), every
+    duel id is unique per rater, and a rebuild is bit-identical."""
+    from mapreduce_rust_spark.operators.preference import (
+        PREF_OFFSETS,
+        PREF_RATERS,
+        duel_index,
+    )
+    from mapreduce_rust_spark.sources.tables import load_table
+
+    duels = duel_index(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n = duels.count()
+    assert 0 < n <= n_docs * PREF_OFFSETS * PREF_RATERS
+    assert duels.select("did", "rater").distinct().count() == n
+    raters = {r["rater"] for r in duels.select("rater").distinct().collect()}
+    assert raters == set(range(PREF_RATERS))
+
+
+def test_position_bias_flags_only_the_planted_rater(spark, sf_dir):
+    """The audit's whole point: the rater with the planted first-
+    position bonus trips the z-threshold; every honest rater does
+    not (their position assignment is symmetric by construction)."""
+    from mapreduce_rust_spark.operators.preference import (
+        PREF_BIASED_RATER,
+        pref_position_bias,
+    )
+
+    rows = {r["rater"]: r for r in pref_position_bias(spark, sf_dir).collect()}
+    assert rows[PREF_BIASED_RATER]["biased"] == 1
+    assert rows[PREF_BIASED_RATER]["first_win_rate"] > 0.5
+    assert [r for k, r in rows.items() if k != PREF_BIASED_RATER]
+    for k, r in rows.items():
+        if k != PREF_BIASED_RATER:
+            assert r["biased"] == 0
+
+
+def test_bradley_terry_strengths_track_quality(spark, sf_dir):
+    """The fit recovers the latent signal: leaderboard items must have
+    won a majority of their duels, strengths are positive and ordered,
+    and the floor guard means no NaN/Inf ever surfaces."""
+    import math
+
+    from mapreduce_rust_spark.operators.preference import (
+        PREF_TOPK,
+        pref_bradley_terry,
+    )
+
+    rows = pref_bradley_terry(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PREF_TOPK
+    strengths = [r["strength"] for r in rows]
+    assert strengths == sorted(strengths, reverse=True)
+    for r in rows:
+        assert math.isfinite(r["strength"]) and r["strength"] > 0
+        assert r["n_wins"] * 2 >= r["n_duels"]  # top items win a majority
+
+
+def test_rank_centrality_mass_is_conserved(spark, sf_dir):
+    """The scaled power iterate is stochastic: the mean of the full
+    rating vector stays 1 (mass conservation up to rounding), and the
+    leaderboard is a strict subset ordered by score."""
+    from mapreduce_rust_spark.operators.preference import (
+        PREF_TOPK,
+        pref_rank_centrality,
+    )
+
+    rows = pref_rank_centrality(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PREF_TOPK
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0 for s in scores)
+
+
+def test_elo_batch_ratings_center_on_init(spark, sf_dir):
+    """Batched Elo is zero-sum per pair up to the logistic asymmetry:
+    leaderboard ratings sit above the 1500 start, and every top item
+    won at least half its duels."""
+    from mapreduce_rust_spark.operators.preference import (
+        PREF_ELO_INIT,
+        pref_elo_batch,
+    )
+
+    rows = pref_elo_batch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["rating"] > PREF_ELO_INIT
+        assert r["n_wins"] * 2 >= r["n_duels"]
+
+
+def test_rater_agreement_matrix_shape_and_bounds(spark, sf_dir):
+    """R(R−1)/2 pairs, agreement rates in [0,1], kappa ≤ 1, and the
+    biased rater agrees LESS with every honest rater than honest
+    raters do with each other on average (its verdicts are partly
+    position-driven)."""
+    from mapreduce_rust_spark.operators.preference import (
+        PREF_BIASED_RATER,
+        PREF_RATERS,
+        pref_rater_agreement,
+    )
+
+    rows = pref_rater_agreement(spark, sf_dir).collect()
+    assert len(rows) == PREF_RATERS * (PREF_RATERS - 1) // 2
+    with_biased, honest = [], []
+    for r in rows:
+        assert 0.0 <= r["agree_rate"] <= 1.0
+        assert r["kappa"] <= 1.0
+        if PREF_BIASED_RATER in (r["rater_a"], r["rater_b"]):
+            with_biased.append(r["agree_rate"])
+        else:
+            honest.append(r["agree_rate"])
+    assert sum(with_biased) / len(with_biased) < sum(honest) / len(honest)
+
+
+def test_fleiss_kappa_consistent_with_pairwise(spark, sf_dir):
+    """Fleiss' P-bar IS the mean pairwise agreement over all rater
+    pairs weighted equally — cross-check the two slugs against each
+    other (they share the duel table by construction)."""
+    from mapreduce_rust_spark.operators.preference import (
+        pref_fleiss_kappa,
+        pref_rater_agreement,
+    )
+
+    f = pref_fleiss_kappa(spark, sf_dir).collect()[0]
+    pair_rows = pref_rater_agreement(spark, sf_dir).collect()
+    mean_po = sum(r["agree_rate"] for r in pair_rows) / len(pair_rows)
+    assert abs(f["p_bar"] - mean_po) < 5e-3  # both rounded to 4 decimals
+    assert -1.0 <= f["kappa"] <= 1.0
