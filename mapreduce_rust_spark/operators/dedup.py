@@ -579,8 +579,15 @@ def _gemm_side_input(path: str):
     return _GEMM_SIDE[path]
 
 
+_GEMM_PATHS: dict[tuple, str] = {}
+
+
 def embedding_near_dup_pairs(
-    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.3
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    side_key: tuple | None = None,
 ) -> DataFrame:
     """Brute-force cosine pairs ≥ threshold (the exactness baseline;
     the bucketed/ANN variants in similarity.py are the scale path).
@@ -607,13 +614,38 @@ def embedding_near_dup_pairs(
 
     from mapreduce_rust_spark.session import scratch_dir
 
-    side_path = os.path.join(scratch_dir(prefix="mrs_gemm_"), "corpus")
-    emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).write.mode(
-        "overwrite"
-    ).parquet(side_path)
+    # The side-input write is an index build: for a static dataset
+    # (``side_key`` set, e.g. the registry slugs keyed by sf_dir) it
+    # is memoized per session like signature_index, so re-invocations
+    # skip the write AND hit the executors' process-local matrix
+    # cache (same path → same _GEMM_SIDE entry). Callers scoring a
+    # non-static frame pass side_key=None and pay a fresh build.
+    side_path = _GEMM_PATHS.get(side_key) if side_key is not None else None
+    if side_path is None:
+        side_path = os.path.join(scratch_dir(prefix="mrs_gemm_"), "corpus")
+        emb.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        ).write.mode("overwrite").parquet(side_path)
+        if side_key is not None:
+            _GEMM_PATHS[side_key] = side_path
 
     def block(batches):
         b_ids, b_mn = _gemm_side_input(side_path)
+        # Truncation threshold in the floor'd integer domain: sims are
+        # floor(round(x,8)*1e4) (integer-valued floats), so comparing
+        # against floor(round(thr,8)*1e4) is exactly the oracle's
+        # floor(...)/1e4 >= thr.
+        thr = float(np.floor(np.round(np.float64(threshold), 8) * 10000))
+        # The GEMM runs in ROW CHUNKS through ONE reused output buffer.
+        # Two reasons: (a) a fresh python worker pays a first-touch
+        # page-fault stall proportional to every new allocation's size
+        # (measured: a full 2000x2000 sims materialization cost 7.8 s
+        # cold vs 0.05 s warm at sf0.1 — the chunked buffer drops cold
+        # cost ~10x); (b) resident memory stays CHUNK x n_corpus
+        # instead of batch x n_corpus as the corpus grows — the
+        # all-pairs baseline's honest memory bound.
+        chunk = 128
+        out = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -621,14 +653,23 @@ def embedding_near_dup_pairs(
             an = np.linalg.norm(a, axis=1, keepdims=True)
             an[an == 0] = 1.0
             a = a / an
-            sims = np.floor(np.round(a @ b_mn.T, 8) * 10000) / 10000
             a_ids = pdf[id_col].to_numpy()
             d1, d2, cs = [], [], []
-            for i, aid in enumerate(a_ids):
-                mask = (sims[i] >= threshold) & (b_ids > aid)
-                d1.extend([aid] * int(mask.sum()))
-                d2.extend(b_ids[mask])
-                cs.extend(sims[i][mask])
+            if out is None or out.shape[1] != b_mn.shape[0]:
+                out = np.empty((chunk, b_mn.shape[0]), dtype="float64")
+            for s0 in range(0, a.shape[0], chunk):
+                ab = a[s0 : s0 + chunk]
+                g = out[: ab.shape[0]]
+                np.matmul(ab, b_mn.T, out=g)
+                np.round(g, 8, out=g)
+                np.multiply(g, 10000, out=g)
+                np.floor(g, out=g)
+                for i in range(ab.shape[0]):
+                    aid = a_ids[s0 + i]
+                    mask = (g[i] >= thr) & (b_ids > aid)
+                    d1.extend([aid] * int(mask.sum()))
+                    d2.extend(b_ids[mask])
+                    cs.extend(g[i][mask] / 10000)
             yield pd.DataFrame({"d1": d1, "d2": d2, "cos_sim": cs})
 
     return emb.select(id_col, vec_col).mapInPandas(
@@ -1147,7 +1188,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (1 partition) vs 9.3 s (32) at sf0.1. Partitioning pays off only
     # when the A-side is large enough to dwarf the closure cost.
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3)
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, side_key=(sf_dir, "gemm-emb")
+    )
 
 
 ORACLE["dedup_embedding_cosine"] = """
