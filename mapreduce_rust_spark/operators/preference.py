@@ -66,6 +66,7 @@ PREF_ELO_K = 32.0       # Elo K-factor (standard club value)
 PREF_ELO_INIT = 1500.0  # Elo initial rating
 PREF_ELO_SCALE = 400.0  # Elo logistic scale
 PREF_BIAS_Z = 2.58      # |z| threshold flagging a position-biased judge (1%)
+PREF_CI_Z = 1.96        # normal z for the 95% strength confidence interval
 PREF_TOPK = 25          # leaderboard size emitted by the fit slugs
 
 
@@ -201,11 +202,10 @@ def _item_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bradley–Terry strengths via PREF_BT_ITERS unrolled MM updates
-    (Hunter 2004): π_i ← W_i / Σ_j n_ij/(π_i + π_j), renormalized to
-    mean 1 each round. Emits the global top-PREF_TOPK leaderboard.
-    Each round is one pair-table join against the strength frame
+def _bt_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unrolled Bradley–Terry MM loop (Hunter 2004): π_i ← W_i /
+    Σ_j n_ij/(π_i + π_j), renormalized to mean 1 each round. Each
+    round is one pair-table join against the strength frame
     (item-keyed shuffle join — per-item state is NOT broadcast) plus
     two scalar aggregates; lazy localCheckpoints truncate lineage."""
     pstat = pair_index(spark, sf_dir)
@@ -236,10 +236,99 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
+    return pi
+
+
+def bt_strengths_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (per session) fitted BT strength frame — the
+    leaderboard, confidence, and duel-planner slugs describe the SAME
+    fit by construction (qc_beta_index pattern)."""
+    from mapreduce_rust_spark.operators.dedup import _SIG_INDEX, _memoized
+
+    return _memoized(
+        _SIG_INDEX,
+        (sf_dir, f"pref-bt-i{PREF_BT_ITERS}"),
+        lambda: _bt_fit(spark, sf_dir),
+    )
+
+
+def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry strengths (see :func:`_bt_fit`): the global
+    top-PREF_TOPK leaderboard from the memoized fit."""
+    pi = bt_strengths_index(spark, sf_dir)
+    items = _item_stats(spark, sf_dir)
     return (
         pi.join(items, "doc_id")
         .select("doc_id", F.col("pi").alias("strength"), "n_duels", "n_wins")
         .orderBy(F.col("strength").desc(), "doc_id")
+        .limit(PREF_TOPK)
+    )
+
+
+def pref_bt_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item uncertainty of the fitted strengths: the observed
+    Fisher information of the log-strength under Bradley–Terry is
+    I_i = Σ_j n_ij·p_ij·p_ji at the fitted probabilities, so
+    se(log π_i) = 1/√I_i and the 95 % CI is π_i·exp(±z·se). The
+    report that says WHICH leaderboard positions are statistically
+    meaningful before a reward model trusts them. One pair-table join
+    against the memoized fit + one item-keyed aggregate."""
+    pi = bt_strengths_index(spark, sf_dir)
+    pstat = pair_index(spark, sf_dir)
+    pii = pi.select(F.col("doc_id").alias("i"), F.col("pi").alias("pi_i"))
+    pij = pi.select(F.col("doc_id").alias("j"), F.col("pi").alias("pi_j"))
+    p_win = F.col("pi_i") / (F.col("pi_i") + F.col("pi_j"))
+    info = (
+        pstat.join(pii, "i")
+        .join(pij, "j")
+        .groupBy(F.col("i").alias("doc_id"))
+        .agg(F.sum(F.col("n_ij") * p_win * (F.lit(1.0) - p_win)).alias("info"))
+    )
+    items = _item_stats(spark, sf_dir)
+    se = F.lit(1.0) / F.sqrt(F.col("info"))
+    return (
+        pi.join(info, "doc_id")
+        .join(items, "doc_id")
+        .select(
+            "doc_id",
+            F.col("pi").alias("strength"),
+            fround(se, 6).alias("se_log"),
+            fround(F.col("pi") * F.exp(-F.lit(PREF_CI_Z) * se), 6).alias("ci_lo"),
+            fround(F.col("pi") * F.exp(F.lit(PREF_CI_Z) * se), 6).alias("ci_hi"),
+            "n_duels",
+        )
+        .orderBy(F.col("strength").desc(), "doc_id")
+        .limit(PREF_TOPK)
+    )
+
+
+def pref_duel_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-sampling planner: which comparisons to buy next. For
+    every observed pair the expected information of ONE more duel is
+    the Bernoulli variance p·(1−p) at the fitted strengths, discounted
+    by the evidence already collected — score = p·(1−p)/(n_ij+1).
+    High-variance, under-sampled pairs rank first; confidently decided
+    or already-saturated pairs rank last. This is the labeling-budget
+    allocator of a preference pipeline: at 100 TB the pair table is
+    the only corpus-sized input and the planner is one join + one
+    projection over it."""
+    pi = bt_strengths_index(spark, sf_dir)
+    pstat = pair_index(spark, sf_dir).filter(F.col("i") < F.col("j"))
+    pii = pi.select(F.col("doc_id").alias("i"), F.col("pi").alias("pi_i"))
+    pij = pi.select(F.col("doc_id").alias("j"), F.col("pi").alias("pi_j"))
+    p_win = F.col("pi_i") / (F.col("pi_i") + F.col("pi_j"))
+    score = p_win * (F.lit(1.0) - p_win) / (F.col("n_ij") + F.lit(1))
+    return (
+        pstat.join(pii, "i")
+        .join(pij, "j")
+        .select(
+            "i",
+            "j",
+            F.col("n_ij").alias("n_duels"),
+            fround(p_win, 4).alias("p_win_i"),
+            fround(score, 6).alias("gain_score"),
+        )
+        .orderBy(F.col("gain_score").desc(), "i", "j")
         .limit(PREF_TOPK)
     )
 
@@ -521,8 +610,8 @@ items AS MATERIALIZED (
 nit AS MATERIALIZED (SELECT count(*) AS n FROM items)"""
 
 
-def _bt_oracle() -> str:
-    ctes = [f"bt0 AS MATERIALIZED (SELECT doc_id, 1.0 AS pi FROM items)"]
+def _bt_ctes() -> list[str]:
+    ctes = ["bt0 AS MATERIALIZED (SELECT doc_id, 1.0 AS pi FROM items)"]
     for t in range(1, PREF_BT_ITERS + 1):
         ctes.append(
             f"""raw{t} AS MATERIALIZED (
@@ -544,12 +633,64 @@ def _bt_oracle() -> str:
   FROM raw{t} CROSS JOIN nit n CROSS JOIN tot{t} t
 )"""
         )
-    joined = ",\n".join(ctes)
+    return ctes
+
+
+def _bt_oracle() -> str:
+    joined = ",\n".join(_bt_ctes())
     return f"""{_pair_prefix()},
 {joined}
 SELECT b.doc_id, b.pi AS strength, it.n_duels, it.n_wins
 FROM bt{PREF_BT_ITERS} b JOIN items it USING (doc_id)
 ORDER BY strength DESC, doc_id
+LIMIT {PREF_TOPK}
+"""
+
+
+def _bt_confidence_oracle() -> str:
+    joined = ",\n".join(_bt_ctes())
+    t = PREF_BT_ITERS
+    return f"""{_pair_prefix()},
+{joined},
+info AS MATERIALIZED (
+  SELECT p.i AS doc_id,
+         sum(p.n_ij * (a.pi / (a.pi + b.pi)) * (1.0 - a.pi / (a.pi + b.pi)))
+           AS info
+  FROM pairstat p
+  JOIN bt{t} a ON a.doc_id = p.i
+  JOIN bt{t} b ON b.doc_id = p.j
+  GROUP BY 1
+)
+SELECT f.doc_id, f.pi AS strength,
+       {fround_sql("1.0 / sqrt(nf.info)", 6)} AS se_log,
+       {fround_sql(f"f.pi * exp(-{PREF_CI_Z} * (1.0 / sqrt(nf.info)))", 6)}
+         AS ci_lo,
+       {fround_sql(f"f.pi * exp({PREF_CI_Z} * (1.0 / sqrt(nf.info)))", 6)}
+         AS ci_hi,
+       it.n_duels
+FROM bt{t} f
+JOIN info nf USING (doc_id)
+JOIN items it USING (doc_id)
+ORDER BY strength DESC, doc_id
+LIMIT {PREF_TOPK}
+"""
+
+
+def _duel_planner_oracle() -> str:
+    joined = ",\n".join(_bt_ctes())
+    t = PREF_BT_ITERS
+    return f"""{_pair_prefix()},
+{joined}
+SELECT p.i, p.j, p.n_ij AS n_duels,
+       {fround_sql("a.pi / (a.pi + b.pi)", 4)} AS p_win_i,
+       {fround_sql(
+           "a.pi / (a.pi + b.pi) * (1.0 - a.pi / (a.pi + b.pi)) / (p.n_ij + 1)", 6
+       )} AS gain_score
+FROM pairstat p
+JOIN bt{t} a ON a.doc_id = p.i
+JOIN bt{t} b ON b.doc_id = p.j
+WHERE p.i < p.j
+ORDER BY gain_score DESC, p.i, p.j
 LIMIT {PREF_TOPK}
 """
 
@@ -629,6 +770,8 @@ LIMIT {PREF_TOPK}
 
 
 ORACLE["pref_bradley_terry"] = _bt_oracle()
+ORACLE["pref_bt_confidence"] = _bt_confidence_oracle()
+ORACLE["pref_duel_planner"] = _duel_planner_oracle()
 ORACLE["pref_rank_centrality"] = _rc_oracle()
 ORACLE["pref_elo_batch"] = _elo_oracle()
 
@@ -703,6 +846,8 @@ FROM agg
 
 QUERIES = {
     "pref_bradley_terry": pref_bradley_terry,
+    "pref_bt_confidence": pref_bt_confidence,
+    "pref_duel_planner": pref_duel_planner,
     "pref_rank_centrality": pref_rank_centrality,
     "pref_elo_batch": pref_elo_batch,
     "pref_position_bias": pref_position_bias,

