@@ -1427,7 +1427,7 @@ def corpus_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         N_BANDS,
         ROWS_PER_BAND,
         _memoized,
-        shingle_sets,
+        shingle_index,
         signature_index,
     )
 
@@ -1474,8 +1474,12 @@ def corpus_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast if cand.count() <= DECON_MH_BCAST_CAP else (lambda df: df)
     )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = shingle_sets(docs, "doc_id", "text", k=3)
+    # the memoized session shingle index (one localCheckpoint build,
+    # shared with the whole dedup family) instead of a fresh
+    # shingle_sets plan: ``sh`` is consumed FOUR times below (sz,
+    # bench_sh, inter, scored) and each consumer re-ran the full
+    # explode+distinct pass — guide §5 reuse, r09 verdict ask #6
+    sh = shingle_index(spark, sf_dir, k=3)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     bench_sh = F.broadcast(
         sh.filter(is_bench).select(F.col("doc_id").alias("bid"), "s")

@@ -1174,23 +1174,34 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("comp"),
     )
     for _ in range(PI_ROUNDS):
+        # v is model-sized (≤ _COV_DIMS rows) but derived through an
+        # agg chain whose size estimate the planner can't see —
+        # without the hint every matvec planned as a shuffle join of
+        # two tiny frames (2 extra Exchanges × PI_ROUNDS sequential
+        # stages). Broadcast it explicitly (guide §3.1).
+        # checkpoint each iterate: w feeds BOTH nrm and v, and v feeds
+        # the next round twice over — without truncation the unrolled
+        # chain duplicated every prior round's subtree into each
+        # consumer (the registered plan reached 264 Exchanges; with
+        # per-round truncation it is linear in PI_ROUNDS). The
+        # materialized frames are model-sized (≤ _COV_DIMS rows).
         w = (
-            cov.join(v, cov["j"] == v["dim"])
+            cov.join(F.broadcast(v), cov["j"] == v["dim"])
             .groupBy(F.col("i").alias("wdim"))
             .agg(F.sum(F.col("cov") * F.col("comp")).alias("w"))
-        )
+        ).localCheckpoint(eager=False)
         nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
         v = w.crossJoin(F.broadcast(nrm)).select(
             F.col("wdim").alias("dim"),
             fround(F.col("w") / F.col("nrm"), 8).alias("comp"),
-        )
+        ).localCheckpoint(eager=False)
     cv = (
-        cov.join(v, cov["j"] == v["dim"])
+        cov.join(F.broadcast(v), cov["j"] == v["dim"])
         .groupBy(F.col("i").alias("dim2"))
         .agg(F.sum(F.col("cov") * F.col("comp")).alias("cw"))
     )
     rayleigh = (
-        cv.join(v, cv["dim2"] == v["dim"])
+        cv.join(F.broadcast(v), cv["dim2"] == v["dim"])
         .agg(fround(F.sum(F.col("cw") * F.col("comp")), 6).alias("rayleigh"))
     )
     return (
@@ -3044,11 +3055,18 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rel = fround(cosine_from_norms("qv", "cv", "qn", "cn"), 6)
     w_rel = W.partitionBy("query_id").orderBy(F.col("rel").desc(), "cid")
+    # the pool (top-P retrieval per query — the only data-sized step)
+    # and the candidate-candidate sim table are consumed by EVERY
+    # unrolled MMR round below; without a checkpoint each round
+    # re-ran the corpus-wide retrieval join + window. Materialize both
+    # once — pool is P rows/query, cc is ≤P² rows/query, both bounded
+    # by the fixed panel (guide §5 caching).
     pool = (
         q.join(c, F.col("query_id") != F.col("cid"))
         .select("query_id", "cid", "cv", "cn", rel.alias("rel"))
         .withColumn("prank", F.row_number().over(w_rel))
         .filter(F.col("prank") <= MMR_POOL)
+        .localCheckpoint(eager=False)
     )
     a = pool.select("query_id", F.col("cid").alias("c1"), F.col("cv").alias("v1"), F.col("cn").alias("n1"))
     b = pool.select("query_id", F.col("cid").alias("c2"), F.col("cv").alias("v2"), F.col("cn").alias("n2"))
@@ -3057,7 +3075,7 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c1",
         "c2",
         fround(cosine_from_norms("v1", "v2", "n1", "n2"), 6).alias("sim_cc"),
-    )
+    ).localCheckpoint(eager=False)
     lam = F.lit(MMR_LAMBDA)
     sel = pool.filter(F.col("prank") == 1).select(
         "query_id",

@@ -120,8 +120,17 @@ def pipeline_prepare_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_id").alias("doc_id")
     )
     sdocs = docs.join(survivors, "doc_id")
-    cleaned = duplicate_span_removal(sdocs, "doc_id", "text").withColumnRenamed(
-        "cleaned_text", "text"
+    # ``cleaned`` is consumed THREE times below (quality, lang, kept);
+    # without a checkpoint each consumer re-runs the entire span
+    # machinery (anchor census, keep-one selection, coverage anti-join
+    # — a 50+-Exchange subtree) and the composed plan hit 202
+    # Exchanges / 46 SortMergeJoins. One materialization of the
+    # survivor-bounded cleaned frame truncates that to a single span
+    # pass (guide §5 caching: reused AND expensive to recompute).
+    cleaned = (
+        duplicate_span_removal(sdocs, "doc_id", "text")
+        .withColumnRenamed("cleaned_text", "text")
+        .localCheckpoint(eager=False)
     )
     quality = quality_scores(cleaned, "doc_id", "text").select(
         "doc_id", "quality_score"
