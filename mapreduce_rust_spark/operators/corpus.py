@@ -53,6 +53,22 @@ def _doc_terms(docs: DataFrame) -> DataFrame:
     )
 
 
+def _doc_lengths(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl) token counts, row-wise: size(filter(split(...)))
+    instead of explode + groupBy — identical counts with NO shuffle
+    and one fewer corpus tokenization pass (guide §2.4). Docs with
+    zero alpha tokens are filtered out, exactly as they produce no
+    rows through ``_doc_terms``."""
+    dl = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), _TOKEN_SPLIT), lambda t: t != ""
+        )
+    )
+    return docs.select(
+        "doc_id", dl.cast("bigint").alias("dl")
+    ).filter(F.col("dl") > 0)
+
+
 _DOC_TERMS_SQL = """
   SELECT doc_id, term
   FROM documents,
@@ -1860,7 +1876,9 @@ def corpus_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     qterms = spark.createDataFrame(qterms_rows, "qid string, term string")
     terms = _doc_terms(docs)
-    doclen = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # row-wise token counts: drops the third full corpus
+    # tokenization explode + its exchange from this plan (guide §2.4)
+    doclen = _doc_lengths(docs)
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -2072,7 +2090,9 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= RRF_MLT_TERMS)
         .select("qid", "term")
     )
-    doclen = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # row-wise token counts: drops the third full corpus
+    # tokenization explode + its exchange from this plan (guide §2.4)
+    doclen = _doc_lengths(docs)
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
