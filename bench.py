@@ -248,12 +248,32 @@ def main() -> int:
             else {**(prev.get("remeasured") or {}), **remeasured}
         ),
     }
-    with open(side_path, "w") as fh:
-        json.dump(side, fh, sort_keys=True)
 
     # compact [first, rerun] pairs so the re-measure evidence lands in
-    # the driver's BENCH_r{N}.json artifact, not just the sidecar
-    rem_line = {k: [v["first"], v["rerun"]] for k, v in remeasured.items()}
+    # the driver's BENCH_r{N}.json artifact, not just the sidecar.
+    # r10 verdict ask #1: the old trim loop popped ``queries`` entries
+    # BEFORE ``remeasured`` ones, so a noisy round (39 remeasure pairs)
+    # emptied the per-query map and the driver lost geomean/scaling.
+    # Invert the priority: cap remeasured at the ~10 worst pairs up
+    # front (full map is in the sidecar), keep as many slowest query
+    # entries as fit, and only then shrink remeasured further.
+    rem_line = {
+        k: [v["first"], v["rerun"]]
+        for k, v in sorted(remeasured.items(), key=lambda kv: -kv[1]["first"])[:10]
+    }
+    # One-time memoized index builds, charged visibly (r10 verdict ask
+    # #2): adjudicated per-query times for memoized families are warm
+    # numbers, so the build cost must appear somewhere in the artifact.
+    # Full map in the sidecar; the line carries the total.
+    try:
+        from mapreduce_rust_spark.operators.dedup import INDEX_BUILD_SECONDS
+    except Exception:  # noqa: BLE001
+        INDEX_BUILD_SECONDS = {}
+    index_build_total = round(sum(INDEX_BUILD_SECONDS.values()), 3)
+    side["index_builds"] = dict(INDEX_BUILD_SECONDS)
+    side["index_build_total_sec"] = index_build_total
+    with open(side_path, "w") as fh:
+        json.dump(side, fh, sort_keys=True)
 
     def line(qdict: dict[str, float], rem: dict) -> str:
         return json.dumps(
@@ -262,6 +282,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "first_pass_sec": first_total,
+                "index_build_sec": index_build_total,
                 "n_queries": len(timings),
                 "queries": qdict,
                 "remeasured": rem,
@@ -271,10 +292,12 @@ def main() -> int:
         )
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
-    while len(line(slowest, rem_line)) > 1700 and slowest:
+    while len(line(slowest, rem_line)) > 1700 and len(slowest) > 25:
         slowest.pop(next(reversed(slowest)))
     while len(line(slowest, rem_line)) > 1700 and rem_line:
         rem_line.pop(next(reversed(rem_line)))
+    while len(line(slowest, rem_line)) > 1700 and slowest:
+        slowest.pop(next(reversed(slowest)))
     print(line(slowest, rem_line))
     return 0
 

@@ -269,8 +269,17 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 3) ->
 # once per consuming query.
 _SIG_INDEX: dict[tuple[str, str], DataFrame] = {}
 
+# Wall-clock seconds spent building each memoized index this session,
+# keyed by the memo key's tag. The bench reports these so that
+# adjudicated per-query numbers (which are warm for memoized families)
+# don't hide the one-time build cost — every build is charged visibly
+# in the artifact (r10 verdict ask #2).
+INDEX_BUILD_SECONDS: dict[str, float] = {}
+
 
 def _memoized(cache: dict, key: tuple, build) -> DataFrame:
+    import time as _time
+
     cached = cache.get(key)
     if cached is not None:
         try:
@@ -278,8 +287,13 @@ def _memoized(cache: dict, key: tuple, build) -> DataFrame:
             return cached
         except Exception:  # noqa: BLE001 — stale session: rebuild
             cache.pop(key, None)
+    t0 = _time.time()
     df = build().localCheckpoint()
     cache[key] = df
+    tag = str(key[-1]) if isinstance(key, tuple) and key else str(key)
+    INDEX_BUILD_SECONDS[tag] = round(
+        INDEX_BUILD_SECONDS.get(tag, 0.0) + (_time.time() - t0), 3
+    )
     return df
 
 

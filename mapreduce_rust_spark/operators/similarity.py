@@ -3086,9 +3086,12 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chosen = sel.select("query_id", "sel_id")
     for r in range(2, MMR_K + 1):
-        # penalty = max sim to any already-selected; one bounded join
+        # penalty = max sim to any already-selected; one bounded join.
+        # ``chosen`` is panel-bounded (#queries × (r−1) rows), so
+        # BROADCAST it into both joins — replaces two SortMergeJoin
+        # exchanges per round with hash lookups (guide §3.1).
         pen = (
-            pool.join(chosen, "query_id")
+            pool.join(F.broadcast(chosen), "query_id")
             .join(
                 cc,
                 (F.col("qid_cc") == F.col("query_id"))
@@ -3099,7 +3102,7 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("sim_cc").alias("pen"))
         )
         remaining = pen.join(
-            chosen.select("query_id", F.col("sel_id").alias("cid")),
+            F.broadcast(chosen.select("query_id", F.col("sel_id").alias("cid"))),
             ["query_id", "cid"],
             "left_anti",
         )
@@ -3117,7 +3120,11 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mmr_score",
             )
         )
-        sel = sel.unionByName(pick)
+        # truncate the accumulator lineage each round (guide §5): sel
+        # is K·#queries rows max, so the checkpoint is panel-bounded;
+        # without it round r's plan inlines every prior round's join
+        # chain into pen/remaining AND the final select.
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
         chosen = sel.select("query_id", "sel_id")
     return sel.select(
         "query_id",

@@ -66,12 +66,13 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Heuristic quality features + a composite score: character-class
-    ratios, mean word length, and a length prior. The score formula is
-    arbitrary but fixed — its job is to be deterministic, cheap, and
-    monotone in the obvious junk signals (symbol soup, digit dumps,
-    one-word docs)."""
+def _quality_exprs(text_col: str) -> dict[str, "Column"]:
+    """The per-row quality-gate expressions, exposed so composed
+    pipelines can fuse the gate into an existing projection pass
+    instead of joining a separate ``quality_scores`` frame back on the
+    id (the join carried an extra scan + SortMergeJoin per gate).
+    Keys are the ``quality_scores`` output columns plus ``_n_chars``
+    (its ``n_chars > 0`` row filter predicate input)."""
     t = F.col(text_col)
     n_chars = F.length(t).cast("bigint")
     n_alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")).cast("bigint")
@@ -90,23 +91,37 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(0.2)).otherwise(0.0)
         + F.when(n_tokens >= 20, F.lit(0.1)).otherwise(0.0)
     )
-    return df.filter(n_chars > 0).select(
+    return {
+        "_n_chars": n_chars,
+        "alpha_ratio": fround(alpha_ratio, 4),
+        "digit_ratio": fround(digit_ratio, 4),
+        "space_ratio": fround(space_ratio, 4),
+        "mean_word_len": fround(mean_wlen, 4),
+        "quality_score": fround(score, 4),
+    }
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + a composite score: character-class
+    ratios, mean word length, and a length prior. The score formula is
+    arbitrary but fixed — its job is to be deterministic, cheap, and
+    monotone in the obvious junk signals (symbol soup, digit dumps,
+    one-word docs)."""
+    e = _quality_exprs(text_col)
+    return df.filter(e["_n_chars"] > 0).select(
         F.col(id_col),
-        fround(alpha_ratio, 4).alias("alpha_ratio"),
-        fround(digit_ratio, 4).alias("digit_ratio"),
-        fround(space_ratio, 4).alias("space_ratio"),
-        fround(mean_wlen, 4).alias("mean_word_len"),
-        fround(score, 4).alias("quality_score"),
+        e["alpha_ratio"].alias("alpha_ratio"),
+        e["digit_ratio"].alias("digit_ratio"),
+        e["space_ratio"].alias("space_ratio"),
+        e["mean_word_len"].alias("mean_word_len"),
+        e["quality_score"].alias("quality_score"),
     )
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Stopword-vote language ID: count distinct stopword hits per
-    language over normalized tokens; argmax with fixed tie-break
-    order, 'und' (undetermined) when no list scores. A real pipeline
-    would swap in fastText/CLD3 via a Pandas UDF behind the same
-    column contract; the heuristic here keeps the operator
-    self-contained and oracle-checkable."""
+def _langid_exprs(text_col: str) -> dict[str, "Column"]:
+    """The per-row language-id expressions (``{lang}_hits`` columns +
+    ``pred_lang``), exposed for the same gate-fusion reason as
+    :func:`_quality_exprs`."""
     toks = F.array_distinct(tokenize_whitespace(normalize_text(F.col(text_col))))
     hits = {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
@@ -124,10 +139,25 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             else:
                 cond = cond & (hits[lang] >= hits[o])
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    out: dict[str, Column] = {
+        f"{lang}_hits": hits[lang].cast("int") for lang in _LANG_ORDER
+    }
+    out["pred_lang"] = pred
+    return out
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-vote language ID: count distinct stopword hits per
+    language over normalized tokens; argmax with fixed tie-break
+    order, 'und' (undetermined) when no list scores. A real pipeline
+    would swap in fastText/CLD3 via a Pandas UDF behind the same
+    column contract; the heuristic here keeps the operator
+    self-contained and oracle-checkable."""
+    e = _langid_exprs(text_col)
     return df.select(
         F.col(id_col),
-        *[hits[lang].cast("int").alias(f"{lang}_hits") for lang in _LANG_ORDER],
-        pred.alias("pred_lang"),
+        *[e[f"{lang}_hits"].alias(f"{lang}_hits") for lang in _LANG_ORDER],
+        e["pred_lang"].alias("pred_lang"),
     )
 
 
@@ -697,6 +727,45 @@ GOPHER_MIN_ALPHA_FRAC = 0.80
 GOPHER_MIN_STOPWORDS = 1
 
 
+def _gopher_exprs(text_col: str) -> dict[str, "Column"]:
+    """The per-row Gopher-rule expressions (metric + flag columns of
+    ``gopher_rules``), exposed for gate fusion like
+    :func:`_quality_exprs`. ``_n_words`` is the row-filter input
+    (``gopher_rules`` drops zero-token docs)."""
+    toks = tokenize_whitespace(text_col)
+    n = F.size(toks)
+    mean_wlen = fround(
+        F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x))
+        / n.cast("double"),
+        4,
+    )
+    alpha_frac = fround(
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("double") / n, 4
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    ok_words = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    ok_wlen = (mean_wlen >= GOPHER_MIN_WLEN) & (mean_wlen <= GOPHER_MAX_WLEN)
+    ok_alpha = alpha_frac > GOPHER_MIN_ALPHA_FRAC
+    ok_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return {
+        "_n_words": n,
+        "n_words": n,
+        "mean_word_len": mean_wlen,
+        "alpha_word_frac": alpha_frac,
+        "n_stopwords": n_stop,
+        "ok_word_count": ok_words.cast("int"),
+        "ok_mean_wlen": ok_wlen.cast("int"),
+        "ok_alpha_frac": ok_alpha.cast("int"),
+        "ok_stopwords": ok_stop.cast("int"),
+        "keep": (ok_words & ok_wlen & ok_alpha & ok_stop).cast("int"),
+    }
+
+
 def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-paper quality FILTER report: per-document rule metrics,
     one pass/fail flag per rule, and the overall keep decision — the
@@ -706,47 +775,23 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     report can say WHY documents were dropped. Embarrassingly
     parallel: token-array expressions per row, zero shuffle — at
     100 TB the cost is one pass over the text fused with the scan."""
-    toks = tokenize_whitespace(text_col)
-    base = df.select(F.col(id_col), F.col(text_col).alias("_t"), toks.alias("w"))
-    n = F.size("w")
-    mean_wlen = F.aggregate(
-        "w", F.lit(0.0), lambda acc, x: acc + F.length(x)
-    ) / n.cast("double")
-    alpha_frac = (
-        F.size(F.filter("w", lambda x: x.rlike("[a-zA-Z]"))).cast("double") / n
-    )
-    n_stop = F.size(
-        F.array_intersect(
-            F.array_distinct(F.transform("w", F.lower)),
-            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-        )
-    )
-    m = base.filter(F.size("w") > 0).select(
-        id_col,
-        n.alias("n_words"),
-        fround(mean_wlen, 4).alias("mean_word_len"),
-        fround(alpha_frac, 4).alias("alpha_word_frac"),
-        n_stop.alias("n_stopwords"),
-    )
-    ok_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
-        F.col("n_words") <= GOPHER_MAX_WORDS
-    )
-    ok_wlen = (F.col("mean_word_len") >= GOPHER_MIN_WLEN) & (
-        F.col("mean_word_len") <= GOPHER_MAX_WLEN
-    )
-    ok_alpha = F.col("alpha_word_frac") > GOPHER_MIN_ALPHA_FRAC
-    ok_stop = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
-    return m.select(
-        id_col,
-        "n_words",
-        "mean_word_len",
-        "alpha_word_frac",
-        "n_stopwords",
-        ok_words.cast("int").alias("ok_word_count"),
-        ok_wlen.cast("int").alias("ok_mean_wlen"),
-        ok_alpha.cast("int").alias("ok_alpha_frac"),
-        ok_stop.cast("int").alias("ok_stopwords"),
-        (ok_words & ok_wlen & ok_alpha & ok_stop).cast("int").alias("keep"),
+    e = _gopher_exprs(text_col)
+    return df.filter(e["_n_words"] > 0).select(
+        F.col(id_col),
+        *[
+            e[c].alias(c)
+            for c in (
+                "n_words",
+                "mean_word_len",
+                "alpha_word_frac",
+                "n_stopwords",
+                "ok_word_count",
+                "ok_mean_wlen",
+                "ok_alpha_frac",
+                "ok_stopwords",
+                "keep",
+            )
+        ],
     )
 
 
@@ -1491,6 +1536,28 @@ KN_DISCOUNT = 0.75  # absolute discount (Chen & Goodman 1999 default)
 KN_TOPN = 20
 
 
+def kn_bigram_model_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (per session) interpolated-KN bigram model table for
+    the documents dataset — the shared LM build of
+    ``text_kneser_ney_bigram`` and ``text_bigram_perplexity`` (each
+    re-ran the full corpus bigram count + marginals; the table itself
+    is vocab²-bounded, so the checkpoint is model-sized, not
+    corpus-sized). Same ``_memoized`` localCheckpoint machinery as the
+    dedup-family indexes (guide §5)."""
+    from mapreduce_rust_spark.operators.dedup import _SIG_INDEX, _memoized
+    from mapreduce_rust_spark.sources.tables import fan_out, load_table
+
+    return _memoized(
+        _SIG_INDEX,
+        (sf_dir, "kn-bigram-model"),
+        lambda: _kn_bigram_model(
+            _doc_bigrams(fan_out(load_table(spark, sf_dir, "documents"))).select(
+                "w1", "w2"
+            )
+        ),
+    )
+
+
 def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram probabilities — training a real
     n-gram LM over the corpus (the smoothing used by KenLM and every
@@ -1506,9 +1573,8 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized frame and the top-{KN_TOPN} is TakeOrdered, not a
     global sort. The one corpus-sized stage is the map-side-combined
     bigram count itself."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return (
-        _kn_bigram_model(_doc_bigrams(docs).select("w1", "w2"))
+        kn_bigram_model_index(spark, sf_dir)
         .orderBy(F.col("c").desc(), "w1", "w2")
         .limit(KN_TOPN)
     )
@@ -1618,7 +1684,7 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed bigram has pkn > 0 by construction."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     bgs = _doc_bigrams(docs)
-    model = _kn_bigram_model(bgs.select("w1", "w2"))
+    model = kn_bigram_model_index(spark, sf_dir)
     per_doc = (
         bgs.join(F.broadcast(model.select("w1", "w2", "pkn")), ["w1", "w2"])
         .groupBy("doc_id", "source")

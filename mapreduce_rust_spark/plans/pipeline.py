@@ -23,10 +23,11 @@ from mapreduce_rust_spark.operators.dedup import (
     exact_census_index,
 )
 from mapreduce_rust_spark.operators.text_analysis import (
+    _gopher_exprs,
+    _langid_exprs,
     _language_id_sql,
+    _quality_exprs,
     _quality_sql,
-    gopher_rules,
-    language_id,
     quality_scores,
 )
 from mapreduce_rust_spark.sources.tables import fan_out, load_table
@@ -44,17 +45,25 @@ def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = exact_census_index(spark, sf_dir).select(
         F.col("keep_id").alias("doc_id")
     )
-    quality = quality_scores(docs, "doc_id", "text").select(
-        "doc_id", "quality_score"
-    )
-    lang = language_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
-    tokens = docs.select(
-        "doc_id", F.size(bpe_ish_tokens(F.col("text"))).cast("bigint").alias("n_tok")
-    )
+    # The quality gate, language id and token count are all pure
+    # per-row expressions over the SAME document row; joining three
+    # separately-projected frames back on doc_id cost two extra scans
+    # + two SortMergeJoins for nothing (guide §2.4: remove shuffles
+    # outright). Fuse all three into one projection after the survivor
+    # join. Equivalent because doc_id is unique per row and each
+    # original join was inner on doc_id: the quality frame's
+    # ``n_chars > 0`` row filter becomes an explicit filter here.
+    qe = _quality_exprs("text")
+    le = _langid_exprs("text")
     kept = (
-        survivors.join(quality, "doc_id")
-        .join(lang, "doc_id")
-        .join(tokens, "doc_id")
+        docs.join(survivors, "doc_id")
+        .filter(qe["_n_chars"] > 0)
+        .select(
+            "doc_id",
+            qe["quality_score"].alias("quality_score"),
+            le["pred_lang"].alias("pred_lang"),
+            F.size(bpe_ish_tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        )
         .filter(F.col("quality_score") >= MIN_QUALITY)
     )
     return kept.groupBy("pred_lang").agg(
@@ -132,14 +141,24 @@ def pipeline_prepare_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("cleaned_text", "text")
         .localCheckpoint(eager=False)
     )
-    quality = quality_scores(cleaned, "doc_id", "text").select(
-        "doc_id", "quality_score"
-    )
-    lang = language_id(cleaned, "doc_id", "text").select("doc_id", "pred_lang")
+    # Quality + language gates fused into ONE projection pass over the
+    # checkpointed frame (guide §2.4): both are pure per-row
+    # expressions, so the former three-way self-join on doc_id (two
+    # extra scans of ``cleaned`` + two SortMergeJoins) computed nothing
+    # the single pass doesn't. Equivalent: doc_id is unique per
+    # ``cleaned`` row, the joins were inner, and the quality frame's
+    # ``n_chars > 0`` row filter is applied explicitly.
+    qe = _quality_exprs("text")
+    le = _langid_exprs("text")
     kept = (
-        cleaned.select("doc_id", "n_tokens", "n_tokens_removed")
-        .join(quality, "doc_id")
-        .join(lang, "doc_id")
+        cleaned.filter(qe["_n_chars"] > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_tokens_removed",
+            qe["quality_score"].alias("quality_score"),
+            le["pred_lang"].alias("pred_lang"),
+        )
         .filter(F.col("quality_score") >= MIN_QUALITY)
     )
     return (
@@ -433,29 +452,23 @@ def pipeline_gate_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_rust_spark.functions.text import tokenize_whitespace
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.size(tokenize_whitespace("text")).cast("bigint").alias("n_toks"),
-    )
-    g1 = gopher_rules(docs, "doc_id", "text").select("doc_id", F.col("keep").alias("g1"))
-    g2 = quality_scores(docs, "doc_id", "text").select(
-        "doc_id",
-        (F.col("quality_score") >= QUALITY_GATE_MIN).cast("int").alias("g2"),
-    )
-    g3 = language_id(docs, "doc_id", "text").select(
-        "doc_id", F.col("pred_lang").alias("pl")
-    )
+    # All three gates are pure per-row expressions over the same
+    # document row; the former four-way join on doc_id (three extra
+    # corpus scans + three SortMergeJoins) is fused into ONE projection
+    # (guide §2.4). Equivalent: doc_id is unique, all joins were inner,
+    # and the two gate frames' row filters (gopher's zero-token drop,
+    # quality's empty-text drop) are applied explicitly.
+    ge = _gopher_exprs("text")
+    qe = _quality_exprs("text")
+    le = _langid_exprs("text")
     flags = (
-        base.join(g1, "doc_id")
-        .join(g2, "doc_id")
-        .join(g3, "doc_id")
+        docs.filter((ge["_n_words"] > 0) & (qe["_n_chars"] > 0))
         .select(
             "doc_id",
-            "n_toks",
-            "g1",
-            "g2",
-            (F.col("pl") == F.col("lang")).cast("int").alias("g3"),
+            F.size(tokenize_whitespace("text")).cast("bigint").alias("n_toks"),
+            ge["keep"].alias("g1"),
+            (qe["quality_score"] >= QUALITY_GATE_MIN).cast("int").alias("g2"),
+            (le["pred_lang"] == F.col("lang")).cast("int").alias("g3"),
         )
     )
 
@@ -534,32 +547,20 @@ def pipeline_gate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds into ONE aggregation over them (conditional sums — no
     pair-wise joins, no second scan), so the report is corpus-pass +
     one row of partial aggregates at any scale."""
-    from mapreduce_rust_spark.operators.text_analysis import (
-        gopher_rules,
-        language_id,
-        quality_scores,
-    )
-
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    g1 = gopher_rules(docs, "doc_id", "text").select(
-        "doc_id", F.col("keep").alias("g1")
-    )
-    g2 = quality_scores(docs, "doc_id", "text").select(
-        "doc_id",
-        (F.col("quality_score") >= QUALITY_GATE_MIN).cast("int").alias("g2"),
-    )
-    g3 = language_id(docs, "doc_id", "text").select(
-        "doc_id", F.col("pred_lang").alias("pl")
-    )
+    # Same gate fusion as ``pipeline_gate_attrition``: one projection
+    # pass instead of a four-way doc_id self-join (guide §2.4).
+    ge = _gopher_exprs("text")
+    qe = _quality_exprs("text")
+    le = _langid_exprs("text")
     flags = (
-        docs.select("doc_id", "lang")
-        .join(g1, "doc_id")
-        .join(g2, "doc_id")
-        .join(g3, "doc_id")
+        docs.filter((ge["_n_words"] > 0) & (qe["_n_chars"] > 0))
         .select(
-            (F.col("g1") == 0).cast("bigint").alias("r1"),
-            (F.col("g2") == 0).cast("bigint").alias("r2"),
-            (F.col("pl") != F.col("lang")).cast("bigint").alias("r3"),
+            (ge["keep"] == 0).cast("bigint").alias("r1"),
+            ((qe["quality_score"] >= QUALITY_GATE_MIN).cast("int") == 0)
+            .cast("bigint")
+            .alias("r2"),
+            (le["pred_lang"] != F.col("lang")).cast("bigint").alias("r3"),
         )
     )
     pairs = [(0, 1), (0, 2), (1, 2)]

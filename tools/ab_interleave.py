@@ -5,12 +5,18 @@ noise episodes and JIT warmup hit both sides equally. Paired min/med
 comparison is then meaningful on a noisy host where consecutive
 sessions can differ 3x.
 
+Module isolation (r10 ADVICE fix): each side owns a private
+sys.modules universe that is swapped in around its calls, with its
+tree root FIRST on sys.path (and the other side's root absent) for
+the duration — so old-side functions that lazily import at call time
+resolve against the OLD tree, not the working tree, and the two
+sides' session memos (dedup._SIG_INDEX etc.) stay separate.
+
     python tools/ab_interleave.py [-nN] [-rREF] slug [slug ...]
 """
 
 from __future__ import annotations
 
-import json
 import os
 import statistics
 import subprocess
@@ -19,22 +25,46 @@ import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+
+_PKG = "mapreduce_rust_spark"
 
 
-def _load_registry(path: str):
-    """Import mapreduce_rust_spark.registry rooted at ``path``,
-    purging any previously imported copy so the two sides don't
-    share modules."""
-    for mod in [m for m in sys.modules if m.startswith("mapreduce_rust_spark")]:
-        del sys.modules[mod]
-    sys.path.insert(0, path)
-    try:
-        from mapreduce_rust_spark.registry import queries
+def _pop_universe() -> dict:
+    """Remove every package module from sys.modules and return them."""
+    return {
+        m: sys.modules.pop(m)
+        for m in [m for m in sys.modules if m.split(".")[0] == _PKG]
+    }
 
-        return queries()
-    finally:
-        sys.path.remove(path)
+
+class Side:
+    """One side of the A/B: a tree root + its private module universe."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.modules: dict = {}
+        self.queries = None
+
+    def __enter__(self):
+        self._saved = _pop_universe()
+        sys.modules.update(self.modules)
+        self._saved_path = list(sys.path)
+        sys.path[:] = [self.root] + [
+            p for p in sys.path if p not in (self.root, REPO)
+        ]
+        return self
+
+    def __exit__(self, *exc):
+        self.modules = _pop_universe()
+        sys.modules.update(self._saved)
+        sys.path[:] = self._saved_path
+        return False
+
+    def load(self):
+        with self:
+            from mapreduce_rust_spark.registry import queries
+
+            self.queries = queries()
 
 
 def main() -> int:
@@ -57,14 +87,16 @@ def main() -> int:
         check=True,
     )
 
-    new_q = _load_registry(REPO)
-    old_q = _load_registry(old_root)
-    # session factory from the new tree (identical confs both sides)
-    for mod in [m for m in sys.modules if m.startswith("mapreduce_rust_spark")]:
-        del sys.modules[mod]
-    from mapreduce_rust_spark import get_spark
+    new = Side(REPO)
+    old = Side(old_root)
+    new.load()
+    old.load()
 
-    spark = get_spark("ab")
+    # session factory from the new tree (identical confs both sides)
+    with new:
+        from mapreduce_rust_spark import get_spark
+
+        spark = get_spark("ab")
     spark.range(1_000_000).selectExpr("sum(id) as s").write.format("noop").mode(
         "overwrite"
     ).save()
@@ -81,18 +113,21 @@ def main() -> int:
     for name in slugs:
         olds, news = [], []
         # one unmeasured warmup per side (JIT + memo builds)
-        for fn in (old_q[name], new_q[name]):
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        for side in (old, new):
+            with side:
+                side.queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             spark.catalog.clearCache()
         for i in range(n):
-            for side, fn, acc in (
-                ("old", old_q[name], olds),
-                ("new", new_q[name], news),
-            ):
-                spark.sparkContext.setJobDescription(f"ab:{name}:{side}:{i}")
-                t0 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                acc.append(round(time.time() - t0, 2))
+            for label, side, acc in (("old", old, olds), ("new", new, news)):
+                spark.sparkContext.setJobDescription(f"ab:{name}:{label}:{i}")
+                with side:
+                    t0 = time.time()
+                    side.queries[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    acc.append(round(time.time() - t0, 2))
                 spark.catalog.clearCache()
         print(
             f"AB {name}: old={olds} min={min(olds)} med={statistics.median(olds)} | "
