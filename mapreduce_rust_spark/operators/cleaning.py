@@ -1173,20 +1173,30 @@ def features_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer binning (floor(score·bins) capped) — no quantiles, no
     sort."""
     from mapreduce_rust_spark.operators.text_analysis import (
-        gopher_rules,
-        quality_scores,
+        _gopher_exprs,
+        _quality_exprs,
     )
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    q = quality_scores(docs, "doc_id", "text").select("doc_id", "quality_score")
-    g = gopher_rules(docs, "doc_id", "text").select("doc_id", "keep")
-    scored = q.join(g, "doc_id").select(
-        F.least(
-            F.floor(F.col("quality_score") * CALIB_BINS).cast("int"),
-            F.lit(CALIB_BINS - 1),
-        ).alias("bin"),
-        "quality_score",
-        F.col("keep").cast("double").alias("y"),
+    # both gates are per-row expressions: ONE scan, no doc_id
+    # self-join (guide §2.4); each frame's row filter (quality's
+    # n_chars>0, gopher's zero-token drop) applied explicitly
+    qe = _quality_exprs("text")
+    ge = _gopher_exprs("text")
+    scored = (
+        docs.filter((qe["_n_chars"] > 0) & (ge["_n_words"] > 0))
+        .select(
+            qe["quality_score"].alias("quality_score"),
+            ge["keep"].alias("keep"),
+        )
+        .select(
+            F.least(
+                F.floor(F.col("quality_score") * CALIB_BINS).cast("int"),
+                F.lit(CALIB_BINS - 1),
+            ).alias("bin"),
+            "quality_score",
+            F.col("keep").cast("double").alias("y"),
+        )
     )
     bins = scored.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1305,18 +1315,23 @@ def features_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; everything reduces in ONE partial-combined aggregation on
     the |sources|-row key. Zero joins of data-sized frames."""
     from mapreduce_rust_spark.operators.text_analysis import (
-        gopher_rules,
-        quality_scores,
+        QUALITY_GATE_MIN,
+        _gopher_exprs,
+        _quality_exprs,
     )
-    from mapreduce_rust_spark.operators.text_analysis import QUALITY_GATE_MIN
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    a = gopher_rules(docs, "doc_id", "text").select("doc_id", F.col("keep").alias("ra"))
-    b = quality_scores(docs, "doc_id", "text").select(
+    # both flags are per-row expressions: ONE scan, no doc_id
+    # self-joins (guide §2.4); the two frames' row filters applied
+    # explicitly
+    ge = _gopher_exprs("text")
+    qe = _quality_exprs("text")
+    flags = docs.filter((ge["_n_words"] > 0) & (qe["_n_chars"] > 0)).select(
         "doc_id",
-        (F.col("quality_score") >= QUALITY_GATE_MIN).cast("int").alias("rb"),
+        "source",
+        ge["keep"].alias("ra"),
+        (qe["quality_score"] >= QUALITY_GATE_MIN).cast("int").alias("rb"),
     )
-    flags = docs.select("doc_id", "source").join(a, "doc_id").join(b, "doc_id")
     g = flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("n11"),
@@ -1646,18 +1661,34 @@ def _qc_design_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     — measured: the student degenerates to the majority class at sf1.
     y = the teacher gate."""
     from mapreduce_rust_spark.functions.text import hash64, normalize_text
-    from mapreduce_rust_spark.operators.text_analysis import quality_scores
+    from mapreduce_rust_spark.operators.text_analysis import _quality_exprs
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # The teacher label is a per-row expression of the same document
+    # row, so carry it through each feature branch instead of joining
+    # a separate per-doc frame onto the EXPLODED feature stream — that
+    # join shuffled the corpus-sized design matrix by doc_id for a
+    # label each row could compute in place (guide §2.4). Equivalent:
+    # y is functionally dependent on doc_id (distinct over
+    # (doc_id, bucket, y) = distinct over (doc_id, bucket)), the old
+    # join was inner, and the teacher frame's n_chars>0 row filter is
+    # applied up front (docs it drops contributed no token/band rows).
+    qe = _quality_exprs("text")
+    labeled = docs.filter(qe["_n_chars"] > 0).select(
+        "doc_id",
+        "text",
+        (qe["quality_score"] >= QC_TEACHER_MIN).cast("int").alias("y"),
+    )
     t = F.col("text")
     toks = F.array_distinct(tokenize_whitespace(normalize_text(t)))
     tokb = (
-        docs.select("doc_id", F.explode(toks).alias("tok"))
+        labeled.select("doc_id", "y", F.explode(toks).alias("tok"))
         .select(
             "doc_id",
             (hash64(F.concat(F.lit("tok="), F.col("tok"))) % QC_BUCKETS).alias(
                 "bucket"
             ),
+            "y",
         )
     )
     n_chars = F.length(t)
@@ -1676,27 +1707,25 @@ def _qc_design_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         band("ntokb=", n_tok / F.lit(8)),
     )
     bandb = (
-        docs.filter(n_chars > 0)
-        .select("doc_id", F.explode(bands).alias("feat"))
+        labeled.filter(n_chars > 0)
+        .select("doc_id", "y", F.explode(bands).alias("feat"))
         .select(
             "doc_id",
             (F.lit(QC_BUCKETS) + hash64(F.col("feat")) % QC_BUCKETS).alias(
                 "bucket"
             ),
+            "y",
         )
     )
-    feat = (
+    return (
         tokb.unionByName(bandb)
         .distinct()
         .unionByName(
-            docs.select("doc_id", F.lit(-1).cast("bigint").alias("bucket"))
+            labeled.select(
+                "doc_id", F.lit(-1).cast("bigint").alias("bucket"), "y"
+            )
         )
     )
-    teacher = quality_scores(docs, "doc_id", "text").select(
-        "doc_id",
-        (F.col("quality_score") >= QC_TEACHER_MIN).cast("int").alias("y"),
-    )
-    return feat.join(teacher, "doc_id")
 
 
 _qc_design_frame.__doc__ = _qc_design_frame.__doc__.format(B=QC_BUCKETS)

@@ -697,11 +697,16 @@ def budget_select_per_source(
 def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source selection report: top-quality docs until 5000 chars
     per source — (source, n_kept, chars_kept, min quality kept)."""
-    from mapreduce_rust_spark.operators.text_analysis import quality_scores
+    from mapreduce_rust_spark.operators.text_analysis import _quality_exprs
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    q = quality_scores(docs, "doc_id", "text").select("doc_id", "quality_score")
-    scored = docs.select("doc_id", "source", "n_chars").join(q, "doc_id")
+    # quality is a pure per-row expression: fuse it into the scan
+    # instead of joining a separate frame back on doc_id (guide §2.4);
+    # the quality frame's n_chars>0 row filter is applied explicitly
+    qe = _quality_exprs("text")
+    scored = docs.filter(qe["_n_chars"] > 0).select(
+        "doc_id", "source", "n_chars", qe["quality_score"].alias("quality_score")
+    )
     kept = budget_select_per_source(scored, "source", "quality_score", "n_chars", 5000)
     return (
         kept.groupBy("source")
@@ -939,14 +944,18 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     total docs, kept docs, mean quality (≈ expected keep rate), and
     the realized keep ratio."""
     from mapreduce_rust_spark.functions.text import hash64
-    from mapreduce_rust_spark.operators.text_analysis import quality_scores
+    from mapreduce_rust_spark.operators.text_analysis import _quality_exprs
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    q = quality_scores(docs, "doc_id", "text").select("doc_id", "quality_score")
+    # per-row gate fused into the scan, no doc_id self-join (guide
+    # §2.4); quality's n_chars>0 row filter applied explicitly
+    qe = _quality_exprs("text")
     frac = (hash64(F.col("doc_id").cast("string")) % 1048576) / 1048576.0
     w = F.least(F.greatest(F.col("quality_score"), F.lit(0.0)), F.lit(1.0))
-    labeled = docs.select("doc_id", "source").join(q, "doc_id").select(
-        "source", (frac < w).cast("bigint").alias("kept"), "quality_score"
+    labeled = (
+        docs.filter(qe["_n_chars"] > 0)
+        .select("source", "doc_id", qe["quality_score"].alias("quality_score"))
+        .select("source", (frac < w).cast("bigint").alias("kept"), "quality_score")
     )
     return (
         labeled.groupBy("source")
@@ -998,11 +1007,15 @@ def corpus_quality_calibrated_filter(spark: SparkSession, sf_dir: str) -> DataFr
     (partial-aggregatable) pick each source's cut point, then one
     fused-filter scan applies it — same semantics, no per-source
     sort; at test scale the direct window states the contract."""
-    from mapreduce_rust_spark.operators.text_analysis import quality_scores
+    from mapreduce_rust_spark.operators.text_analysis import _quality_exprs
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    q = quality_scores(docs, "doc_id", "text").select("doc_id", "quality_score")
-    d = docs.select("doc_id", "source").join(q, "doc_id")
+    # per-row gate fused into the scan, no doc_id self-join (guide
+    # §2.4); quality's n_chars>0 row filter applied explicitly
+    qe = _quality_exprs("text")
+    d = docs.filter(qe["_n_chars"] > 0).select(
+        "doc_id", "source", qe["quality_score"].alias("quality_score")
+    )
     w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
     labeled = d.withColumn(
         "kept", (F.percent_rank().over(w) >= 0.5).cast("bigint")
