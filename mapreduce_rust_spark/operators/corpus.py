@@ -69,6 +69,25 @@ def _doc_lengths(docs: DataFrame) -> DataFrame:
     ).filter(F.col("dl") > 0)
 
 
+def _doc_terms_len(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, term): the ``_doc_terms`` stream with each row
+    carrying its document's token count. dl is functionally dependent
+    on doc_id, so downstream per-(doc, term) aggregations can key on
+    it directly — removing the separate ``_doc_lengths`` join on
+    doc_id (one exchange + one corpus projection) from BM25-style
+    scorers (guide §2.4). Emitted rows always have dl > 0 (explode of
+    an empty token array yields no rows), matching ``_doc_lengths``'s
+    filter."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), _TOKEN_SPLIT), lambda t: t != ""
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+
+
 _DOC_TERMS_SQL = """
   SELECT doc_id, term
   FROM documents,
@@ -1888,16 +1907,18 @@ def corpus_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (qid, t) for qid, q in BM25_QUERIES for t in q.split()
     ]
     qterms = spark.createDataFrame(qterms_rows, "qid string, term string")
-    terms = _doc_terms(docs)
-    # row-wise token counts: drops the third full corpus
-    # tokenization explode + its exchange from this plan (guide §2.4)
-    doclen = _doc_lengths(docs)
-    stats = doclen.agg(
+    # token stream carries its doc's length (dl is functionally
+    # dependent on doc_id), so the per-(doc, term) aggregation keys on
+    # it directly — no separate doclen join on doc_id (guide §2.4);
+    # the stream is query-vocabulary-bounded before the aggregation,
+    # so the extra column rides only on matching postings
+    terms = _doc_terms_len(docs)
+    stats = _doc_lengths(docs).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     tf = (
         terms.join(F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -1911,7 +1932,6 @@ def corpus_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(idf), "term")
-        .join(doclen, "doc_id")
         .select(
             "term",
             "doc_id",
@@ -2103,15 +2123,16 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= RRF_MLT_TERMS)
         .select("qid", "term")
     )
-    # row-wise token counts: drops the third full corpus
-    # tokenization explode + its exchange from this plan (guide §2.4)
-    doclen = _doc_lengths(docs)
-    stats = doclen.agg(
+    # dl rides on the (query-vocabulary-bounded) token stream instead
+    # of a separate doclen join on doc_id — same rewrite as
+    # ``corpus_bm25_retrieval`` (guide §2.4)
+    stats = _doc_lengths(docs).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     tf = (
-        terms.join(F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("doc_id", "term")
+        _doc_terms_len(docs)
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     idf = (
@@ -2129,7 +2150,6 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(idf), "term")
-        .join(doclen, "doc_id")
         .select(
             "term",
             "doc_id",
