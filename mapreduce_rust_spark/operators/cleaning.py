@@ -204,7 +204,13 @@ GROUP BY 1 HAVING count(*) >= 2
 
 
 def ngram_overlap_report(
-    corpus: DataFrame, bench: DataFrame, id_col: str, text_col: str, k: int = 8
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    c_spans: DataFrame | None = None,
+    b_spans: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: for every corpus document, how many
     distinct k-token spans it shares with any document of the
@@ -218,11 +224,12 @@ def ngram_overlap_report(
     the final per-doc aggregate of matched spans."""
     from mapreduce_rust_spark.operators.dedup import shingle_sets
 
-    c_spans = shingle_sets(corpus, id_col, text_col, k)
+    if c_spans is None:
+        c_spans = shingle_sets(corpus, id_col, text_col, k)
+    if b_spans is None:
+        b_spans = shingle_sets(bench, id_col, text_col, k)
     b_spans = F.broadcast(
-        shingle_sets(bench, id_col, text_col, k).select(
-            F.col(id_col).alias("_bid"), F.col("s")
-        )
+        b_spans.select(F.col(id_col).alias("_bid"), F.col("s"))
     )
     hits = c_spans.join(b_spans, "s").filter(F.col(id_col) != F.col("_bid"))
     return (
@@ -238,10 +245,27 @@ def ngram_overlap_report(
 
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination screen of the documents corpus against a
-    deterministic ~6% hash-held-out "benchmark" slice of itself."""
+    deterministic ~6% hash-held-out "benchmark" slice of itself.
+
+    Both span streams come from the session-memoized k=8 shingle
+    index (shingle_sets is per-row, so filtering the index to the
+    bench slice equals shingling the filtered corpus) — shared with
+    ``pipeline_decontaminate`` screen 1, one span tokenization pass
+    per session (guide §5)."""
+    from mapreduce_rust_spark.operators.dedup import shingle_index
+
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     bench = docs.filter(F.md5(F.col("doc_id").cast("string")) < "1")
-    return ngram_overlap_report(docs, bench, "doc_id", "text", k=8)
+    idx = shingle_index(spark, sf_dir, k=8)
+    return ngram_overlap_report(
+        docs,
+        bench,
+        "doc_id",
+        "text",
+        k=8,
+        c_spans=idx,
+        b_spans=idx.filter(F.md5(F.col("doc_id").cast("string")) < "1"),
+    )
 
 
 ORACLE["decontaminate_ngram_overlap"] = """

@@ -805,13 +805,19 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decon_mh_bench,
         corpus_decontaminate_minhash,
     )
-    from mapreduce_rust_spark.operators.dedup import shingle_sets
+    from mapreduce_rust_spark.operators.dedup import shingle_index
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     is_bench = F.expr(_decon_mh_bench("doc_id"))
 
-    # screen 1 — exact K-token span collision vs the bench span set
-    sh = shingle_sets(docs, "doc_id", "text", k=PIPE_DECON_NGRAM_K)
+    # screen 1 — exact K-token span collision vs the bench span set.
+    # The k-span table is the session-memoized shingle index at this
+    # k (identical build: same loader, same args) — shared with
+    # ``decontaminate_ngram_overlap`` and consumed twice below
+    # (bench side + corpus side), so the span tokenization pass runs
+    # once per session instead of twice per invocation (guide §5,
+    # the r09-verdict index-sharing pattern).
+    sh = shingle_index(spark, sf_dir, k=PIPE_DECON_NGRAM_K)
     bench_spans = F.broadcast(sh.filter(is_bench).select("s").distinct())
     fe = (
         sh.filter(~is_bench)
