@@ -277,24 +277,31 @@ _SIG_INDEX: dict[tuple[str, str], DataFrame] = {}
 INDEX_BUILD_SECONDS: dict[str, float] = {}
 
 
+# serializes concurrent builds of the same index (the plan-audit test
+# builds plans from a thread pool; without the lock two threads would
+# both run the eager checkpoint)
+_MEMO_LOCK = __import__("threading").RLock()
+
+
 def _memoized(cache: dict, key: tuple, build) -> DataFrame:
     import time as _time
 
-    cached = cache.get(key)
-    if cached is not None:
-        try:
-            cached.schema  # raises if the owning session is gone
-            return cached
-        except Exception:  # noqa: BLE001 — stale session: rebuild
-            cache.pop(key, None)
-    t0 = _time.time()
-    df = build().localCheckpoint()
-    cache[key] = df
-    tag = str(key[-1]) if isinstance(key, tuple) and key else str(key)
-    INDEX_BUILD_SECONDS[tag] = round(
-        INDEX_BUILD_SECONDS.get(tag, 0.0) + (_time.time() - t0), 3
-    )
-    return df
+    with _MEMO_LOCK:
+        cached = cache.get(key)
+        if cached is not None:
+            try:
+                cached.schema  # raises if the owning session is gone
+                return cached
+            except Exception:  # noqa: BLE001 — stale session: rebuild
+                cache.pop(key, None)
+        t0 = _time.time()
+        df = build().localCheckpoint()
+        cache[key] = df
+        tag = str(key[-1]) if isinstance(key, tuple) and key else str(key)
+        INDEX_BUILD_SECONDS[tag] = round(
+            INDEX_BUILD_SECONDS.get(tag, 0.0) + (_time.time() - t0), 3
+        )
+        return df
 
 
 def signature_index(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:

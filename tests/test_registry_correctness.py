@@ -48,8 +48,7 @@ def test_next_window_queue_directly_after_window():
     assert order[n : n + len(_NEXT_WINDOW)] == list(_NEXT_WINDOW)
 
 
-@pytest.mark.parametrize("slug", _slugs())
-def test_query_matches_oracle(spark, sf_dir, duck, slug):
+def _check_one(spark, sf_dir, duck, slug) -> list[str]:
     from mapreduce_rust_spark.registry import oracle_sql, queries
 
     fn = queries()[slug]
@@ -58,7 +57,50 @@ def test_query_matches_oracle(spark, sf_dir, duck, slug):
     if sql is None:
         # non-SQL-expressible op: weaker check — runs and yields rows
         assert len(spark_pdf) >= 0
-        return
+        return []
     duck_pdf = duck.execute(sql).df()
-    problems = compare(slug, spark_pdf, duck_pdf)
-    assert not problems, problems
+    return compare(slug, spark_pdf, duck_pdf)
+
+
+# Budget split (r10 verdict ask #8 — the full suite no longer fit the
+# driver's time budget; the sequential 424-slug oracle sweep alone was
+# ~18 min of a 44-min run, and a threaded sweep is still GIL-bound at
+# ~15 min in toPandas/DuckDB-to-pandas conversion):
+#   * the DEFAULT run value-checks the driver's own 50-slug priority
+#     window (exactly what the driver's t2 gate checks) — ~2 min;
+#   * the FULL 424-slug sweep keeps running under ``-m exhaustive``
+#     and in the freeze procedure, which value-checks every slug via
+#     tools/check_correctness.py at sf0.01 AND sf0.1 anyway.
+# Per-slug parametrized runs stay available for debugging one slug
+# (MRS_ORACLE_PER_SLUG=1 python -m pytest ... -k <slug>).
+
+
+def _window_slugs():
+    from mapreduce_rust_spark.registry import queries
+
+    return sorted(list(queries())[:50])
+
+
+if os.environ.get("MRS_ORACLE_PER_SLUG"):
+
+    @pytest.mark.parametrize("slug", _slugs())
+    def test_query_matches_oracle(spark, sf_dir, duck, slug):
+        problems = _check_one(spark, sf_dir, duck, slug)
+        assert not problems, problems
+
+else:
+
+    @pytest.mark.parametrize("slug", _window_slugs())
+    def test_query_matches_oracle(spark, sf_dir, duck, slug):
+        """Driver-window replica: the 50 slugs the driver value-checks."""
+        problems = _check_one(spark, sf_dir, duck, slug)
+        assert not problems, problems
+
+    @pytest.mark.exhaustive
+    @pytest.mark.parametrize("slug", sorted(set(_slugs()) - set(_window_slugs())))
+    def test_query_matches_oracle_full(spark, sf_dir, duck, slug):
+        """The rest of the registry — run with ``-m exhaustive`` (and
+        covered at two SFs by the freeze procedure's full
+        check_correctness sweeps)."""
+        problems = _check_one(spark, sf_dir, duck, slug)
+        assert not problems, problems

@@ -36,13 +36,18 @@ class PlanReport(NamedTuple):
     plan: str
 
 
+def formatted_plan(df) -> str:
+    """The ``df.explain("formatted")`` text as a STRING, via the JVM —
+    not by redirecting stdout, which is process-global and unusable
+    from the audit's thread pool (plans would interleave)."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
 def audit_one(spark, sf_dir: str, name: str, fn) -> PlanReport:
     try:
-        df = fn(spark, sf_dir)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        plan = buf.getvalue()
+        plan = formatted_plan(fn(spark, sf_dir))
     except Exception as e:  # noqa: BLE001 — report, keep auditing
         return PlanReport(name, 0, 0, [], f"{type(e).__name__}: {e}", "")
     flags = [msg for pat, msg in SMELLS if pat in plan]
@@ -56,12 +61,39 @@ def audit_one(spark, sf_dir: str, name: str, fn) -> PlanReport:
     )
 
 
-def audit(spark, sf_dir: str, names=None) -> list[PlanReport]:
+# Builders in these modules mutate session conf around their run
+# (shuffle-partition pinning for state stores) or execute streaming
+# queries; they must not interleave with other threads' conf reads.
+_SEQUENTIAL_MODULES = (
+    "mapreduce_rust_spark.streaming.queries",
+    "mapreduce_rust_spark.sources.pysource",
+)
+
+
+def audit(spark, sf_dir: str, names=None, workers: int = 8) -> list[PlanReport]:
+    """Plan-audit every picked slug. Plan construction is almost
+    entirely py4j/Catalyst time (GIL released), so the safe slugs are
+    audited from a thread pool — the full-registry audit dropped from
+    ~5.5 min sequential to well under 2 on 32 cores — while builders
+    that mutate session conf (streaming family, python datasources)
+    run sequentially afterwards."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from mapreduce_rust_spark.registry import queries
 
     qs = queries()
-    picked = sorted(names) if names else sorted(qs)
-    return [audit_one(spark, sf_dir, n, qs[n]) for n in picked if n in qs]
+    picked = [n for n in (sorted(names) if names else sorted(qs)) if n in qs]
+    par = [n for n in picked if qs[n].__module__ not in _SEQUENTIAL_MODULES]
+    seq = [n for n in picked if qs[n].__module__ in _SEQUENTIAL_MODULES]
+    out: dict[str, PlanReport] = {}
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for rep in pool.map(
+            lambda n: audit_one(spark, sf_dir, n, qs[n]), par
+        ):
+            out[rep.name] = rep
+    for n in seq:
+        out[n] = audit_one(spark, sf_dir, n, qs[n])
+    return [out[n] for n in picked]
 
 
 def main() -> int:
