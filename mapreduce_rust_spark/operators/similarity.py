@@ -3086,12 +3086,9 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chosen = sel.select("query_id", "sel_id")
     for r in range(2, MMR_K + 1):
-        # penalty = max sim to any already-selected; one bounded join.
-        # ``chosen`` is panel-bounded (#queries × (r−1) rows), so
-        # BROADCAST it into both joins — replaces two SortMergeJoin
-        # exchanges per round with hash lookups (guide §3.1).
+        # penalty = max sim to any already-selected; one bounded join
         pen = (
-            pool.join(F.broadcast(chosen), "query_id")
+            pool.join(chosen, "query_id")
             .join(
                 cc,
                 (F.col("qid_cc") == F.col("query_id"))
@@ -3102,7 +3099,7 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("sim_cc").alias("pen"))
         )
         remaining = pen.join(
-            F.broadcast(chosen.select("query_id", F.col("sel_id").alias("cid"))),
+            chosen.select("query_id", F.col("sel_id").alias("cid")),
             ["query_id", "cid"],
             "left_anti",
         )
@@ -3120,11 +3117,7 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mmr_score",
             )
         )
-        # truncate the accumulator lineage each round (guide §5): sel
-        # is K·#queries rows max, so the checkpoint is panel-bounded;
-        # without it round r's plan inlines every prior round's join
-        # chain into pen/remaining AND the final select.
-        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+        sel = sel.unionByName(pick)
         chosen = sel.select("query_id", "sel_id")
     return sel.select(
         "query_id",
