@@ -349,10 +349,16 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("h") >= WIN_W)
         .select("doc_id", F.explode(mins).alias("fp"))
     )
+    # (doc_id, fp) pairs are DISTINCT by construction (``mins`` is
+    # array_distinct'd per row and doc_id is unique), so
+    # countDistinct(doc_id) per fp equals a plain count — same values,
+    # without the Expand + two-level distinct aggregation the
+    # countDistinct plan pays (guide §2.3: aggregate before you
+    # shuffle; the plain count partial-aggregates map-side).
     return (
         fps.groupBy("fp")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_docs"),
             F.count(F.lit(1)).alias("n_occ"),
         )
         .filter(F.col("n_docs") >= 2)

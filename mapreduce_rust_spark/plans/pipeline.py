@@ -129,17 +129,18 @@ def pipeline_prepare_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_id").alias("doc_id")
     )
     sdocs = docs.join(survivors, "doc_id")
-    # ``cleaned`` is consumed THREE times below (quality, lang, kept);
-    # without a checkpoint each consumer re-runs the entire span
-    # machinery (anchor census, keep-one selection, coverage anti-join
-    # — a 50+-Exchange subtree) and the composed plan hit 202
-    # Exchanges / 46 SortMergeJoins. One materialization of the
-    # survivor-bounded cleaned frame truncates that to a single span
-    # pass (guide §5 caching: reused AND expensive to recompute).
-    cleaned = (
-        duplicate_span_removal(sdocs, "doc_id", "text")
-        .withColumnRenamed("cleaned_text", "text")
-        .localCheckpoint(eager=False)
+    # r10 checkpointed ``cleaned`` because three consumers (quality,
+    # lang, kept) each inlined the 50+-Exchange span subtree (202
+    # Exchanges composed). The r11 gate fusion below leaves exactly
+    # ONE consumer, so the checkpoint became pure overhead — it
+    # materialized the full survivor corpus (text included) into
+    # executor storage for nothing, and was the measured source of
+    # the slug's super-linear sf1→sf10 exponent (1.25 with the
+    # checkpoint vs 0.53 for the span op itself). Single consumer ⇒
+    # recompute never happens ⇒ no checkpoint (guide §5: cache only
+    # what is reused AND expensive).
+    cleaned = duplicate_span_removal(sdocs, "doc_id", "text").withColumnRenamed(
+        "cleaned_text", "text"
     )
     # Quality + language gates fused into ONE projection pass over the
     # checkpointed frame (guide §2.4): both are pure per-row
